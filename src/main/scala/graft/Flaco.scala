@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference raises exactly one exception type for every failure
+  * (connection, SQL, conversion) — `FlacoException`
+  * (reference `src/lib.rs:16,36-38`). We mirror that with a typed,
+  * catchable exception and additionally convert the reference's hard
+  * `unimplemented!` aborts (`src/lib.rs:313,382-385`) into this.
+  */
+class FlacoSparkException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+/** Output file format selector, mirroring the reference's
+  * `FileFormat.{Feather,Parquet}` pyclass enum (`src/lib.rs:28-33`).
+  */
+sealed trait FileFormat
+object FileFormat {
+  case object Parquet extends FileFormat
+  case object Feather extends FileFormat
+}
+
+/** Parity knobs replicating reference semantics that differ from the
+  * Spark-native default (SURVEY.md §1.2, §7.2). All default to the
+  * Spark-native (strictly more correct) behavior; flip for byte-level
+  * parity with the reference.
+  *
+  * @param numericAsDouble NUMERIC → double, lossy (`src/lib.rs:375-381`).
+  * @param nullFloatsAsNaN FLOAT4/8 NULL → NaN (`src/lib.rs:272,280`).
+  * @param singleFile      one output file / row group like the
+  *                        single-chunk writers (`src/lib.rs:124,163`).
+  * @param uncompressed    Parquet compression=none (`src/lib.rs:125-129`).
+  */
+final case class ParityOptions(
+    numericAsDouble: Boolean = true,
+    nullFloatsAsNaN: Boolean = false,
+    singleFile: Boolean = false,
+    uncompressed: Boolean = false)
+
+/** Core public API — the Spark-native equivalent of the reference's
+  * entire pymodule surface: `read_sql_to_pyarrow`, `read_sql_to_file`,
+  * `FileFormat`, `FlacoException` (`src/lib.rs:18-26`). The in-memory
+  * handle here is the DataFrame itself (lazy, distributed) instead of a
+  * fully materialized Arrow table — intentionally different and strictly
+  * better at scale (the reference admits the materialization limit at
+  * `src/lib.rs:75`).
+  */
+object Flaco {
+
+  /** Session factory with the scale-appropriate defaults used across
+    * the engine: AQE on (runtime re-plan, skew-join handling), shuffle
+    * partitions sized to the local core count rather than the 200
+    * default, UTC session time for oracle parity.
+    */
+  def session(
+      master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "flacospark"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Spark-native `read_sql_to_pyarrow` (`src/lib.rs:41-72`): ship an
+    * arbitrary SQL string to PostgreSQL, get a columnar handle back.
+    * The JDBC `query` option is exactly the reference's opaque-SQL
+    * delegation contract (`src/lib.rs:188-189`); `fetchsize` replicates
+    * its streamed row fetch, and the partition options give the
+    * parallelism the single-threaded reference lacks.
+    *
+    * Offline here (no live PostgreSQL, zero egress), so this is
+    * exercised only at the plan level; the type-mapping semantics it
+    * applies are unit-tested in [[graft.types.PgTypeMap]].
+    */
+  def readSqlToDataFrame(
+      spark: SparkSession,
+      uri: String,
+      stmt: String,
+      fetchSize: Int = 10000,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      parity: ParityOptions = ParityOptions()): DataFrame =
+    try {
+      var r = spark.read.format("jdbc")
+        .option("url", uri)
+        .option("query", stmt)
+        .option("fetchsize", fetchSize.toString)
+      partitionColumn.foreach { case (col, lo, hi, n) =>
+        r = r.option("partitionColumn", col)
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+          .option("numPartitions", n.toString)
+      }
+      types.PgTypeMap.applyParity(r.load(), parity)
+    } catch {
+      case e: FlacoSparkException => throw e
+      case e: Exception =>
+        throw new FlacoSparkException(s"read_sql failed: ${e.getMessage}", e)
+    }
+
+  /** Spark-native `read_sql_to_file` (`src/lib.rs:77-85`). */
+  def readSqlToFile(
+      spark: SparkSession,
+      uri: String,
+      stmt: String,
+      path: String,
+      format: FileFormat,
+      parity: ParityOptions = ParityOptions()): Unit =
+    writeFile(readSqlToDataFrame(spark, uri, stmt, parity = parity),
+      path, format, parity)
+
+  /** Sink dispatch, mirroring the enum match at `src/lib.rs:80-84`. */
+  def writeFile(
+      df: DataFrame,
+      path: String,
+      format: FileFormat,
+      parity: ParityOptions = ParityOptions()): Unit = format match {
+    case FileFormat.Parquet => writeParquet(df, path, parity)
+    case FileFormat.Feather => writeFeather(df, path, parity)
+  }
+
+  /** Parquet sink (`write_table_to_parquet`, `src/lib.rs:116-148`).
+    * Spark-native default: many part-files, snappy, dictionary
+    * encoding — the 100 TB path. Parity mode: one file, uncompressed,
+    * like the reference's single row group.
+    */
+  def writeParquet(
+      df: DataFrame,
+      path: String,
+      parity: ParityOptions = ParityOptions()): Unit = {
+    val out = if (parity.singleFile) df.coalesce(1) else df
+    val w = out.write.mode("overwrite")
+    (if (parity.uncompressed) w.option("compression", "none") else w)
+      .parquet(path)
+  }
+
+  /** Feather / Arrow-IPC sink (`write_table_to_feather`,
+    * `src/lib.rs:150-168`) — the one genuinely custom I/O piece; see
+    * [[graft.sinks.FeatherSink]].
+    */
+  def writeFeather(
+      df: DataFrame,
+      path: String,
+      parity: ParityOptions = ParityOptions()): Unit =
+    sinks.FeatherSink.write(df, path, singleFile = parity.singleFile)
+
+  /** SQL front door over the local corpus: registers every corpus
+    * table found in `dir` as a temp view, then delegates the statement
+    * to Catalyst — the same "arbitrary SQL, someone else plans it"
+    * contract the reference delegates to PostgreSQL
+    * (`src/lib.rs:188-189`), with Spark as the planner.
+    */
+  def sql(spark: SparkSession, dir: String, stmt: String): DataFrame = {
+    sources.Corpus.registerAll(spark, dir)
+    try spark.sql(stmt)
+    catch {
+      case e: Exception =>
+        throw new FlacoSparkException(s"sql failed: ${e.getMessage}", e)
+    }
+  }
+}

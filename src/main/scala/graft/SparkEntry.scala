@@ -1,13 +1,407 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (the
+  * relational surface the reference delegates to PostgreSQL, §2.2) or
+  * a north-star extension (dedup / similarity / text / multimodal /
+  * event windowing). Each oracle in [[oracleSql]] mirrors the Spark
+  * computation operation-for-operation in DuckDB SQL: identical
+  * column aliases, identical ORDER BY, doubles rounded at the same
+  * point, all content hashing via md5 (bit-identical across engines),
+  * integer outputs pinned to BIGINT on both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_filter_project" -> (Relational.filterProject _),
+    "q03_topk_revenue" -> (Relational.topkRevenue _),
+    "q04_order_priority" -> (Relational.orderPriority _),
+    "q05_region_revenue" -> (Relational.regionRevenue _),
+    "q06_forecast_revenue" -> (Relational.forecastRevenue _),
+    "q07_anti_join" -> (Relational.inactiveCustomers _),
+    "q08_segment_stats" -> (Relational.segmentStats _),
+    "q09_window_topn" -> (Relational.topOrdersPerCustomer _),
+    "q10_window_running" -> (Relational.runningQuantity _),
+    "q11_setops" -> (Relational.setOpsCustomers _),
+    "q12_top_orders" -> (Relational.topOrders _),
+    "q13_rollup" -> (Relational.rollupSummary _),
+    "q14_cube" -> (Relational.cubeSummary _),
+    "q15_scalar_funcs" -> (Relational.scalarFunctions _),
+    "q16_json_extract" -> (Relational.jsonExtract _),
+    "q17_events_tumbling" -> (Events.tumbling _),
+    "q18_events_sliding" -> (Events.sliding _),
+    "q19_events_sessions" -> (Events.sessions _),
+    "q20_approx_distinct" -> (Events.approxUsers _),
+    "q21_text_stats" -> (TextAnalysis.textStats _),
+    "q22_lang_id" -> (TextAnalysis.langId _),
+    "q23_text_quality" -> (TextAnalysis.qualityScore _),
+    "q24_fingerprints" -> (TextAnalysis.fingerprints _),
+    "q25_simhash" -> (TextAnalysis.simhash _),
+    "q26_exact_dedup" -> (Dedup.exactDedup _),
+    "q27_ngram_jaccard" -> (Dedup.ngramJaccardNeighbors _),
+    "q28_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "q29_embedding_neardup" -> (Dedup.embeddingNearDups _),
+    "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
+    "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "q32_media_stats" -> (Multimodal.mediaStats _)
+  )
+
+  // ---- oracle SQL builders (shared fragments) ----
+
+  /** DuckDB: distinct word-3-gram shingles per doc, as a WITH body. */
+  private val shinglesCte =
+    """d AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, lang, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM (
+      |  SELECT doc_id, lang, l, unnest(range(1, greatest(len(l) - 1, 1))) AS i FROM d))""".stripMargin
+
+  /** DuckDB stopword-score formula mirroring TextAnalysis.hits. */
+  private def scoreSql(lang: String): String =
+    TextAnalysis.stopwords(lang).map { w =>
+      val tokLen = w.length + 2
+      s"(length(padded) - length(replace(padded, ' $w ', ''))) / $tokLen"
+    }.mkString(" + ")
+
+  private val cosinePairSql =
+    """sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+      |    sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+      |    sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+        |  l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_topk_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 25""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q08_segment_stats" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_active_customers,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_value
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q09_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q10_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q11_setops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+        |  UNION
+        |  SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |) t ORDER BY o_custkey""".stripMargin,
+
+    "q12_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q14_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q15_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  o_orderstatus || '-' || substring(o_orderpriority, 1, 1) AS tag,
+        |  upper(substring(o_orderpriority, 3, 20)) AS prio_name,
+        |  CAST(year(o_orderdate) AS BIGINT) AS oy,
+        |  CAST(month(o_orderdate) AS BIGINT) AS om,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  o_orderkey % 7 AS k_mod,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n,
+        |  round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q17_events_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
+
+    "q18_events_sliding" ->
+      """SELECT wstart, event_type, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS wstart,
+        |         event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |           - INTERVAL '30 minutes' AS wstart,
+        |         event_type FROM events
+        |) t GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
+
+    "q19_events_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // q20_approx_distinct: HLL sketch — intentionally no oracle (rows-only).
+
+    "q21_text_stats" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_char,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |        greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_lang_id" -> {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val scores = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(",\n  ")
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM p),
+         |b AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q23_text_quality" ->
+      s"""WITH d AS (SELECT source, text, ' ' || text || ' ' AS padded,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |e AS (SELECT source, text, n_tokens, n_punct,
+         |  (${scoreSql("en")}) AS n_stop FROM d),
+         |q AS (SELECT source,
+         |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+         |    + (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 0.5
+         |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.25, 6) AS quality
+         |  FROM e)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN quality > 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         |  round(avg(quality), 4) AS avg_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    "q24_fingerprints" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |             FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        |bits AS (SELECT doc_id, p,
+        |    CASE WHEN strpos('0123456789abcdef', substring(h, p, 1)) - 1 >= 8
+        |         THEN 1 ELSE -1 END AS bit
+        |  FROM (SELECT doc_id, h, unnest(range(1, 33)) AS p FROM h) t),
+        |votes AS (SELECT doc_id, p, sum(bit) AS vote FROM bits GROUP BY doc_id, p)
+        |SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+        |    THEN CAST(power(2, 32 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q26_exact_dedup" ->
+      """SELECT lang, count(*) AS n_input, count(DISTINCT fp) AS n_unique FROM (
+        |  SELECT lang, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM (SELECT lang, text FROM documents
+        |        UNION ALL SELECT lang, text FROM documents) u) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q27_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.lang = y.lang
+         |    AND x.doc_id <> y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id),
+         |j AS (SELECT a, b,
+         |    round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+         |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b),
+         |r AS (SELECT a, b, jaccard,
+         |    row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rn FROM j)
+         |SELECT a AS doc_id, b AS best_neighbor, jaccard AS best_jaccard
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q28_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |mh AS (SELECT doc_id, lang, i,
+         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+         |  FROM (SELECT doc_id, lang, shingle, unnest(range(0, 8)) AS i FROM sh) t
+         |  GROUP BY doc_id, lang, i),
+         |bands AS (SELECT doc_id, lang, i // 2 AS band,
+         |    min(CASE WHEN i % 2 = 0 THEN mh END) AS lo,
+         |    min(CASE WHEN i % 2 = 1 THEN mh END) AS hi
+         |  FROM mh GROUP BY doc_id, lang, i // 2),
+         |bk AS (SELECT doc_id, lang, band,
+         |    md5(CAST(band AS VARCHAR) || '|' || lo || '|' || hi) AS bkey FROM bands),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+         |  ON x.bkey = y.bkey AND x.band = y.band AND x.lang = y.lang
+         |    AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.lang = y.lang
+         |    AND x.doc_id < y.doc_id
+         |  JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id),
+         |j AS (SELECT a, b,
+         |    round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+         |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+         |SELECT a AS doc_a, b AS doc_b, jaccard FROM j WHERE jaccard >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q29_embedding_neardup" ->
+      s"""WITH pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |x AS (SELECT va, vb, ea, eb, unnest(range(1, 65)) AS i FROM pairs),
+         |s AS (SELECT va, vb,
+         |    $cosinePairSql
+         |  FROM x GROUP BY va, vb),
+         |sim AS (SELECT va, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s)
+         |SELECT va AS vec_a, vb AS vec_b, sim FROM sim WHERE sim >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q30_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT qid, e.vec_id AS vb, qe AS ea, e.embedding AS eb
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
+         |x AS (SELECT qid, vb, ea, eb, unnest(range(1, 65)) AS i FROM p),
+         |s AS (SELECT qid, vb,
+         |    $cosinePairSql
+         |  FROM x GROUP BY qid, vb),
+         |sim AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
+         |r AS (SELECT qid, vb, sim, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
+         |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin,
+
+    "q31_ann_lsh" -> {
+      val bucket = (0 until 8).map(j =>
+        s"(CASE WHEN embedding[${j * 8 + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket FROM e WHERE vec_id < 20),
+         |p AS (SELECT qid, e.vec_id AS vb, qe AS ea, e.embedding AS eb
+         |  FROM e JOIN q ON e.bucket = qbucket WHERE e.vec_id <> qid),
+         |x AS (SELECT qid, vb, ea, eb, unnest(range(1, 65)) AS i FROM p),
+         |s AS (SELECT qid, vb,
+         |    $cosinePairSql
+         |  FROM x GROUP BY qid, vb),
+         |sim AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
+         |r AS (SELECT qid, vb, sim, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
+         |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin
+    },
+
+    "q32_media_stats" ->
+      """SELECT source, count(*) AS n_media,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  round(avg(64 + octet_length(encode(text)) % 577), 4) AS avg_width,
+        |  count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
 }

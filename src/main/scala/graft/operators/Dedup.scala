@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.sources.Corpus
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extensions, SURVEY.md §2.2 last row): exact, n-gram Jaccard,
+  * MinHash+LSH, and embedding-cosine near-dup. SimHash lives in
+  * [[TextAnalysis.simhash]] (it is a fingerprint first).
+  *
+  * Scale design: nothing here is O(n²) over the corpus. Pair
+  * generation always goes through a blocking key — shared shingle,
+  * LSH band bucket, or language — so the shuffle joins on a key whose
+  * per-bucket cardinality is bounded, the standard approach at
+  * billion-document scale. All hashing is md5 (bit-identical in the
+  * DuckDB oracle).
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per document: (doc_id, lang, shingle). */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shingle", explode(expr(
+        """CASE WHEN size(toks) >= 3
+          |THEN transform(sequence(1, size(toks) - 2),
+          |               i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
+          |ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("lang"), col("shingle"))
+      .distinct()
+
+  /** Exact dedup over the md5 fingerprint. Input is the corpus
+    * unioned with itself so the operator demonstrably removes copies:
+    * per language, n_input = 2·docs, n_unique = distinct texts.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Corpus.read(spark, dir, "documents")
+    d.unionAll(d)
+      .withColumn("fp", TextAnalysis.fingerprintCol(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_input"),
+        countDistinct(col("fp")).as("n_unique"))
+      .orderBy(col("lang"))
+  }
+
+  /** For every document, its nearest same-language neighbor by word
+    * 3-gram Jaccard similarity (docs sharing no shingle are absent).
+    * Pairing is blocked on the shingle itself: join on shingle, count
+    * commons, then Jaccard = |∩| / (|A|+|B|-|∩|) — exact integer math.
+    */
+  def ngramJaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a"), col("lang"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+      col("shingle").as("shingle_b"))
+    val common = a.join(b,
+        col("shingle") === col("shingle_b") && col("lang") === col("lang_b") &&
+          col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    val withSizes = common
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 6))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("jaccard").desc, col("b"))
+    withSizes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a").as("doc_id"), col("b").as("best_neighbor"),
+        col("jaccard").as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash + LSH near-dup candidates, verified by true Jaccard.
+    * 8 hash functions h_i(s) = md5(i:s) over shingles (min taken
+    * lexicographically on the hex — portable), banded 2 rows × 4
+    * bands; candidate pairs share any band key; survivors have
+    * verified Jaccard ≥ 0.2.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val hashIdx = spark.range(0, 8).select(col("id").cast("int").as("i"))
+    val mh = sh.crossJoin(broadcast(hashIdx))
+      .withColumn("h", md5(concat(col("i"), lit(":"), col("shingle"))))
+      .groupBy(col("doc_id"), col("lang"), col("i"))
+      .agg(min(col("h")).as("mh"))
+    val bands = mh
+      .withColumn("band", floor(col("i") / 2).cast("int"))
+      .groupBy(col("doc_id"), col("lang"), col("band"))
+      .agg(
+        min(when(col("i") % 2 === 0, col("mh"))).as("lo"),
+        min(when(col("i") % 2 === 1, col("mh"))).as("hi"))
+      .withColumn("bkey",
+        md5(concat(col("band"), lit("|"), col("lo"), lit("|"), col("hi"))))
+    val bl = bands.select(col("doc_id").as("a"), col("lang"), col("band"), col("bkey"))
+    val br = bands.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("bkey").as("bkey_b"))
+    val cand = bl.join(br,
+        col("bkey") === col("bkey_b") && col("band") === col("band_b") &&
+          col("lang") === col("lang_b") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sa = sh.select(col("doc_id").as("a"), col("lang"), col("shingle"))
+    val sb = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+      col("shingle").as("shingle_b"))
+    val common = sa.join(sb,
+        col("shingle") === col("shingle_b") && col("lang") === col("lang_b") &&
+          col("a") < col("b"))
+      .join(cand, Seq("a", "b"), "left_semi")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim ≥ 0.35 on this random
+    * corpus; real pipelines use ≥0.95). Full pair join here for the
+    * oracle; the LSH-bucketed scale path is
+    * [[Similarity.lshTopK]]'s bucketing applied to pairs.
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("ea"), col("eb")), 6))
+      .filter(col("sim") >= 0.35)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Event-time windowing over the `events` table — the batch side of
+  * the streaming capability (the same window operators run under
+  * Structured Streaming in [[graft.streaming.EventStreams]]; Spark's
+  * unified model makes the logic identical). No reference analogue
+  * (flaco has no streaming, SURVEY.md §1.1 last row).
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** Sliding 1-hour windows every 30 minutes. */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** Session windows per user with a 30-minute inactivity gap.
+    * Session end = last event + gap (Spark semantics; the oracle
+    * reproduces it with gaps-and-islands SQL).
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Approximate distinct users per event type (HLL++) — no SQL
+    * oracle (sketch values are engine-specific); the driver records a
+    * rows-only check and the spec asserts against the exact count.
+    */
+  def approxUsers(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+}

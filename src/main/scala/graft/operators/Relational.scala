@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.sources.Corpus
+
+/** The full relational surface the reference delegates to PostgreSQL
+  * behind its opaque SQL string (SURVEY.md §2.2; reference
+  * `src/lib.rs:188-189`): scans, projection/filter, joins (inner /
+  * semi / anti / multi-way), hash aggregation, distinct aggregation,
+  * rollup/cube, window functions, set operations, sorts and top-k,
+  * scalar functions. Every query is declarative DataFrame API so
+  * Catalyst supplies pushdown, pruning, partial aggregation, broadcast
+  * selection and AQE.
+  *
+  * Scale notes (100 TB): dimension tables (region, nation) are
+  * explicitly broadcast; fact-fact joins shuffle on their join keys
+  * and rely on AQE for skew; all filters are expressed on source
+  * columns so they reach the parquet scan as PushedFilters.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Corpus.read(spark, dir, name)
+
+  private def tsn(s: String) = lit(s).cast(TimestampNTZType)
+
+  /** TPC-H Q1: pricing summary — scan + filter + hash agg. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= tsn("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + filter pushed to the parquet scan; raw values out. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= tsn("1997-01-01 00:00:00") &&
+        col("l_shipdate") < tsn("1997-04-01 00:00:00") &&
+        col("l_discount") > 0.05 && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3: 3-way join + agg + top-k. */
+  def topkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < tsn("1998-01-01 00:00:00"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > tsn("1998-01-01 00:00:00"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Semi join (EXISTS): orders with any late-shipping line. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= tsn("1996-07-01 00:00:00") &&
+        col("o_orderdate") < tsn("1996-10-01 00:00:00"))
+    val l = t(spark, dir, "lineitem")
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5-flavored 6-way join: revenue by nation for 1996, with
+    * supplier and customer in the same nation. region/nation are
+    * broadcast (tiny dims at any scale); fact joins shuffle on keys.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(t(spark, dir, "region"))
+    val n = broadcast(t(spark, dir, "nation"))
+    val s = t(spark, dir, "supplier")
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= tsn("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsn("1997-01-01 00:00:00"))
+    val l = t(spark, dir, "lineitem")
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6: single-pass filtered global agg. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= tsn("1997-01-01 00:00:00") &&
+        col("l_shipdate") < tsn("1998-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 25)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Anti join (NOT EXISTS): customers without 1995H1 orders. */
+  def inactiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= tsn("1995-01-01 00:00:00") &&
+        col("o_orderdate") < tsn("1995-07-01 00:00:00"))
+    t(spark, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Distinct aggregation per segment over a join. */
+  def segmentStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_active_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Window rank: top-3 orders per customer. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Window running total per supplier (cumulative frame). l_quantity
+    * is integer-valued so the running double sum is exact — safe to
+    * hash-compare unrounded across engines.
+    */
+  def runningQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Set operations: (Jan ∪ Feb) ∖ Mar active custkeys, 1996. */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def month(from: String, to: String) =
+      o.filter(col("o_orderdate") >= tsn(from) && col("o_orderdate") < tsn(to))
+        .select(col("o_custkey"))
+    month("1996-01-01 00:00:00", "1996-02-01 00:00:00")
+      .union(month("1996-02-01 00:00:00", "1996-03-01 00:00:00"))
+      .distinct()
+      .except(month("1996-03-01 00:00:00", "1996-04-01 00:00:00"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Global top-k (TakeOrderedAndProject — no full sort at scale). */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .limit(15)
+
+  /** ROLLUP hierarchy totals; NULL group labels coalesced to 'ALL' so
+    * null-ordering differences between engines cannot bite.
+    */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** CUBE over order status × priority. */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Scalar function battery: string / date / math functions
+    * (SURVEY.md §2.2 "scalar funcs" row), all codegen'd built-ins.
+    */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        concat(col("o_orderstatus"), lit("-"), substring(col("o_orderpriority"), 1, 1)).as("tag"),
+        upper(substring(col("o_orderpriority"), 3, 20)).as("prio_name"),
+        year(col("o_orderdate")).cast("long").as("oy"),
+        month(col("o_orderdate")).cast("long").as("om"),
+        floor(col("o_totalprice")).as("price_floor"),
+        (col("o_orderkey") % 7).as("k_mod"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"))
+      .orderBy(col("o_orderkey"))
+
+  /** JSON field extraction from the events `props` column — the
+    * reference maps JSON to plain text (`src/lib.rs:226-234`) and this
+    * is the downstream extraction path over that representation.
+    * regexp-based so the oracle needs no JSON extension.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+        round(sum(col("k")).cast("double") / count(lit(1)), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extensions; no reference analogue — flaco's only
+  * compute is type conversion). All are single-pass, per-row,
+  * codegen'd built-ins — embarrassingly parallel at 100 TB; the only
+  * shuffles are the final small aggregations.
+  *
+  * Determinism contract for the DuckDB oracle: every derived number is
+  * integer counting, exact integer division into doubles, or md5 —
+  * identical in both engines.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (portable: regexp '\S+' in both engines). */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Per-document statistics: char/token counts, average word length. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("n_nonspace",
+        length(regexp_replace(col("text"), "\\s+", "")))
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_char"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_nonspace").cast("double") /
+          greatest(col("n_tokens"), lit(1)), 6).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword lists for the n-gram-heuristic language identifier. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Occurrences of ` w ` in the padded text via length arithmetic
+    * over non-regex replace — exact integer math, identical scan
+    * semantics (left-to-right, non-overlapping) in Spark and DuckDB,
+    * so the oracle can use the formula verbatim.
+    */
+  private def hits(paddedName: String, w: String): Column = {
+    val tokLen = w.length + 2
+    (length(col(paddedName)) -
+      length(expr(s"replace($paddedName, ' $w ', '')"))) / lit(tokLen)
+  }
+
+  private def langScore(paddedName: String, lang: String): Column =
+    stopwords(lang).map(w => hits(paddedName, w)).reduce(_ + _)
+
+  /** Language identification: stopword-count votes with a fixed
+    * precedence order for ties (en > de > es > fr > zh).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scored = Corpus.read(spark, dir, "documents")
+      .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+      .select(col("doc_id") +: col("lang") +:
+        langs.map(l => langScore("padded", l).as(s"score_$l")): _*)
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    scored
+      .withColumn("pred_lang",
+        langs.foldRight(lit("und")) { (l, acc) =>
+          when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+        })
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, punctuation density, stopword ratio —
+    * combined into one [0,1] score; aggregated per source.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Corpus.read(spark, dir, "documents")
+      .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("n_punct",
+        length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .withColumn("n_stop", langScore("padded", "en"))
+    val lenScore = least(length(col("text")).cast("double") / lit(400.0), lit(1.0))
+    val punctRatio = col("n_punct").cast("double") / greatest(length(col("text")), lit(1))
+    val stopRatio = col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1))
+    d.withColumn("quality",
+        round(lenScore * 0.5 + stopRatio * 0.5 - punctRatio * 0.25, 6))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") > 0.4, 1L).otherwise(0L)).as("n_good"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized text —
+    * the exact-dedup key. md5 is bit-identical across engines.
+    */
+  def fingerprintCol(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** 32-bit SimHash from md5 hex digits: bit p (1..32) is the sign of
+    * the majority vote over token occurrences of the top bit of hex
+    * digit p of md5(token). Integer-only — portable to the oracle.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val positions = spark.range(1, 33).select(col("id").cast("int").as("p"))
+    d.crossJoin(broadcast(positions))
+      .withColumn("digit",
+        conv(col("h").substr(col("p"), lit(1)), 16, 10).cast("int"))
+      .withColumn("bit", when(col("digit") >= 8, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(sum(col("bit")).as("vote"))
+      .withColumn("weight",
+        when(col("vote") > 0, pow(lit(2.0), lit(32) - col("p")).cast("long"))
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("weight")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+}

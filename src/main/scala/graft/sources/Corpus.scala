@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Loader for the local TPC-H-ish parquet corpus (TESTDATA.md), which
+  * stands in for the reference's live-PostgreSQL test bed
+  * (reference `tests/conftest.py:7-13`). One quirk is handled here so
+  * every operator sees clean types: `events.ts` is written as parquet
+  * TIMESTAMP(NANOS) which Spark rejects outright; we read it as a long
+  * (legacy conf) and truncate to microsecond TimestampNTZ — the same
+  * truncation DuckDB applies on `CAST(ts AS TIMESTAMP)`, keeping the
+  * oracle comparable.
+  */
+object Corpus {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one corpus table from `dir` (e.g. /root/testdata/sf0.01). */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case _ => spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** events with ts as microsecond TimestampNTZ (naive UTC wall-clock,
+    * matching DuckDB's naive TIMESTAMP semantics).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // ts arrives as nanos-since-epoch long; floor-divide to micros.
+    raw.withColumn("ts",
+      timestamp_micros(floor(col("ts") / lit(1000L)).cast("long"))
+        .cast(TimestampNTZType))
+  }
+
+  /** Register every corpus table present in `dir` as a temp view. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n =>
+      if (new java.io.File(s"$dir/$n.parquet").exists())
+        read(spark, dir, n).createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,107 @@
+package graft.types
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{FlacoSparkException, ParityOptions}
+
+/** The reference's complete type system is one 19-arm switch from
+  * PostgreSQL wire type to Arrow builder (reference `src/lib.rs:199-386`;
+  * exhaustive table in SURVEY.md §1.2). Here that switch becomes a pure
+  * mapping spec `pg type name -> Catalyst DataType` plus the value-level
+  * conversion semantics the reference applies. Spark's JDBC layer does
+  * the actual row decoding; this object is the contract (and the unit
+  * of test) for WHICH Catalyst type each PG type must land on, and
+  * [[applyParity]] post-processes a loaded DataFrame for the semantics
+  * that are flaco-specific rather than JDBC-standard.
+  */
+object PgTypeMap {
+
+  /** pg type name (lowercase, as in pg_type.typname) -> Catalyst type.
+    * One entry per arm of `src/lib.rs:199-386`.
+    */
+  val mapping: Map[String, DataType] = Map(
+    "bytea" -> BinaryType,                  // src/lib.rs:202-207
+    "bool" -> BooleanType,                  // src/lib.rs:208-213
+    "char" -> ByteType,                     // 1-byte "char": keeps the code, src/lib.rs:214-219
+    "text" -> StringType,                   // src/lib.rs:220-225
+    "varchar" -> StringType,
+    "name" -> StringType,
+    "bpchar" -> StringType,
+    "unknown" -> StringType,
+    "json" -> StringType,                   // re-serialized text, not nested: src/lib.rs:226-234
+    "jsonb" -> StringType,
+    "oid" -> LongType,                      // u32 widened; JVM has no unsigned: src/lib.rs:235-240
+    "uuid" -> StringType,                   // the INTENT of src/lib.rs:241-248 (which mis-decodes via IpAddr)
+    "int2" -> ShortType,                    // src/lib.rs:249-254
+    "int4" -> IntegerType,                  // src/lib.rs:255-260
+    "int8" -> LongType,                     // src/lib.rs:261-266
+    "float4" -> FloatType,                  // src/lib.rs:267-274
+    "float8" -> DoubleType,                 // src/lib.rs:275-282
+    "timestamp" -> TimestampNTZType,        // µs, tz-naive: src/lib.rs:283-303
+    "timestamptz" -> TimestampType,         // instant; offset label dropped: src/lib.rs:304-332
+    "date" -> DateType,                     // src/lib.rs:333-349
+    "time" -> LongType,                     // µs since midnight; no Spark TimeType: src/lib.rs:350-366
+    "timetz" -> LongType,                   // offset discarded, same as reference: src/lib.rs:358
+    "interval" -> StructType(Seq(           // decoded 16-byte PG binary: src/lib.rs:367-374
+      StructField("months", IntegerType),
+      StructField("days", IntegerType),
+      StructField("micros", LongType))),
+    "numeric" -> DoubleType                 // lossy, parity default: src/lib.rs:375-381
+  )
+
+  /** Exact-mode override: NUMERIC keeps full precision instead of the
+    * reference's lossy to_f64 (`src/lib.rs:375-381`).
+    */
+  val numericExact: DataType = DecimalType(38, 18)
+
+  /** Everything else hits the reference's `unimplemented!` abort
+    * (`src/lib.rs:382-385`); we raise a catchable exception instead.
+    */
+  def toCatalyst(pgType: String, parity: ParityOptions = ParityOptions()): DataType =
+    pgType.toLowerCase match {
+      case "numeric" if !parity.numericAsDouble => numericExact
+      case t => mapping.getOrElse(t, throw new FlacoSparkException(
+        s"Type $t not implemented, consider casting to text in the query."))
+    }
+
+  /** Post-load adjustments for flaco-specific value semantics that the
+    * stock JDBC reader does not apply:
+    *   - numericAsDouble: DECIMAL columns -> double (src/lib.rs:375-381)
+    *   - nullFloatsAsNaN: float/double NULL -> NaN (src/lib.rs:272,280)
+    */
+  def applyParity(df: DataFrame, parity: ParityOptions): DataFrame = {
+    var out = df
+    if (parity.numericAsDouble)
+      out = out.schema.fields.foldLeft(out) {
+        case (d, StructField(n, _: DecimalType, _, _)) =>
+          d.withColumn(n, col(n).cast(DoubleType))
+        case (d, _) => d
+      }
+    if (parity.nullFloatsAsNaN)
+      out = out.schema.fields.foldLeft(out) {
+        case (d, StructField(n, FloatType, _, _)) =>
+          d.withColumn(n, coalesce(col(n), lit(Float.NaN)))
+        case (d, StructField(n, DoubleType, _, _)) =>
+          d.withColumn(n, coalesce(col(n), lit(Double.NaN)))
+        case (d, _) => d
+      }
+    out
+  }
+
+  /** Decode the PG 16-byte interval wire payload the reference passes
+    * through undecoded (`src/lib.rs:367-374`: µs i64, days i32, months
+    * i32, big-endian on the wire) into (months, days, micros).
+    */
+  def decodeInterval(bytes: Array[Byte]): (Int, Int, Long) = {
+    if (bytes == null || bytes.length != 16)
+      throw new FlacoSparkException(
+        s"interval payload must be 16 bytes, got ${if (bytes == null) "null" else bytes.length}")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val micros = bb.getLong
+    val days = bb.getInt
+    val months = bb.getInt
+    (months, days, micros)
+  }
+}
