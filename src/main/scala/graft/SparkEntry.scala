@@ -42,6 +42,7 @@ object SparkEntry {
     "q18_events_sliding" -> (Events.sliding _),
     "q19_events_sessions" -> (Events.sessions _),
     "q20_approx_distinct" -> (Events.approxUsers _),
+    "q20b_exact_distinct" -> (Events.exactUsers _),
     "q21_text_stats" -> (TextAnalysis.textStats _),
     "q22_lang_id" -> (TextAnalysis.langId _),
     "q23_text_quality" -> (TextAnalysis.qualityScore _),
@@ -53,7 +54,8 @@ object SparkEntry {
     "q29_embedding_neardup" -> (Dedup.embeddingNearDups _),
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
-    "q32_media_stats" -> (Multimodal.mediaStats _)
+    "q32_media_stats" -> (Multimodal.mediaStats _),
+    "q33_media_decode" -> (Multimodal.decodeMeta _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -70,6 +72,11 @@ object SparkEntry {
       val tokLen = w.length + 2
       s"(length(padded) - length(replace(padded, ' $w ', ''))) / $tokLen"
     }.mkString(" + ")
+
+  /** DuckDB sign-LSH bucket mirroring Similarity.bucketCol. */
+  private val bucketSql: String = (0 until 8).map(j =>
+    s"(CASE WHEN embedding[${j * 8 + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
 
   private val cosinePairSql =
     """sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
@@ -239,10 +246,15 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     // q20_approx_distinct: HLL sketch — intentionally no oracle (rows-only).
+
+    "q20b_exact_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q21_text_stats" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_char,
@@ -309,9 +321,13 @@ object SparkEntry {
 
     "q27_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT lang, shingle FROM sh GROUP BY lang, shingle
+         |         HAVING count(*) <= ${Dedup.MaxShingleDf}),
+         |shf AS (SELECT sh.doc_id, sh.lang, sh.shingle
+         |        FROM sh JOIN rare USING (lang, shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
          |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.lang = y.lang
+         |  FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.lang = y.lang
          |    AND x.doc_id <> y.doc_id
          |  GROUP BY x.doc_id, y.doc_id),
          |j AS (SELECT a, b,
@@ -350,9 +366,13 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q29_embedding_neardup" ->
-      s"""WITH pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |pr AS (SELECT vec_id, embedding,
+         |    CASE WHEN i = 0 THEN bucket ELSE xor(bucket, 1 << (i - 1)) END AS probe
+         |  FROM (SELECT vec_id, embedding, bucket, unnest(range(0, 9)) AS i FROM e)),
+         |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
          |    a.embedding AS ea, b.embedding AS eb
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |  FROM pr a JOIN e b ON a.probe = b.bucket AND a.vec_id < b.vec_id),
          |x AS (SELECT va, vb, ea, eb, unnest(range(1, 65)) AS i FROM pairs),
          |s AS (SELECT va, vb,
          |    $cosinePairSql
@@ -377,11 +397,8 @@ object SparkEntry {
          |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 5
          |ORDER BY qid, rk""".stripMargin,
 
-    "q31_ann_lsh" -> {
-      val bucket = (0 until 8).map(j =>
-        s"(CASE WHEN embedding[${j * 8 + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+    "q31_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket FROM e WHERE vec_id < 20),
          |p AS (SELECT qid, e.vec_id AS vb, qe AS ea, e.embedding AS eb
          |  FROM e JOIN q ON e.bucket = qbucket WHERE e.vec_id <> qid),
@@ -394,14 +411,21 @@ object SparkEntry {
          |r AS (SELECT qid, vb, sim, CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
          |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
-         |ORDER BY qid, rk""".stripMargin
-    },
+         |ORDER BY qid, rk""".stripMargin,
 
     "q32_media_stats" ->
       """SELECT source, count(*) AS n_media,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  round(avg(64 + octet_length(encode(text)) % 577), 4) AS avg_width,
         |  count(DISTINCT md5(text)) AS n_distinct
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q33_media_decode" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

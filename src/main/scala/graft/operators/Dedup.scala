@@ -47,13 +47,30 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** A shingle appearing in more than this many documents is dropped
+    * before pairing: a shingle shared by d docs emits d² join rows, so
+    * on natural text the head shingles alone would make the blocking
+    * join quadratic. Capping document frequency bounds per-shingle
+    * fanout at MaxShingleDf² regardless of corpus size — the standard
+    * blocking-key guard at billion-document scale. Jaccard is then
+    * defined consistently over the capped shingle universe (sizes and
+    * intersections both exclude hot shingles), mirrored in the oracle.
+    */
+  val MaxShingleDf = 50
+
   /** For every document, its nearest same-language neighbor by word
-    * 3-gram Jaccard similarity (docs sharing no shingle are absent).
-    * Pairing is blocked on the shingle itself: join on shingle, count
-    * commons, then Jaccard = |∩| / (|A|+|B|-|∩|) — exact integer math.
+    * 3-gram Jaccard similarity over the df-capped shingle set (docs
+    * sharing no rare shingle are absent). Pairing is blocked on the
+    * shingle itself: join on shingle, count commons, then
+    * Jaccard = |∩| / (|A|+|B|-|∩|) — exact integer math.
     */
   def ngramJaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val shAll = shingles(spark, dir)
+    val rare = shAll.groupBy(col("lang"), col("shingle"))
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= MaxShingleDf)
+      .select(col("lang"), col("shingle"))
+    val sh = shAll.join(rare, Seq("lang", "shingle"), "left_semi").cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("a"), col("lang"), col("shingle"))
     val b = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"),
@@ -104,10 +121,19 @@ object Dedup {
     val cand = bl.join(br,
         col("bkey") === col("bkey_b") && col("band") === col("band_b") &&
           col("lang") === col("lang_b") && col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b")).distinct().cache()
+    // Verification cost must be proportional to the CANDIDATE set, not
+    // the corpus: first shrink the shingle table to docs that appear in
+    // any candidate pair (LSH made that set small), THEN join on the
+    // shared shingle and keep exactly the candidate pairs. At 100×
+    // corpus the all-pairs shingle join is ~10,000× work; this path is
+    // ~|cand| instead.
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val sa = sh.select(col("doc_id").as("a"), col("lang"), col("shingle"))
-    val sb = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+    val sa = shc.select(col("doc_id").as("a"), col("lang"), col("shingle"))
+    val sb = shc.select(col("doc_id").as("b"), col("lang").as("lang_b"),
       col("shingle").as("shingle_b"))
     val common = sa.join(sb,
         col("shingle") === col("shingle_b") && col("lang") === col("lang_b") &&
@@ -126,15 +152,26 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs (sim ≥ 0.35 on this random
-    * corpus; real pipelines use ≥0.95). Full pair join here for the
-    * oracle; the LSH-bucketed scale path is
-    * [[Similarity.lshTopK]]'s bucketing applied to pairs.
+    * corpus; real pipelines use ≥0.95), paired inside sign-LSH buckets
+    * ([[Similarity.bucketCol]]) instead of an all-pairs cartesian:
+    * candidate pairs must land in the same 8-bit bucket or buckets at
+    * Hamming distance 1 (multi-probe — one side emits its bucket plus
+    * each single-bit flip, 9 keys, and equi-joins the other side's
+    * bucket). Cost is Σ bucket² over ~256 buckets × 9 probes — linear
+    * in corpus size for balanced buckets — instead of n²; near-dups
+    * rarely differ in more than one sign bit, so recall stays high.
+    * A pair matches exactly one probe, so no distinct is needed.
     */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")
-    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
-    a.join(b, col("a") < col("b"))
+      .withColumn("bucket", Similarity.bucketCol(col("embedding")))
+    val probes = col("bucket") +:
+      (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      explode(array(probes: _*)).as("probe"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("probe") === col("bucket_b") && col("a") < col("b"))
       .withColumn("sim",
         round(VectorFunctions.cosine_sim(col("ea"), col("eb")), 6))
       .filter(col("sim") >= 0.35)

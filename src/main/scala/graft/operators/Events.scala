@@ -33,25 +33,40 @@ object Events {
 
   /** Session windows per user with a 30-minute inactivity gap.
     * Session end = last event + gap (Spark semantics; the oracle
-    * reproduces it with gaps-and-islands SQL).
+    * reproduces it with gaps-and-islands SQL). The per-session sum is
+    * computed in DECIMAL(18,6): double addition is order-sensitive and
+    * Spark's partial-aggregation order differs from the oracle's
+    * ordered scan, which can flip a rounded cent; decimal addition is
+    * exact and order-free on both engines.
     */
   def sessions(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "events")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        round(sum(col("value").cast("decimal(18,6)")), 2)
+          .cast("double").as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
   /** Approximate distinct users per event type (HLL++) — no SQL
     * oracle (sketch values are engine-specific); the driver records a
-    * rows-only check and the spec asserts against the exact count.
+    * rows-only check and [[exactUsers]] carries the oracle-able exact
+    * count (the EventsSpec asserts the sketch is within rsd of it).
     */
   def approxUsers(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** Exact distinct users per event type — the oracle-checked twin of
+    * [[approxUsers]] (split so the sketch query's lack of an oracle
+    * doesn't hide the distinct-count path from the correctness gate).
+    */
+  def exactUsers(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 }

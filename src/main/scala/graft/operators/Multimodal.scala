@@ -23,18 +23,24 @@ object Multimodal {
   /** STUB decode kernel: derives deterministic pseudo-metadata from
     * the payload bytes. A real deployment swaps only this function
     * (e.g. for a JPEG header parse); everything around it — batch
-    * iteration, schema, partitioning — is production-shaped.
+    * iteration, schema, partitioning — is production-shaped. Takes the
+    * digest instance from the caller so the per-partition loop
+    * allocates it once, not per row.
     */
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+  def decodeStub(docId: Long, payload: Array[Byte],
+      md: java.security.MessageDigest): MediaMeta = {
     val n = payload.length.toLong
     // ??? real decoder goes here; deterministic fake below.
     val width = 64 + (n % 577).toInt
     val height = 64 + ((n * 31 + payload.headOption.getOrElse(0: Byte).toLong) % 417).toInt
     val format = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
-    val checksum = java.security.MessageDigest.getInstance("MD5")
-      .digest(payload).map("%02x".format(_)).mkString
+    md.reset()
+    val checksum = md.digest(payload).map("%02x".format(_)).mkString
     MediaMeta(docId, n, width, height, format, checksum)
   }
+
+  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta =
+    decodeStub(docId, payload, java.security.MessageDigest.getInstance("MD5"))
 
   /** documents.text encoded to a binary payload column — stands in
     * for an image/audio bytes column with the same Spark semantics.
@@ -44,14 +50,33 @@ object Multimodal {
       .select(col("doc_id"), col("source"),
         encode(col("text"), "UTF-8").as("payload"))
 
-  /** Per-partition batched decode: Dataset[MediaMeta] out. */
+  /** Per-partition batched decode: Dataset[MediaMeta] out. The
+    * partition hook is where a real decoder amortizes setup (codec
+    * init, model load); here it amortizes the digest instance.
+    */
   def decodeAll(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._
     payloads(spark, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) => decodeStub(id, bytes, md) }
+      }
   }
+
+  /** The oracle-checkable slice of [[decodeAll]]: every column the
+    * stub derives by integer/md5 math alone (height needs the first
+    * payload *byte*, which DuckDB SQL can't address portably on
+    * multi-byte text — excluded). Runs the real typed-Dataset
+    * mapPartitions path end-to-end through the correctness gate.
+    */
+  def decodeMeta(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(spark, dir).toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("format"), col("checksum"))
+      .orderBy(col("doc_id"))
 
   /** Declarative (oracle-checkable) slice of the same pipeline:
     * metadata computable without the codec — payload size, checksum,

@@ -45,9 +45,10 @@ object Similarity {
   }
 
   /** Sign-projection LSH bucket: bit j = (embedding[8j] > 0), j=0..7.
-    * element_at is 1-based; exact float comparison is portable.
+    * element_at is 1-based; exact float comparison is portable. Shared
+    * with [[Dedup.embeddingNearDups]]'s bucketed pair generation.
     */
-  private def bucketCol(emb: org.apache.spark.sql.Column) =
+  def bucketCol(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until 8).map { j =>
       when(element_at(emb, j * 8 + 1) > 0f, 1 << j).otherwise(0)
     }.reduce(_ + _)

@@ -32,10 +32,11 @@ object Corpus {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // ts arrives as nanos-since-epoch long; floor-divide to micros.
+    // ts arrives as nanos-since-epoch long; integer-divide to micros.
+    // `div`, not `/`: at ~1.7e18 the double division `/` produces is
+    // past 53-bit mantissa precision and lands 1µs off for some rows.
     raw.withColumn("ts",
-      timestamp_micros(floor(col("ts") / lit(1000L)).cast("long"))
-        .cast(TimestampNTZType))
+      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }
 
   /** Register every corpus table present in `dir` as a temp view. */

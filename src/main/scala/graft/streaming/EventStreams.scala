@@ -33,8 +33,7 @@ object EventStreams {
     spark.readStream
       .schema(eventSchema)
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour counts with a 2-hour watermark (late data beyond
