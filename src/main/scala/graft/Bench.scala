@@ -34,7 +34,8 @@ object Bench {
       "q30_ann_brute", "q33_media_decode")
       .foreach(n => try run(n) catch { case _: Throwable => () })
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

@@ -21,8 +21,12 @@ import graft.sources.Corpus
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles per document: (doc_id, lang, shingle). */
-  def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** Word 3-gram shingles per document, with duplicates (one row per
+    * occurrence) — no shuffle; the distinct is a separate step so
+    * consumers that are multiset-safe (minhash: min over a multiset ==
+    * min over its set) can skip the full-corpus dedup exchange.
+    */
+  def rawShingles(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "documents")
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("shingle", explode(expr(
@@ -31,7 +35,10 @@ object Dedup {
           |               i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
           |ELSE array() END""".stripMargin)))
       .select(col("doc_id"), col("lang"), col("shingle"))
-      .distinct()
+
+  /** Distinct word 3-gram shingles per document: (doc_id, lang, shingle). */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    rawShingles(spark, dir).distinct()
 
   /** Exact dedup over the md5 fingerprint. Input is the corpus
     * unioned with itself so the operator demonstrably removes copies:
@@ -101,20 +108,33 @@ object Dedup {
     * verified Jaccard ≥ 0.2.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    val hashIdx = spark.range(0, 8).select(col("id").cast("int").as("i"))
-    val mh = sh.crossJoin(broadcast(hashIdx))
-      .withColumn("h", md5(concat(col("i"), lit(":"), col("shingle"))))
-      .groupBy(col("doc_id"), col("lang"), col("i"))
-      .agg(min(col("h")).as("mh"))
-    val bands = mh
-      .withColumn("band", floor(col("i") / 2).cast("int"))
-      .groupBy(col("doc_id"), col("lang"), col("band"))
-      .agg(
-        min(when(col("i") % 2 === 0, col("mh"))).as("lo"),
-        min(when(col("i") % 2 === 1, col("mh"))).as("hi"))
-      .withColumn("bkey",
-        md5(concat(col("band"), lit("|"), col("lo"), lit("|"), col("hi"))))
+    // Signature from RAW (non-distinct) shingles: min(md5) over a
+    // multiset equals min over its set, so the full-corpus distinct —
+    // a shuffle of every (doc, shingle) pair — is skipped entirely.
+    // Distinct sets are materialized later, only for candidate docs.
+    val sh = rawShingles(spark, dir)
+    // One-pass signature: the 8 hashes are 8 projected columns and the
+    // 8 mins are one partial-aggregated groupBy — no 8× row blow-up,
+    // no extra shuffle (the map-side combine reduces each partition to
+    // one row per doc before the exchange). Same values as the
+    // row-per-(doc,i) formulation: mh_i = min over shingles of
+    // md5(i:shingle).
+    val mh = sh.select(col("doc_id") +: col("lang") +:
+        (0 until 8).map(i => md5(concat(lit(s"$i:"), col("shingle"))).as(s"h$i")): _*)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("h0")).as("mh0"),
+        (1 until 8).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
+    // Bands 2 rows × 4 bands: band b = md5(b|mh_{2b}|mh_{2b+1}),
+    // exploded to one row per (doc, band) for the bucket self-join.
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(lit(s"$b|"), col(s"mh${2 * b}"), lit("|"),
+          col(s"mh${2 * b + 1}"))).as("bkey"))
+    }
+    val bands = mh.select(col("doc_id"), col("lang"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("lang"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val bl = bands.select(col("doc_id").as("a"), col("lang"), col("band"), col("bkey"))
     val br = bands.select(col("doc_id").as("b"), col("lang").as("lang_b"),
       col("band").as("band_b"), col("bkey").as("bkey_b"))
@@ -130,8 +150,11 @@ object Dedup {
     // ~|cand| instead.
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
+    // Distinct shingle sets (Jaccard needs sets) only for candidate
+    // docs — candidate-sized work, not corpus-sized.
     val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .distinct().cache()
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val sa = shc.select(col("doc_id").as("a"), col("lang"), col("shingle"))
     val sb = shc.select(col("doc_id").as("b"), col("lang").as("lang_b"),
       col("shingle").as("shingle_b"))

@@ -113,23 +113,26 @@ object TextAnalysis {
   /** 32-bit SimHash from md5 hex digits: bit p (1..32) is the sign of
     * the majority vote over token occurrences of the top bit of hex
     * digit p of md5(token). Integer-only — portable to the oracle.
+    *
+    * One pass: the 32 per-position votes are 32 sum-aggregate columns
+    * over the token rows (map-side partial aggregation), not a 32×
+    * crossJoin row blow-up — the shuffle carries one 32-column row per
+    * doc per partition instead of 32× the token count.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val positions = spark.range(1, 33).select(col("id").cast("int").as("p"))
-    d.crossJoin(broadcast(positions))
-      .withColumn("digit",
-        conv(col("h").substr(col("p"), lit(1)), 16, 10).cast("int"))
-      .withColumn("bit", when(col("digit") >= 8, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(sum(col("bit")).as("vote"))
-      .withColumn("weight",
-        when(col("vote") > 0, pow(lit(2.0), lit(32) - col("p")).cast("long"))
-          .otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("weight")).as("simhash"))
+    val voteCols = (1 to 32).map { p =>
+      sum(when(conv(col("h").substr(p, 1), 16, 10).cast("int") >= 8, 1)
+        .otherwise(-1)).as(s"v$p")
+    }
+    val weight = (1 to 32).map { p =>
+      when(col(s"v$p") > 0, lit(1L << (32 - p))).otherwise(0L)
+    }.reduce(_ + _)
+    d.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), weight.as("simhash"))
       .orderBy(col("doc_id"))
   }
 }
