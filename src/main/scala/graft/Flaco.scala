@@ -77,9 +77,25 @@ object Flaco {
     * parallelism the single-threaded reference lacks.
     *
     * Offline here (no live PostgreSQL, zero egress), so this is
-    * exercised only at the plan level; the type-mapping semantics it
-    * applies are unit-tested in [[graft.types.PgTypeMap]].
+    * exercised only at the plan level (FlacoSpec: option assembly and
+    * failure wrapping); the type-mapping semantics it applies are
+    * unit-tested in PgTypeMapSpec.
     */
+  /** The JDBC relation options [[readSqlToDataFrame]] puts in the
+    * plan — a pure function so the plan assembly is unit-testable
+    * without a live server (FlacoSpec; execution needs PostgreSQL).
+    */
+  def jdbcOptions(
+      uri: String,
+      stmt: String,
+      fetchSize: Int = 10000,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): Map[String, String] =
+    Map("url" -> uri, "query" -> stmt, "fetchsize" -> fetchSize.toString) ++
+      partitionColumn.map { case (col, lo, hi, n) =>
+        Map("partitionColumn" -> col, "lowerBound" -> lo.toString,
+          "upperBound" -> hi.toString, "numPartitions" -> n.toString)
+      }.getOrElse(Map.empty)
+
   def readSqlToDataFrame(
       spark: SparkSession,
       uri: String,
@@ -88,16 +104,8 @@ object Flaco {
       partitionColumn: Option[(String, Long, Long, Int)] = None,
       parity: ParityOptions = ParityOptions()): DataFrame =
     try {
-      var r = spark.read.format("jdbc")
-        .option("url", uri)
-        .option("query", stmt)
-        .option("fetchsize", fetchSize.toString)
-      partitionColumn.foreach { case (col, lo, hi, n) =>
-        r = r.option("partitionColumn", col)
-          .option("lowerBound", lo.toString)
-          .option("upperBound", hi.toString)
-          .option("numPartitions", n.toString)
-      }
+      val r = spark.read.format("jdbc")
+        .options(jdbcOptions(uri, stmt, fetchSize, partitionColumn))
       types.PgTypeMap.applyParity(r.load(), parity)
     } catch {
       case e: FlacoSparkException => throw e

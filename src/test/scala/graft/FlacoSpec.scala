@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** API surface + error paths, the analogue of the reference's
+  * error-path tests (`tests/test_general.py:103-112`: invalid SQL and
+  * invalid URI both raise FlacoException). Execution against a live
+  * PostgreSQL is impossible offline, so the JDBC path is tested at
+  * the plan-assembly level plus its failure wrapping.
+  */
+class FlacoSpec extends AnyFunSuite {
+
+  test("jdbcOptions carries query, url and fetchsize into the plan") {
+    val opts = Flaco.jdbcOptions("jdbc:postgresql://h/db", "select 1 as x")
+    assert(opts("url") === "jdbc:postgresql://h/db")
+    assert(opts("query") === "select 1 as x")
+    assert(opts("fetchsize") === "10000")
+    assert(!opts.contains("partitionColumn"))
+  }
+
+  test("jdbcOptions adds partitioned-read options when requested") {
+    val opts = Flaco.jdbcOptions("jdbc:postgresql://h/db", "select * from t",
+      fetchSize = 500, partitionColumn = Some(("id", 0L, 1000L, 8)))
+    assert(opts("fetchsize") === "500")
+    assert(opts("partitionColumn") === "id")
+    assert(opts("lowerBound") === "0" && opts("upperBound") === "1000")
+    assert(opts("numPartitions") === "8")
+  }
+
+  test("readSqlToDataFrame wraps connection failure in FlacoSparkException") {
+    val e = intercept[FlacoSparkException] {
+      Flaco.readSqlToDataFrame(TestSpark.spark,
+        "jdbc:postgresql://nope.invalid:5432/db", "select 1")
+    }
+    assert(e.getMessage.contains("read_sql failed"))
+  }
+
+  test("sql raises FlacoSparkException on invalid SQL") {
+    val e = intercept[FlacoSparkException] {
+      Flaco.sql(TestSpark.spark, TestSpark.sf, "select definitely not sql !")
+    }
+    assert(e.getMessage.contains("sql failed"))
+  }
+
+  test("sql runs a delegated statement over the registered corpus") {
+    val df = Flaco.sql(TestSpark.spark, TestSpark.sf,
+      "select count(*) as n from lineitem")
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
+  test("writeFile dispatches on the FileFormat ADT") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val df = spark.range(5).toDF("id")
+    Flaco.writeFile(df, s"$dir/p", FileFormat.Parquet)
+    assert(spark.read.parquet(s"$dir/p").count() === 5)
+    Flaco.writeFile(df, s"$dir/f", FileFormat.Feather,
+      ParityOptions(singleFile = true))
+    assert(new java.io.File(s"$dir/f").isFile)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorFunctions
+
+/** Sanity specs per north-star operator family (the value-level
+  * correctness gate is the driver's DuckDB oracle over
+  * SparkEntry.queries; these pin the invariants an oracle can't:
+  * kernel math on known inputs, domain constraints, cross-operator
+  * consistency).
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  test("cosine_sim / dot_product on known vectors (codegen path)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),   // identical -> 1
+      (Seq(1f, 0f), Seq(0f, 1f)),   // orthogonal -> 0
+      (Seq(1f, 2f), Seq(2f, 4f)),   // parallel -> 1
+      (Seq(0f, 0f), Seq(1f, 1f)))   // zero norm -> 0 by contract
+      .toDF("a", "b")
+    val got = df.select(
+      round(VectorFunctions.cosine_sim(col("a"), col("b")), 6).as("cos"),
+      VectorFunctions.dot_product(col("a"), col("b")).as("dot"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got(0) === ((1.0, 1.0)))
+    assert(got(1) === ((0.0, 0.0)))
+    assert(got(2) === ((1.0, 10.0)))
+    assert(got(3) === ((0.0, 0.0)))
+  }
+
+  test("cosine_sim registered for SQL use") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "select cosine_sim(array(1.0f, 1.0f), array(1.0f, 1.0f)) as c")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-9)
+  }
+
+  test("exact dedup halves the duplicated corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rows = Dedup.exactDedup(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 2 * docs) // n_input
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) / 2,
+        s"n_unique must collapse the self-union for lang ${r.getString(0)}")
+    }
+  }
+
+  test("brute-force ANN: ranks are 1..k with non-increasing sims") {
+    val rows = Similarity.bruteTopK(spark, sf, k = 5).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to byRank.length))
+      val sims = byRank.map(_.getDouble(3)).toSeq
+      assert(sims === sims.sorted.reverse, "sims must be non-increasing")
+    }
+  }
+
+  test("LSH ANN agrees with brute force on shared (query, neighbor) pairs") {
+    val brute = Similarity.bruteTopK(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(spark, sf, k = 3).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(s => assert(s === r.getDouble(3),
+        s"sim mismatch for $key"))
+    }
+  }
+
+  test("minhash LSH pairs are ordered, thresholded, and verified") {
+    Dedup.minhashLshPairs(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.2 && j <= 1.0)
+    }
+  }
+
+  test("ngram jaccard neighbors stay in domain") {
+    val rows = Dedup.ngramJaccardNeighbors(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("simhash values are 32-bit") {
+    TextAnalysis.simhash(spark, sf).collect().foreach { r =>
+      val h = r.getLong(1)
+      assert(h >= 0L && h < (1L << 32))
+    }
+  }
+
+  test("language id predicts a known label and beats chance") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    val domain = Set("en", "de", "es", "fr", "zh", "und")
+    rows.foreach(r => assert(domain.contains(r.getString(2))))
+    val acc = rows.count(r => r.getString(1) == r.getString(2)).toDouble / rows.length
+    assert(acc > 0.2, s"stopword lang-id should beat 1-in-5 chance, got $acc")
+  }
+
+  test("media decode runs the typed mapPartitions path end-to-end") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val metas = Multimodal.decodeAll(spark, sf).collect()
+    assert(metas.length === docs)
+    metas.foreach { m =>
+      assert(m.n_bytes > 0)
+      assert(m.checksum.matches("[0-9a-f]{32}"))
+      assert(Set("png", "jpeg", "webp").contains(m.format))
+      assert(m.width >= 64 && m.height >= 64)
+    }
+  }
+
+  test("approx distinct users tracks the exact count") {
+    val approx = Events.approxUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Events.exactUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.15,
+        s"HLL++ estimate $a too far from exact $e for $k")
+    }
+  }
+}

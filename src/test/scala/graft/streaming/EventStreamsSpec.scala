@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Events
+import graft.sources.Corpus
+
+/** Structured-Streaming parity: the same windowed aggregations run in
+  * batch ([[graft.operators.Events]]) and as a stream with a
+  * watermark, and the results must line up — Spark's unified engine
+  * makes this an actual invariant, and this spec pins it.
+  *
+  * The finite events file is split into several files streamed one
+  * per micro-batch so the watermark actually advances between batches
+  * (a single batch would emit nothing in append mode).
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  /** events split into 4 parquet files with the raw nanos-long ts,
+    * matching EventStreams.eventSchema.
+    */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("evstream").toString + "/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    dir.stripSuffix("/events.parquet")
+  }
+
+  test("streaming tumbling counts equal the batch operator") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.tumblingCounts(stream), "tumbling_mem", OutputMode.Complete())
+    try {
+      val streamed = spark.table("tumbling_mem")
+        .select(col("wstart").cast("string"), col("event_type"), col("n"))
+        .collect().map(_.toSeq).toSet
+      val batch = Events.tumbling(spark, TestSpark.sf)
+        .select(col("wstart").cast("string"), col("event_type"), col("n"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming session windows are a prefix of the batch sessions") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.sessionCounts(stream), "sessions_mem", OutputMode.Append())
+    try {
+      val streamed = spark.table("sessions_mem")
+        .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+        .collect().map(_.toSeq).toSet
+      val batch = Events.sessions(spark, TestSpark.sf)
+        .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+        .collect().map(_.toSeq).toSet
+      // Append mode only emits sessions finalized by the watermark, so
+      // the stream result is a (non-empty, given a month of events vs
+      // a 2h watermark) subset of the batch result.
+      assert(streamed.nonEmpty, "watermark never finalized any session")
+      assert(streamed.subsetOf(batch),
+        s"streamed sessions not found in batch: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.types
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{FlacoSparkException, ParityOptions, TestSpark}
+
+/** The reference's 19-arm wire-type switch (reference
+  * `src/lib.rs:199-386`) as a mapping contract, plus the value-level
+  * parity transforms. The reference itself has zero unit tests; this
+  * is the upgrade SURVEY.md §5 calls for.
+  */
+class PgTypeMapSpec extends AnyFunSuite {
+
+  test("mapping covers every arm of the reference type switch") {
+    val expected = Map(
+      "bytea" -> BinaryType, "bool" -> BooleanType, "char" -> ByteType,
+      "text" -> StringType, "varchar" -> StringType, "name" -> StringType,
+      "bpchar" -> StringType, "unknown" -> StringType, "json" -> StringType,
+      "jsonb" -> StringType, "oid" -> LongType, "uuid" -> StringType,
+      "int2" -> ShortType, "int4" -> IntegerType, "int8" -> LongType,
+      "float4" -> FloatType, "float8" -> DoubleType,
+      "timestamp" -> TimestampNTZType, "timestamptz" -> TimestampType,
+      "date" -> DateType, "time" -> LongType, "timetz" -> LongType,
+      "numeric" -> DoubleType)
+    expected.foreach { case (pg, dt) =>
+      assert(PgTypeMap.toCatalyst(pg) === dt, s"for pg type $pg")
+    }
+    assert(PgTypeMap.mapping.keySet === expected.keySet + "interval")
+    assert(PgTypeMap.toCatalyst("interval").isInstanceOf[StructType])
+  }
+
+  test("numeric maps to DecimalType(38,18) in exact mode") {
+    assert(PgTypeMap.toCatalyst("numeric",
+      ParityOptions(numericAsDouble = false)) === DecimalType(38, 18))
+  }
+
+  test("unsupported type raises FlacoSparkException, not an abort") {
+    // Mirrors the pagila `film.mpaa_rating` enum the reference panics
+    // on (`src/lib.rs:382-385`, excluded in tests/test_general.py:19).
+    val e = intercept[FlacoSparkException] {
+      PgTypeMap.toCatalyst("mpaa_rating")
+    }
+    assert(e.getMessage.contains("not implemented"))
+  }
+
+  test("decodeInterval round-trips any (months, days, micros) [property]") {
+    val prop = Prop.forAll { (months: Int, days: Int, micros: Long) =>
+      val bytes = ByteBuffer.allocate(16)
+        .putLong(micros).putInt(days).putInt(months).array()
+      PgTypeMap.decodeInterval(bytes) == ((months, days, micros))
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("decodeInterval rejects null and wrong-length payloads") {
+    intercept[FlacoSparkException](PgTypeMap.decodeInterval(null))
+    intercept[FlacoSparkException](PgTypeMap.decodeInterval(Array[Byte](1, 2)))
+  }
+
+  test("applyParity numericAsDouble casts decimal columns to double") {
+    val spark = TestSpark.spark
+    val schema = StructType(Seq(
+      StructField("d", DecimalType(10, 2)), StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(new java.math.BigDecimal("12.34"), "x"),
+        Row(null, "y")),
+      schema)
+    val out = PgTypeMap.applyParity(df, ParityOptions(numericAsDouble = true))
+    assert(out.schema("d").dataType === DoubleType)
+    val vals = out.orderBy("s").collect()
+    assert(vals(0).getDouble(0) === 12.34)
+    assert(vals(1).isNullAt(0))
+  }
+
+  test("applyParity nullFloatsAsNaN erases float/double nulls to NaN") {
+    val spark = TestSpark.spark
+    val schema = StructType(Seq(
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("k", IntegerType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1.5f, 2.5, 1), Row(null, null, 2)),
+      schema)
+    // Default: real nulls preserved (Spark-native behavior).
+    val keep = PgTypeMap.applyParity(df, ParityOptions())
+    assert(keep.orderBy("k").collect()(1).isNullAt(0))
+    // Parity: the reference's NULL→NaN erasure (src/lib.rs:272,280).
+    val nan = PgTypeMap.applyParity(df, ParityOptions(nullFloatsAsNaN = true))
+      .orderBy("k").collect()
+    assert(nan(0).getFloat(0) === 1.5f && nan(0).getDouble(1) === 2.5)
+    assert(nan(1).getFloat(0).isNaN && nan(1).getDouble(1).isNaN)
+  }
+}
