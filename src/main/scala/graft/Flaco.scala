@@ -63,6 +63,11 @@ object Flaco {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The corpus events table stores TIMESTAMP(NANOS), which Spark
+      // only reads as a raw long under this legacy flag (Corpus.events
+      // also sets it at read time as a guard for sessions built
+      // outside this factory, e.g. by the test driver).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -55,7 +55,13 @@ object SparkEntry {
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "q32_media_stats" -> (Multimodal.mediaStats _),
-    "q33_media_decode" -> (Multimodal.decodeMeta _)
+    "q33_media_decode" -> (Multimodal.decodeMeta _),
+    "q34_asof_join" -> (Temporal.prevOrder _),
+    "q35_sessions_typed" -> (Temporal.sessionsTyped _),
+    "q36_grouping_sets" -> (Relational.groupingSets _),
+    "q37_pivot" -> (Relational.pivotStatus _),
+    "q38_topk_agg" -> (Relational.topkAgg _),
+    "q39_token_classes" -> (TextAnalysis.tokenClasses _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -426,6 +432,63 @@ object SparkEntry {
         |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
         |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
         |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q34_asof_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  lag(o_orderkey) OVER w AS prev_orderkey,
+        |  lag(o_orderdate) OVER w AS prev_orderdate
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Same oracle as q19 — the typed sessionizer must agree with the
+    // declarative session_window operator row for row.
+    "q35_sessions_typed" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q36_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q37_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q38_topk_agg" ->
+      """WITH j AS (SELECT c_mktsegment, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS top3_sum
+        |FROM j WHERE rn <= 3 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q39_token_classes" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_mark
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -241,4 +241,47 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
         round(sum(col("k")).cast("double") / count(lit(1)), 6).as("avg_k"))
       .orderBy(col("event_type"))
+
+  /** GROUPING SETS through the [[graft.Flaco.sql]] front door — the
+    * "arbitrary SQL, the engine plans it" delegation contract the
+    * reference hands to PostgreSQL (`src/lib.rs:188-189`), with
+    * Catalyst as the planner. Also the correctness-gate exercise of
+    * Flaco.sql itself.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    graft.Flaco.sql(spark, dir,
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+
+  /** Pivot: order counts status × priority (wide output; the Spark
+    * `pivot` operator, a relational reshape the SQL surface lacks).
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Sum of the 3 largest order totals per segment via the typed
+    * [[graft.functions.TopKSumAgg]] Aggregator — bounded-buffer
+    * partial aggregation instead of a full window sort.
+    */
+  def topkAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopKSumAgg.topKSum(3, col("o_totalprice"))
+        .as("top3_sum"))
+      .orderBy(col("c_mktsegment"))
 }

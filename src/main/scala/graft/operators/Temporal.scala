@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Temporal join operators (SURVEY.md §2.2 joins row: "range/as-of
+  * join" — an operator PostgreSQL gives the reference for free via
+  * SQL but Spark has no built-in for).
+  *
+  * The as-of join is implemented with the union + window technique
+  * instead of a non-equi range join: tag both inputs, union them,
+  * and per key take `last(payload, ignoreNulls)` over rows sorted by
+  * (time, tiebreak, side). One shuffle on the key, sort within
+  * partitions — the same cost envelope as any window function — where
+  * a range join would degenerate to per-key cross products. This is
+  * the standard at-scale formulation (Flink's event-time join and
+  * pandas merge_asof do the equivalent).
+  */
+object Temporal {
+
+  /** For every left row, attach the payload of the latest right row
+    * with (time, tiebreak) strictly before the left row's — "what was
+    * the most recent X as of this event". Left and right must share
+    * the `key`, `time` and `tiebreak` column names; payload columns
+    * come back as `asof_<name>` (null when no earlier right row
+    * exists). Strictness on the (time, tiebreak) pair makes self
+    * as-of joins well-defined (a row never matches itself) and ties
+    * deterministic.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      tiebreak: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pStruct = struct(payload.map(right(_)): _*)
+    // Sides: a LEFT row sorts BEFORE any right row with the same
+    // (time, tiebreak) — in particular before its own right copy in a
+    // self as-of join — so "strictly before" falls out of the sort
+    // order and the current-row-inclusive window (the left row's own
+    // __p is null and skipped by ignoreNulls).
+    val l = left
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          payload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))))
+      .withColumn("__side", lit(0))
+    val r = right.select(
+      leftCols.map {
+        case c @ (`key` | `time` | `tiebreak`) => right(c)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ pStruct.as("__p") :+ lit(1).as("__side"): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col(tiebreak), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = l.unionByName(r)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    filled.select(leftCols.map(col) ++
+      payload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Demo query: each order enriched with the customer's previous
+    * order (generic [[asofJoin]] applied self-wise). The oracle is a
+    * lag window — identical semantics by construction of the
+    * strict (time, tiebreak) order.
+    */
+  def prevOrder(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Corpus.read(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    asofJoin(orders, orders,
+      key = "o_custkey", time = "o_orderdate", tiebreak = "o_orderkey",
+      payload = Seq("o_orderkey", "o_orderdate"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("asof_o_orderkey").as("prev_orderkey"),
+        col("asof_o_orderdate").as("prev_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Session row emitted by the typed sessionizer (ts is TimestampNTZ
+    * → LocalDateTime in the typed API).
+    */
+  case class Session(
+      user_id: Long, session_start: java.time.LocalDateTime,
+      session_end: java.time.LocalDateTime, n_events: Long,
+      sum_value: Double)
+
+  private val GapMinutes = 30L
+
+  /** Fold one user's time-sorted events into gap-separated sessions.
+    * Sum in BigDecimal(6dp) like the declarative twin — exact,
+    * order-free addition.
+    */
+  private[operators] def foldSessions(
+      uid: Long,
+      evs: Seq[(java.time.LocalDateTime, Double)]): Seq[Session] = {
+    val gap = java.time.Duration.ofMinutes(GapMinutes)
+    if (evs.isEmpty) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[Session]()
+      var start = evs.head._1; var last = evs.head._1
+      var n = 0L
+      var sum = java.math.BigDecimal.ZERO
+      def dec(v: Double) = java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      def flush(): Unit = out += Session(uid, start, last.plus(gap), n,
+        sum.setScale(2, java.math.RoundingMode.HALF_UP).doubleValue)
+      evs.foreach { case (ts, v) =>
+        if (java.time.Duration.between(last, ts).compareTo(gap) >= 0) {
+          flush(); start = ts; n = 0L; sum = java.math.BigDecimal.ZERO
+        }
+        last = ts; n += 1; sum = sum.add(dec(v))
+      }
+      flush()
+      out.toSeq
+    }
+  }
+
+  /** Typed sessionization via KeyValueGroupedDataset.flatMapGroups —
+    * the imperative twin of the declarative `session_window` in
+    * [[Events.sessions]], producing identical rows (same oracle).
+    * Contract: one user's events must fit in memory (true for any
+    * sane event stream; the declarative twin is the unbounded-safe
+    * path). Demonstrates the typed custom-state API the declarative
+    * operator can't express (arbitrary per-session logic goes here).
+    */
+  def sessionsTyped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.time.LocalDateTime, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, java.time.LocalDateTime, Double)]) =>
+        foldSessions(uid, it.map(e => (e._2, e._3)).toSeq.sortBy(x => (x._1, x._2))).iterator
+      }
+      .toDF()
+      .orderBy(col("user_id"), col("session_start"))
+  }
+}

@@ -99,6 +99,30 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** BPE-ish pre-tokenization: the GPT-2-style split into letter
+    * runs, digit runs, and single non-alphanumeric marks — the
+    * standard pre-pass before byte-pair merging. Pure RE2-compatible
+    * regex, portable to the oracle.
+    */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-document token-class counts: whitespace tokens vs BPE-ish
+    * subword pre-tokens (letters / digits / marks) — the token
+    * accounting a training-data pipeline budgets corpora with.
+    */
+  def tokenClasses(spark: SparkSession, dir: String): DataFrame = {
+    def n(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_ws"),
+        n(BpeIshPattern).as("n_bpe"),
+        n("[A-Za-z]+").as("n_word"),
+        n("[0-9]+").as("n_num"),
+        n("[^A-Za-z0-9\\s]").as("n_mark"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized text —
     * the exact-dedup key. md5 is bit-identical across engines.
     */

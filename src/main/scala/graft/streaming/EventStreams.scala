@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events stream (north-star extension;
@@ -56,6 +56,76 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
+
+  /** Per-user buffered event times (MICROS — java.sql.Timestamp
+    * getTime is millis and would truncate event time) not yet
+    * provably session-complete — bounded by the watermark horizon.
+    */
+  case class Pending(times: Seq[Long])
+
+  /** Emitted session row. */
+  case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long)
+
+  private val GapUs = 30L * 60 * 1000 * 1000
+
+  private def tsToMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Custom stateful sessionization via flatMapGroupsWithState with an
+    * event-time timeout — the arbitrary-state API for logic
+    * `session_window` can't express (per-session custom emission,
+    * enrichment, early triggers). A session is emitted exactly when
+    * the watermark passes its last event + gap: no later event can
+    * extend it (events older than the watermark are dropped by
+    * contract), so out-of-order arrival across micro-batches is
+    * handled correctly. State per key = events within the watermark
+    * horizon — bounded memory on an unbounded stream.
+    */
+  def sessionizeWithState(events: DataFrame): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def toSessions(times: Seq[Long]): Seq[(Long, Long, Long)] = // (start, last, n)
+      times.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc :+ ((s, l, n)), t) if t - l < GapUs => acc :+ ((s, t, n + 1))
+        case (acc, t) => acc :+ ((t, t, 1L))
+      }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Pending, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[Pending]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val times = (state.getOption.map(_.times).getOrElse(Seq.empty) ++
+            evs.map(e => tsToMicros(e._2))).sorted
+          val sessions = toSessions(times)
+          // Sessions are time-ordered with last_i < start_{i+1}, so the
+          // provably-complete ones (last + gap <= watermark) are a prefix.
+          val (done, open) = sessions.partition { case (_, l, _) => l + GapUs <= wmUs }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(Pending(times.filter(_ >= open.head._1)))
+            state.setTimeoutTimestamp(math.max(
+              (open.head._2 + GapUs) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          done.iterator.map { case (s, _, n) =>
+            SessionRow(uid, microsToTs(s), n)
+          }
+      }
+  }
 
   /** Run a streaming aggregation to a named in-memory table until the
     * (finite) file source drains — the spec's harness.
