@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Dozens of whole-stage-codegen classes fill the default 240 MB JIT
+  // code cache mid-suite, silently dropping later hot loops (md5,
+  // cosine) to the interpreter — 2-4x slowdowns on compute queries.
+  "-XX:ReservedCodeCacheSize=1g",
 )
