@@ -11,13 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class FlacoSparkException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
 
-/** Output file format selector, mirroring the reference's
-  * `FileFormat.{Feather,Parquet}` pyclass enum (`src/lib.rs:28-33`).
+/** Output file format selector. Parquet and Feather mirror the
+  * reference's `FileFormat.{Feather,Parquet}` pyclass enum
+  * (`src/lib.rs:28-33`); Csv/Json/Orc extend the selector with the
+  * formats Spark ships natively (SURVEY.md §2.2 scans/sources row).
   */
 sealed trait FileFormat
 object FileFormat {
   case object Parquet extends FileFormat
   case object Feather extends FileFormat
+  case object Csv extends FileFormat
+  case object Json extends FileFormat
+  case object Orc extends FileFormat
 }
 
 /** Parity knobs replicating reference semantics that differ from the
@@ -50,7 +55,8 @@ object Flaco {
   /** Session factory with the scale-appropriate defaults used across
     * the engine: AQE on (runtime re-plan, skew-join handling), shuffle
     * partitions sized to the local core count rather than the 200
-    * default, UTC session time for oracle parity.
+    * default, UTC session time for oracle parity, and the
+    * [[GraftSessionExtensions]] function injection.
     */
   def session(
       master: String = "local[*]",
@@ -59,6 +65,7 @@ object Flaco {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .config("spark.sql.extensions", classOf[GraftSessionExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -137,7 +144,40 @@ object Flaco {
       parity: ParityOptions = ParityOptions()): Unit = format match {
     case FileFormat.Parquet => writeParquet(df, path, parity)
     case FileFormat.Feather => writeFeather(df, path, parity)
+    case FileFormat.Csv =>
+      maybeSingle(df, parity).write.mode("overwrite")
+        .option("header", "true").csv(path)
+    case FileFormat.Json =>
+      maybeSingle(df, parity).write.mode("overwrite").json(path)
+    case FileFormat.Orc =>
+      maybeSingle(df, parity).write.mode("overwrite").orc(path)
   }
+
+  private def maybeSingle(df: DataFrame, parity: ParityOptions): DataFrame =
+    if (parity.singleFile) df.coalesce(1) else df
+
+  /** Source dispatch — read back what [[writeFile]] wrote. A schema is
+    * required for the text formats (header-only CSV/JSON inference
+    * would widen types); columnar formats carry their own.
+    */
+  def readFile(
+      spark: SparkSession,
+      path: String,
+      format: FileFormat,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    format match {
+      case FileFormat.Parquet => spark.read.parquet(path)
+      case FileFormat.Orc => spark.read.orc(path)
+      case FileFormat.Csv =>
+        val r = spark.read.option("header", "true")
+        schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+      case FileFormat.Json =>
+        schema.fold(spark.read)(spark.read.schema).json(path)
+      case FileFormat.Feather =>
+        throw new FlacoSparkException(
+          "Feather read-back is provided by the Arrow IPC reader " +
+            "(see FeatherSinkSpec); register a parquet/orc copy for SQL access.")
+    }
 
   /** Parquet sink (`write_table_to_parquet`, `src/lib.rs:116-148`).
     * Spark-native default: many part-files, snappy, dictionary

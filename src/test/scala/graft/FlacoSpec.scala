@@ -58,4 +58,32 @@ class FlacoSpec extends AnyFunSuite {
       ParityOptions(singleFile = true))
     assert(new java.io.File(s"$dir/f").isFile)
   }
+
+  test("orders round-trips through the Csv, Json and Orc formats") {
+    val spark = TestSpark.spark
+    val df = graft.sources.Corpus.read(spark, TestSpark.sf, "orders")
+    val dir = java.nio.file.Files.createTempDirectory("fmt3").toString
+    Seq(FileFormat.Csv, FileFormat.Json, FileFormat.Orc).foreach { fmt =>
+      val p = s"$dir/${fmt.toString.toLowerCase}"
+      Flaco.writeFile(df, p, fmt)
+      val back = Flaco.readFile(spark, p, fmt, Some(df.schema))
+      assert(back.count() === df.count(), s"count via $fmt")
+      val cols = df.columns.toSeq
+      assert(back.select(cols.head, cols.tail: _*).exceptAll(df).isEmpty,
+        s"content via $fmt")
+    }
+  }
+
+  test("session extensions inject cosine_sim into fresh sessions' SQL") {
+    // newSession() has a fresh function registry: anything registered
+    // imperatively on the shared session is absent there, so success
+    // proves the GraftSessionExtensions injection path.
+    val s2 = TestSpark.spark.newSession()
+    val r = s2.sql(
+      "select cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f)) as c," +
+        " dot_product(array(1.0f, 2.0f), array(3.0f, 4.0f)) as d")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(r.getDouble(1) === 11.0)
+  }
 }
