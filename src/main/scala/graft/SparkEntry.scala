@@ -61,7 +61,10 @@ object SparkEntry {
     "q36_grouping_sets" -> (Relational.groupingSets _),
     "q37_pivot" -> (Relational.pivotStatus _),
     "q38_topk_agg" -> (Relational.topkAgg _),
-    "q39_token_classes" -> (TextAnalysis.tokenClasses _)
+    "q39_token_classes" -> (TextAnalysis.tokenClasses _),
+    "q40_range_join" -> ((s: SparkSession, d: String) => Temporal.eventBurstCounts(s, d)),
+    "q41_percentiles" -> (Events.valuePercentiles _),
+    "q42_clean_corpus" -> (TextAnalysis.cleanCorpus _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -489,6 +492,43 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_mark
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT a.event_id, count(b.event_id) AS n_next
+        |  FROM e a LEFT JOIN e b ON a.user_id = b.user_id
+        |    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '300 seconds'
+        |  GROUP BY a.event_id)
+        |SELECT e.event_id, e.user_id, e.ts, m.n_next
+        |FROM e JOIN m USING (event_id) ORDER BY event_id""".stripMargin,
+
+    "q41_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q42_clean_corpus" -> {
+      s"""WITH d AS (SELECT doc_id, lang, text, ' ' || text || ' ' AS padded,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |e AS (SELECT doc_id, lang, text, n_tokens, n_punct,
+         |  (${scoreSql("en")}) AS n_stop FROM d),
+         |q AS (SELECT doc_id, lang, text,
+         |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+         |    + (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 0.5
+         |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.25, 6) AS quality
+         |  FROM e),
+         |f AS (SELECT doc_id, lang, quality,
+         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM q WHERE quality > 0.4),
+         |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+         |c AS (SELECT f.lang, f.quality FROM f JOIN k USING (fp, doc_id))
+         |SELECT lang, count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+    }
   )
 }

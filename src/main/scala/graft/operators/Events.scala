@@ -69,4 +69,18 @@ object Events {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
+
+  /** Exact interpolated percentiles of event value per type (Spark
+    * `percentile` == DuckDB `quantile_cont`: sort + linear
+    * interpolation). For sketched quantiles at scale, swap in
+    * `approx_percentile` the way [[approxUsers]] twins [[exactUsers]].
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
 }

@@ -82,6 +82,40 @@ object Temporal {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Binned range join: count, for every event, the same user's
+    * events in the following `windowSec` seconds. A naive range join
+    * (`b.ts > a.ts AND b.ts <= a.ts + w`) is a per-key cross product;
+    * binning time into `windowSec` buckets turns it into an EQUI-join
+    * on (key, bin) — each left row probes its own bin and the next
+    * (a right match within (t, t+w] can only land there) — and the
+    * exact range predicate filters inside the hash join. Candidate
+    * volume is bounded by 2× the per-bin occupancy instead of the
+    * per-key square.
+    */
+  def eventBurstCounts(
+      spark: SparkSession, dir: String, windowSec: Long = 300): DataFrame = {
+    val e = Corpus.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // NTZ has no direct long cast; wall-clock micros via a UTC-session
+    // timestamp cast (binning only — the join predicate uses real ts).
+    val binUs = windowSec * 1000000L
+    val l = e
+      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("bin", explode(array(
+        floor(col("us") / binUs), floor(col("us") / binUs) + 1)))
+    val r = e.select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withColumn("r_bin",
+        floor(expr("unix_micros(cast(r_ts as timestamp))") / binUs))
+    val matches = l.join(r,
+        col("user_id") === col("r_user") && col("bin") === col("r_bin") &&
+          col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr(s"INTERVAL $windowSec seconds"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_next"))
+    e.join(matches, Seq("event_id"), "left")
+      .withColumn("n_next", coalesce(col("n_next"), lit(0L)))
+      .orderBy(col("event_id"))
+  }
+
   /** Session row emitted by the typed sessionizer (ts is TimestampNTZ
     * → LocalDateTime in the typed API).
     */

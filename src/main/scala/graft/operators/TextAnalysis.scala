@@ -77,10 +77,11 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Quality scoring: length, punctuation density, stopword ratio —
-    * combined into one [0,1] score; aggregated per source.
+  /** Per-document [0,1] quality score: length, punctuation density,
+    * stopword ratio — the per-row scoring stage shared by
+    * [[qualityScore]] and [[cleanCorpus]].
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
     val d = Corpus.read(spark, dir, "documents")
       .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
       .withColumn("n_tokens", tokenCount(col("text")))
@@ -91,12 +92,35 @@ object TextAnalysis {
     val punctRatio = col("n_punct").cast("double") / greatest(length(col("text")), lit(1))
     val stopRatio = col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1))
     d.withColumn("quality",
-        round(lenScore * 0.5 + stopRatio * 0.5 - punctRatio * 0.25, 6))
+      round(lenScore * 0.5 + stopRatio * 0.5 - punctRatio * 0.25, 6))
+  }
+
+  /** Quality aggregated per source. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    docQuality(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("quality") > 0.4, 1L).otherwise(0L)).as("n_good"),
         round(avg(col("quality")), 4).as("avg_quality"))
       .orderBy(col("source"))
+
+  /** The composed training-data cleaning pipeline: quality-filter →
+    * exact dedup (keep the lowest doc_id per fingerprint) → per-lang
+    * corpus stats. Each stage is the operator tested on its own
+    * (docQuality, fingerprintCol/exactDedup); composition stays one
+    * declarative plan — filter pushes to the scan, dedup is one hash
+    * aggregate, no materialization between stages.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docQuality(spark, dir)
+      .filter(col("quality") > 0.4)
+      .withColumn("fp", fingerprintCol(col("text")))
+    val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("lang"))
   }
 
   /** BPE-ish pre-tokenization: the GPT-2-style split into letter

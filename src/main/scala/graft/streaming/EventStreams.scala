@@ -48,6 +48,31 @@ object EventStreams {
       .select(col("w.start").as("wstart"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes under a watermark —
+    * streaming twin of [[graft.operators.Events.sliding]].
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension (broadcast — no stream state, each micro-batch probes
+    * the built side), then a watermarked windowed aggregate on the
+    * enriched column. The standard "attach reference data to a feed"
+    * pattern.
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), Seq("event_type"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("category"), col("n"))
+
   /** Session windows (30-minute gap) per user under a watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

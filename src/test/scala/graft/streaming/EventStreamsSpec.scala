@@ -50,6 +50,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding counts equal the batch operator") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.slidingCounts(stream), "sliding_mem", OutputMode.Complete())
+    try {
+      val streamed = spark.table("sliding_mem")
+        .select(col("wstart").cast("string"), col("event_type"), col("n"))
+        .collect().map(_.toSeq).toSet
+      val batch = Events.sliding(spark, TestSpark.sf)
+        .select(col("wstart").cast("string"), col("event_type"), col("n"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment aggregates on the joined column") {
+    val dim = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .select(col("event_type")).distinct()
+      .withColumn("category", substring(col("event_type"), 1, 1))
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.enrichedCounts(stream, dim), "enriched_mem",
+      OutputMode.Complete())
+    try {
+      val streamed = spark.table("enriched_mem")
+        .select(col("wstart").cast("string"), col("category"), col("n"))
+        .collect().map(_.toSeq).toSet
+      val batch = Events.tumbling(spark, TestSpark.sf)
+        .join(dim, Seq("event_type"))
+        .groupBy(col("wstart"), col("category"))
+        .agg(sum(col("n")).as("n"))
+        .select(col("wstart").cast("string"), col("category"), col("n"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with the batch sessions") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     val q = EventStreams.runToMemory(
