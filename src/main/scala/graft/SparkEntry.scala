@@ -62,6 +62,7 @@ object SparkEntry {
     "q37_pivot" -> (Relational.pivotStatus _),
     "q38_topk_agg" -> (Relational.topkAgg _),
     "q39_token_classes" -> (TextAnalysis.tokenClasses _),
+    "q31b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q40_range_join" -> ((s: SparkSession, d: String) => Temporal.eventBurstCounts(s, d)),
     "q41_percentiles" -> (Events.valuePercentiles _),
     "q42_clean_corpus" -> (TextAnalysis.cleanCorpus _)
@@ -493,6 +494,37 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_mark
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31b_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM embeddings v CROSS JOIN c),
+         |asum AS (SELECT vec_id, cid,
+         |    $cosinePairSql
+         |  FROM ax GROUP BY vec_id, cid),
+         |ascore AS (SELECT vec_id, cid, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s FROM asum),
+         |ar AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM ascore),
+         |cells AS (SELECT vec_id, cid FROM ar WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM ar WHERE vec_id < 20 AND rn <= 2),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |cand AS (SELECT p.qid, cells.vec_id AS vb FROM probes p
+         |  JOIN cells USING (cid) WHERE cells.vec_id <> p.qid),
+         |x AS (SELECT cand.qid, cand.vb, q.qe AS ea, e.embedding AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM cand JOIN q USING (qid) JOIN embeddings e ON e.vec_id = cand.vb),
+         |s AS (SELECT qid, vb,
+         |    $cosinePairSql
+         |  FROM x GROUP BY qid, vb),
+         |sim AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
+         |r AS (SELECT qid, vb, sim, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
+         |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin,
 
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

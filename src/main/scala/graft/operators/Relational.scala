@@ -271,6 +271,32 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** Salted broadcast-free join for skewed keys: the big (left) side
+    * gets a deterministic per-row salt, the small-but-too-big-to-
+    * broadcast (right) side is replicated once per salt value, and
+    * the join key becomes (key, salt) — a hot key's rows now spread
+    * over `salts` reducers instead of one. AQE's skew-join handles
+    * sort-merge skew automatically; explicit salting is for the cases
+    * AQE can't re-split (aggregations over the joined key, storage-
+    * partitioned inputs), and this is the reusable pattern.
+    * Result is row-identical to `left.join(right, keys)` (spec-
+    * checked); salting never changes semantics, only partitioning.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int = 8): DataFrame = {
+    // The salt must spread ROWS of a hot key, not the key itself —
+    // salting on hash(key) alone would send every copy of the hot key
+    // to one reducer again. monotonically_increasing_id varies per
+    // row and never changes join semantics, only placement.
+    val spread = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val saltValues = right.sparkSession.range(salts)
+      .select(col("id").cast("int").as("__salt"))
+    val replicated = right.crossJoin(broadcast(saltValues))
+    spread.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   /** Sum of the 3 largest order totals per segment via the typed
     * [[graft.functions.TopKSumAgg]] Aggregator — bounded-buffer
     * partial aggregation instead of a full window sort.

@@ -53,6 +53,53 @@ object Similarity {
       when(element_at(emb, j * 8 + 1) > 0f, 1 << j).otherwise(0)
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) approximate top-k — the other standard scale
+    * path next to [[lshTopK]]: partition the corpus into cells around
+    * centroids, assign every vector to its nearest centroid once
+    * (linear scan against a broadcast centroid set), and answer each
+    * query by probing only its `nprobe` nearest cells. At 100 TB the
+    * assignment is one broadcast pass and the search shuffles only the
+    * probed cells' candidates on the cell id — corpus-partitionable by
+    * `cell` so probes become partition-pruned reads.
+    *
+    * Centroid selection here is the deterministic stand-in for a
+    * k-means fit (first `ncells` vectors) — the partition/probe
+    * plumbing is identical and the choice keeps the DuckDB oracle
+    * bit-exact. Scores are rounded to 1e-6 before ranking on both
+    * sides so double summation order can't flip a rank.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 2, ncells: Int = 16): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < ncells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("s", round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s").desc, col("cid"))
+    val ranked = scored.withColumn("rn", row_number().over(wAssign))
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val probes = ranked
+      .filter(col("vec_id") < NumQueries && col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val qe = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val sims = probes
+      .join(cells, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qe), Seq("qid"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** LSH-bucketed approximate top-k: queries join only their bucket. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")

@@ -122,6 +122,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join returns exactly the rows of the plain join") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+      .select(org.apache.spark.sql.functions.col("c_custkey").as("o_custkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment"))
+    val plain = orders.join(customer, Seq("o_custkey"))
+    val salted = Relational.saltedJoin(orders, customer, Seq("o_custkey"))
+    assert(salted.count() === plain.count())
+    val cols = plain.columns.toSeq
+    assert(salted.select(cols.head, cols.tail: _*).exceptAll(plain).isEmpty)
+    assert(plain.exceptAll(salted.select(cols.head, cols.tail: _*)).isEmpty)
+  }
+
+  test("IVF ANN agrees with brute force on shared (query, neighbor) pairs") {
+    val brute = Similarity.bruteTopK(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2)))
+        .foreach(s => assert(s === r.getDouble(3)))
+    }
+  }
+
   test("approx distinct users tracks the exact count") {
     val approx = Events.approxUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
