@@ -147,6 +147,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile tracks the exact percentiles") {
+    val exact = Events.valuePercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.sources.Corpus.read(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - e50) < math.max(1.0, e50.abs * 0.1))
+      assert(math.abs(a90 - e90) < math.max(1.0, e90.abs * 0.1))
+    }
+  }
+
   test("approx distinct users tracks the exact count") {
     val approx = Events.approxUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
