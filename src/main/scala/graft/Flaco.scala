@@ -92,6 +92,11 @@ object Flaco {
     * exercised only at the plan level (FlacoSpec: option assembly and
     * failure wrapping); the type-mapping semantics it applies are
     * unit-tested in PgTypeMapSpec.
+    *
+    * Install the reference's full wire-type mapping into the JDBC
+    * layer with `types.FlacoPostgresDialect.register(parity)` (once
+    * per JVM — JVM-global like all Spark JDBC dialects); [[ParityOptions]]
+    * passed here then only govern the post-load value transforms.
     */
   /** The JDBC relation options [[readSqlToDataFrame]] puts in the
     * plan — a pure function so the plan assembly is unit-testable

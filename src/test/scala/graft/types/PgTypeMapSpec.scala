@@ -62,6 +62,27 @@ class PgTypeMapSpec extends AnyFunSuite {
     intercept[FlacoSparkException](PgTypeMap.decodeInterval(Array[Byte](1, 2)))
   }
 
+  test("decode_interval expression decodes payload columns (codegen path)") {
+    import graft.functions.IntervalFunctions.decode_interval
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    def payload(months: Int, days: Int, micros: Long): Array[Byte] =
+      ByteBuffer.allocate(16).putLong(micros).putInt(days).putInt(months).array()
+    val schema = StructType(Seq(StructField("k", IntegerType),
+      StructField("p", BinaryType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1, payload(14, 3, 5000000L)),
+        Row(2, Array[Byte](1, 2, 3)), // wrong length -> NULL
+        Row(3, null)),
+      schema)
+    val got = df.select(col("k"), decode_interval(col("p")).as("iv"))
+      .orderBy("k").collect()
+    val iv = got(0).getStruct(1)
+    assert((iv.getInt(0), iv.getInt(1), iv.getLong(2)) === ((14, 3, 5000000L)))
+    assert(got(1).isNullAt(1) && got(2).isNullAt(1))
+  }
+
   test("applyParity numericAsDouble casts decimal columns to double") {
     val spark = TestSpark.spark
     val schema = StructType(Seq(
