@@ -50,6 +50,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming writes to a parquet file sink with checkpointing") {
+    val out = Files.createTempDirectory("evsink").toString
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val written = spark.read.parquet(s"$out/data")
+      .select(col("wstart").cast("string"), col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val batch = Events.tumbling(spark, TestSpark.sf)
+      .select(col("wstart").cast("string"), col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    // Append mode emits watermark-finalized windows only — subset.
+    assert(written.nonEmpty)
+    assert(written.subsetOf(batch), written.diff(batch).take(3).toString)
+  }
+
   test("streaming sliding counts equal the batch operator") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     val q = EventStreams.runToMemory(
