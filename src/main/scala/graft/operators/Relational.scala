@@ -302,9 +302,12 @@ object Relational {
     * partial aggregation instead of a full window sort.
     */
   def topkAgg(spark: SparkSession, dir: String): DataFrame =
+    // customer SCALES with the corpus (unlike region/nation) — no
+    // broadcast hint; AQE picks broadcast at small SF and a shuffled
+    // join at cluster scale.
     t(spark, dir, "orders")
-      .join(broadcast(t(spark, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(graft.functions.TopKSumAgg.topKSum(3, col("o_totalprice"))
