@@ -151,10 +151,12 @@ object Dedup {
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     // Distinct shingle sets (Jaccard needs sets) only for candidate
-    // docs — candidate-sized work, not corpus-sized. No broadcast
-    // hint: candDocs is usually tiny but scales with near-dup
-    // density; AQE broadcasts when it actually is small.
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    // docs — candidate-sized work, not corpus-sized. The broadcast
+    // hint is deliberate: without it the semi-join shuffles the full
+    // shingle table, and candDocs is by construction a small fraction
+    // of the corpus (near-dup candidates; if it ever approached
+    // corpus size the dedup output itself would be the bottleneck).
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .distinct().cache()
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val sa = shc.select(col("doc_id").as("a"), col("lang"), col("shingle"))
