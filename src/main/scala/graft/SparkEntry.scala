@@ -409,9 +409,12 @@ object SparkEntry {
 
     "q31_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket FROM e WHERE vec_id < 20),
+         |q0 AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket FROM e WHERE vec_id < 20),
+         |q AS (SELECT qid, qe,
+         |    CASE WHEN i = 0 THEN qbucket ELSE xor(qbucket, 1 << (i - 1)) END AS probe
+         |  FROM (SELECT qid, qe, qbucket, unnest(range(0, 9)) AS i FROM q0)),
          |p AS (SELECT qid, e.vec_id AS vb, qe AS ea, e.embedding AS eb
-         |  FROM e JOIN q ON e.bucket = qbucket WHERE e.vec_id <> qid),
+         |  FROM e JOIN q ON e.bucket = probe WHERE e.vec_id <> qid),
          |x AS (SELECT qid, vb, ea, eb, unnest(range(1, 65)) AS i FROM p),
          |s AS (SELECT qid, vb,
          |    $cosinePairSql

@@ -100,15 +100,26 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** LSH-bucketed approximate top-k: queries join only their bucket. */
+  /** LSH-bucketed approximate top-k with multi-probe: each query
+    * probes its own bucket plus every bucket at Hamming distance 1
+    * (9 keys — the same probe scheme as
+    * [[Dedup.embeddingNearDups]]), trading a 9× broadcast of the tiny
+    * query set for the recall a single probe gives up. The corpus
+    * side still joins on its one bucket — candidate volume stays
+    * ~9/256 of the corpus. A (query, vector) pair matches at most one
+    * probe, so no dedup is needed.
+    */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")
       .withColumn("bucket", bucketCol(col("embedding")))
+    val probes = col("qbucket") +:
+      (0 until 8).map(j => col("qbucket").bitwiseXOR(lit(1 << j)))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("bucket").as("qbucket"))
+      .select(col("qid"), col("qe"), explode(array(probes: _*)).as("probe"))
     val sims = e.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("sim",
         round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 6))
     val w = Window.partitionBy(col("qid"))
