@@ -64,6 +64,7 @@ object SparkEntry {
     "q39_token_classes" -> (TextAnalysis.tokenClasses _),
     "q31b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q40_range_join" -> ((s: SparkSession, d: String) => Temporal.eventBurstCounts(s, d)),
+    "q43_dedup_clusters" -> (Dedup.dedupClusters _),
     "q41_percentiles" -> (Events.valuePercentiles _),
     "q42_clean_corpus" -> (TextAnalysis.cleanCorpus _)
   )
@@ -82,6 +83,34 @@ object SparkEntry {
       val tokLen = w.length + 2
       s"(length(padded) - length(replace(padded, ' $w ', ''))) / $tokLen"
     }.mkString(" + ")
+
+  /** The full MinHash+LSH pair pipeline as CTEs ending in `j`
+    * (doc pairs with exact Jaccard) — shared by q28 and q43.
+    */
+  private val minhashCtes: String =
+    s"""$shinglesCte,
+       |mh AS (SELECT doc_id, lang, i,
+       |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+       |  FROM (SELECT doc_id, lang, shingle, unnest(range(0, 8)) AS i FROM sh) t
+       |  GROUP BY doc_id, lang, i),
+       |bands AS (SELECT doc_id, lang, i // 2 AS band,
+       |    min(CASE WHEN i % 2 = 0 THEN mh END) AS lo,
+       |    min(CASE WHEN i % 2 = 1 THEN mh END) AS hi
+       |  FROM mh GROUP BY doc_id, lang, i // 2),
+       |bk AS (SELECT doc_id, lang, band,
+       |    md5(CAST(band AS VARCHAR) || '|' || lo || '|' || hi) AS bkey FROM bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+       |  ON x.bkey = y.bkey AND x.band = y.band AND x.lang = y.lang
+       |    AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.lang = y.lang
+       |    AND x.doc_id < y.doc_id
+       |  JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id),
+       |j AS (SELECT a, b,
+       |    round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+       |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)""".stripMargin
 
   /** DuckDB sign-LSH bucket mirroring Similarity.bucketCol. */
   private val bucketSql: String = (0 until 8).map(j =>
@@ -349,31 +378,20 @@ object SparkEntry {
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q28_minhash_lsh" ->
-      s"""WITH $shinglesCte,
-         |mh AS (SELECT doc_id, lang, i,
-         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-         |  FROM (SELECT doc_id, lang, shingle, unnest(range(0, 8)) AS i FROM sh) t
-         |  GROUP BY doc_id, lang, i),
-         |bands AS (SELECT doc_id, lang, i // 2 AS band,
-         |    min(CASE WHEN i % 2 = 0 THEN mh END) AS lo,
-         |    min(CASE WHEN i % 2 = 1 THEN mh END) AS hi
-         |  FROM mh GROUP BY doc_id, lang, i // 2),
-         |bk AS (SELECT doc_id, lang, band,
-         |    md5(CAST(band AS VARCHAR) || '|' || lo || '|' || hi) AS bkey FROM bands),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
-         |  ON x.bkey = y.bkey AND x.band = y.band AND x.lang = y.lang
-         |    AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.lang = y.lang
-         |    AND x.doc_id < y.doc_id
-         |  JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id
-         |  GROUP BY x.doc_id, y.doc_id),
-         |j AS (SELECT a, b,
-         |    round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
-         |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+      s"""WITH $minhashCtes
          |SELECT a AS doc_a, b AS doc_b, jaccard FROM j WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Connected components over the q28 pair graph; recursive
+    // transitive closure stands in for the label-propagation loop.
+    "q43_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT a, b FROM j WHERE jaccard >= 0.2),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (SELECT a AS n, b AS m FROM edges
+         |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a)
+         |SELECT n AS doc_id, least(n, min(m)) AS cluster_rep
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),

@@ -178,6 +178,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over the verified near-dup pair graph — the
+    * clustering step an at-scale dedup pipeline runs after pair
+    * generation (keep one representative per component). Iterative
+    * min-label propagation: each round every node adopts the smallest
+    * label among itself and its neighbors; a round is one
+    * join + aggregate over the (small) edge set, and the loop runs
+    * until no label changes (O(component diameter) rounds — near-dup
+    * components are shallow; a 20-round cap guards pathologies). The
+    * driver only orchestrates rounds and reads one convergence count;
+    * all data work is distributed — the same shape GraphX/Pregel use.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    val nodes = edges.select(col("a").as("doc_id")).distinct()
+    var labels = nodes.withColumn("rep", col("doc_id")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("rep", "nrep"), "b")
+        .select(col("a").as("doc_id"), col("nrep"))
+      val next = labels.join(viaEdges.groupBy(col("doc_id"))
+          .agg(min(col("nrep")).as("minn")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+        .filter(col("rep") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (sim ≥ 0.35 on this random
     * corpus; real pipelines use ≥0.95), paired inside sign-LSH buckets
     * ([[Similarity.bucketCol]]) instead of an all-pairs cartesian:
