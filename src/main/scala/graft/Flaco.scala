@@ -101,17 +101,27 @@ object Flaco {
   /** The JDBC relation options [[readSqlToDataFrame]] puts in the
     * plan — a pure function so the plan assembly is unit-testable
     * without a live server (FlacoSpec; execution needs PostgreSQL).
+    *
+    * Spark rejects `query` together with `partitionColumn` (they are
+    * mutually exclusive JDBCOptions), so the partitioned form ships
+    * the statement as a `dbtable` subquery alias — the documented way
+    * to parallel-read an arbitrary SELECT.
     */
   def jdbcOptions(
       uri: String,
       stmt: String,
       fetchSize: Int = 10000,
-      partitionColumn: Option[(String, Long, Long, Int)] = None): Map[String, String] =
-    Map("url" -> uri, "query" -> stmt, "fetchsize" -> fetchSize.toString) ++
-      partitionColumn.map { case (col, lo, hi, n) =>
-        Map("partitionColumn" -> col, "lowerBound" -> lo.toString,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): Map[String, String] = {
+    val base = Map("url" -> uri, "fetchsize" -> fetchSize.toString)
+    partitionColumn match {
+      case None => base + ("query" -> stmt)
+      case Some((col, lo, hi, n)) =>
+        base ++ Map(
+          "dbtable" -> s"($stmt) flaco_subquery",
+          "partitionColumn" -> col, "lowerBound" -> lo.toString,
           "upperBound" -> hi.toString, "numPartitions" -> n.toString)
-      }.getOrElse(Map.empty)
+    }
+  }
 
   def readSqlToDataFrame(
       spark: SparkSession,
@@ -174,7 +184,11 @@ object Flaco {
       case FileFormat.Parquet => spark.read.parquet(path)
       case FileFormat.Orc => spark.read.orc(path)
       case FileFormat.Csv =>
-        val r = spark.read.option("header", "true")
+        // multiLine: quoted fields may legitimately contain newlines
+        // (document text); the default line-splitting parser would
+        // shred them. Costs input splittability — columnar formats
+        // are the scale path, CSV is the interchange path.
+        val r = spark.read.option("header", "true").option("multiLine", "true")
         schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
       case FileFormat.Json =>
         schema.fold(spark.read)(spark.read.schema).json(path)

@@ -262,7 +262,8 @@ object SparkEntry {
 
     "q17_events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
 
     "q18_events_sliding" ->

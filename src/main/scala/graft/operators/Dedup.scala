@@ -183,11 +183,12 @@ object Dedup {
     * generation (keep one representative per component). Iterative
     * min-label propagation: each round every node adopts the smallest
     * label among itself and its neighbors; a round is one
-    * join + aggregate over the (small) edge set, and the loop runs
-    * until no label changes (O(component diameter) rounds — near-dup
-    * components are shallow; a 20-round cap guards pathologies). The
-    * driver only orchestrates rounds and reads one convergence count;
-    * all data work is distributed — the same shape GraphX/Pregel use.
+    * join + aggregate over the (small) edge set plus a pointer-jumping
+    * step (rep := rep(rep)) that halves label-chain depth, so the
+    * loop converges in O(log n) rounds regardless of component
+    * diameter (long chains included). The driver only orchestrates
+    * rounds and reads one convergence count; all data work is
+    * distributed — the same shape GraphX/Pregel use.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLshPairs(spark, dir)
@@ -196,17 +197,32 @@ object Dedup {
       .cache()
     val nodes = edges.select(col("a").as("doc_id")).distinct()
     var labels = nodes.withColumn("rep", col("doc_id")).cache()
+    labels.count()
     var converged = false
+    // log2(n) pointer-jumping rounds always suffice; the generous cap
+    // is an infinite-loop guard, not a correctness bound.
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < 64) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("rep", "nrep"), "b")
         .select(col("a").as("doc_id"), col("nrep"))
-      val next = labels.join(viaEdges.groupBy(col("doc_id"))
+      val viaMin = labels.join(viaEdges.groupBy(col("doc_id"))
           .agg(min(col("nrep")).as("minn")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
+      // Pointer jumping: follow the rep's own rep one hop.
+      val repOfRep = labels
+        .select(col("doc_id").as("rep"), col("rep").as("rep2"))
+      val next = viaMin.join(repOfRep, Seq("rep"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .cache()
+      // Materialize BEFORE the convergence probe and unpersist: the
+      // isEmpty probe short-circuits (take(1)) and would otherwise
+      // leave the cache partially populated while the only
+      // materialized ancestor is dropped — lineage recompute doubles
+      // every round.
+      next.count()
       converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
         .filter(col("rep") =!= col("old")).isEmpty
       labels.unpersist()
@@ -231,10 +247,8 @@ object Dedup {
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")
       .withColumn("bucket", Similarity.bucketCol(col("embedding")))
-    val probes = col("bucket") +:
-      (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
     val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
-      explode(array(probes: _*)).as("probe"))
+      explode(array(Similarity.probeCols(col("bucket")): _*)).as("probe"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
       col("bucket").as("bucket_b"))
     a.join(b, col("probe") === col("bucket_b") && col("a") < col("b"))

@@ -13,11 +13,15 @@ import graft.sources.Corpus
   */
 object Events {
 
-  /** Tumbling 1-hour windows per event type. */
+  /** Tumbling 1-hour windows per event type. Decimal sum for the same
+    * order-free determinism as [[sessions]].
+    */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2)
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"),
         col("sum_value"))
       .orderBy(col("wstart"), col("event_type"))

@@ -53,6 +53,14 @@ object Similarity {
       when(element_at(emb, j * 8 + 1) > 0f, 1 << j).otherwise(0)
     }.reduce(_ + _)
 
+  /** The 9 probe keys covering Hamming distance ≤ 1 around a bucket —
+    * the single source for the multi-probe scheme ([[lshTopK]] and
+    * [[Dedup.embeddingNearDups]]; the DuckDB mirrors replicate it as
+    * `CASE WHEN i = 0 THEN bucket ELSE xor(bucket, 1 << (i-1)) END`).
+    */
+  def probeCols(bucket: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    bucket +: (0 until 8).map(j => bucket.bitwiseXOR(lit(1 << j)))
+
   /** IVF (inverted-file) approximate top-k — the other standard scale
     * path next to [[lshTopK]]: partition the corpus into cells around
     * centroids, assign every vector to its nearest centroid once
@@ -112,12 +120,11 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")
       .withColumn("bucket", bucketCol(col("embedding")))
-    val probes = col("qbucket") +:
-      (0 until 8).map(j => col("qbucket").bitwiseXOR(lit(1 << j)))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("bucket").as("qbucket"))
-      .select(col("qid"), col("qe"), explode(array(probes: _*)).as("probe"))
+      .select(col("qid"), col("qe"),
+        explode(array(probeCols(col("qbucket")): _*)).as("probe"))
     val sims = e.join(broadcast(q),
         col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("sim",

@@ -44,7 +44,9 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2)
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"),
         col("sum_value"))
 

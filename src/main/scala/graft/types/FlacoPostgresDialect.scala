@@ -16,19 +16,28 @@ import graft.ParityOptions
   * Differences from Spark's built-in PostgresDialect, all traceable
   * to the reference:
   *   - NUMERIC → DoubleType (lossy, `src/lib.rs:375-381`) under the
-  *     default parity; DecimalType(38,18) in exact mode
+  *     default parity; DecimalType(38,18) in exact mode (the JDBC
+  *     getter path supports both: rs.getDouble / rs.getBigDecimal)
   *   - JSON/JSONB → StringType (re-serialized text, not nested;
-  *     `src/lib.rs:226-234`)
-  *   - UUID → StringType (the intent of `src/lib.rs:241-248`)
-  *   - "char" (1-byte) → ByteType: the reference keeps the char CODE,
-  *     not the character (`src/lib.rs:214-219`)
-  *   - TIME/TIMETZ → LongType µs-since-midnight (no Spark TimeType;
-  *     `src/lib.rs:350-366`, offsets discarded like the reference)
-  *   - OID → LongType (u32 widened, `src/lib.rs:235-240`)
-  *   - TIMESTAMP → TimestampNTZType (tz-naive, `src/lib.rs:283-303`)
+  *     `src/lib.rs:226-234`) and UUID → StringType (the intent of
+  *     `src/lib.rs:241-248`) — both read via rs.getString
+  *   - TIMESTAMP → TimestampNTZType (tz-naive, `src/lib.rs:283-303`);
+  *     TIMESTAMPTZ stays an instant. pgjdbc reports BOTH as
+  *     `Types.TIMESTAMP` and distinguishes only by type NAME, so the
+  *     timestamptz arm must match by name first or instants would be
+  *     silently loaded as naive values.
   *   - unknown types surface as None → Spark raises a catchable
   *     error instead of the reference's `unimplemented!` abort
   *     (`src/lib.rs:382-385`)
+  *
+  * Mappings that CANNOT go through this layer, because Spark's
+  * JdbcUtils getter for the target type would call the wrong
+  * ResultSet accessor (e.g. rs.getLong on a TIME column throws in
+  * pgjdbc, and there is no struct getter at all):
+  * TIME/TIMETZ → µs-since-midnight, 1-byte "char" → code,
+  * INTERVAL → struct. Those stay post-load transforms — the spec
+  * lives in [[PgTypeMap.mapping]] and the interval decode in
+  * [[graft.functions.DecodeInterval]] over the text/binary form.
   */
 class FlacoPostgresDialect(parity: ParityOptions = ParityOptions())
     extends JdbcDialect {
@@ -41,10 +50,7 @@ class FlacoPostgresDialect(parity: ParityOptions = ParityOptions())
       md: MetadataBuilder): Option[DataType] = {
     val byName = typeName.toLowerCase match {
       case "json" | "jsonb" | "uuid" => Some(StringType)
-      case "char" if size <= 1 => Some(ByteType) // 1-byte "char" code
-      case "time" | "timetz" => Some(LongType)   // µs since midnight
-      case "oid" => Some(LongType)
-      case "interval" => Some(PgTypeMap.mapping("interval"))
+      case "timestamptz" => Some(TimestampType) // pgjdbc says Types.TIMESTAMP for these
       case _ => None
     }
     byName.orElse(sqlType match {
@@ -62,7 +68,6 @@ class FlacoPostgresDialect(parity: ParityOptions = ParityOptions())
   override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
     case DoubleType => Some(JdbcType("DOUBLE PRECISION", Types.DOUBLE))
     case StringType => Some(JdbcType("TEXT", Types.VARCHAR))
-    case ByteType => Some(JdbcType("\"char\"", Types.CHAR))
     case TimestampNTZType => Some(JdbcType("TIMESTAMP", Types.TIMESTAMP))
     case _ => None
   }

@@ -25,6 +25,10 @@ class FlacoSpec extends AnyFunSuite {
     assert(opts("partitionColumn") === "id")
     assert(opts("lowerBound") === "0" && opts("upperBound") === "1000")
     assert(opts("numPartitions") === "8")
+    // 'query' and 'partitionColumn' are mutually exclusive in Spark's
+    // JDBCOptions: the partitioned form must use a dbtable subquery.
+    assert(!opts.contains("query"))
+    assert(opts("dbtable") === "(select * from t) flaco_subquery")
   }
 
   test("readSqlToDataFrame wraps connection failure in FlacoSparkException") {
@@ -72,6 +76,19 @@ class FlacoSpec extends AnyFunSuite {
       assert(back.select(cols.head, cols.tail: _*).exceptAll(df).isEmpty,
         s"content via $fmt")
     }
+  }
+
+  test("csv round-trips fields containing newlines (multiLine read)") {
+    val spark = TestSpark.spark
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "plain"), (2L, "line one\nline two"), (3L, "a,b\"c"))
+      .toDF("id", "text")
+    val p = java.nio.file.Files.createTempDirectory("csvnl").toString + "/t"
+    Flaco.writeFile(df, p, FileFormat.Csv)
+    val back = Flaco.readFile(spark, p, FileFormat.Csv, Some(df.schema))
+    assert(back.count() === 3)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
   test("session extensions inject cosine_sim into fresh sessions' SQL") {

@@ -36,20 +36,23 @@ class FlacoPostgresDialectSpec extends AnyFunSuite {
     assert(ct(Types.OTHER, "uuid") === Some(StringType))
   }
 
-  test("1-byte char keeps the code; time maps to micros; oid widens") {
-    assert(ct(Types.CHAR, "char", size = 1) === Some(ByteType))
-    assert(ct(Types.TIME, "time") === Some(LongType))
-    assert(ct(Types.TIME, "timetz") === Some(LongType))
-    assert(ct(Types.BIGINT, "oid") === Some(LongType))
-  }
-
-  test("timestamps: naive stays NTZ, tz becomes instant") {
+  test("timestamps: naive stays NTZ, tz becomes instant BY NAME") {
     assert(ct(Types.TIMESTAMP, "timestamp") === Some(TimestampNTZType))
+    // pgjdbc reports Types.TIMESTAMP for timestamptz too — the
+    // instant mapping must fire on the type NAME or absolute times
+    // would silently load as naive values.
+    assert(ct(Types.TIMESTAMP, "timestamptz") === Some(TimestampType))
     assert(ct(Types.TIMESTAMP_WITH_TIMEZONE, "timestamptz") === Some(TimestampType))
   }
 
-  test("interval maps to the decoded struct of PgTypeMap") {
-    assert(ct(Types.OTHER, "interval") === Some(PgTypeMap.mapping("interval")))
+  test("getter-incompatible mappings are NOT bent at the JDBC layer") {
+    // rs.getLong on TIME / struct getters don't exist in JdbcUtils:
+    // these semantics live in PgTypeMap / DecodeInterval post-load,
+    // and the dialect must defer to Spark's defaults.
+    assert(ct(Types.TIME, "time") === None)
+    assert(ct(Types.TIME, "timetz") === None)
+    assert(ct(Types.OTHER, "interval") === None)
+    assert(ct(Types.CHAR, "char", size = 1) === None)
   }
 
   test("unknown types defer to Spark (catchable error, not an abort)") {
