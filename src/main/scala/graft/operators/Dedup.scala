@@ -196,8 +196,13 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
     val nodes = edges.select(col("a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("rep", col("doc_id")).cache()
-    labels.count()
+    // Iterative DataFrames MUST truncate lineage every round: labels
+    // is referenced ~4× per round, so the logical plan grows ~4^r and
+    // Catalyst re-analysis hangs the driver within a few rounds.
+    // localCheckpoint(eager = true) materializes the round AND cuts
+    // the plan back to a leaf — the standard iterative-algorithm idiom.
+    var labels = nodes.withColumn("rep", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     // log2(n) pointer-jumping rounds always suffice; the generous cap
     // is an infinite-loop guard, not a correctness bound.
@@ -216,19 +221,14 @@ object Dedup {
       val next = viaMin.join(repOfRep, Seq("rep"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-        .cache()
-      // Materialize BEFORE the convergence probe and unpersist: the
-      // isEmpty probe short-circuits (take(1)) and would otherwise
-      // leave the cache partially populated while the only
-      // materialized ancestor is dropped — lineage recompute doubles
-      // every round.
-      next.count()
+        .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
         .filter(col("rep") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       rounds += 1
     }
+    if (!converged)
+      System.err.println(s"[dedupClusters] round cap hit after $rounds rounds")
     labels.select(col("doc_id"), col("rep").as("cluster_rep"))
       .orderBy(col("doc_id"))
   }
