@@ -75,6 +75,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("wstart"), col("category"), col("n"))
 
+  /** Stream-stream inner join: even-id events joined to the same
+    * user's odd-id events within the following 10 minutes. Both sides
+    * carry watermarks and the join condition bounds event-time
+    * distance, so each side's state is evicted once the other side's
+    * watermark passes the range — the required shape for an unbounded
+    * stream-stream join (without the time bound, state grows forever).
+    */
+  def joinedNearbyEvents(events: DataFrame): DataFrame = {
+    val l = events.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      .withWatermark("l_ts", "2 hours")
+    val r = events.filter(col("event_id") % 2 === 1)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", "2 hours")
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 10 minutes"))
+      .select(col("user_id"), col("l_id"), col("r_id"))
+  }
+
   /** Session windows (30-minute gap) per user under a watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -111,6 +111,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream time-bounded join matches the batch join") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.joinedNearbyEvents(stream), "ssjoin_mem", OutputMode.Append())
+    try {
+      val streamed = spark.table("ssjoin_mem")
+        .collect().map(_.toSeq).toSet
+      val ev = Corpus.read(spark, TestSpark.sf, "events")
+      val l = ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      val r = ev.filter(col("event_id") % 2 === 1)
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+          col("event_id").as("r_id"))
+      val batch = l.join(r,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr("INTERVAL 10 minutes"))
+        .select(col("user_id"), col("l_id"), col("r_id"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        s"stream-stream join emitted pairs absent from batch: ${streamed.diff(batch).take(3)}")
+      assert(streamed.size > batch.size / 2,
+        s"only ${streamed.size} of ${batch.size} joined pairs emitted")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with the batch sessions") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     val q = EventStreams.runToMemory(
