@@ -66,7 +66,8 @@ object SparkEntry {
     "q40_range_join" -> ((s: SparkSession, d: String) => Temporal.eventBurstCounts(s, d)),
     "q43_dedup_clusters" -> (Dedup.dedupClusters _),
     "q41_percentiles" -> (Events.valuePercentiles _),
-    "q42_clean_corpus" -> (TextAnalysis.cleanCorpus _)
+    "q42_clean_corpus" -> (TextAnalysis.cleanCorpus _),
+    "q44_redact" -> (TextAnalysis.redact _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -583,6 +584,15 @@ object SparkEntry {
          |c AS (SELECT f.lang, f.quality FROM f JOIN k USING (fp, doc_id))
          |SELECT lang, count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin
-    }
+    },
+
+    "q44_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

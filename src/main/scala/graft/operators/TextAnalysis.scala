@@ -147,6 +147,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** RE2-compatible patterns shared with the oracle (Spark's Java
+    * regex and DuckDB's RE2 agree on these constructs).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{6,}"
+
+  /** PII-style redaction: count and mask email addresses and long
+    * digit runs, fingerprint the redacted text — the scrubbing pass a
+    * training-data pipeline runs before dedup/packing. Per-row
+    * codegen'd regex; embarrassingly parallel.
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    def n(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        n(EmailPattern).as("n_emails"),
+        n(LongNumberPattern).as("n_longnums"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          LongNumberPattern, "<NUM>")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized text —
     * the exact-dedup key. md5 is bit-identical across engines.
     */
