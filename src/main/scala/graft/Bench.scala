@@ -38,18 +38,23 @@ object Bench {
         // A failing query must never masquerade as a fast one: record
         // it loudly and in the JSON output.
         errors += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $name FAILED: ${e.toString}")
       }
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
 
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(name => name -> math.min(once(name), once(name)))
+    // Failed queries report -1 and are excluded from the total so a
+    // fast crash can never read as a performance win.
+    val results = names.map { name =>
+      val t = math.min(once(name), once(name))
+      name -> (if (errors.contains(name)) -1.0 else t)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -586,13 +586,18 @@ object SparkEntry {
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin
     },
 
-    "q44_redact" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
-        |  md5(regexp_replace(
-        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{6,}', '<NUM>', 'g')) AS redacted_fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+    "q44_redact" -> {
+      // Interpolate the exact Spark-side patterns (plain RE2-valid
+      // regexes at runtime) so they can never drift apart.
+      val email = TextAnalysis.EmailPattern
+      val num = TextAnalysis.LongNumberPattern
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_longnums,
+         |  md5(regexp_replace(
+         |    regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |    '$num', '<NUM>', 'g')) AS redacted_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -224,6 +224,10 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
         .filter(col("rep") =!= col("old")).isEmpty
+      // Free the previous round's checkpointed blocks explicitly —
+      // otherwise up to 64 label copies pin block-manager storage
+      // until GC-driven cleanup gets around to them.
+      labels.unpersist()
       labels = next
       rounds += 1
     }

@@ -134,18 +134,19 @@ object TextAnalysis {
     * subword pre-tokens (letters / digits / marks) — the token
     * accounting a training-data pipeline budgets corpora with.
     */
-  def tokenClasses(spark: SparkSession, dir: String): DataFrame = {
-    def n(pat: String): Column =
-      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+  /** Count of non-overlapping matches of `pat` in the text column. */
+  private def matchCount(pat: String): Column =
+    size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+
+  def tokenClasses(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "documents")
       .select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_ws"),
-        n(BpeIshPattern).as("n_bpe"),
-        n("[A-Za-z]+").as("n_word"),
-        n("[0-9]+").as("n_num"),
-        n("[^A-Za-z0-9\\s]").as("n_mark"))
+        matchCount(BpeIshPattern).as("n_bpe"),
+        matchCount("[A-Za-z]+").as("n_word"),
+        matchCount("[0-9]+").as("n_num"),
+        matchCount("[^A-Za-z0-9\\s]").as("n_mark"))
       .orderBy(col("doc_id"))
-  }
 
   /** RE2-compatible patterns shared with the oracle (Spark's Java
     * regex and DuckDB's RE2 agree on these constructs).
@@ -159,12 +160,10 @@ object TextAnalysis {
     * codegen'd regex; embarrassingly parallel.
     */
   def redact(spark: SparkSession, dir: String): DataFrame = {
-    def n(pat: String): Column =
-      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
     Corpus.read(spark, dir, "documents")
       .select(col("doc_id"),
-        n(EmailPattern).as("n_emails"),
-        n(LongNumberPattern).as("n_longnums"),
+        matchCount(EmailPattern).as("n_emails"),
+        matchCount(LongNumberPattern).as("n_longnums"),
         md5(regexp_replace(
           regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
           LongNumberPattern, "<NUM>")).as("redacted_fp"))

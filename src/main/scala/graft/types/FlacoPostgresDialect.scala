@@ -35,9 +35,13 @@ import graft.ParityOptions
   * ResultSet accessor (e.g. rs.getLong on a TIME column throws in
   * pgjdbc, and there is no struct getter at all):
   * TIME/TIMETZ → µs-since-midnight, 1-byte "char" → code,
-  * INTERVAL → struct. Those stay post-load transforms — the spec
-  * lives in [[PgTypeMap.mapping]] and the interval decode in
-  * [[graft.functions.DecodeInterval]] over the text/binary form.
+  * INTERVAL → struct. For those, this dialect defers to Spark's
+  * defaults and the caller applies the reference semantics as an
+  * explicit column transform — [[PgTypeMap.mapping]] documents the
+  * TARGET types (the reference's contract, which is why it
+  * intentionally differs from what a bare JDBC load yields), and
+  * [[graft.functions.DecodeInterval]] decodes interval payloads.
+  * Nothing applies them automatically.
   */
 class FlacoPostgresDialect(parity: ParityOptions = ParityOptions())
     extends JdbcDialect {
