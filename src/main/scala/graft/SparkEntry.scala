@@ -67,7 +67,8 @@ object SparkEntry {
     "q43_dedup_clusters" -> (Dedup.dedupClusters _),
     "q41_percentiles" -> (Events.valuePercentiles _),
     "q42_clean_corpus" -> (TextAnalysis.cleanCorpus _),
-    "q44_redact" -> (TextAnalysis.redact _)
+    "q44_redact" -> (TextAnalysis.redact _),
+    "q45_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -598,6 +599,17 @@ object SparkEntry {
          |    regexp_replace(text, '$email', '<EMAIL>', 'g'),
          |    '$num', '<NUM>', 'g')) AS redacted_fp
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q45_pack_bins" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM d)
+        |SELECT lang, CAST((run - n_tok) // 2048 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
   )
 }

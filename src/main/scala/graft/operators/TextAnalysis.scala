@@ -148,6 +148,29 @@ object TextAnalysis {
         matchCount("[^A-Za-z0-9\\s]").as("n_mark"))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing: assign documents to fixed token-budget bins by
+    * running token count — the batching pass before training-example
+    * packing. Binning is per language (the natural shard key here):
+    * each partition's cumulative sum is an independent window, so the
+    * operator parallelizes across shards instead of forcing one
+    * global ordered partition; at 100 TB the shard key would be the
+    * storage partition. bin = preceding-total div budget, so a bin
+    * holds ~budget tokens (documents are never split).
+    */
+  def packBins(spark: SparkSession, dir: String, budget: Long = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Corpus.read(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("run", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(run - n_tok) div $budget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   /** RE2-compatible patterns shared with the oracle (Spark's Java
     * regex and DuckDB's RE2 agree on these constructs).
     */
