@@ -72,7 +72,9 @@ object Dedup {
     * Jaccard = |∩| / (|A|+|B|-|∩|) — exact integer math.
     */
   def ngramJaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val shAll = shingles(spark, dir)
+    // Cached: consumed twice (df computation + the capped semi-join);
+    // without the cache the scan+explode+distinct runs twice.
+    val shAll = shingles(spark, dir).cache()
     val rare = shAll.groupBy(col("lang"), col("shingle"))
       .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= MaxShingleDf)
