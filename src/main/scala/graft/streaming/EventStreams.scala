@@ -75,6 +75,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("wstart"), col("category"), col("n"))
 
+  /** Streaming exact dedup: drop events whose event_id was already
+    * seen within the watermark horizon — the streaming twin of
+    * exact-fingerprint dedup for an at-least-once upstream (replayed
+    * deliveries land inside the horizon; state for older keys is
+    * evicted, keeping memory bounded).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream inner join: even-id events joined to the same
     * user's odd-id events within the following 10 minutes. Both sides
     * carry watermarks and the join condition bounds event-time

@@ -74,6 +74,56 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(written.subsetOf(batch), written.diff(batch).take(3).toString)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    // Duplicate every file so the source replays each event twice.
+    val dir = Files.createTempDirectory("evdup").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    raw.union(raw).repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val q = EventStreams.runToMemory(
+      EventStreams.dedupedEvents(EventStreams.readEventStream(spark, dir)),
+      "dedup_mem", OutputMode.Append())
+    try {
+      val n = spark.table("dedup_mem").count()
+      val distinct = raw.select("event_id").distinct().count()
+      assert(n === distinct,
+        s"expected $distinct deduped events, got $n from a 2x-replayed source")
+    } finally q.stop()
+  }
+
+  test("checkpointed query resumes exactly-once over new files") {
+    val base = Files.createTempDirectory("evresume").toString
+    val srcDir = s"$base/src/events.parquet"
+    val outDir = s"$base/out"
+    val chkDir = s"$base/chk"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val Array(first, second) = raw.randomSplit(Array(0.5, 0.5), seed = 7)
+
+    def runOnce(): Unit = {
+      val q = EventStreams.readEventStream(spark, s"$base/src")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+    }
+
+    first.write.mode("overwrite").parquet(srcDir)
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst === first.count())
+    // New files arrive; the restarted query must process ONLY them.
+    second.write.mode("append").parquet(srcDir)
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === raw.count(),
+      "resume must process exactly the new files, no replays or gaps")
+    assert(out.select("event_id").distinct().count() === raw.count())
+  }
+
   test("streaming sliding counts equal the batch operator") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     val q = EventStreams.runToMemory(
