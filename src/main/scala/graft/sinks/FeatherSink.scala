@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.io.{File, FileOutputStream}
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
