@@ -87,20 +87,24 @@ object SparkEntry {
     }.mkString(" + ")
 
   /** The full MinHash+LSH pair pipeline as CTEs ending in `j`
-    * (doc pairs with exact Jaccard) — shared by q28 and q43.
+    * (candidate doc pairs with exact Jaccard) — shared by q27, q28
+    * and q43. Mirrors Dedup.candidatePairJaccard: minhash value i is
+    * the 8-hex-char window i%4 of md5(shingle) (i<4) or
+    * md5('x'+shingle) (i≥4); band key is the plain lo|hi concat.
     */
   private val minhashCtes: String =
     s"""$shinglesCte,
        |mh AS (SELECT doc_id, lang, i,
-       |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+       |    min(substring(CASE WHEN i < 4 THEN md5(shingle)
+       |                       ELSE md5('x' || shingle) END,
+       |        (i % 4) * 8 + 1, 8)) AS mh
        |  FROM (SELECT doc_id, lang, shingle, unnest(range(0, 8)) AS i FROM sh) t
        |  GROUP BY doc_id, lang, i),
        |bands AS (SELECT doc_id, lang, i // 2 AS band,
        |    min(CASE WHEN i % 2 = 0 THEN mh END) AS lo,
        |    min(CASE WHEN i % 2 = 1 THEN mh END) AS hi
        |  FROM mh GROUP BY doc_id, lang, i // 2),
-       |bk AS (SELECT doc_id, lang, band,
-       |    md5(CAST(band AS VARCHAR) || '|' || lo || '|' || hi) AS bkey FROM bands),
+       |bk AS (SELECT doc_id, lang, band, lo || '|' || hi AS bkey FROM bands),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
        |  ON x.bkey = y.bkey AND x.band = y.band AND x.lang = y.lang
        |    AND x.doc_id < y.doc_id),
@@ -361,23 +365,18 @@ object SparkEntry {
         |        UNION ALL SELECT lang, text FROM documents) u) t
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Best CANDIDATE neighbor (same LSH banding as q28) — at scale an
+    // all-pairs best neighbor is unaffordable and meaningless below
+    // the LSH collision range; the candidate contract is the honest
+    // semantics and is mirrored exactly here.
     "q27_ngram_jaccard" ->
-      s"""WITH $shinglesCte,
-         |rare AS (SELECT lang, shingle FROM sh GROUP BY lang, shingle
-         |         HAVING count(*) <= ${Dedup.MaxShingleDf}),
-         |shf AS (SELECT sh.doc_id, sh.lang, sh.shingle
-         |        FROM sh JOIN rare USING (lang, shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
-         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-         |  FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.lang = y.lang
-         |    AND x.doc_id <> y.doc_id
-         |  GROUP BY x.doc_id, y.doc_id),
-         |j AS (SELECT a, b,
-         |    round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
-         |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b),
-         |r AS (SELECT a, b, jaccard,
-         |    row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rn FROM j)
-         |SELECT a AS doc_id, b AS best_neighbor, jaccard AS best_jaccard
+      s"""WITH $minhashCtes,
+         |sym AS (SELECT a AS doc_id, b AS nb, jaccard FROM j
+         |  UNION ALL SELECT b AS doc_id, a AS nb, jaccard FROM j),
+         |r AS (SELECT doc_id, nb, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, nb) AS rn FROM sym)
+         |SELECT doc_id, nb AS best_neighbor, jaccard AS best_jaccard
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q28_minhash_lsh" ->

@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document MinHash signature kernel.
+  *
+  * The declarative formulation (explode shingles → project 8 hash
+  * columns → groupBy(doc).agg(min×8)) shuffles one row per shingle
+  * occurrence — at 100 TB that is a corpus-token-sized exchange whose
+  * only purpose is computing 8 per-document minimums. This kernel
+  * computes the signature inside the scan projection instead: one
+  * tight loop per document, zero extra rows, zero shuffle (the round-2
+  * profile showed the explode+aggregate costing more than all the md5
+  * arithmetic). Values are bit-identical to the declarative form, so
+  * the DuckDB oracle keeps the explode formulation and still
+  * hash-matches.
+  *
+  * Signature definition (mirrored in SparkEntry.minhashCtes): over
+  * word 3-gram shingles s = tok[i]+' '+tok[i+1]+' '+tok[i+2],
+  * value j (0-based) is the lexicographic min over shingles of the
+  * 8-hex-char window (j%4)*8 of md5(s) for j<4, of md5('x'+s) for
+  * j≥4. Two digests per shingle, eight 32-bit windows — windows
+  * within one digest are independent md5 bits; the second digest
+  * decorrelates the two rows of each LSH band.
+  */
+object MinHashKernel {
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+  private val Space = Array[Byte](' ')
+  private val XPrefix = Array[Byte]('x')
+
+  /** 8 min-window values over the doc's shingles, or null when the
+    * doc has fewer than 3 tokens (no shingles — same absence the
+    * explode formulation produces).
+    *
+    * An 8-hex-char window of the digest is 4 digest bytes, and
+    * lexicographic order on lowercase hex equals unsigned order on
+    * those 4 bytes — so the mins are tracked as unsigned ints (no
+    * per-shingle string allocation) and formatted as hex once at the
+    * end.
+    */
+  def signature(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = new Array[Byte](16)
+    // Unsigned comparison via the +Long.MinValue trick folded in: track
+    // xor-flipped values and compare signed.
+    val mins = Array.fill(8)(Long.MaxValue)
+    val tokBytes = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) { tokBytes(t) = tokens.getUTF8String(t).getBytes; t += 1 }
+    var i = 0
+    while (i <= n - 3) {
+      var d = 0
+      while (d < 2) {
+        md.reset()
+        if (d == 1) md.update(XPrefix)
+        md.update(tokBytes(i)); md.update(Space)
+        md.update(tokBytes(i + 1)); md.update(Space)
+        md.update(tokBytes(i + 2))
+        md.digest(digest, 0, 16)
+        var w = 0
+        while (w < 4) {
+          val j = d * 4 + w
+          val win = ((digest(4 * w) & 0xffL) << 24) |
+            ((digest(4 * w + 1) & 0xffL) << 16) |
+            ((digest(4 * w + 2) & 0xffL) << 8) |
+            (digest(4 * w + 3) & 0xffL)
+          if (win < mins(j)) mins(j) = win
+          w += 1
+        }
+        d += 1
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](8)
+    var j = 0
+    while (j < 8) {
+      val hex = new Array[Char](8)
+      var k = 0
+      while (k < 8) {
+        hex(k) = HexDigits(((mins(j) >> (28 - 4 * k)) & 0xf).toInt)
+        k += 1
+      }
+      out(j) = UTF8String.fromString(new String(hex))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word-3-gram shingle set of a token array. */
+  private def shingleSet(tokens: ArrayData): java.util.HashSet[String] = {
+    val n = tokens.numElements()
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    while (i <= n - 3) {
+      set.add(tokens.getUTF8String(i).toString + " " +
+        tokens.getUTF8String(i + 1).toString + " " +
+        tokens.getUTF8String(i + 2).toString)
+      i += 1
+    }
+    set
+  }
+
+  /** Exact Jaccard similarity of the two docs' DISTINCT shingle sets
+    * (|∩| / (|A|+|B|−|∩|), unrounded — callers apply the engine's
+    * round so both engines round identically). 0.0 when either side
+    * has no shingles.
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = shingleSet(a)
+    val sb = shingleSet(b)
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var common = 0
+    val it = small.iterator()
+    while (it.hasNext) if (large.contains(it.next())) common += 1
+    common.toDouble / (sa.size + sb.size - common)
+  }
+}
+
+/** `shingle_jaccard(toksA, toksB)` → exact Jaccard over distinct word
+  * 3-gram shingle sets, computed per row in one pass. The declarative
+  * twin (explode both shingle sets, join on the shared shingle, count,
+  * join sizes) costs five exchanges; for VERIFICATION of an
+  * LSH-candidate pair — where both token arrays are already on the
+  * row — the per-row kernel is the right shape at any scale.
+  */
+case class ShingleJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashKernel.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.MinHashKernel.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** `minhash_signature(tokensArray)` → array of 8 hex-window strings
+  * (null for docs with no shingles). Codegen'd via a static kernel
+  * call so the projection stays inside whole-stage codegen.
+  */
+case class MinHashSignature(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.signature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinHashKernel.signature($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashFunctions {
+  import GraftSqlBridge.{column, expression}
+
+  def minhash_signature(tokens: Column): Column =
+    column(MinHashSignature(expression(tokens)))
+
+  def shingle_jaccard(a: Column, b: Column): Column =
+    column(ShingleJaccard(expression(a), expression(b)))
+}

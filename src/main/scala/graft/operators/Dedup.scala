@@ -21,25 +21,6 @@ import graft.sources.Corpus
   */
 object Dedup {
 
-  /** Word 3-gram shingles per document, with duplicates (one row per
-    * occurrence) — no shuffle; the distinct is a separate step so
-    * consumers that are multiset-safe (minhash: min over a multiset ==
-    * min over its set) can skip the full-corpus dedup exchange.
-    */
-  def rawShingles(spark: SparkSession, dir: String): DataFrame =
-    Corpus.read(spark, dir, "documents")
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .withColumn("shingle", explode(expr(
-        """CASE WHEN size(toks) >= 3
-          |THEN transform(sequence(1, size(toks) - 2),
-          |               i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
-          |ELSE array() END""".stripMargin)))
-      .select(col("doc_id"), col("lang"), col("shingle"))
-
-  /** Distinct word 3-gram shingles per document: (doc_id, lang, shingle). */
-  def shingles(spark: SparkSession, dir: String): DataFrame =
-    rawShingles(spark, dir).distinct()
-
   /** Exact dedup over the md5 fingerprint. Input is the corpus
     * unioned with itself so the operator demonstrably removes copies:
     * per language, n_input = 2·docs, n_unique = distinct texts.
@@ -54,131 +35,119 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
-  /** A shingle appearing in more than this many documents is dropped
-    * before pairing: a shingle shared by d docs emits d² join rows, so
-    * on natural text the head shingles alone would make the blocking
-    * join quadratic. Capping document frequency bounds per-shingle
-    * fanout at MaxShingleDf² regardless of corpus size — the standard
-    * blocking-key guard at billion-document scale. Jaccard is then
-    * defined consistently over the capped shingle universe (sizes and
-    * intersections both exclude hot shingles), mirrored in the oracle.
+  /** Every band-candidate pair with its exact word-3-gram Jaccard:
+    * (doc_a, doc_b, jaccard), doc_a < doc_b, same language — the
+    * shared core of [[minhashLshPairs]] (threshold view) and
+    * [[ngramJaccardNeighbors]] (best-neighbor view). The engine owns
+    * the plan choice the reference delegates to its backend
+    * (reference `src/lib.rs:188-189`): pair generation is LSH-blocked,
+    * verification is candidate-sized, never corpus².
+    *
+    * Signature: 8 minhash values per doc, computed inside the scan
+    * projection by the codegen'd [[graft.functions.MinHashSignature]]
+    * kernel — no shingle explode, no per-token shuffle (the round-2
+    * profile showed the explode+aggregate costing more than the hash
+    * arithmetic; at 100 TB that exchange is corpus-token-sized).
+    * Banded 2 rows × 4 bands; a band key is the plain `lo|hi` concat
+    * (it is only a join key — hashing it again buys nothing).
+    * Verification first shrinks the DOCUMENT table to candidate docs
+    * (broadcast semi-join — candDocs is by construction a small
+    * fraction of the corpus; if it ever approached corpus size the
+    * dedup output itself would be the bottleneck), then joins each
+    * pair to its two token arrays and computes exact Jaccard with the
+    * per-row [[graft.functions.ShingleJaccard]] kernel — no shingle
+    * explode, no five-exchange count-the-commons join tree; work and
+    * shuffle ∝ candidates, never corpus.
+    *
+    * Eagerly materialized (`localCheckpoint`) so the two intermediate
+    * caches can be released before returning — library callers get a
+    * small self-contained result, not a plan pinning block-manager
+    * storage (the result is the near-dup pair set: tiny next to the
+    * corpus by definition).
     */
-  val MaxShingleDf = 50
-
-  /** For every document, its nearest same-language neighbor by word
-    * 3-gram Jaccard similarity over the df-capped shingle set (docs
-    * sharing no rare shingle are absent). Pairing is blocked on the
-    * shingle itself: join on shingle, count commons, then
-    * Jaccard = |∩| / (|A|+|B|-|∩|) — exact integer math.
-    */
-  def ngramJaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    // Cached: consumed twice (df computation + the capped semi-join);
-    // without the cache the scan+explode+distinct runs twice.
-    val shAll = shingles(spark, dir).cache()
-    val rare = shAll.groupBy(col("lang"), col("shingle"))
-      .agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") <= MaxShingleDf)
-      .select(col("lang"), col("shingle"))
-    val sh = shAll.join(rare, Seq("lang", "shingle"), "left_semi").cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a"), col("lang"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"),
-      col("shingle").as("shingle_b"))
-    val common = a.join(b,
-        col("shingle") === col("shingle_b") && col("lang") === col("lang_b") &&
-          col("a") =!= col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common"))
-    val withSizes = common
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("na") + col("nb") - col("common")), 6))
-    val w = Window.partitionBy(col("a"))
-      .orderBy(col("jaccard").desc, col("b"))
-    withSizes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("a").as("doc_id"), col("b").as("best_neighbor"),
-        col("jaccard").as("best_jaccard"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** MinHash + LSH near-dup candidates, verified by true Jaccard.
-    * 8 hash functions h_i(s) = md5(i:s) over shingles (min taken
-    * lexicographically on the hex — portable), banded 2 rows × 4
-    * bands; candidate pairs share any band key; survivors have
-    * verified Jaccard ≥ 0.2.
-    */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Signature from RAW (non-distinct) shingles: min(md5) over a
-    // multiset equals min over its set, so the full-corpus distinct —
-    // a shuffle of every (doc, shingle) pair — is skipped entirely.
-    // Distinct sets are materialized later, only for candidate docs.
-    val sh = rawShingles(spark, dir)
-    // One-pass signature: the 8 hashes are 8 projected columns and the
-    // 8 mins are one partial-aggregated groupBy — no 8× row blow-up,
-    // no extra shuffle (the map-side combine reduces each partition to
-    // one row per doc before the exchange). Same values as the
-    // row-per-(doc,i) formulation: mh_i = min over shingles of
-    // md5(i:shingle).
-    val mh = sh.select(col("doc_id") +: col("lang") +:
-        (0 until 8).map(i => md5(concat(lit(s"$i:"), col("shingle"))).as(s"h$i")): _*)
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(min(col("h0")).as("mh0"),
-        (1 until 8).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
-    // Bands 2 rows × 4 bands: band b = md5(b|mh_{2b}|mh_{2b+1}),
-    // exploded to one row per (doc, band) for the bucket self-join.
+  def candidatePairJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val sigs = docs.select(col("doc_id"), col("lang"),
+        graft.functions.MinHashFunctions
+          .minhash_signature(TextAnalysis.tokens(col("text"))).as("sig"))
+      .filter(col("sig").isNotNull)
+    // element_at is 1-based: band b pairs sig[2b+1] and sig[2b+2].
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        md5(concat(lit(s"$b|"), col(s"mh${2 * b}"), lit("|"),
-          col(s"mh${2 * b + 1}"))).as("bkey"))
+        concat(element_at(col("sig"), 2 * b + 1), lit("|"),
+          element_at(col("sig"), 2 * b + 2)).as("bkey"))
     }
-    val bands = mh.select(col("doc_id"), col("lang"),
+    val bands = sigs.select(col("doc_id"), col("lang"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("lang"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val bl = bands.select(col("doc_id").as("a"), col("lang"), col("band"), col("bkey"))
     val br = bands.select(col("doc_id").as("b"), col("lang").as("lang_b"),
       col("band").as("band_b"), col("bkey").as("bkey_b"))
+    // Cached: consumed by candDocs and by the pair semi-join below.
     val cand = bl.join(br,
         col("bkey") === col("bkey_b") && col("band") === col("band_b") &&
           col("lang") === col("lang_b") && col("a") < col("b"))
       .select(col("a"), col("b")).distinct().cache()
-    // Verification cost must be proportional to the CANDIDATE set, not
-    // the corpus: first shrink the shingle table to docs that appear in
-    // any candidate pair (LSH made that set small), THEN join on the
-    // shared shingle and keep exactly the candidate pairs. At 100×
-    // corpus the all-pairs shingle join is ~10,000× work; this path is
-    // ~|cand| instead.
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    // Distinct shingle sets (Jaccard needs sets) only for candidate
-    // docs — candidate-sized work, not corpus-sized. The broadcast
-    // hint is deliberate: without it the semi-join shuffles the full
-    // shingle table, and candDocs is by construction a small fraction
-    // of the corpus (near-dup candidates; if it ever approached
-    // corpus size the dedup output itself would be the bottleneck).
-    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .distinct().cache()
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val sa = shc.select(col("doc_id").as("a"), col("lang"), col("shingle"))
-    val sb = shc.select(col("doc_id").as("b"), col("lang").as("lang_b"),
-      col("shingle").as("shingle_b"))
-    val common = sa.join(sb,
-        col("shingle") === col("shingle_b") && col("lang") === col("lang_b") &&
-          col("a") < col("b"))
-      .join(cand, Seq("a", "b"), "left_semi")
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("na") + col("nb") - col("common")), 6))
-      .filter(col("jaccard") >= 0.2)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // Token arrays only for candidate docs — the semi-join runs
+    // BEFORE tokenization, so only candidate documents are processed.
+    // Cached: consumed by both sides of the pair join; broadcast on
+    // both (candidate-sized by the rationale above).
+    val candToks = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .cache()
+    // Filter on the RAW kernel value: jraw > 0 iff the pair shares at
+    // least one shingle — exactly the pairs the declarative
+    // join-on-shared-shingle formulation (and the DuckDB oracle)
+    // produces; filtering on the rounded value would diverge for
+    // similarities under 5e-7.
+    val verified = cand
+      .join(broadcast(candToks.select(col("doc_id").as("a"), col("toks").as("toks_a"))), Seq("a"))
+      .join(broadcast(candToks.select(col("doc_id").as("b"), col("toks").as("toks_b"))), Seq("b"))
+      .withColumn("jraw", graft.functions.MinHashFunctions
+        .shingle_jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jraw") > 0)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        round(col("jraw"), 6).as("jaccard"))
+    // Materialize (cuts lineage back to a leaf), then release the
+    // intermediates — nothing downstream references them anymore.
+    val out = verified.localCheckpoint(true)
+    cand.unpersist(false)
+    candToks.unpersist(false)
+    out
   }
+
+  /** For every document with at least one LSH band candidate, its best
+    * candidate neighbor by exact word-3-gram Jaccard (ties broken by
+    * lowest neighbor id). Candidate-first by design: at scale nobody
+    * can afford an all-pairs best neighbor, and docs whose similarity
+    * to everything is below the LSH collision range have no meaningful
+    * "best neighbor" anyway — the semantics are "best near-dup
+    * candidate", stated honestly and mirrored in the oracle.
+    */
+  def ngramJaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val v = candidatePairJaccard(spark, dir)
+    val sym = v.select(col("doc_a").as("doc_id"), col("doc_b").as("nb"), col("jaccard"))
+      .unionAll(
+        v.select(col("doc_b").as("doc_id"), col("doc_a").as("nb"), col("jaccard")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("nb"))
+    sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("nb").as("best_neighbor"),
+        col("jaccard").as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash + LSH near-dup pairs: [[candidatePairJaccard]] survivors
+    * with verified Jaccard ≥ 0.2.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    candidatePairJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Connected components over the verified near-dup pair graph — the
     * clustering step an at-scale dedup pipeline runs after pair
@@ -193,8 +162,10 @@ object Dedup {
     * distributed — the same shape GraphX/Pregel use.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // pairs is already a materialized localCheckpoint (tiny), so only
+    // the symmetrized edge view — read every round — needs a cache.
     val pairs = minhashLshPairs(spark, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
     val nodes = edges.select(col("a").as("doc_id")).distinct()
@@ -226,17 +197,21 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
         .filter(col("rep") =!= col("old")).isEmpty
-      // Free the previous round's checkpointed blocks explicitly —
-      // otherwise up to 64 label copies pin block-manager storage
-      // until GC-driven cleanup gets around to them.
-      labels.unpersist()
+      // Previous rounds' localCheckpoint blocks are freed by the
+      // ContextCleaner once the superseded Dataset is GC'd (there is
+      // no public handle to unpersist a checkpoint RDD directly); the
+      // label table is nodes-of-the-pair-graph sized — small — so a
+      // few rounds of slack is acceptable.
       labels = next
       rounds += 1
     }
     if (!converged)
       System.err.println(s"[dedupClusters] round cap hit after $rounds rounds")
-    labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+    val out = labels.select(col("doc_id"), col("rep").as("cluster_rep"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs (sim ≥ 0.35 on this random

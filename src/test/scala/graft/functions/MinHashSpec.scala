@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.TextAnalysis
+
+/** The MinHash/Jaccard kernels must be bit-identical to the
+  * declarative formulations they replace (which are what the DuckDB
+  * oracle still computes): signature = per-doc min of 8-hex-char
+  * windows over exploded shingle md5s; jaccard = count-the-commons
+  * over distinct shingle sets.
+  */
+class MinHashSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("signature kernel equals the declarative explode+min formulation") {
+    val viaKernel = docs
+      .select(col("doc_id"), MinHashFunctions
+        .minhash_signature(TextAnalysis.tokens(col("text"))).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+    val sh = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shingle", explode(expr(
+        """CASE WHEN size(toks) >= 3
+          |THEN transform(sequence(1, size(toks) - 2),
+          |               i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
+          |ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("shingle"))
+    val viaExplode = sh.select(col("doc_id") +: (0 until 8).map { i =>
+        val digest = if (i < 4) md5(col("shingle"))
+                     else md5(concat(lit("x"), col("shingle")))
+        substring(digest, (i % 4) * 8 + 1, 8).as(s"h$i")
+      }: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until 8).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (0 until 8).map(i => r.getString(i + 1)))
+      .toMap
+
+    assert(viaKernel.keySet === viaExplode.keySet)
+    assert(viaKernel.nonEmpty)
+    viaKernel.foreach { case (id, sig) =>
+      assert(sig.toSeq === viaExplode(id).toSeq, s"signature mismatch for doc $id")
+    }
+  }
+
+  test("signature is null for docs with fewer than 3 tokens") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("one two", "", "a b c").toDF("text")
+      .select(MinHashFunctions
+        .minhash_signature(TextAnalysis.tokens(col("text"))).as("sig"))
+      .collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).isNullAt(0))
+    assert(!got(2).isNullAt(0))
+    assert(got(2).getSeq[String](0).length === 8)
+    assert(got(2).getSeq[String](0).forall(_.matches("[0-9a-f]{8}")))
+  }
+
+  test("shingle_jaccard equals the declarative distinct-set count") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      ("a b c d e", "a b c d e"),          // identical -> 1
+      ("a b c d e", "x y z w v"),          // disjoint -> 0
+      ("a b c d",   "b c d e"),            // {abc,bcd} vs {bcd,cde} -> 1/3
+      ("a b c a b c a b c",  "a b c x"),   // duplicate shingles collapse
+      ("a b",       "a b c"))              // no shingles on one side -> 0
+      .toDF("ta", "tb")
+      .select(MinHashFunctions.shingle_jaccard(
+        TextAnalysis.tokens(col("ta")), TextAnalysis.tokens(col("tb"))).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(pairs(0) === 1.0)
+    assert(pairs(1) === 0.0)
+    assert(math.abs(pairs(2) - 1.0 / 3) < 1e-12)
+    // {abc,bca,cab,abc...} distinct = {a b c, b c a, c a b} vs {a b c, b c x}
+    assert(math.abs(pairs(3) - 1.0 / 4) < 1e-12)
+    assert(pairs(4) === 0.0)
+  }
+}

@@ -85,6 +85,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("candidatePairJaccard leaves no intermediate caches behind") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val df = Dedup.candidatePairJaccard(spark, sf)
+    df.count()
+    // Only the operator's own materialized result (one localCheckpoint
+    // RDD) may remain; the cand/candToks caches must be released.
+    assert(sc.getPersistentRDDs.size <= before + 1,
+      s"expected <= ${before + 1} persistent RDDs, " +
+        s"got ${sc.getPersistentRDDs.size}")
+  }
+
   test("ngram jaccard neighbors stay in domain") {
     val rows = Dedup.ngramJaccardNeighbors(spark, sf).collect()
     assert(rows.nonEmpty)
