@@ -11,9 +11,17 @@ import org.apache.spark.sql.SparkSession
   *   - full materialization via a noop-format write — `.count()` lets
   *     Catalyst prune unreferenced projections, which flatters
   *     compute-heavy select lists;
-  *   - caches cleared between queries so one query's working set
-  *     can't evict or GC-thrash the next;
-  *   - stable (sorted) query order so rounds are comparable.
+  *   - caches cleared between queries (outside the timed window — the
+  *     teardown is measurement hygiene, not query cost) so one
+  *     query's working set can't evict or GC-thrash the next;
+  *   - stable (sorted) query order so rounds are comparable;
+  *   - a steal guard: the cheapest stable query (q01) is re-timed
+  *     after each suite pass; if it drifted to >2x its best observed
+  *     time, a co-tenant was stealing CPU mid-run and the whole suite
+  *     re-runs (per-query minimums merged across passes, up to 3).
+  *     If the sentinel never stabilizes the JSON says "noisy": true —
+  *     an artifact that would otherwise read as a 2-4x regression
+  *     must indict the host, not the engine.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,22 +48,44 @@ object Bench {
         errors += name
         System.err.println(s"[bench] $name FAILED: ${e.toString}")
       }
+      val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      t
     }
+    def minOf2(name: String): Double = math.min(once(name), once(name))
 
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val sentinel =
+      if (names.contains("q01_pricing_summary")) "q01_pricing_summary" else names.head
+    val best = scala.collection.mutable.Map[String, Double]()
+    var bestSentinel = Double.MaxValue
+    var attempts = 0
+    var stable = false
+    while (attempts < 3 && !stable) {
+      attempts += 1
+      bestSentinel = math.min(bestSentinel, minOf2(sentinel))
+      names.foreach { n =>
+        val t = minOf2(n)
+        best(n) = best.get(n).fold(t)(math.min(_, t))
+      }
+      val recheck = minOf2(sentinel)
+      bestSentinel = math.min(bestSentinel, recheck)
+      stable = recheck <= 2.0 * bestSentinel
+      if (!stable)
+        System.err.println(f"[bench] sentinel drifted ($recheck%.2fs vs best " +
+          f"$bestSentinel%.2fs) — host CPU steal suspected, re-running suite")
+    }
+
     // Failed queries report -1 and are excluded from the total so a
     // fast crash can never read as a performance win.
     val results = names.map { name =>
-      val t = math.min(once(name), once(name))
-      name -> (if (errors.contains(name)) -1.0 else t)
+      name -> (if (errors.contains(name)) -1.0 else best(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"noisy":${!stable},"attempts":$attempts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
