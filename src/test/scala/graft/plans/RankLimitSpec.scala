@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TopKRows
+import graft.operators.Similarity
+
+/** Plan- and value-level contract of the injected RankLimitToTopK
+  * optimizer rule (GraftSessionExtensions): the rank-limit window
+  * idiom must plan as a bounded top-k aggregate, produce the same
+  * rows as the window form, and leave every non-matching window
+  * untouched.
+  */
+class RankLimitSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  private def ordersRanked = {
+    val w = W.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rn", row_number().over(w))
+  }
+
+  test("rank-limit window plans as TopKRows aggregate, no Window node") {
+    val df = ordersRanked.filter(col("rn") <= 3)
+    val plan = df.queryExecution.optimizedPlan
+    assert(!plan.exists(_.isInstanceOf[Window]), s"Window survived:\n$plan")
+    val hasTopK = plan.exists {
+      case a: Aggregate => a.aggregateExpressions.exists(_.exists {
+        case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[TopKRows]
+        case _ => false
+      })
+      case _ => false
+    }
+    assert(hasTopK, s"TopKRows aggregate missing:\n$plan")
+  }
+
+  test("rewritten top-k returns exactly the window-form rows") {
+    val got = ordersRanked.filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // Independent expectation: plain Scala top-3 per customer.
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (ck, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, ok, tp), i) => (ck, i + 1, ok, tp) }
+      }
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("ANN brute top-k goes through the rewrite and stays correct") {
+    val df = Similarity.bruteTopK(spark, sf, k = 5)
+    assert(!df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Window]))
+    // Value correctness is pinned by the q30 DuckDB oracle; here just
+    // assert shape sanity post-rewrite.
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(1)).sorted.toSeq === (1L to g.length))
+    }
+  }
+
+  test("non-row_number and unfiltered windows are left alone") {
+    val w = W.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ranked = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    assert(ranked.queryExecution.optimizedPlan.exists(_.isInstanceOf[Window]),
+      "rank() must not be rewritten (it can emit more than k rows)")
+
+    val unfiltered = ordersRanked
+    assert(unfiltered.queryExecution.optimizedPlan.exists(_.isInstanceOf[Window]),
+      "row_number without a rank limit must not be rewritten")
+  }
+
+  test("residual predicates survive on top of the rewrite") {
+    val df = ordersRanked.filter(col("rn") <= 3 && col("o_totalprice") > 1000.0)
+    val plan = df.queryExecution.optimizedPlan
+    assert(!plan.exists(_.isInstanceOf[Window]))
+    df.collect().foreach { r =>
+      assert(r.getAs[Double]("o_totalprice") > 1000.0)
+      assert(r.getAs[Int]("rn") <= 3)
+    }
+  }
+
+  test("injected SQL functions validate arity") {
+    val e = intercept[Exception] {
+      spark.sql("select cosine_sim(array(1.0f)) as c").collect()
+    }
+    assert(e.getMessage.contains("expects exactly 2"),
+      s"got: ${e.getMessage}")
+  }
+}
