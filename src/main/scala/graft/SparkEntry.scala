@@ -68,7 +68,8 @@ object SparkEntry {
     "q41_percentiles" -> (Events.valuePercentiles _),
     "q42_clean_corpus" -> (TextAnalysis.cleanCorpus _),
     "q44_redact" -> (TextAnalysis.redact _),
-    "q45_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d))
+    "q45_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
+    "q45b_pack_shards" -> ((s: SparkSession, d: String) => TextAnalysis.packBinsSharded(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -609,6 +610,17 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM d)
         |SELECT lang, CAST((run - n_tok) // 2048 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
-        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q45b_pack_shards" ->
+      """WITH d AS (SELECT doc_id // 64 AS shard, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM d)
+        |SELECT shard, CAST((run - n_tok) // 2048 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
   )
 }

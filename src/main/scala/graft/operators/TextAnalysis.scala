@@ -150,12 +150,14 @@ object TextAnalysis {
 
   /** Sequence packing: assign documents to fixed token-budget bins by
     * running token count — the batching pass before training-example
-    * packing. Binning is per language (the natural shard key here):
-    * each partition's cumulative sum is an independent window, so the
-    * operator parallelizes across shards instead of forcing one
-    * global ordered partition; at 100 TB the shard key would be the
-    * storage partition. bin = preceding-total div budget, so a bin
-    * holds ~budget tokens (documents are never split).
+    * packing. Binning is per language: each partition's cumulative
+    * sum is an independent window. bin = preceding-total div budget,
+    * so a bin holds ~budget tokens (documents are never split).
+    *
+    * Scale caveat: lang has ~5 values, so one task packs each
+    * language's whole corpus — fine as the compat path, wrong at
+    * 100 TB. [[packBinsSharded]] is the layout-aware variant whose
+    * shard count grows with the corpus.
     */
   def packBins(spark: SparkSession, dir: String, budget: Long = 2048): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -169,6 +171,33 @@ object TextAnalysis {
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
       .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Layout-aware sequence packing: the shard key is a fixed-width
+    * block of the storage order (doc_id div shardSize) instead of a
+    * low-cardinality attribute, so shard count grows with the corpus
+    * and no single task ever serializes packing — each shard packs
+    * its own documents independently, which is exactly how packing
+    * shards across a training fleet. The explicit
+    * `repartitionByRange` pins the plan shape: one range exchange on
+    * shard that the within-shard window then reuses (range
+    * partitioning clusters equal shards, so the window adds no
+    * second exchange), and shards come out storage-ordered.
+    */
+  def packBinsSharded(spark: SparkSession, dir: String,
+      budget: Long = 2048, shardSize: Long = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Corpus.read(spark, dir, "documents")
+      .select(expr(s"doc_id div $shardSize").as("shard"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .repartitionByRange(col("shard"))
+      .withColumn("run", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(run - n_tok) div $budget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy(col("shard"), col("bin"))
   }
 
   /** RE2-compatible patterns shared with the oracle (Spark's Java
