@@ -69,7 +69,8 @@ object SparkEntry {
     "q42_clean_corpus" -> (TextAnalysis.cleanCorpus _),
     "q44_redact" -> (TextAnalysis.redact _),
     "q45_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
-    "q45b_pack_shards" -> ((s: SparkSession, d: String) => TextAnalysis.packBinsSharded(s, d))
+    "q45b_pack_shards" -> ((s: SparkSession, d: String) => TextAnalysis.packBinsSharded(s, d)),
+    "q46_interval_decode" -> (Relational.intervalDecode _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -621,6 +622,16 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM d)
         |SELECT shard, CAST((run - n_tok) // 2048 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
-        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    // The oracle computes the interval components ARITHMETICALLY; the
+    // Spark side packs them through the 16-byte wire payload and back
+    // via decode_interval — two independent encodings of the layout.
+    "q46_interval_decode" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey % 24 AS BIGINT) AS iv_months,
+        |  CAST(o_orderkey % 30 AS BIGINT) AS iv_days,
+        |  CAST((o_orderkey % 86400) * 1000000 + o_orderkey % 1000 AS BIGINT) AS iv_micros
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

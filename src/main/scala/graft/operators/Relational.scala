@@ -228,6 +228,32 @@ object Relational {
         length(col("o_orderpriority")).cast("long").as("prio_len"))
       .orderBy(col("o_orderkey"))
 
+  /** End-to-end exercise of the PostgreSQL INTERVAL wire decode
+    * (reference `src/lib.rs:367-374`: [µs i64][days i32][months i32],
+    * network byte order): deterministic component values derived from
+    * o_orderkey are packed into the 16-byte payload via hex-string
+    * arithmetic (`lpad(hex(v))` — big-endian by construction, an
+    * encoding INDEPENDENT of the decoder's ByteBuffer path, so a
+    * byte-layout bug in either side breaks the oracle match), then
+    * decoded with the codegen'd
+    * [[graft.functions.DecodeInterval]] expression. The DuckDB oracle
+    * computes the expected components arithmetically.
+    */
+  def intervalDecode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("""unhex(concat(
+          |  lpad(hex((o_orderkey % 86400) * 1000000 + o_orderkey % 1000), 16, '0'),
+          |  lpad(hex(o_orderkey % 30), 8, '0'),
+          |  lpad(hex(o_orderkey % 24), 8, '0')))""".stripMargin).as("payload"))
+      .select(col("o_orderkey"),
+        graft.functions.IntervalFunctions.decode_interval(col("payload")).as("iv"))
+      .select(col("o_orderkey"),
+        col("iv.months").cast("long").as("iv_months"),
+        col("iv.days").cast("long").as("iv_days"),
+        col("iv.micros").as("iv_micros"))
+      .orderBy(col("o_orderkey"))
+
   /** JSON field extraction from the events `props` column — the
     * reference maps JSON to plain text (`src/lib.rs:226-234`) and this
     * is the downstream extraction path over that representation.
