@@ -192,10 +192,7 @@ object Flaco {
         schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
       case FileFormat.Json =>
         schema.fold(spark.read)(spark.read.schema).json(path)
-      case FileFormat.Feather =>
-        throw new FlacoSparkException(
-          "Feather read-back is provided by the Arrow IPC reader " +
-            "(see FeatherSinkSpec); register a parquet/orc copy for SQL access.")
+      case FileFormat.Feather => sources.FeatherSource.read(spark, path)
     }
 
   /** Parquet sink (`write_table_to_parquet`, `src/lib.rs:116-148`).
@@ -222,6 +219,17 @@ object Flaco {
       path: String,
       parity: ParityOptions = ParityOptions()): Unit =
     sinks.FeatherSink.write(df, path, singleFile = parity.singleFile)
+
+  /** The whole result as Arrow IPC stream bytes — the in-memory
+    * Arrow-interchange analogue of the reference's flagship
+    * `read_sql_to_pyarrow` (`src/lib.rs:42-72`). Any Arrow consumer
+    * (pyarrow.ipc.open_stream, Arrow-Java ArrowStreamReader, …) can
+    * read it directly. Driver-side materialization by design — the
+    * interchange path, not the scale path (the reference has the same
+    * limit, `src/lib.rs:75`); see [[graft.sinks.FeatherSink.collectAsArrowStream]].
+    */
+  def collectAsArrowStream(df: DataFrame): Array[Byte] =
+    sinks.FeatherSink.collectAsArrowStream(df)
 
   /** SQL front door over the local corpus: registers every corpus
     * table found in `dir` as a temp view, then delegates the statement

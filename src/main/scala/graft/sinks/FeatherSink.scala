@@ -1,13 +1,14 @@
 package graft.sinks
 
-import java.io.{File, FileOutputStream}
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.nio.channels.{Channels, WritableByteChannel}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.ListVector
-import org.apache.arrow.vector.ipc.ArrowFileWriter
+import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamWriter}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.spark.sql.{DataFrame, Row}
@@ -48,6 +49,26 @@ object FeatherSink {
         }
       }
     }
+  }
+
+  /** The whole result as Arrow IPC STREAM bytes — the in-memory
+    * interchange contract of the reference's flagship
+    * `read_sql_to_pyarrow` (reference `src/lib.rs:42-72`, which hands
+    * a fully materialized table across the Arrow C Data Interface).
+    * Driver-side by design: this is the "hand the result to a
+    * Python/Arrow consumer" path, bounded by what one process can
+    * hold — same contract and same limit as the reference; the
+    * distributed paths (parquet/feather sinks, the DataFrame itself)
+    * remain the 100 TB story. Batch-streamed via toLocalIterator, so
+    * peak memory is one partition plus one 4096-row batch.
+    */
+  def collectAsArrowStream(df: DataFrame): Array[Byte] = {
+    val schema = df.schema
+    validate(schema)
+    val bos = new ByteArrayOutputStream()
+    writeRows(schema, df.toLocalIterator().asScala, Channels.newChannel(bos),
+      stream = true)
+    bos.toByteArray
   }
 
   private def validate(schema: StructType): Unit =
@@ -91,11 +112,22 @@ object FeatherSink {
   /** Stream `rows` into one IPC file at `file` in BatchRows chunks. */
   private def writeIterator(
       schema: StructType, rows: Iterator[Row], file: String): Unit = {
+    val out = new FileOutputStream(file)
+    try writeRows(schema, rows, out.getChannel, stream = false)
+    finally out.close()
+  }
+
+  /** Stream `rows` into `ch` in BatchRows chunks, as the IPC file
+    * format (Feather) or the IPC stream format (interchange).
+    */
+  private def writeRows(
+      schema: StructType, rows: Iterator[Row], ch: WritableByteChannel,
+      stream: Boolean): Unit = {
     val allocator = new RootAllocator()
     val arrowSchema = new Schema(schema.fields.map(arrowField).toSeq.asJava)
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
-    val out = new FileOutputStream(file)
-    val writer = new ArrowFileWriter(root, null, out.getChannel)
+    val writer = if (stream) new ArrowStreamWriter(root, null, ch)
+                 else new ArrowFileWriter(root, null, ch)
     try {
       writer.start()
       val buf = new Array[Row](BatchRows)
@@ -113,7 +145,7 @@ object FeatherSink {
       }
       writer.end()
     } finally {
-      writer.close(); root.close(); allocator.close(); out.close()
+      writer.close(); root.close(); allocator.close()
     }
   }
 

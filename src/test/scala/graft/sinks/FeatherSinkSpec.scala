@@ -138,6 +138,76 @@ class FeatherSinkSpec extends AnyFunSuite {
     assert(total === df.count())
   }
 
+  test("write then readFile(Feather) round-trips, single-file and per-partition") {
+    val spark0 = spark
+    val df = Corpus.read(spark0, TestSpark.sf, "orders")
+    val cols = df.columns.toSeq
+
+    val single = Files.createTempDirectory("fr1").toString + "/t.arrow"
+    FeatherSink.write(df, single, singleFile = true)
+    val back1 = graft.Flaco.readFile(spark0, single, graft.FileFormat.Feather)
+    assert(back1.count() === df.count())
+    assert(back1.select(cols.head, cols.tail: _*).exceptAll(df).isEmpty)
+
+    val parts = Files.createTempDirectory("fr2").toString + "/out"
+    FeatherSink.write(df.repartition(3), parts)
+    val back2 = graft.Flaco.readFile(spark0, parts, graft.FileFormat.Feather)
+    assert(back2.rdd.getNumPartitions === 3, "one task per IPC file")
+    assert(back2.count() === df.count())
+    assert(back2.select(cols.head, cols.tail: _*).exceptAll(df).isEmpty)
+  }
+
+  test("readFile(Feather) round-trips the null matrix of every supported type") {
+    val schema = StructType(Seq(
+      StructField("i4", IntegerType), StructField("i8", LongType),
+      StructField("f4", FloatType), StructField("f8", DoubleType),
+      StructField("s", StringType), StructField("bo", BooleanType),
+      StructField("d", DateType), StructField("ts", TimestampNTZType),
+      StructField("tz", TimestampType),
+      StructField("arr", ArrayType(FloatType))))
+    val rows = java.util.List.of(
+      Row(7, 8L, 1.5f, 2.5, "héllo", false,
+        java.time.LocalDate.of(1999, 12, 31),
+        java.time.LocalDateTime.of(2024, 6, 1, 12, 0, 0, 654321000),
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-06-01T12:00:00.123456Z")),
+        Seq(0.5f, -1.5f)),
+      Row(null, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(rows, schema)
+    val p = Files.createTempDirectory("frn").toString + "/t.arrow"
+    FeatherSink.write(df, p, singleFile = true)
+    val back = graft.Flaco.readFile(spark, p, graft.FileFormat.Feather)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("collectAsArrowStream round-trips through an independent Arrow reader") {
+    val df = Corpus.read(spark, TestSpark.sf, "customer")
+    val bytes = graft.Flaco.collectAsArrowStream(df)
+    val alloc = new RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    try {
+      val root = reader.getVectorSchemaRoot
+      assert(root.getSchema.getFields.asScala.map(_.getName).toSeq ===
+        df.columns.toSeq)
+      while (reader.loadNextBatch()) {
+        val n = root.getRowCount
+        (0 until n).foreach { i =>
+          got += df.schema.fields.indices.map { c =>
+            val v = root.getVector(c)
+            if (v.isNull(i)) null else cell(v, df.schema.fields(c).dataType, i)
+          }
+        }
+      }
+    } finally { reader.close(); alloc.close() }
+    val want = df.collect().toSeq.map(r =>
+      df.schema.fields.indices.map(c => expected(r, c, df.schema.fields(c).dataType)))
+    assert(got.toSeq === want)
+    assert(got.nonEmpty)
+  }
+
   test("unsupported column type is rejected with FlacoSparkException") {
     val df = spark.sql("select map('k', 1) as m")
     val e = intercept[FlacoSparkException] {
