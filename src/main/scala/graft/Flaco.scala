@@ -32,6 +32,12 @@ object FileFormat {
   *
   * @param numericAsDouble NUMERIC → double, lossy (`src/lib.rs:375-381`).
   * @param nullFloatsAsNaN FLOAT4/8 NULL → NaN (`src/lib.rs:272,280`).
+  * @param timeAsMicros    TIME/TIMETZ → µs since midnight as BIGINT
+  *                        (`src/lib.rs:350-366`); needs the `pg_type`
+  *                        field metadata [[graft.types.FlacoPostgresDialect]]
+  *                        records, and a UTC session time zone.
+  * @param charAsCode      1-byte "char" → its code as TINYINT
+  *                        (`src/lib.rs:214-219`); same metadata contract.
   * @param singleFile      one output file / row group like the
   *                        single-chunk writers (`src/lib.rs:124,163`).
   * @param uncompressed    Parquet compression=none (`src/lib.rs:125-129`).
@@ -39,6 +45,8 @@ object FileFormat {
 final case class ParityOptions(
     numericAsDouble: Boolean = true,
     nullFloatsAsNaN: Boolean = false,
+    timeAsMicros: Boolean = false,
+    charAsCode: Boolean = false,
     singleFile: Boolean = false,
     uncompressed: Boolean = false)
 

@@ -36,12 +36,14 @@ import graft.ParityOptions
   * pgjdbc, and there is no struct getter at all):
   * TIME/TIMETZ → µs-since-midnight, 1-byte "char" → code,
   * INTERVAL → struct. For those, this dialect defers to Spark's
-  * defaults and the caller applies the reference semantics as an
-  * explicit column transform — [[PgTypeMap.mapping]] documents the
-  * TARGET types (the reference's contract, which is why it
-  * intentionally differs from what a bare JDBC load yields), and
+  * defaults but records the wire type name in the field metadata
+  * (`pg_type`), and [[PgTypeMap.applyParity]] applies the reference
+  * semantics as opt-in column transforms
+  * (`ParityOptions(timeAsMicros/charAsCode)`);
   * [[graft.functions.DecodeInterval]] decodes interval payloads.
-  * Nothing applies them automatically.
+  * [[PgTypeMap.mapping]] documents the TARGET types (the reference's
+  * contract, which is why it intentionally differs from what a bare
+  * JDBC load yields).
   */
 class FlacoPostgresDialect(parity: ParityOptions = ParityOptions())
     extends JdbcDialect {
@@ -52,6 +54,11 @@ class FlacoPostgresDialect(parity: ParityOptions = ParityOptions())
   override def getCatalystType(
       sqlType: Int, typeName: String, size: Int,
       md: MetadataBuilder): Option[DataType] = {
+    // Record the wire type name on the field so post-load transforms
+    // ([[PgTypeMap.applyParity]] with timeAsMicros/charAsCode) can
+    // find the columns whose reference semantics cannot be expressed
+    // through the JDBC getter layer (see the class doc).
+    md.putString("pg_type", typeName.toLowerCase)
     val byName = typeName.toLowerCase match {
       case "json" | "jsonb" | "uuid" => Some(StringType)
       case "timestamptz" => Some(TimestampType) // pgjdbc says Types.TIMESTAMP for these

@@ -70,9 +70,35 @@ object PgTypeMap {
     * stock JDBC reader does not apply:
     *   - numericAsDouble: DECIMAL columns -> double (src/lib.rs:375-381)
     *   - nullFloatsAsNaN: float/double NULL -> NaN (src/lib.rs:272,280)
+    *   - timeAsMicros: TIME/TIMETZ columns (found via the `pg_type`
+    *     field metadata the dialect records) -> µs since midnight as
+    *     BIGINT (src/lib.rs:350-366). Assumes a UTC session time zone
+    *     (every session this engine builds is UTC).
+    *   - charAsCode: 1-byte "char" columns -> the character code as
+    *     TINYINT (src/lib.rs:214-219)
     */
   def applyParity(df: DataFrame, parity: ParityOptions): DataFrame = {
+    def pgTypeOf(f: StructField): Option[String] =
+      if (f.metadata.contains("pg_type")) Some(f.metadata.getString("pg_type"))
+      else None
     var out = df
+    if (parity.timeAsMicros)
+      out = out.schema.fields.foldLeft(out) {
+        case (d, f @ StructField(n, TimestampType | TimestampNTZType, _, _))
+            if pgTypeOf(f).exists(t => t == "time" || t == "timetz") =>
+          val ts = if (f.dataType == TimestampNTZType)
+            col(n).cast(TimestampType) else col(n)
+          d.withColumn(n,
+            (unix_micros(ts) - unix_micros(date_trunc("DAY", ts))).as(n))
+        case (d, _) => d
+      }
+    if (parity.charAsCode)
+      out = out.schema.fields.foldLeft(out) {
+        case (d, f @ StructField(n, StringType, _, _))
+            if pgTypeOf(f).contains("char") =>
+          d.withColumn(n, ascii(col(n)).cast(ByteType))
+        case (d, _) => d
+      }
     if (parity.numericAsDouble)
       out = out.schema.fields.foldLeft(out) {
         case (d, StructField(n, _: DecimalType, _, _)) =>

@@ -117,4 +117,48 @@ class PgTypeMapSpec extends AnyFunSuite {
     assert(nan(0).getFloat(0) === 1.5f && nan(0).getDouble(1) === 2.5)
     assert(nan(1).getFloat(0).isNaN && nan(1).getDouble(1).isNaN)
   }
+
+  test("dialect records the wire type name as pg_type field metadata") {
+    val md = new MetadataBuilder()
+    new FlacoPostgresDialect().getCatalystType(java.sql.Types.TIME, "TIME", 8, md)
+    assert(md.build().getString("pg_type") === "time")
+  }
+
+  test("applyParity timeAsMicros lands TIME columns on µs-since-midnight BIGINT") {
+    val spark = TestSpark.spark
+    val timeMeta = new MetadataBuilder().putString("pg_type", "time").build()
+    val schema = StructType(Seq(
+      StructField("t", TimestampType, nullable = true, timeMeta),
+      // Same Catalyst type WITHOUT the marker: must be untouched.
+      StructField("ts", TimestampType)))
+    val inst = java.sql.Timestamp.from(
+      java.time.Instant.parse("1970-01-01T01:02:03.000456Z"))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(inst, inst), Row(null, null)), schema)
+    val out = PgTypeMap.applyParity(df, ParityOptions(timeAsMicros = true))
+    assert(out.schema("t").dataType === LongType)
+    assert(out.schema("ts").dataType === TimestampType)
+    val rows = out.collect()
+    // 1h 2m 3.000456s = 3723000456 µs — the §1.2 target value
+    // (src/lib.rs:350-366).
+    assert(rows(0).getLong(0) === 3723000456L)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("applyParity charAsCode lands 1-byte \"char\" columns on the code") {
+    val spark = TestSpark.spark
+    val charMeta = new MetadataBuilder().putString("pg_type", "char").build()
+    val schema = StructType(Seq(
+      StructField("c", StringType, nullable = true, charMeta),
+      StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("A", "A"), Row(null, null)), schema)
+    val out = PgTypeMap.applyParity(df, ParityOptions(charAsCode = true))
+    assert(out.schema("c").dataType === ByteType)
+    assert(out.schema("s").dataType === StringType)
+    val rows = out.collect()
+    assert(rows(0).getByte(0) === 65.toByte)
+    assert(rows(0).getString(1) === "A")
+    assert(rows(1).isNullAt(0))
+  }
 }
