@@ -83,13 +83,21 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = e.crossJoin(broadcast(cents))
       .withColumn("s", round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
+    // Cell assignment is a map-side-combinable argmax — one partial
+    // aggregate per scan partition, one row per vector into the
+    // exchange — not a window rank over the 16x-scored corpus (which
+    // would shuffle every scored row). Ties: highest s, then lowest
+    // cid, matching ORDER BY s DESC, cid.
+    val cells = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("s"), -col("cid"))).as("cid"))
+    // nprobe cells per QUERY: the rank runs over queries only (the
+    // filter prunes the crossJoin to the query rows before ranking),
+    // and the rank-limit rewrite plans it as a bounded top-k.
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("s").desc, col("cid"))
-    val ranked = scored.withColumn("rn", row_number().over(wAssign))
-    val cells = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-    val probes = ranked
-      .filter(col("vec_id") < NumQueries && col("rn") <= nprobe)
+    val probes = scored.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cid"))
     val qe = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
