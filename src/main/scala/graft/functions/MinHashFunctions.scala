@@ -94,6 +94,37 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
+  /** 32-bit SimHash over the token multiset, bit-identical to the
+    * explode formulation (and the DuckDB oracle): vote p (1-based
+    * hex-digit position of md5(token)) is +1 when the digit ≥ 8 else
+    * −1; bit p of the result is set when the vote sum is positive,
+    * weighted 2^(32−p). Null for an empty token array — the explode
+    * formulation emits no row for such docs.
+    */
+  def simhash32(tokens: ArrayData): Any = {
+    val n = tokens.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](32)
+    var t = 0
+    while (t < n) {
+      md.reset()
+      val digest = md.digest(tokens.getUTF8String(t).getBytes)
+      var p = 0
+      while (p < 32) {
+        val b = digest(p >> 1)
+        val nib = if ((p & 1) == 0) (b >> 4) & 0xf else b & 0xf
+        votes(p) += (if ((nib & 8) != 0) 1 else -1)
+        p += 1
+      }
+      t += 1
+    }
+    var acc = 0L
+    var p = 0
+    while (p < 32) { if (votes(p) > 0) acc |= 1L << (31 - p); p += 1 }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Distinct word-3-gram shingle set of a token array. */
   private def shingleSet(tokens: ArrayData): java.util.HashSet[String] = {
     val n = tokens.numElements()
@@ -123,6 +154,39 @@ object MinHashKernel {
     while (it.hasNext) if (large.contains(it.next())) common += 1
     common.toDouble / (sa.size + sb.size - common)
   }
+}
+
+/** `simhash32(tokensArray)` → the 32-bit SimHash as a long (null for
+  * docs with no tokens). Like [[MinHashSignature]], a per-document
+  * scan-projection kernel replacing a token explode + 32-vote
+  * aggregation — zero extra rows, zero shuffle; the declarative twin
+  * remains the oracle formulation.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.simhash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.MinHashKernel.simhash32($c);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Long) $boxed).longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `shingle_jaccard(toksA, toksB)` → exact Jaccard over distinct word
@@ -184,4 +248,7 @@ object MinHashFunctions {
 
   def shingle_jaccard(a: Column, b: Column): Column =
     column(ShingleJaccard(expression(a), expression(b)))
+
+  def simhash32(tokens: Column): Column =
+    column(SimHash32(expression(tokens)))
 }

@@ -237,25 +237,18 @@ object TextAnalysis {
     * the majority vote over token occurrences of the top bit of hex
     * digit p of md5(token). Integer-only — portable to the oracle.
     *
-    * One pass: the 32 per-position votes are 32 sum-aggregate columns
-    * over the token rows (map-side partial aggregation), not a 32×
-    * crossJoin row blow-up — the shuffle carries one 32-column row per
-    * doc per partition instead of 32× the token count.
+    * Computed per document inside the scan projection by the
+    * codegen'd [[graft.functions.SimHash32]] kernel — no token
+    * explode, no 32-vote aggregate exchange (the declarative twin is
+    * what the DuckDB oracle still runs, and MinHashSpec pins bit
+    * equality). Docs with no tokens are absent, as in the explode
+    * formulation.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Corpus.read(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val voteCols = (1 to 32).map { p =>
-      sum(when(conv(col("h").substr(p, 1), 16, 10).cast("int") >= 8, 1)
-        .otherwise(-1)).as(s"v$p")
-    }
-    val weight = (1 to 32).map { p =>
-      when(col(s"v$p") > 0, lit(1L << (32 - p))).otherwise(0L)
-    }.reduce(_ + _)
-    d.groupBy(col("doc_id"))
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), weight.as("simhash"))
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.MinHashFunctions.simhash32(tokens(col("text")))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
       .orderBy(col("doc_id"))
-  }
 }

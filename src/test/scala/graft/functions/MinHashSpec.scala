@@ -66,6 +66,32 @@ class MinHashSpec extends AnyFunSuite {
     assert(got(2).getSeq[String](0).forall(_.matches("[0-9a-f]{8}")))
   }
 
+  test("simhash32 kernel equals the declarative explode+vote formulation") {
+    val viaKernel = docs
+      .select(col("doc_id"), MinHashFunctions
+        .simhash32(TextAnalysis.tokens(col("text"))).as("h"))
+      .filter(col("h").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val d = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val voteCols = (1 to 32).map { p =>
+      sum(when(conv(col("h").substr(p, 1), 16, 10).cast("int") >= 8, 1)
+        .otherwise(-1)).as(s"v$p")
+    }
+    val weight = (1 to 32).map { p =>
+      when(col(s"v$p") > 0, lit(1L << (32 - p))).otherwise(0L)
+    }.reduce(_ + _)
+    val viaExplode = d.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), weight.as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(viaKernel === viaExplode)
+    assert(viaKernel.nonEmpty)
+  }
+
   test("shingle_jaccard equals the declarative distinct-set count") {
     val s = spark
     import s.implicits._
