@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleJaccard, SimHash32, TopGramCount}
 import graft.plans.RankLimitToTopK
 
 /** Session-extension hook (`spark.sql.extensions=graft.GraftSessionExtensions`):
@@ -20,6 +20,13 @@ import graft.plans.RankLimitToTopK
   */
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def unary(name: String, f: Expression => Expression)(
+      es: Seq[Expression]): Expression = es match {
+    case Seq(a) => f(a)
+    case _ => throw new FlacoSparkException(
+      s"$name expects exactly 1 argument, got ${es.length}")
+  }
+
   private def binary(name: String, f: (Expression, Expression) => Expression)(
       es: Seq[Expression]): Expression = es match {
     case Seq(a, b) => f(a, b)
@@ -27,15 +34,29 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       s"$name expects exactly 2 arguments, got ${es.length}")
   }
 
+  private def inject(ext: SparkSessionExtensions, name: String,
+      clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name), builder))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      binary("cosine_sim", CosineSimilarity.apply) _))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      binary("dot_product", DotProduct.apply) _))
+    inject(ext, "cosine_sim", classOf[CosineSimilarity],
+      binary("cosine_sim", CosineSimilarity.apply))
+    inject(ext, "dot_product", classOf[DotProduct],
+      binary("dot_product", DotProduct.apply))
+    inject(ext, "minhash_signature", classOf[MinHashSignature],
+      unary("minhash_signature", MinHashSignature.apply))
+    inject(ext, "simhash32", classOf[SimHash32],
+      unary("simhash32", SimHash32.apply))
+    inject(ext, "shingle_jaccard", classOf[ShingleJaccard],
+      binary("shingle_jaccard", ShingleJaccard.apply))
+    // top_gram_count(tokens, n) — n must be a literal int.
+    inject(ext, "top_gram_count", classOf[TopGramCount], {
+      case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+          org.apache.spark.sql.types.IntegerType)) => TopGramCount(a, n)
+      case es => throw new FlacoSparkException(
+        s"top_gram_count expects (tokensArray, literal int n), got ${es.length} args")
+    })
     ext.injectOptimizerRule(_ => RankLimitToTopK)
   }
 }

@@ -70,7 +70,10 @@ object SparkEntry {
     "q44_redact" -> (TextAnalysis.redact _),
     "q45_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
     "q45b_pack_shards" -> ((s: SparkSession, d: String) => TextAnalysis.packBinsSharded(s, d)),
-    "q46_interval_decode" -> (Relational.intervalDecode _)
+    "q46_interval_decode" -> (Relational.intervalDecode _),
+    "q47_hash_split" -> (TextAnalysis.hashSplit _),
+    "q48_decontaminate" -> (Dedup.decontaminate _),
+    "q49_repetition" -> (TextAnalysis.repetitionRatio _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -632,6 +635,38 @@ object SparkEntry {
         |  CAST(o_orderkey % 24 AS BIGINT) AS iv_months,
         |  CAST(o_orderkey % 30 AS BIGINT) AS iv_days,
         |  CAST((o_orderkey % 86400) * 1000000 + o_orderkey % 1000 AS BIGINT) AS iv_micros
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Bucket 0..255 from the first two md5 hex digits — DuckDB has no
+    // hex→int cast, so the oracle decodes the digits via strpos.
+    "q47_hash_split" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 204 THEN 'train'
+        |            WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
+
+    "q48_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM sh JOIN bench USING (shingle)
+         |WHERE doc_id % 10 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q49_repetition" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),
+        |g AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS gram
+        |  FROM (SELECT doc_id, l, unnest(range(1, greatest(len(l), 1))) AS i FROM d)),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+        |m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |    CAST(max(cnt) AS BIGINT) AS max_rep FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_grams, max_rep,
+        |  round(CAST(max_rep AS DOUBLE) / n_grams, 6) AS rep_ratio
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -139,6 +139,33 @@ object MinHashKernel {
     set
   }
 
+  /** Occurrence count of the most frequent word n-gram in the token
+    * array (n consecutive tokens joined by one space), or null when
+    * the doc has fewer than n tokens. One hash-map pass per document —
+    * the Gopher-style repetition signal without a per-gram explode.
+    */
+  def topGramCount(tokens: ArrayData, n: Int): Any = {
+    val t = tokens.numElements()
+    if (t < n) return null
+    val counts = new java.util.HashMap[String, Integer]()
+    var max = 0
+    var i = 0
+    while (i <= t - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val c = counts.merge(sb.toString, Integer.valueOf(1), (a, b) =>
+        Integer.valueOf(a.intValue() + b.intValue()))
+      if (c.intValue() > max) max = c.intValue()
+      i += 1
+    }
+    java.lang.Long.valueOf(max.toLong)
+  }
+
   /** Exact Jaccard similarity of the two docs' DISTINCT shingle sets
     * (|∩| / (|A|+|B|−|∩|), unrounded — callers apply the engine's
     * round so both engines round identically). 0.0 when either side
@@ -177,6 +204,37 @@ case class SimHash32(child: Expression)
       val boxed = ctx.freshName("boxed")
       s"""
          |Object $boxed = graft.functions.MinHashKernel.simhash32($c);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Long) $boxed).longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `top_gram_count(tokensArray)` → occurrence count of the doc's most
+  * frequent word n-gram as a long (null below n tokens); the same
+  * per-document scan-kernel shape as [[SimHash32]].
+  */
+case class TopGramCount(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.topGramCount(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.MinHashKernel.topGramCount($c, $n);
          |if ($boxed == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -251,4 +309,7 @@ object MinHashFunctions {
 
   def simhash32(tokens: Column): Column =
     column(SimHash32(expression(tokens)))
+
+  def top_gram_count(tokens: Column, n: Int): Column =
+    column(TopGramCount(expression(tokens), n))
 }

@@ -21,6 +21,38 @@ import graft.sources.Corpus
   */
 object Dedup {
 
+  /** Word 3-gram shingles of `docs`, distinct per (doc, lang, shingle). */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shingle", explode(expr(
+        """CASE WHEN size(toks) >= 3
+          |THEN transform(sequence(1, size(toks) - 2),
+          |               i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
+          |ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("lang"), col("shingle"))
+      .distinct()
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word 3-gram with the held-out evaluation set (stand-in here:
+    * doc_id % 10 == 0), with the count of overlapping shingles — the
+    * pass a training pipeline runs so eval data never leaks into
+    * training data. Scale shape: the eval set is small by nature, so
+    * its distinct shingle universe broadcasts; the corpus side is one
+    * shingle explode + broadcast hash semi-join + per-doc count — no
+    * corpus-sized shuffle (only matched rows reach the exchange).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val bench = shinglesOf(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("shingle")).distinct()
+    shinglesOf(docs.filter(col("doc_id") % 10 =!= 0))
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup over the md5 fingerprint. Input is the corpus
     * unioned with itself so the operator demonstrably removes copies:
     * per language, n_input = 2·docs, n_unique = distinct texts.

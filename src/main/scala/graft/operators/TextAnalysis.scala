@@ -200,6 +200,45 @@ object TextAnalysis {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Deterministic train/val/test split by content-independent hash:
+    * bucket = first two hex digits of md5(doc_id) (0..255), train
+    * below 204 (~80%), val below 230 (~10%), test above — the
+    * reproducible split assignment a training pipeline needs (any
+    * worker recomputes the same split for any doc; no RNG state, no
+    * shuffle — the split column is a per-row projection). Aggregated
+    * per split for the gate.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    Corpus.read(spark, dir, "documents")
+      .withColumn("split",
+        when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("sum_tokens"))
+      .orderBy(col("split"))
+  }
+
+  /** Gopher-style repetition signal: the occurrence count of each
+    * document's most frequent word 2-gram and its share of all
+    * 2-grams — repetitive boilerplate scores high and gets filtered.
+    * The max count comes from the one-pass
+    * [[graft.functions.TopGramCount]] kernel in the scan projection
+    * (the gram explode + double aggregate stays in the oracle only).
+    * Docs with fewer than 2 tokens have no 2-grams and are absent.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        (tokenCount(col("text")) - 1).cast("long").as("n_grams"),
+        graft.functions.MinHashFunctions
+          .top_gram_count(tokens(col("text")), 2).as("max_rep"))
+      .filter(col("max_rep").isNotNull)
+      .withColumn("rep_ratio",
+        round(col("max_rep").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+
   /** RE2-compatible patterns shared with the oracle (Spark's Java
     * regex and DuckDB's RE2 agree on these constructs).
     */

@@ -92,6 +92,39 @@ class MinHashSpec extends AnyFunSuite {
     assert(viaKernel.nonEmpty)
   }
 
+  test("top_gram_count equals a hand-counted repetition profile") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "a b a b a b",      // 2-grams: "a b"x3, "b a"x2 -> 3
+      "x y z",            // all distinct -> 1
+      "w w w w",          // "w w"x3 -> 3
+      "solo",             // no 2-grams -> null
+      "")                 // no tokens -> null
+      .toDF("text")
+      .select(MinHashFunctions.top_gram_count(
+        TextAnalysis.tokens(col("text")), 2).as("c"))
+      .collect()
+    assert(got(0).getLong(0) === 3L)
+    assert(got(1).getLong(0) === 1L)
+    assert(got(2).getLong(0) === 3L)
+    assert(got(3).isNullAt(0))
+    assert(got(4).isNullAt(0))
+  }
+
+  test("text kernels are callable from SQL via the session extensions") {
+    val r = spark.sql(
+      """select simhash32(array('a','b')) as h,
+        |  shingle_jaccard(array('a','b','c','d'), array('a','b','c','e')) as j,
+        |  size(minhash_signature(array('a','b','c'))) as m,
+        |  top_gram_count(array('a','b','a','b'), 2) as t""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) > 0L)
+    assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12)
+    assert(r.getInt(2) === 8)
+    assert(r.getLong(3) === 2L)
+  }
+
   test("shingle_jaccard equals the declarative distinct-set count") {
     val s = spark
     import s.implicits._
