@@ -193,12 +193,25 @@ object Dedup {
     * rounds and reads one convergence count; all data work is
     * distributed — the same shape GraphX/Pregel use.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // pairs is already a materialized localCheckpoint (tiny), so only
-    // the symmetrized edge view — read every round — needs a cache.
-    val pairs = minhashLshPairs(spark, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLshPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+
+  /** Min-label + pointer-jumping connected components over an
+    * undirected pair set `(a, b)` — the reusable core of
+    * [[dedupClusters]], also applicable to any near-dup pair source
+    * (embedding pairs, exact-dup groups). Returns `(id, rep)` with
+    * `rep` = the component's minimum id. Converges in O(log n)
+    * rounds regardless of component diameter (CcSpec drives a
+    * 200-node chain through it).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Only the symmetrized edge view — read every round — needs a
+    // cache (callers pass small materialized pair sets).
+    val p = pairs.select(col("a"), col("b"))
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
       .cache()
     val nodes = edges.select(col("a").as("doc_id")).distinct()
     // Iterative DataFrames MUST truncate lineage every round: labels
@@ -238,9 +251,8 @@ object Dedup {
       rounds += 1
     }
     if (!converged)
-      System.err.println(s"[dedupClusters] round cap hit after $rounds rounds")
-    val out = labels.select(col("doc_id"), col("rep").as("cluster_rep"))
-      .orderBy(col("doc_id"))
+      System.err.println(s"[connectedComponents] round cap hit after $rounds rounds")
+    val out = labels.select(col("doc_id").as("id"), col("rep"))
       .localCheckpoint(true)
     edges.unpersist(false)
     out
