@@ -73,7 +73,8 @@ object SparkEntry {
     "q46_interval_decode" -> (Relational.intervalDecode _),
     "q47_hash_split" -> (TextAnalysis.hashSplit _),
     "q48_decontaminate" -> (Dedup.decontaminate _),
-    "q49_repetition" -> (TextAnalysis.repetitionRatio _)
+    "q49_repetition" -> (TextAnalysis.repetitionRatio _),
+    "q50_embedding_clusters" -> (Dedup.embeddingClusters _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -132,6 +133,24 @@ object SparkEntry {
     """sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
       |    sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
       |    sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb""".stripMargin
+
+  /** Sign-LSH bucketed embedding near-dup pipeline as CTEs ending in
+    * `sim` (vec pairs with cosine) — shared by q29 and q50.
+    */
+  private lazy val embedNearDupCtes: String =
+    s"""e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |pr AS (SELECT vec_id, embedding,
+       |    CASE WHEN i = 0 THEN bucket ELSE xor(bucket, 1 << (i - 1)) END AS probe
+       |  FROM (SELECT vec_id, embedding, bucket, unnest(range(0, 9)) AS i FROM e)),
+       |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM pr a JOIN e b ON a.probe = b.bucket AND a.vec_id < b.vec_id),
+       |x AS (SELECT va, vb, ea, eb, unnest(range(1, 65)) AS i FROM pairs),
+       |s AS (SELECT va, vb,
+       |    $cosinePairSql
+       |  FROM x GROUP BY va, vb),
+       |sim AS (SELECT va, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -401,21 +420,20 @@ object SparkEntry {
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
 
     "q29_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-         |pr AS (SELECT vec_id, embedding,
-         |    CASE WHEN i = 0 THEN bucket ELSE xor(bucket, 1 << (i - 1)) END AS probe
-         |  FROM (SELECT vec_id, embedding, bucket, unnest(range(0, 9)) AS i FROM e)),
-         |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-         |    a.embedding AS ea, b.embedding AS eb
-         |  FROM pr a JOIN e b ON a.probe = b.bucket AND a.vec_id < b.vec_id),
-         |x AS (SELECT va, vb, ea, eb, unnest(range(1, 65)) AS i FROM pairs),
-         |s AS (SELECT va, vb,
-         |    $cosinePairSql
-         |  FROM x GROUP BY va, vb),
-         |sim AS (SELECT va, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s)
+      s"""WITH $embedNearDupCtes
          |SELECT va AS vec_a, vb AS vec_b, sim FROM sim WHERE sim >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Connected components over the q29 pair graph (same recursive
+    // transitive-closure oracle shape as q43).
+    "q50_embedding_clusters" ->
+      s"""WITH RECURSIVE $embedNearDupCtes,
+         |p AS (SELECT va AS a, vb AS b FROM sim WHERE sim >= 0.35),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (SELECT a AS n, b AS m FROM edges
+         |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a)
+         |SELECT n AS vec_id, least(n, min(m)) AS cluster_rep
+         |FROM reach GROUP BY n ORDER BY vec_id""".stripMargin,
 
     "q30_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),

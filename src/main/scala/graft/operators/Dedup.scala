@@ -269,6 +269,17 @@ object Dedup {
     * rarely differ in more than one sign bit, so recall stays high.
     * A pair matches exactly one probe, so no distinct is needed.
     */
+  /** Embedding-modality dedup clustering: [[connectedComponents]]
+    * over the verified [[embeddingNearDups]] pair graph — the same
+    * keep-one-representative step as [[dedupClusters]], demonstrating
+    * the CC core is pair-source-agnostic.
+    */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(embeddingNearDups(spark, dir)
+      .select(col("vec_a").as("a"), col("vec_b").as("b")))
+      .select(col("id").as("vec_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("vec_id"))
+
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")
       .withColumn("bucket", Similarity.bucketCol(col("embedding")))
