@@ -231,17 +231,23 @@ object Dedup {
         .select(col("a").as("doc_id"), col("nrep"))
       val viaMin = labels.join(viaEdges.groupBy(col("doc_id"))
           .agg(min(col("nrep")).as("minn")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
-      // Pointer jumping: follow the rep's own rep one hop.
+      // Pointer jumping: follow the rep's own rep one hop. The
+      // convergence flag rides along in the same checkpointed pass,
+      // so the check below only scans materialized blocks instead of
+      // re-joining next against labels every round.
       val repOfRep = labels
         .select(col("doc_id").as("rep"), col("rep").as("rep2"))
-      val next = viaMin.join(repOfRep, Seq("rep"), "left")
+      val stepped = viaMin.join(repOfRep, Seq("rep"), "left")
         .select(col("doc_id"),
-          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"),
+          col("old"))
+        .withColumn("changed", col("rep") =!= col("old"))
+        .select(col("doc_id"), col("rep"), col("changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
-        .filter(col("rep") =!= col("old")).isEmpty
+      converged = stepped.filter(col("changed")).isEmpty
+      val next = stepped.select(col("doc_id"), col("rep"))
       // Previous rounds' localCheckpoint blocks are freed by the
       // ContextCleaner once the superseded Dataset is GC'd (there is
       // no public handle to unpersist a checkpoint RDD directly); the
