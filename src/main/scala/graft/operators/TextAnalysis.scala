@@ -81,8 +81,15 @@ object TextAnalysis {
     * stopword ratio — the per-row scoring stage shared by
     * [[qualityScore]] and [[cleanCorpus]].
     */
-  def docQuality(spark: SparkSession, dir: String): DataFrame = {
-    val d = Corpus.read(spark, dir, "documents")
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    docQualityOf(Corpus.read(spark, dir, "documents"))
+
+  /** The same per-row scoring over any document relation — including
+    * an unbounded stream (stateless projection; see
+    * [[graft.streaming.DocumentStreams]]).
+    */
+  def docQualityOf(docs: DataFrame): DataFrame = {
+    val d = docs
       .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
       .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("n_punct",

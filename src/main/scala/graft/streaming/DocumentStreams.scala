@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TextAnalysis
+
+/** Structured Streaming over the DOCUMENT corpus: the training-data
+  * cleaning stages running on an unbounded ingest feed, built from
+  * the exact same per-row operators as the batch pipeline (Spark's
+  * unified engine — one codebase, two execution modes; the spec pins
+  * stream-vs-batch row parity).
+  *
+  * Every stage here is a stateless projection/filter, so no
+  * watermark and no state store are needed and the pipeline runs
+  * indefinitely with constant memory. Exact content dedup is
+  * deliberately NOT part of the streaming path: content fingerprints
+  * never expire, so streaming dedup is only honest within a bounded
+  * horizon (`dropDuplicatesWithinWatermark` over an ingest-time
+  * column — [[EventStreams.dedupedEvents]] shows that pattern) or as
+  * a periodic batch compaction over the landed corpus.
+  */
+object DocumentStreams {
+
+  /** documents schema as written by the corpus fixtures. */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream of the documents table. */
+  def readDocumentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentSchema)
+      .parquet(s"$dir/documents.parquet")
+
+  /** Quality-score, filter, redact and fingerprint each arriving
+    * document — the per-row half of [[TextAnalysis.cleanCorpus]] plus
+    * [[TextAnalysis.redact]], emitting the cleaned, scrubbed record a
+    * downstream dedup/packing stage would consume.
+    */
+  def cleanedDocuments(docs: DataFrame): DataFrame =
+    TextAnalysis.docQualityOf(docs)
+      .filter(col("quality") > 0.4)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        TextAnalysis.fingerprintCol(col("text")).as("fp"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), TextAnalysis.EmailPattern, "<EMAIL>"),
+          TextAnalysis.LongNumberPattern, "<NUM>")).as("redacted_fp"))
+}
