@@ -74,10 +74,26 @@ object SparkEntry {
     "q47_hash_split" -> (TextAnalysis.hashSplit _),
     "q48_decontaminate" -> (Dedup.decontaminate _),
     "q49_repetition" -> (TextAnalysis.repetitionRatio _),
-    "q50_embedding_clusters" -> (Dedup.embeddingClusters _)
+    "q50_embedding_clusters" -> (Dedup.embeddingClusters _),
+    "q51_correlated_subquery" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, correlatedSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
+
+  /** One SQL text, two planners: the correlated-scalar-subquery gate
+    * runs this exact string through `Flaco.sql` (Catalyst) and
+    * verbatim as its own oracle (DuckDB) — the purest form of the
+    * reference's "arbitrary SQL, the backend plans it" delegation
+    * contract. Money is compared in exact integer cents (doubles
+    * summed in engine-dependent order could flip a boundary `>`).
+    */
+  private val correlatedSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+      |  (SELECT 2.0 * sum(CAST(round(i.o_totalprice * 100) AS BIGINT)) / count(*)
+      |   FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** DuckDB: distinct word-3-gram shingles per doc, as a WITH body. */
   private val shinglesCte =
@@ -434,6 +450,8 @@ object SparkEntry {
          |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a)
          |SELECT n AS vec_id, least(n, min(m)) AS cluster_rep
          |FROM reach GROUP BY n ORDER BY vec_id""".stripMargin,
+
+    "q51_correlated_subquery" -> correlatedSql,
 
     "q30_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),

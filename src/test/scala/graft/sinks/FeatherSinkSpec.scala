@@ -208,6 +208,21 @@ class FeatherSinkSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("collectAsArrowStream of an empty result carries schema and zero rows") {
+    val df = Corpus.read(spark, TestSpark.sf, "orders").filter("o_orderkey < 0")
+    val bytes = graft.Flaco.collectAsArrowStream(df)
+    val alloc = new RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      assert(reader.getVectorSchemaRoot.getSchema.getFields.asScala
+        .map(_.getName).toSeq === df.columns.toSeq)
+      var rows = 0
+      while (reader.loadNextBatch()) rows += reader.getVectorSchemaRoot.getRowCount
+      assert(rows === 0)
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("unsupported column type is rejected with FlacoSparkException") {
     val df = spark.sql("select map('k', 1) as m")
     val e = intercept[FlacoSparkException] {
