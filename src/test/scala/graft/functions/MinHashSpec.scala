@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -123,6 +124,40 @@ class MinHashSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12)
     assert(r.getInt(2) === 8)
     assert(r.getLong(3) === 2L)
+  }
+
+  private val tokenGen: Gen[Seq[String]] =
+    Gen.listOfN(12, Gen.oneOf("a", "b", "c", "dd", "é", "x1"))
+
+  /** Plain-Scala reference Jaccard over distinct 3-gram sets. */
+  private def refJaccard(a: Seq[String], b: Seq[String]): Double = {
+    def sh(t: Seq[String]) = t.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    if (sa.isEmpty || sb.isEmpty) 0.0
+    else (sa & sb).size.toDouble / (sa | sb).size
+  }
+
+  test("jaccard kernel equals a plain-Scala reference on random token lists [property]") {
+    val s = spark
+    import s.implicits._
+    // Batch the generated cases into ONE Spark job — a job per sample
+    // would dominate the suite runtime.
+    val cases = Gen.listOfN(60, Gen.zip(tokenGen, tokenGen))
+      .sample.getOrElse(Seq.empty).toSeq
+    assert(cases.nonEmpty)
+    val got = cases.toDF("ta", "tb")
+      .select(MinHashFunctions.shingle_jaccard(col("ta"), col("tb")))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b), g) =>
+      assert(math.abs(g - refJaccard(a, b)) < 1e-12, s"tokens $a vs $b")
+    }
+    // Keep the Prop machinery honest on the pure-Scala halves too.
+    val prop = Prop.forAll(tokenGen, tokenGen) { (a, b) =>
+      val j = refJaccard(a, b)
+      j >= 0.0 && j <= 1.0 && (refJaccard(a, a) == 1.0 || a.size < 3)
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
   test("shingle_jaccard equals the declarative distinct-set count") {

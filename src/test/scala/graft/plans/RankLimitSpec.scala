@@ -76,6 +76,22 @@ class RankLimitSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-authored rank limits go through the same rewrite") {
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("rls_orders")
+    try {
+      val df = spark.sql(
+        """SELECT * FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM rls_orders) t WHERE rn <= 2""".stripMargin)
+      assert(!df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Window]))
+      val byCust = df.collect().groupBy(_.getLong(0))
+      assert(byCust.nonEmpty)
+      byCust.values.foreach(g => assert(g.length <= 2))
+    } finally spark.catalog.dropTempView("rls_orders")
+  }
+
   test("non-row_number and unfiltered windows are left alone") {
     val w = W.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
