@@ -104,7 +104,14 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
       k: Int): LogicalPlan = {
     val payload = child.output
     val m = order.length
-    val structExpr = CreateStruct(order.map(_.child) ++ payload)
+    // Unique synthesized field names: an ordering column that is also
+    // a payload column would otherwise duplicate its name inside the
+    // struct, and downstream optimizations (GeneratorNestedColumnAliasing)
+    // resolve struct fields by NAME — an ambiguous name fails analysis.
+    val structExpr = CreateNamedStruct(
+      (order.map(_.child) ++ payload).zipWithIndex.flatMap {
+        case (e, i) => Seq(Literal(s"f$i"), e)
+      })
     val directions = order.map(so =>
       (so.direction == Ascending, so.nullOrdering == NullsFirst))
     val agg = TopKRows(structExpr, directions, k)
@@ -118,7 +125,7 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
       unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
       generatorOutput = Seq(pos, elem), child = aggregate0)
     val projList = payload.zipWithIndex.map { case (a, i) =>
-      Alias(GetStructField(elem, m + i, Some(a.name)), a.name)(
+      Alias(GetStructField(elem, m + i, Some(s"f${m + i}")), a.name)(
         exprId = a.exprId, qualifier = a.qualifier,
         explicitMetadata = Some(a.metadata))
     } :+ Alias(Add(pos, Literal(1)), rankAlias.name)(

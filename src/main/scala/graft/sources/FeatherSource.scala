@@ -37,7 +37,7 @@ object FeatherSource {
       else throw new FlacoSparkException(s"feather read: no such path $path")
     if (files.isEmpty)
       throw new FlacoSparkException(s"feather read: no .arrow files under $path")
-    val schema = StructType(withReader(files.head) { reader =>
+    val schema = StructType(withSchemaReader(files.head) { reader =>
       reader.getVectorSchemaRoot.getSchema.getFields.asScala.map(sparkField).toSeq
     })
     val rows = spark.sparkContext.parallelize(files, files.length)
@@ -45,7 +45,7 @@ object FeatherSource {
     spark.createDataFrame(rows, schema)
   }
 
-  private def withReader[T](file: String)(f: ArrowFileReader => T): T = {
+  private def withSchemaReader[T](file: String)(f: ArrowFileReader => T): T = {
     val alloc = new RootAllocator()
     val in = new FileInputStream(file)
     val reader = new ArrowFileReader(in.getChannel, alloc)
@@ -78,23 +78,45 @@ object FeatherSource {
     StructField(f.getName, dt)
   }
 
-  private def readRows(file: String, schema: StructType): Seq[Row] =
-    withReader(file) { reader =>
-      val root = reader.getVectorSchemaRoot
-      val out = scala.collection.mutable.ArrayBuffer[Row]()
-      while (reader.loadNextBatch()) {
-        val n = root.getRowCount
-        var i = 0
-        while (i < n) {
-          out += Row.fromSeq(schema.fields.indices.map { c =>
-            val v = root.getVector(c)
-            if (v.isNull(i)) null else cell(v, schema.fields(c).dataType, i)
-          })
-          i += 1
-        }
-      }
-      out.toSeq
+  /** Batch-streaming row iterator over one IPC file: only the current
+    * Arrow record batch is resident, so task memory is bounded by the
+    * writer's batch size, not the file. The reader is closed when the
+    * iterator drains (and on task completion, for early-terminating
+    * consumers like limit).
+    */
+  private def readRows(file: String, schema: StructType): Iterator[Row] = {
+    val alloc = new RootAllocator()
+    val in = new FileInputStream(file)
+    val reader = new ArrowFileReader(in.getChannel, alloc)
+    var closed = false
+    def close(): Unit = if (!closed) {
+      closed = true
+      reader.close(); in.close(); alloc.close()
     }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    val root = reader.getVectorSchemaRoot
+    new Iterator[Row] {
+      private var i = 0
+      private var n = 0
+      private def advance(): Unit =
+        while (i >= n && !closed) {
+          if (reader.loadNextBatch()) { n = root.getRowCount; i = 0 }
+          else close()
+        }
+      override def hasNext: Boolean = { advance(); !closed }
+      override def next(): Row = {
+        advance()
+        if (closed) throw new NoSuchElementException("drained")
+        val row = Row.fromSeq(schema.fields.indices.map { c =>
+          val v = root.getVector(c)
+          if (v.isNull(i)) null else cell(v, schema.fields(c).dataType, i)
+        })
+        i += 1
+        row
+      }
+    }
+  }
 
   private def cell(v: FieldVector, dt: DataType, i: Int): Any = dt match {
     case IntegerType => v.asInstanceOf[IntVector].get(i)

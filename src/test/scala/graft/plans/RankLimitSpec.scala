@@ -105,6 +105,21 @@ class RankLimitSpec extends AnyFunSuite {
       "row_number without a rank limit must not be rewritten")
   }
 
+  test("global (unpartitioned) top-k rewrites and matches a plain sort") {
+    val w = W.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("rn"), col("o_orderkey"))
+    assert(!df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Window]))
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(t => (-t._2, t._1)).take(4).zipWithIndex
+      .map { case ((ok, _), i) => (i + 1, ok) }
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("residual predicates survive on top of the rewrite") {
     val df = ordersRanked.filter(col("rn") <= 3 && col("o_totalprice") > 1000.0)
     val plan = df.queryExecution.optimizedPlan
