@@ -234,20 +234,22 @@ object Dedup {
         .select(col("doc_id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
       // Pointer jumping: follow the rep's own rep one hop. The
-      // convergence flag rides along in the same checkpointed pass,
-      // so the check below only scans materialized blocks instead of
-      // re-joining next against labels every round.
+      // convergence count is observed DURING the checkpoint job
+      // (CollectMetrics piggybacks on the materialization), so each
+      // round is exactly one Spark job — no separate convergence scan.
       val repOfRep = labels
         .select(col("doc_id").as("rep"), col("rep").as("rep2"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
       val stepped = viaMin.join(repOfRep, Seq("rep"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"),
           col("old"))
-        .withColumn("changed", col("rep") =!= col("old"))
-        .select(col("doc_id"), col("rep"), col("changed"))
+        .observe(obs, sum(when(col("rep") =!= col("old"), 1L).otherwise(0L))
+          .as("n_changed"))
+        .select(col("doc_id"), col("rep"))
         .localCheckpoint(true)
-      converged = stepped.filter(col("changed")).isEmpty
-      val next = stepped.select(col("doc_id"), col("rep"))
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
+      val next = stepped
       // Previous rounds' localCheckpoint blocks are freed by the
       // ContextCleaner once the superseded Dataset is GC'd (there is
       // no public handle to unpersist a checkpoint RDD directly); the
