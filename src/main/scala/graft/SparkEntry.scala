@@ -76,7 +76,9 @@ object SparkEntry {
     "q49_repetition" -> (TextAnalysis.repetitionRatio _),
     "q50_embedding_clusters" -> (Dedup.embeddingClusters _),
     "q51_correlated_subquery" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, correlatedSql))
+      Flaco.sql(s, d, correlatedSql)),
+    "q52_training_pipeline" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.trainingPipeline(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -452,6 +454,52 @@ object SparkEntry {
          |FROM reach GROUP BY n ORDER BY vec_id""".stripMargin,
 
     "q51_correlated_subquery" -> correlatedSql,
+
+    // The composed pipeline: quality (q42 fragments) → exact dedup →
+    // near-dup representative keep (q43 fragments) → hash split (q47
+    // fragment) → shard packing (q45b shape), one aggregate per split.
+    "q52_training_pipeline" -> {
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT a, b FROM j WHERE jaccard >= 0.2),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (SELECT a AS n, b AS m FROM edges
+         |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a),
+         |reps AS (SELECT n AS doc_id, least(n, min(m)) AS rep
+         |  FROM reach GROUP BY n),
+         |dq AS (SELECT doc_id, text, ' ' || text || ' ' AS padded,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |eq AS (SELECT doc_id, text, n_tok, n_punct,
+         |  (${scoreSql("en")}) AS n_stop FROM dq),
+         |q AS (SELECT doc_id, text, CAST(n_tok AS BIGINT) AS n_tok,
+         |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+         |    + (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 0.5
+         |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.25, 6) AS quality
+         |  FROM eq),
+         |f AS (SELECT doc_id, n_tok,
+         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM q WHERE quality > 0.4),
+         |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+         |ded AS (SELECT f.doc_id, f.n_tok FROM f JOIN k USING (fp, doc_id)),
+         |kept AS (SELECT ded.doc_id, ded.n_tok FROM ded
+         |  LEFT JOIN reps USING (doc_id)
+         |  WHERE reps.rep IS NULL OR reps.rep = ded.doc_id),
+         |sb AS (SELECT doc_id, n_tok,
+         |  CASE WHEN bkt < 204 THEN 'train' WHEN bkt < 230 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  doc_id // 64 AS shard
+         |  FROM (SELECT doc_id, n_tok,
+         |    (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bkt
+         |    FROM kept)),
+         |c AS (SELECT split, shard, doc_id, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM sb)
+         |SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  count(DISTINCT shard * 10000 + (run - n_tok) // 2048) AS n_bins
+         |FROM c GROUP BY split ORDER BY split""".stripMargin
+    },
 
     "q30_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),

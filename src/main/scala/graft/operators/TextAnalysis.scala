@@ -246,6 +246,48 @@ object TextAnalysis {
         round(col("max_rep").cast("double") / col("n_grams"), 6))
       .orderBy(col("doc_id"))
 
+  /** The whole training-data preparation pipeline as ONE declarative
+    * plan — the end-to-end story every individual operator serves:
+    * quality-score and filter, drop exact duplicates (keep lowest
+    * doc_id per fingerprint), drop non-representative members of
+    * near-dup clusters (a member is dropped whether or not its
+    * representative survived the quality filter — cluster membership
+    * is a property of the corpus, not of the filtered view), assign
+    * each survivor a deterministic hash split, and pack per
+    * (split, storage shard) into token-budget bins. Output: per-split
+    * document/token/bin totals. Every stage reuses the operator
+    * tested on its own; composition adds no new shuffle beyond the
+    * stages' own.
+    */
+  def trainingPipeline(spark: SparkSession, dir: String,
+      budget: Long = 2048, shardSize: Long = 64): DataFrame = {
+    val scored = docQuality(spark, dir)
+      .filter(col("quality") > 0.4)
+      .withColumn("fp", fingerprintCol(col("text")))
+      .withColumn("n_tok", tokenCount(col("text")).cast("long"))
+    val keepFp = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = scored.join(keepFp, Seq("fp", "doc_id"), "left_semi")
+    val reps = Dedup.dedupClusters(spark, dir)
+    val kept = deduped.join(reps, Seq("doc_id"), "left")
+      .filter(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    kept
+      .withColumn("split",
+        when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .withColumn("run", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(run - n_tok) div $budget"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        countDistinct(col("shard") * 10000 + col("bin")).as("n_bins"))
+      .orderBy(col("split"))
+  }
+
   /** RE2-compatible patterns shared with the oracle (Spark's Java
     * regex and DuckDB's RE2 agree on these constructs).
     */
