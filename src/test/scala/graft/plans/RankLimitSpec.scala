@@ -130,6 +130,28 @@ class RankLimitSpec extends AnyFunSuite {
     }
   }
 
+  test("null ordering values rank identically to the window form") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, java.lang.Double)](
+      (1L, 5.0), (2L, null), (3L, 1.0), (4L, null), (5L, 9.0))
+      .toDF("id", "v")
+    def ranked(desc: Boolean) = {
+      val o = if (desc) col("v").desc else col("v").asc
+      df.withColumn("rn", row_number().over(W.orderBy(o, col("id"))))
+        .filter(col("rn") <= 3)
+    }
+    Seq(true, false).foreach { desc =>
+      val d = ranked(desc)
+      assert(!d.queryExecution.optimizedPlan.exists(_.isInstanceOf[Window]))
+      val got = d.collect().map(r => (r.getInt(2), r.getLong(0))).sorted.toSeq
+      // Spark semantics: asc → nulls first, desc → nulls last.
+      val expected = if (desc) Seq((1, 5L), (2, 1L), (3, 3L))
+                     else Seq((1, 2L), (2, 4L), (3, 3L))
+      assert(got === expected, s"desc=$desc")
+    }
+  }
+
   test("injected SQL functions validate arity") {
     val e = intercept[Exception] {
       spark.sql("select cosine_sim(array(1.0f)) as c").collect()
