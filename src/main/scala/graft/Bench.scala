@@ -38,38 +38,45 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val errors = scala.collection.mutable.LinkedHashSet[String]()
-    def once(name: String): Double = {
+    /** Elapsed seconds for one fully-materialized run, or None on
+      * failure (printed loudly; a failing query must never masquerade
+      * as a fast one).
+      */
+    def once(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // A failing query must never masquerade as a fast one: record
-        // it loudly and in the JSON output.
-        errors += name
-        System.err.println(s"[bench] $name FAILED: ${e.toString}")
-      }
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.toString}")
+          false
+        }
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      t
+      if (ok) Some(t) else None
     }
-    def minOf2(name: String): Double = math.min(once(name), once(name))
+    def minOf2(name: String): Option[Double] = (once(name), once(name)) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (a, b) => a.orElse(b)
+    }
 
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val sentinel =
       if (names.contains("q01_pricing_summary")) "q01_pricing_summary" else names.head
+    // A query is an error only if NO attempt ever measured it — a
+    // failure during a steal-polluted pass that succeeds on the
+    // re-run is exactly what the retry loop exists to recover.
     val best = scala.collection.mutable.Map[String, Double]()
     var bestSentinel = Double.MaxValue
     var attempts = 0
     var stable = false
     while (attempts < 3 && !stable) {
       attempts += 1
-      bestSentinel = math.min(bestSentinel, minOf2(sentinel))
+      minOf2(sentinel).foreach(t => bestSentinel = math.min(bestSentinel, t))
       names.foreach { n =>
-        val t = minOf2(n)
-        best(n) = best.get(n).fold(t)(math.min(_, t))
+        minOf2(n).foreach(t => best(n) = best.get(n).fold(t)(math.min(_, t)))
       }
-      val recheck = minOf2(sentinel)
+      val recheck = minOf2(sentinel).getOrElse(Double.MaxValue)
       bestSentinel = math.min(bestSentinel, recheck)
       stable = recheck <= 2.0 * bestSentinel
       if (!stable)
@@ -77,11 +84,10 @@ object Bench {
           f"$bestSentinel%.2fs) — host CPU steal suspected, re-running suite")
     }
 
-    // Failed queries report -1 and are excluded from the total so a
-    // fast crash can never read as a performance win.
-    val results = names.map { name =>
-      name -> (if (errors.contains(name)) -1.0 else best(name))
-    }
+    // Never-successful queries report -1 and are excluded from the
+    // total so a fast crash can never read as a performance win.
+    val errors = names.filterNot(best.contains)
+    val results = names.map { name => name -> best.getOrElse(name, -1.0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleJaccard, SimHash32, TopGramCount}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleJaccard, SimHash32, SortedShingles, TopGramCount}
 import graft.plans.RankLimitToTopK
 
 /** Session-extension hook (`spark.sql.extensions=graft.GraftSessionExtensions`):
@@ -48,14 +48,19 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       unary("minhash_signature", MinHashSignature.apply))
     inject(ext, "simhash32", classOf[SimHash32],
       unary("simhash32", SimHash32.apply))
+    inject(ext, "sorted_shingles", classOf[SortedShingles],
+      unary("sorted_shingles", SortedShingles.apply))
     inject(ext, "shingle_jaccard", classOf[ShingleJaccard],
       binary("shingle_jaccard", ShingleJaccard.apply))
-    // top_gram_count(tokens, n) — n must be a literal int.
+    // top_gram_count(tokens, n) — n must be a literal positive int.
     inject(ext, "top_gram_count", classOf[TopGramCount], {
       case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
-          org.apache.spark.sql.types.IntegerType)) => TopGramCount(a, n)
+          org.apache.spark.sql.types.IntegerType)) if n >= 1 =>
+        TopGramCount(a, n)
       case es => throw new FlacoSparkException(
-        s"top_gram_count expects (tokensArray, literal int n), got ${es.length} args")
+        "top_gram_count expects (tokensArray, literal int n >= 1); got " +
+          (if (es.length == 2) s"second argument ${es(1).sql}"
+           else s"${es.length} arguments"))
     })
     ext.injectOptimizerRule(_ => RankLimitToTopK)
   }

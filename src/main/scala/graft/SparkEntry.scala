@@ -128,7 +128,11 @@ object SparkEntry {
        |    min(CASE WHEN i % 2 = 0 THEN mh END) AS lo,
        |    min(CASE WHEN i % 2 = 1 THEN mh END) AS hi
        |  FROM mh GROUP BY doc_id, lang, i // 2),
-       |bk AS (SELECT doc_id, lang, band, lo || '|' || hi AS bkey FROM bands),
+       |bk0 AS (SELECT doc_id, lang, band, lo || '|' || hi AS bkey FROM bands),
+       |bk AS (SELECT bk0.* FROM bk0 JOIN (SELECT lang, band, bkey FROM bk0
+       |    GROUP BY lang, band, bkey
+       |    HAVING count(*) <= ${Dedup.MaxBandDocs}) ok
+       |  USING (lang, band, bkey)),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
        |  ON x.bkey = y.bkey AND x.band = y.band AND x.lang = y.lang
        |    AND x.doc_id < y.doc_id),

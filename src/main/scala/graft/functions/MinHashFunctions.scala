@@ -34,6 +34,11 @@ object MinHashKernel {
   private val Space = Array[Byte](' ')
   private val XPrefix = Array[Byte]('x')
 
+  // MessageDigest.getInstance walks the JCA provider list — once per
+  // thread, not once per row of a corpus-sized scan.
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** 8 min-window values over the doc's shingles, or null when the
     * doc has fewer than 3 tokens (no shingles — same absence the
     * explode formulation produces).
@@ -47,7 +52,7 @@ object MinHashKernel {
   def signature(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
     if (n < 3) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val digest = new Array[Byte](16)
     // Unsigned comparison via the +Long.MinValue trick folded in: track
     // xor-flipped values and compare signed.
@@ -104,7 +109,7 @@ object MinHashKernel {
   def simhash32(tokens: ArrayData): Any = {
     val n = tokens.numElements()
     if (n == 0) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val votes = new Array[Int](32)
     var t = 0
     while (t < n) {
@@ -125,18 +130,23 @@ object MinHashKernel {
     java.lang.Long.valueOf(acc)
   }
 
-  /** Distinct word-3-gram shingle set of a token array. */
-  private def shingleSet(tokens: ArrayData): java.util.HashSet[String] = {
+  private val SpaceUtf8 = UTF8String.fromString(" ")
+
+  /** Distinct word-3-gram shingles of a token array, sorted (binary
+    * UTF8 order) — the per-document half of pair verification,
+    * computed ONCE per doc so a hub document in m candidate pairs is
+    * not re-shingled m times. Empty array below 3 tokens.
+    */
+  def sortedShingles(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
-    val set = new java.util.HashSet[String]()
+    val set = new java.util.TreeSet[UTF8String]()
     var i = 0
     while (i <= n - 3) {
-      set.add(tokens.getUTF8String(i).toString + " " +
-        tokens.getUTF8String(i + 1).toString + " " +
-        tokens.getUTF8String(i + 2).toString)
+      set.add(UTF8String.concat(tokens.getUTF8String(i), SpaceUtf8,
+        tokens.getUTF8String(i + 1), SpaceUtf8, tokens.getUTF8String(i + 2)))
       i += 1
     }
-    set
+    new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
   }
 
   /** Occurrence count of the most frequent word n-gram in the token
@@ -166,20 +176,25 @@ object MinHashKernel {
     java.lang.Long.valueOf(max.toLong)
   }
 
-  /** Exact Jaccard similarity of the two docs' DISTINCT shingle sets
-    * (|∩| / (|A|+|B|−|∩|), unrounded — callers apply the engine's
-    * round so both engines round identically). 0.0 when either side
-    * has no shingles.
+  /** Exact Jaccard similarity of two SORTED DISTINCT shingle arrays
+    * (as produced by [[sortedShingles]]): one merge pass, no per-pair
+    * set construction. Unrounded — callers apply the engine's round
+    * so both engines round identically. 0.0 when either side is empty.
     */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
-    val sa = shingleSet(a)
-    val sb = shingleSet(b)
-    if (sa.isEmpty || sb.isEmpty) return 0.0
-    val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0.0
+    var i = 0
+    var j = 0
     var common = 0
-    val it = small.iterator()
-    while (it.hasNext) if (large.contains(it.next())) common += 1
-    common.toDouble / (sa.size + sb.size - common)
+    while (i < n && j < m) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    common.toDouble / (n + m - common)
   }
 }
 
@@ -222,6 +237,7 @@ case class SimHash32(child: Expression)
   */
 case class TopGramCount(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"top_gram_count: n must be >= 1, got $n")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
@@ -247,11 +263,32 @@ case class TopGramCount(child: Expression, n: Int)
     copy(child = c)
 }
 
-/** `shingle_jaccard(toksA, toksB)` → exact Jaccard over distinct word
-  * 3-gram shingle sets, computed per row in one pass. The declarative
+/** `sorted_shingles(tokensArray)` → the doc's distinct word 3-gram
+  * shingles as a sorted array — computed once per document so pair
+  * verification never re-shingles a hub document per pair.
+  */
+case class SortedShingles(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.sortedShingles(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.sortedShingles($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `shingle_jaccard(shinglesA, shinglesB)` → exact Jaccard of two
+  * [[SortedShingles]] arrays, one merge pass per row. The declarative
   * twin (explode both shingle sets, join on the shared shingle, count,
   * join sizes) costs five exchanges; for VERIFICATION of an
-  * LSH-candidate pair — where both token arrays are already on the
+  * LSH-candidate pair — where both shingle arrays are already on the
   * row — the per-row kernel is the right shape at any scale.
   */
 case class ShingleJaccard(left: Expression, right: Expression)
@@ -303,6 +340,9 @@ object MinHashFunctions {
 
   def minhash_signature(tokens: Column): Column =
     column(MinHashSignature(expression(tokens)))
+
+  def sorted_shingles(tokens: Column): Column =
+    column(SortedShingles(expression(tokens)))
 
   def shingle_jaccard(a: Column, b: Column): Column =
     column(ShingleJaccard(expression(a), expression(b)))

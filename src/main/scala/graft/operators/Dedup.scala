@@ -85,11 +85,13 @@ object Dedup {
     * Verification first shrinks the DOCUMENT table to candidate docs
     * (broadcast semi-join — candDocs is by construction a small
     * fraction of the corpus; if it ever approached corpus size the
-    * dedup output itself would be the bottleneck), then joins each
-    * pair to its two token arrays and computes exact Jaccard with the
-    * per-row [[graft.functions.ShingleJaccard]] kernel — no shingle
-    * explode, no five-exchange count-the-commons join tree; work and
-    * shuffle ∝ candidates, never corpus.
+    * dedup output itself would be the bottleneck), computes each
+    * candidate doc's sorted shingle array ONCE
+    * ([[graft.functions.SortedShingles]]), then joins each pair to
+    * its two arrays and merge-counts exact Jaccard with the per-row
+    * [[graft.functions.ShingleJaccard]] kernel — no shingle explode,
+    * no five-exchange count-the-commons join tree; work and shuffle
+    * ∝ candidates, never corpus.
     *
     * Eagerly materialized (`localCheckpoint`) so the two intermediate
     * caches can be released before returning — library callers get a
@@ -97,6 +99,18 @@ object Dedup {
     * storage (the result is the near-dup pair set: tiny next to the
     * corpus by definition).
     */
+  /** A band bucket holding more than this many documents is dropped
+    * before pairing: a bucket with d docs emits ~d² candidate rows,
+    * so one boilerplate document duplicated a million times would
+    * make candidate generation quadratic. The cap bounds per-bucket
+    * fanout at MaxBandDocs² regardless of corpus size — the same
+    * blocking-key guard the round-2 shingle df-cap provided, now at
+    * the band level and mirrored in the oracle. What a dropped hot
+    * bucket loses is mass-duplicated content, which is exactly what
+    * the EXACT-dedup stage (fingerprint hash) removes without LSH.
+    */
+  val MaxBandDocs = 64
+
   def candidatePairJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
     val sigs = docs.select(col("doc_id"), col("lang"),
@@ -109,10 +123,17 @@ object Dedup {
         concat(element_at(col("sig"), 2 * b + 1), lit("|"),
           element_at(col("sig"), 2 * b + 2)).as("bkey"))
     }
-    val bands = sigs.select(col("doc_id"), col("lang"),
+    val bands0 = sigs.select(col("doc_id"), col("lang"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("lang"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // Bucket-size cap (see MaxBandDocs): the hot-bucket list is tiny
+    // (it only holds pathological buckets) so the anti-join broadcasts.
+    val hot = bands0.groupBy(col("lang"), col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > MaxBandDocs)
+      .select(col("lang"), col("band"), col("bkey"))
+    val bands = bands0.join(hot, Seq("lang", "band", "bkey"), "left_anti")
     val bl = bands.select(col("doc_id").as("a"), col("lang"), col("band"), col("bkey"))
     val br = bands.select(col("doc_id").as("b"), col("lang").as("lang_b"),
       col("band").as("band_b"), col("bkey").as("bkey_b"))
@@ -123,12 +144,17 @@ object Dedup {
       .select(col("a"), col("b")).distinct().cache()
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    // Token arrays only for candidate docs — the semi-join runs
-    // BEFORE tokenization, so only candidate documents are processed.
-    // Cached: consumed by both sides of the pair join; broadcast on
-    // both (candidate-sized by the rationale above).
-    val candToks = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    // Sorted shingle arrays only for candidate docs — the semi-join
+    // runs BEFORE tokenization, and shingling happens ONCE per doc
+    // here rather than once per pair (hub docs sit in many pairs).
+    // Cached: consumed by both sides of the pair join. Only the bare
+    // doc_id list is hint-broadcast; the shingle table joins WITHOUT
+    // a hint — candidate-sized but payload-heavy, so whether it
+    // broadcasts is AQE's size-based call, never a forced
+    // corpus-fraction ship to every executor.
+    val candShingles = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), graft.functions.MinHashFunctions
+        .sorted_shingles(TextAnalysis.tokens(col("text"))).as("shs"))
       .cache()
     // Filter on the RAW kernel value: jraw > 0 iff the pair shares at
     // least one shingle — exactly the pairs the declarative
@@ -136,10 +162,10 @@ object Dedup {
     // produces; filtering on the rounded value would diverge for
     // similarities under 5e-7.
     val verified = cand
-      .join(broadcast(candToks.select(col("doc_id").as("a"), col("toks").as("toks_a"))), Seq("a"))
-      .join(broadcast(candToks.select(col("doc_id").as("b"), col("toks").as("toks_b"))), Seq("b"))
+      .join(candShingles.select(col("doc_id").as("a"), col("shs").as("shs_a")), Seq("a"))
+      .join(candShingles.select(col("doc_id").as("b"), col("shs").as("shs_b")), Seq("b"))
       .withColumn("jraw", graft.functions.MinHashFunctions
-        .shingle_jaccard(col("toks_a"), col("toks_b")))
+        .shingle_jaccard(col("shs_a"), col("shs_b")))
       .filter(col("jraw") > 0)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         round(col("jraw"), 6).as("jaccard"))
@@ -147,7 +173,7 @@ object Dedup {
     // intermediates — nothing downstream references them anymore.
     val out = verified.localCheckpoint(true)
     cand.unpersist(false)
-    candToks.unpersist(false)
+    candShingles.unpersist(false)
     out
   }
 

@@ -118,12 +118,20 @@ object TextAnalysis {
     * declarative plan — filter pushes to the scan, dedup is one hash
     * aggregate, no materialization between stages.
     */
+  /** Exact-dedup stage: keep the lowest doc_id per content
+    * fingerprint (input must carry `fp` and `doc_id`) — shared by
+    * [[cleanCorpus]] and [[trainingPipeline]].
+    */
+  def keepFirstByFingerprint(df: DataFrame): DataFrame = {
+    val keep = df.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    df.join(keep, Seq("fp", "doc_id"), "left_semi")
+  }
+
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val scored = docQuality(spark, dir)
       .filter(col("quality") > 0.4)
       .withColumn("fp", fingerprintCol(col("text")))
-    val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    scored.join(keep, Seq("fp", "doc_id"), "left_semi")
+    keepFirstByFingerprint(scored)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("quality")), 4).as("avg_quality"))
@@ -215,12 +223,20 @@ object TextAnalysis {
     * shuffle — the split column is a per-row projection). Aggregated
     * per split for the gate.
     */
-  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+  /** The split assignment expression — shared by [[hashSplit]] and
+    * [[trainingPipeline]] so the bucket formula and the 204/230
+    * train/val/test cut-offs (and their oracle mirrors) can never
+    * drift apart.
+    */
+  def splitCol(docId: Column): Column = {
+    val bucket = conv(substring(md5(docId.cast("string")), 1, 2), 16, 10)
       .cast("long")
+    when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+  }
+
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
     Corpus.read(spark, dir, "documents")
-      .withColumn("split",
-        when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col("text")).cast("long")).as("sum_tokens"))
@@ -265,19 +281,15 @@ object TextAnalysis {
       .filter(col("quality") > 0.4)
       .withColumn("fp", fingerprintCol(col("text")))
       .withColumn("n_tok", tokenCount(col("text")).cast("long"))
-    val keepFp = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val deduped = scored.join(keepFp, Seq("fp", "doc_id"), "left_semi")
+    val deduped = keepFirstByFingerprint(scored)
     val reps = Dedup.dedupClusters(spark, dir)
     val kept = deduped.join(reps, Seq("doc_id"), "left")
       .filter(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-      .cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     kept
-      .withColumn("split",
-        when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .withColumn("shard", expr(s"doc_id div $shardSize"))
       .withColumn("run", sum(col("n_tok")).over(w))
       .withColumn("bin", expr(s"(run - n_tok) div $budget"))

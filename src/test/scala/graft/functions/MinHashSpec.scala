@@ -116,7 +116,8 @@ class MinHashSpec extends AnyFunSuite {
   test("text kernels are callable from SQL via the session extensions") {
     val r = spark.sql(
       """select simhash32(array('a','b')) as h,
-        |  shingle_jaccard(array('a','b','c','d'), array('a','b','c','e')) as j,
+        |  shingle_jaccard(sorted_shingles(array('a','b','c','d')),
+        |                  sorted_shingles(array('a','b','c','e'))) as j,
         |  size(minhash_signature(array('a','b','c'))) as m,
         |  top_gram_count(array('a','b','a','b'), 2) as t""".stripMargin)
       .collect().head
@@ -147,7 +148,9 @@ class MinHashSpec extends AnyFunSuite {
       .sample.getOrElse(Seq.empty).toSeq
     assert(cases.nonEmpty)
     val got = cases.toDF("ta", "tb")
-      .select(MinHashFunctions.shingle_jaccard(col("ta"), col("tb")))
+      .select(MinHashFunctions.shingle_jaccard(
+        MinHashFunctions.sorted_shingles(col("ta")),
+        MinHashFunctions.sorted_shingles(col("tb"))))
       .collect().map(_.getDouble(0))
     cases.zip(got).foreach { case ((a, b), g) =>
       assert(math.abs(g - refJaccard(a, b)) < 1e-12, s"tokens $a vs $b")
@@ -171,7 +174,8 @@ class MinHashSpec extends AnyFunSuite {
       ("a b",       "a b c"))              // no shingles on one side -> 0
       .toDF("ta", "tb")
       .select(MinHashFunctions.shingle_jaccard(
-        TextAnalysis.tokens(col("ta")), TextAnalysis.tokens(col("tb"))).as("j"))
+        MinHashFunctions.sorted_shingles(TextAnalysis.tokens(col("ta"))),
+        MinHashFunctions.sorted_shingles(TextAnalysis.tokens(col("tb")))).as("j"))
       .collect().map(_.getDouble(0))
     assert(pairs(0) === 1.0)
     assert(pairs(1) === 0.0)
