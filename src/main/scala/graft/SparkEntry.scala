@@ -78,7 +78,10 @@ object SparkEntry {
     "q51_correlated_subquery" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, correlatedSql)),
     "q52_training_pipeline" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.trainingPipeline(s, d))
+      TextAnalysis.trainingPipeline(s, d)),
+    "q53_mixture_sample" -> (Curation.mixtureSample _),
+    "q54_token_budget" -> ((s: SparkSession, d: String) =>
+      Curation.tokenBudgetSelect(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
