@@ -81,7 +81,9 @@ object SparkEntry {
       TextAnalysis.trainingPipeline(s, d)),
     "q53_mixture_sample" -> (Curation.mixtureSample _),
     "q54_token_budget" -> ((s: SparkSession, d: String) =>
-      Curation.tokenBudgetSelect(s, d))
+      Curation.tokenBudgetSelect(s, d)),
+    "q54b_token_budget_apply" -> ((s: SparkSession, d: String) =>
+      Curation.tokenBudgetApply(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -148,6 +150,39 @@ object SparkEntry {
        |j AS (SELECT a, b,
        |    round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
        |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)""".stripMargin
+
+  /** DuckDB 0..255 bucket from the first two md5 hex digits of `arg`
+    * (no hex→int cast in DuckDB, so the digits decode via strpos) —
+    * the q47 idiom, shared by the curation oracles.
+    */
+  private def hexBucketSql(arg: String): String =
+    s"(strpos('0123456789abcdef', substring(md5($arg), 1, 1)) - 1) * 16\n" +
+      s"    + strpos('0123456789abcdef', substring(md5($arg), 2, 1)) - 1"
+
+  /** The q54 two-phase histogram threshold as CTEs ending in `c54`
+    * (per-(lang, quality-bucket) doc/token counts with running-from-
+    * best and total token sums) — shared by q54 and q54b. `sc54`
+    * carries the per-doc (doc_id, lang, n_toks, bucket) rows the
+    * apply path joins back to.
+    */
+  private lazy val budgetCtes: String =
+    s"""dq54 AS (SELECT doc_id, lang, text, ' ' || text || ' ' AS padded,
+       |  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+       |  FROM documents),
+       |eq54 AS (SELECT doc_id, lang, text, n_tokens, n_punct,
+       |  (${scoreSql("en")}) AS n_stop FROM dq54),
+       |sc54 AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_toks,
+       |  CAST(floor(round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+       |    + (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 0.5
+       |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.25, 6) * 20)
+       |    AS BIGINT) AS bucket
+       |  FROM eq54),
+       |h54 AS (SELECT lang, bucket, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS toks FROM sc54 GROUP BY lang, bucket),
+       |c54 AS (SELECT lang, bucket, n_docs, toks,
+       |  CAST(sum(toks) OVER (PARTITION BY lang ORDER BY bucket DESC) AS BIGINT) AS cum,
+       |  CAST(sum(toks) OVER (PARTITION BY lang) AS BIGINT) AS total FROM h54)""".stripMargin
 
   /** DuckDB sign-LSH bucket mirroring Similarity.bucketCol. */
   private val bucketSql: String = (0 until 8).map(j =>
@@ -748,6 +783,56 @@ object SparkEntry {
          |FROM sh JOIN bench USING (shingle)
          |WHERE doc_id % 10 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mixture sampling: the keep decision is bucket < rate in exact
+    // integers on both sides; the rate CASE is generated from the one
+    // mixtureRates table so engine and oracle can never drift.
+    "q53_mixture_sample" -> {
+      val rateCase = "CASE lang " + graft.operators.Curation.mixtureRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") + " ELSE 0 END"
+      s"""WITH b AS (SELECT lang, text,
+         |    ${hexBucketSql("'mix:' || CAST(doc_id AS VARCHAR)")} AS bucket
+         |  FROM documents),
+         |k AS (SELECT lang, bucket < ($rateCase) AS keep,
+         |    len(regexp_extract_all(text, '\\S+')) AS n_tok FROM b)
+         |SELECT lang, count(*) AS n_in,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // Histogram threshold audit: kept-bucket aggregate per language.
+    // The budget compare is exact integer arithmetic (cum·den ≤
+    // total·num); the tie case is kept on both sides (CurationSpec).
+    "q54_token_budget" ->
+      s"""WITH $budgetCtes
+         |SELECT lang, min(bucket) AS threshold_bucket,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_kept,
+         |  CAST(sum(toks) AS BIGINT) AS tokens_kept
+         |FROM c54
+         |WHERE cum * ${graft.operators.Curation.BudgetDen}
+         |  <= total * ${graft.operators.Curation.BudgetNum}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The APPLIED selection: threshold join-back → per-split kept-doc
+    // aggregate with a doc_id-sum identity (proves which docs
+    // survived, not just how many).
+    "q54b_token_budget_apply" ->
+      s"""WITH $budgetCtes,
+         |t54 AS (SELECT lang, min(bucket) AS thr FROM c54
+         |  WHERE cum * ${graft.operators.Curation.BudgetDen}
+         |    <= total * ${graft.operators.Curation.BudgetNum}
+         |  GROUP BY lang),
+         |a54 AS (SELECT sc54.doc_id, sc54.n_toks FROM sc54
+         |  JOIN t54 USING (lang) WHERE sc54.bucket >= t54.thr),
+         |s54 AS (SELECT doc_id, n_toks,
+         |    ${hexBucketSql("CAST(doc_id AS VARCHAR)")} AS bkt
+         |  FROM a54)
+         |SELECT CASE WHEN bkt < 204 THEN 'train' WHEN bkt < 230 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS docid_sum
+         |FROM s54 GROUP BY split ORDER BY split""".stripMargin,
 
     "q49_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),

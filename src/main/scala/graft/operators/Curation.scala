@@ -28,6 +28,13 @@ object Curation {
   val mixtureRates: Seq[(String, Int)] =
     Seq("en" -> 64, "de" -> 192, "es" -> 128, "fr" -> 224, "zh" -> 256)
 
+  /** Token-budget defaults: keep the top-quality buckets holding up to
+    * `BudgetNum/BudgetDen` of each language's tokens. Named constants
+    * because the oracle SQL interpolates the same ratio.
+    */
+  val BudgetNum = 6
+  val BudgetDen = 10
+
   /** Deterministic sampling bucket 0..255: the first two hex digits
     * of md5 over a salted doc id. The salt decorrelates mixture
     * sampling from [[TextAnalysis.splitCol]]'s train/val/test buckets
@@ -53,9 +60,12 @@ object Curation {
     * same `bucket < rate` predicate as a filter — a pure per-row
     * projection with no shuffle at all; this gate query reports the
     * per-language audit summary (one hash aggregate on `lang`).
+    * The keep boundary is strict: bucket < rate, so rate r keeps
+    * exactly buckets 0..r-1 (r/256 of the id space) and rate 256
+    * keeps everything (CurationSpec pins both edges).
     */
-  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
-    Corpus.read(spark, dir, "documents")
+  def mixtureSampleOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("bucket", sampleBucket(col("doc_id")))
       .withColumn("keep", col("bucket") < rateCol(col("lang")))
       .groupBy(col("lang"))
@@ -64,6 +74,39 @@ object Curation {
         sum(when(col("keep"), TextAnalysis.tokenCount(col("text")).cast("long"))
           .otherwise(0L)).as("tokens_kept"))
       .orderBy(col("lang"))
+
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleOf(Corpus.read(spark, dir, "documents"))
+
+  /** `(lang, n_toks, bucket)` per doc from a scored relation carrying
+    * `lang`, `n_tokens`, `quality` (plus passthrough of `doc_id` for
+    * the apply path): bucket = floor(quality × 20), quality-bucket
+    * granularity for the histogram threshold.
+    */
+  private def bucketed(scored: DataFrame): DataFrame =
+    scored.select(col("doc_id"), col("lang"),
+      col("n_tokens").cast("long").as("n_toks"),
+      floor(col("quality") * 20).cast("long").as("bucket"))
+
+  /** The bounded per-(lang, bucket) histogram with running (from the
+    * best bucket down) and total token sums, filtered to the kept
+    * buckets — `cum × den ≤ total × num` ⇔ cum ≤ (num/den)·total,
+    * exact integer arithmetic on both engines. The tie case (cum
+    * exactly at the budget) is KEPT; CurationSpec pins it. A language
+    * whose best bucket alone already exceeds the budget keeps no
+    * bucket and is absent from the output.
+    */
+  private def keptBuckets(scored: DataFrame, num: Int, den: Int): DataFrame = {
+    val hist = bucketed(scored)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+    val best = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)
+    val all = Window.partitionBy(col("lang"))
+    hist
+      .withColumn("cum", sum(col("toks")).over(best))
+      .withColumn("total", sum(col("toks")).over(all))
+      .filter(col("cum") * den <= col("total") * num)
+  }
 
   /** Budget-constrained quality selection: down-select each language
     * to its highest-quality documents within `num/den` of that
@@ -79,30 +122,52 @@ object Curation {
     *      over THAT bounded histogram, never the corpus (contrast
     *      q45's per-lang window, which the judge flagged: here the
     *      window input cannot exceed a few hundred rows at any scale).
-    * The budget rule is exact integer arithmetic
-    * (`cum × den ≤ total × num` ⇔ cum ≤ (num/den)·total), identical
-    * in the DuckDB oracle. Applying the selection to the corpus is a
-    * broadcast semi-join of the (≤ one-row-per-language) threshold
-    * table — the summary this gate reports is computed from the kept
-    * histogram rows directly, which is value-identical.
+    * The budget rule is exact integer arithmetic, identical in the
+    * DuckDB oracle. [[tokenBudgetApply]] is the application path that
+    * joins the threshold back to the corpus.
     */
-  def tokenBudgetSelect(spark: SparkSession, dir: String,
-      num: Int = 6, den: Int = 10): DataFrame = {
-    val hist = TextAnalysis.docQuality(spark, dir)
-      .select(col("lang"), col("n_tokens").cast("long").as("n_toks"),
-        floor(col("quality") * 20).cast("long").as("bucket"))
-      .groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
-    val best = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)
-    val all = Window.partitionBy(col("lang"))
-    hist
-      .withColumn("cum", sum(col("toks")).over(best))
-      .withColumn("total", sum(col("toks")).over(all))
-      .filter(col("cum") * den <= col("total") * num)
+  def tokenBudgetSelectOf(scored: DataFrame,
+      num: Int = BudgetNum, den: Int = BudgetDen): DataFrame =
+    keptBuckets(scored, num, den)
       .groupBy(col("lang"))
       .agg(min(col("bucket")).as("threshold_bucket"),
         sum(col("n_docs")).as("n_kept"),
         sum(col("toks")).as("tokens_kept"))
       .orderBy(col("lang"))
+
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+      num: Int = BudgetNum, den: Int = BudgetDen): DataFrame =
+    tokenBudgetSelectOf(TextAnalysis.docQuality(spark, dir), num, den)
+
+  /** The APPLIED selection: the per-language threshold-bucket table
+    * (≤ one row per language — broadcast by construction) joins back
+    * to the per-row scored corpus, docs at or above their language's
+    * threshold bucket survive, and the kept set is reported per
+    * train/val/test split with a doc_id-sum identity so the gate
+    * proves WHICH documents survived, not just how many. The corpus
+    * side stays one scan + one hash aggregate; the join adds no
+    * shuffle (broadcast hash join against the tiny threshold table).
+    * Languages with no affordable bucket have no threshold row, so
+    * the inner join drops them entirely — same semantics as
+    * [[tokenBudgetSelectOf]]'s absence.
+    */
+  def tokenBudgetApplyOf(scored: DataFrame,
+      num: Int = BudgetNum, den: Int = BudgetDen): DataFrame = {
+    val thresholds = keptBuckets(scored, num, den)
+      .groupBy(col("lang"))
+      .agg(min(col("bucket")).as("thr"))
+    bucketed(scored)
+      .join(broadcast(thresholds), Seq("lang"))
+      .filter(col("bucket") >= col("thr"))
+      .withColumn("split", TextAnalysis.splitCol(col("doc_id")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(col("doc_id")).as("docid_sum"))
+      .orderBy(col("split"))
   }
+
+  def tokenBudgetApply(spark: SparkSession, dir: String,
+      num: Int = BudgetNum, den: Int = BudgetDen): DataFrame =
+    tokenBudgetApplyOf(TextAnalysis.docQuality(spark, dir), num, den)
 }
