@@ -176,6 +176,30 @@ object MinHashKernel {
     java.lang.Long.valueOf(max.toLong)
   }
 
+  /** Count of DISTINCT word-3-gram shingles of the token array that
+    * are members of `set` — the corpus side of benchmark
+    * decontamination as one per-document pass: no shingle explode, no
+    * per-shingle rows into any exchange (the declarative twin — the
+    * oracle formulation — explodes every corpus shingle only to
+    * semi-join a broadcast set and count). The local hit-set dedups a
+    * doc's repeated shingles; it holds hits only, so its size is
+    * bounded by the (small) eval universe, not by document length.
+    */
+  def shingleHits(tokens: ArrayData,
+      set: java.util.HashSet[UTF8String]): Long = {
+    val n = tokens.numElements()
+    if (n < 3 || set.isEmpty) return 0L
+    val hits = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i <= n - 3) {
+      val sh = UTF8String.concat(tokens.getUTF8String(i), SpaceUtf8,
+        tokens.getUTF8String(i + 1), SpaceUtf8, tokens.getUTF8String(i + 2))
+      if (set.contains(sh)) hits.add(sh)
+      i += 1
+    }
+    hits.size.toLong
+  }
+
   /** Exact Jaccard similarity of two SORTED DISTINCT shingle arrays
     * (as produced by [[sortedShingles]]): one merge pass, no per-pair
     * set construction. Unrounded — callers apply the engine's round
@@ -309,6 +333,39 @@ case class ShingleJaccard(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** `shingle_hits_in_set(tokensArray)` → count of the doc's distinct
+  * word-3-gram shingles present in a broadcast shingle universe — the
+  * decontamination probe as a scan-projection kernel. The set rides a
+  * Spark `Broadcast` (shipped once per executor, fetched lazily), not
+  * a literal (which would serialize the universe into every task
+  * binary and bloat the plan string). Codegen unwraps the broadcast
+  * once per operator instance into a mutable member, so the per-row
+  * call touches only the local HashSet.
+  */
+case class ShingleHitsInSet(child: Expression,
+    bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleHits(input.asInstanceOf[ArrayData], bench.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("benchShingles", bench,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val setVar = ctx.addMutableState("java.util.HashSet", "benchSet",
+      v => s"$v = (java.util.HashSet) $bcRef.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.shingleHits($c, $setVar)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `minhash_signature(tokensArray)` → array of 8 hex-window strings
   * (null for docs with no shingles). Codegen'd via a static kernel
   * call so the projection stays inside whole-stage codegen.
@@ -349,6 +406,11 @@ object MinHashFunctions {
 
   def simhash32(tokens: Column): Column =
     column(SimHash32(expression(tokens)))
+
+  def shingle_hits_in_set(tokens: Column,
+      bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[
+        org.apache.spark.unsafe.types.UTF8String]]): Column =
+    column(ShingleHitsInSet(expression(tokens), bench))
 
   def top_gram_count(tokens: Column, n: Int): Column =
     column(TopGramCount(expression(tokens), n))

@@ -38,18 +38,37 @@ object Dedup {
     * doc_id % 10 == 0), with the count of overlapping shingles — the
     * pass a training pipeline runs so eval data never leaks into
     * training data. Scale shape: the eval set is small by nature, so
-    * its distinct shingle universe broadcasts; the corpus side is one
-    * shingle explode + broadcast hash semi-join + per-doc count — no
-    * corpus-sized shuffle (only matched rows reach the exchange).
+    * its distinct shingle universe is collected once and broadcast
+    * (the collect IS the broadcast build — the same driver-side
+    * materialization a BroadcastExchange performs, size-bounded by
+    * the eval suite, never by the corpus); the corpus side is then a
+    * single scan projection through the per-doc
+    * [[graft.functions.ShingleHitsInSet]] membership kernel — no
+    * shingle explode, no per-shingle rows, no exchange before the
+    * final sort (the declarative explode + broadcast-semi-join twin
+    * remains the DuckDB oracle formulation, and OperatorsSpec pins
+    * value parity between the two).
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
-    val bench = shinglesOf(docs.filter(col("doc_id") % 10 === 0))
-      .select(col("shingle")).distinct()
-    shinglesOf(docs.filter(col("doc_id") % 10 =!= 0))
-      .join(broadcast(bench), Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"))
+    // One scan job with NO exchange: per-doc distinct shingle arrays
+    // from the SortedShingles kernel, globally deduped into the set
+    // at the driver (the global distinct that a shuffle would
+    // otherwise pay for falls out of the HashSet insert).
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(graft.functions.MinHashFunctions
+        .sorted_shingles(TextAnalysis.tokens(col("text"))).as("shs"))
+      .collect().foreach { r =>
+        r.getSeq[String](0).foreach(s =>
+          set.add(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      }
+    val bench = spark.sparkContext.broadcast(set)
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), graft.functions.MinHashFunctions
+        .shingle_hits_in_set(TextAnalysis.tokens(col("text")), bench)
+        .as("n_hits"))
+      .filter(col("n_hits") > 0)
       .orderBy(col("doc_id"))
   }
 
@@ -233,6 +252,19 @@ object Dedup {
     * rounds regardless of component diameter (CcSpec drives a
     * 200-node chain through it).
     */
+  /** The persisted RDD behind a `localCheckpoint(true)`'d Dataset —
+    * its logical plan is a `LogicalRDD` leaf wrapping the
+    * materialized blocks. Holding this handle lets the loop release a
+    * superseded round's storage EAGERLY via `RDD.unpersist` instead
+    * of waiting for GC + ContextCleaner (`Dataset.unpersist` is a
+    * no-op here: it only evicts CacheManager entries, and checkpoint
+    * blocks live as persisted RDD blocks).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // Only the symmetrized edge view — read every round — needs a
     // cache (callers pass small materialized pair sets).
@@ -241,53 +273,65 @@ object Dedup {
       .cache()
     val nodes = edges.select(col("a").as("doc_id")).distinct()
     // Iterative DataFrames MUST truncate lineage every round: labels
-    // is referenced ~4× per round, so the logical plan grows ~4^r and
-    // Catalyst re-analysis hangs the driver within a few rounds.
-    // localCheckpoint(eager = true) materializes the round AND cuts
-    // the plan back to a leaf — the standard iterative-algorithm idiom.
+    // is referenced ~3× per round, so the logical plan grows
+    // geometrically and Catalyst re-analysis hangs the driver within
+    // a few rounds. localCheckpoint(eager = true) materializes the
+    // round AND cuts the plan back to a leaf — the standard
+    // iterative-algorithm idiom.
     var labels = nodes.withColumn("rep", col("doc_id"))
       .localCheckpoint(true)
+    var labelsRdd = checkpointRdd(labels)
     var converged = false
+    // Labels are per-node non-increasing longs, so the label SUM is a
+    // strictly decreasing convergence witness: a round changed
+    // nothing iff the sum is unchanged. Observing the sum instead of
+    // a changed-count against the previous labels removes one join
+    // per round (no `old` column to carry). Decimal(38,0) keeps the
+    // sum exact at any node count × id range.
+    var prevSum: java.math.BigDecimal = null
     // log2(n) pointer-jumping rounds always suffice; the generous cap
     // is an infinite-loop guard, not a correctness bound.
     var rounds = 0
     while (!converged && rounds < 64) {
+      // One round = min over {self label} ∪ {neighbor labels} (the
+      // self-union replaces a labels⋈min-table join — union feeds the
+      // same hash aggregate for free), then one pointer-jump hop
+      // (rep := old-label(rep)) to halve label-chain depth. The
+      // convergence sum is observed DURING the checkpoint job
+      // (CollectMetrics piggybacks on the materialization), so each
+      // round is exactly one Spark job — no separate convergence scan.
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("rep", "nrep"), "b")
         .select(col("a").as("doc_id"), col("nrep"))
-      val viaMin = labels.join(viaEdges.groupBy(col("doc_id"))
-          .agg(min(col("nrep")).as("minn")), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("rep").as("old"),
-          least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
-      // Pointer jumping: follow the rep's own rep one hop. The
-      // convergence count is observed DURING the checkpoint job
-      // (CollectMetrics piggybacks on the materialization), so each
-      // round is exactly one Spark job — no separate convergence scan.
+      val minned = viaEdges
+        .union(labels.select(col("doc_id"), col("rep").as("nrep")))
+        .groupBy(col("doc_id")).agg(min(col("nrep")).as("rep"))
       val repOfRep = labels
         .select(col("doc_id").as("rep"), col("rep").as("rep2"))
       val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
-      val stepped = viaMin.join(repOfRep, Seq("rep"), "left")
+      val stepped = minned.join(repOfRep, Seq("rep"), "left")
         .select(col("doc_id"),
-          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"),
-          col("old"))
-        .observe(obs, sum(when(col("rep") =!= col("old"), 1L).otherwise(0L))
-          .as("n_changed"))
-        .select(col("doc_id"), col("rep"))
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .observe(obs, sum(col("rep").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint(true)
-      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
-      val next = stepped
-      // Previous rounds' localCheckpoint blocks are freed by the
-      // ContextCleaner once the superseded Dataset is GC'd (there is
-      // no public handle to unpersist a checkpoint RDD directly); the
-      // label table is nodes-of-the-pair-graph sized — small — so a
-      // few rounds of slack is acceptable.
-      labels = next
+      val sum0 = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
+      // sum over zero rows observes null: an empty node set is
+      // trivially converged.
+      converged = sum0 == null ||
+        (prevSum != null && prevSum.compareTo(sum0) == 0)
+      prevSum = sum0
+      // The new round is materialized; the superseded round's blocks
+      // are dead — release them now instead of waiting for GC.
+      labelsRdd.foreach(_.unpersist(false))
+      labels = stepped
+      labelsRdd = checkpointRdd(stepped)
       rounds += 1
     }
     if (!converged)
       System.err.println(s"[connectedComponents] round cap hit after $rounds rounds")
     val out = labels.select(col("doc_id").as("id"), col("rep"))
       .localCheckpoint(true)
+    labelsRdd.foreach(_.unpersist(false))
     edges.unpersist(false)
     out
   }

@@ -24,6 +24,24 @@ class CcSpec extends AnyFunSuite {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("superseded round checkpoints are released eagerly") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    // A 200-node chain drives many pointer-jumping rounds — exactly
+    // the case where GC-reliant cleanup would pin one label copy per
+    // round in block-manager storage.
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val out = Dedup.connectedComponents(chain.toDF("a", "b"))
+    out.collect()
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    // Only the RESULT's own checkpoint may remain persisted (the
+    // caller holds it); every superseded round and the edge cache
+    // must be gone without waiting for GC + ContextCleaner.
+    assert(leaked.size <= 1,
+      s"rounds leaked ${leaked.size} persistent RDDs: $leaked")
+  }
+
   test("disjoint components keep separate min-id reps") {
     val s = spark
     import s.implicits._

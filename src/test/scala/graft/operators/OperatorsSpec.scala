@@ -175,6 +175,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate kernel matches the explode twin, with no Generate") {
+    val got = Dedup.decontaminate(spark, sf)
+    // The declarative twin (the oracle formulation): explode every
+    // corpus shingle, broadcast-semi-join the eval universe, count.
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+    val bench = Dedup.shinglesOf(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("shingle")).distinct()
+    val twin = Dedup.shinglesOf(docs.filter(col("doc_id") % 10 =!= 0))
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val a = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = twin.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate"),
+      "corpus side must stay a scan projection — no shingle explode")
+  }
+
   test("approx distinct users tracks the exact count") {
     val approx = Events.approxUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
