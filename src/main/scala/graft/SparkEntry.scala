@@ -577,20 +577,35 @@ object SparkEntry {
          |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin,
 
+    // The engine sums real payload lengths (container headers
+    // included); the oracle recomputes them as content bytes + the
+    // per-format header constant — an independent check that the wrap
+    // adds exactly the PNG/BMP header cost.
     "q32_media_stats" ->
-      """SELECT source, count(*) AS n_media,
-        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        |  round(avg(64 + octet_length(encode(text)) % 577), 4) AS avg_width,
-        |  count(DISTINCT md5(text)) AS n_distinct
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      s"""SELECT source, count(*) AS n_media,
+         |  CAST(sum(octet_length(encode(text))
+         |    + CASE WHEN doc_id % 2 = 0
+         |           THEN ${graft.functions.MediaKernel.PngHeaderBytes}
+         |           ELSE ${graft.functions.MediaKernel.BmpHeaderBytes} END)
+         |    AS BIGINT) AS total_bytes,
+         |  count(DISTINCT md5(text)) AS n_distinct
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // The engine PARSES width/height/format out of the PNG IHDR / BMP
+    // info-header bytes it wrapped the content in; the oracle
+    // recomputes them arithmetically from doc_id — two independent
+    // encodings of the container layout (the q46 pattern).
     "q33_media_decode" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
-        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
-        |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-        |  md5(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text))
+         |    + CASE WHEN doc_id % 2 = 0
+         |           THEN ${graft.functions.MediaKernel.PngHeaderBytes}
+         |           ELSE ${graft.functions.MediaKernel.BmpHeaderBytes} END
+         |    AS BIGINT) AS n_bytes,
+         |  CAST(64 + doc_id % 577 AS BIGINT) AS width,
+         |  CAST(64 + doc_id % 417 AS BIGINT) AS height,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q34_asof_join" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,

@@ -3,15 +3,25 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{MediaFunctions, MediaKernel}
 import graft.sources.Corpus
 
 /** Multimodal-column plumbing (north-star extension): media payloads
   * travel as opaque `binary` columns with typed metadata alongside.
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB — but the Spark-side plumbing is
-  * real: binary column construction, schema of the decoded struct,
-  * per-partition batch processing via `mapPartitions` (the Scala
-  * analogue of `mapInPandas` batch UDFs), and the metadata join-back.
+  * The container has no codec libraries, so payloads are synthesized
+  * — but with REAL container headers: [[graft.functions.MediaKernel]]
+  * wraps each document's bytes in a spec-conformant PNG (signature +
+  * IHDR + CRC32) or BMP (file + info header), and the decode kernel
+  * parses width/height/format back OUT of those header bytes. Encode
+  * and decode are independent directions of the published byte
+  * layouts, so the oracle (which recomputes the dimensions
+  * arithmetically) checks a genuine parse, not an echo. The rest of
+  * the plumbing is production-shaped: binary column construction via
+  * a codegen'd expression, per-partition batch processing via
+  * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs),
+  * typed `Dataset[MediaMeta]` out. A real deployment swaps
+  * [[MediaKernel.parse]]'s byte arithmetic for a full codec; every
+  * surrounding shape stays.
   */
 object Multimodal {
 
@@ -20,35 +30,34 @@ object Multimodal {
       doc_id: Long, n_bytes: Long, width: Int, height: Int,
       format: String, checksum: String)
 
-  /** STUB decode kernel: derives deterministic pseudo-metadata from
-    * the payload bytes. A real deployment swaps only this function
-    * (e.g. for a JPEG header parse); everything around it — batch
-    * iteration, schema, partitioning — is production-shaped. Takes the
+  /** Header-parsing decode: dimensions and format come from the
+    * payload's PNG IHDR / BMP info-header bytes ([[MediaKernel
+    * .parse]]); the checksum digests the full payload. Takes the
     * digest instance from the caller so the per-partition loop
     * allocates it once, not per row.
     */
-  def decodeStub(docId: Long, payload: Array[Byte],
+  def decodeMedia(docId: Long, payload: Array[Byte],
       md: java.security.MessageDigest): MediaMeta = {
-    val n = payload.length.toLong
-    // ??? real decoder goes here; deterministic fake below.
-    val width = 64 + (n % 577).toInt
-    val height = 64 + ((n * 31 + payload.headOption.getOrElse(0: Byte).toLong) % 417).toInt
-    val format = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
+    val (w, h, format) = MediaKernel.parse(payload)
     md.reset()
     val checksum = md.digest(payload).map("%02x".format(_)).mkString
-    MediaMeta(docId, n, width, height, format, checksum)
+    MediaMeta(docId, payload.length.toLong, w, h, format, checksum)
   }
 
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta =
-    decodeStub(docId, payload, java.security.MessageDigest.getInstance("MD5"))
+  def decodeMedia(docId: Long, payload: Array[Byte]): MediaMeta =
+    decodeMedia(docId, payload, java.security.MessageDigest.getInstance("MD5"))
 
-  /** documents.text encoded to a binary payload column — stands in
-    * for an image/audio bytes column with the same Spark semantics.
+  /** documents.text wrapped into genuinely-headered binary payloads —
+    * stands in for an image bytes column with the same Spark
+    * semantics. `content` (the raw bytes) rides along for stats that
+    * are content-level rather than container-level.
     */
   def payloads(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        encode(col("text"), "UTF-8").as("payload"))
+        encode(col("text"), "UTF-8").as("content"))
+      .withColumn("payload",
+        MediaFunctions.media_wrap(col("doc_id"), col("content")))
 
   /** Per-partition batched decode: Dataset[MediaMeta] out. The
     * partition hook is where a real decoder amortizes setup (codec
@@ -61,37 +70,38 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) => decodeStub(id, bytes, md) }
+        it.map { case (id, bytes) => decodeMedia(id, bytes, md) }
       }
   }
 
-  /** The oracle-checkable slice of [[decodeAll]]: every column the
-    * stub derives by integer/md5 math alone (height needs the first
-    * payload *byte*, which DuckDB SQL can't address portably on
-    * multi-byte text — excluded). Runs the real typed-Dataset
-    * mapPartitions path end-to-end through the correctness gate.
+  /** The oracle-checked slice of [[decodeAll]]: everything except the
+    * payload checksum (md5 over bytes only Spark assembled — DuckDB
+    * cannot rebuild the binary container to digest it). The oracle
+    * recomputes n_bytes/width/height/format ARITHMETICALLY from
+    * doc_id and text length; the engine recovers them by parsing the
+    * header bytes — two independent encodings of the layout, the q46
+    * pattern.
     */
   def decodeMeta(spark: SparkSession, dir: String): DataFrame =
     decodeAll(spark, dir).toDF()
       .select(col("doc_id"), col("n_bytes"),
         col("width").cast("long").as("width"),
-        col("format"), col("checksum"))
+        col("height").cast("long").as("height"),
+        col("format"))
       .orderBy(col("doc_id"))
 
-  /** Declarative (oracle-checkable) slice of the same pipeline:
-    * metadata computable without the codec — payload size, checksum,
-    * and the stub's deterministic width — aggregated per source.
-    * Pure integer/md5 math, portable to DuckDB.
+  /** Declarative payload-level stats per source — byte accounting a
+    * media pipeline runs before any decode: payload sizes (container
+    * overhead included — the oracle checks the exact per-format
+    * header cost) and distinct-content count (md5 over the content
+    * bytes, which DuckDB mirrors as md5(text)).
     */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     payloads(spark, dir)
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
-      .withColumn("width", (lit(64) + col("n_bytes") % 577).cast("int"))
-      .withColumn("checksum", md5(col("payload")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("width")), 4).as("avg_width"),
-        countDistinct(col("checksum")).as("n_distinct"))
+        countDistinct(md5(col("content"))).as("n_distinct"))
       .orderBy(col("source"))
 }

@@ -122,16 +122,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(acc > 0.2, s"stopword lang-id should beat 1-in-5 chance, got $acc")
   }
 
-  test("media decode runs the typed mapPartitions path end-to-end") {
+  test("media decode parses real PNG/BMP headers end-to-end") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val metas = Multimodal.decodeAll(spark, sf).collect()
     assert(metas.length === docs)
     metas.foreach { m =>
       assert(m.n_bytes > 0)
       assert(m.checksum.matches("[0-9a-f]{32}"))
-      assert(Set("png", "jpeg", "webp").contains(m.format))
-      assert(m.width >= 64 && m.height >= 64)
+      // The parser must recover exactly what the wrap stamped into
+      // the header bytes.
+      assert(m.format === (if (m.doc_id % 2 == 0) "png" else "bmp"))
+      assert(m.width === (64 + m.doc_id % 577).toInt)
+      assert(m.height === (64 + m.doc_id % 417).toInt)
     }
+  }
+
+  test("header parser reads independently assembled headers") {
+    import graft.functions.MediaKernel
+    // PNG assembled via DataOutputStream, not MediaKernel.wrap.
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    dos.writeInt(13); dos.writeBytes("IHDR")
+    dos.writeInt(800); dos.writeInt(600)
+    dos.writeByte(8); dos.writeByte(6)
+    dos.writeByte(0); dos.writeByte(0); dos.writeByte(0)
+    dos.writeInt(0)                      // CRC — not validated by parse
+    dos.write(Array.fill(10)(7.toByte))
+    val png = bos.toByteArray
+    assert(MediaKernel.parse(png) === ((800, 600, "png")))
+    // BMP assembled via a little-endian ByteBuffer.
+    val bb = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(60)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(1024).putInt(768).putShort(1).putShort(24)
+    assert(MediaKernel.parse(bb.array()) === ((1024, 768, "bmp")))
+    // Corrupt magic and truncated payloads degrade, never throw.
+    png(0) = 0x12
+    assert(MediaKernel.parse(png)._3 === "unknown")
+    assert(MediaKernel.parse(Array[Byte](1, 2, 3))._3 === "unknown")
   }
 
   test("salted join returns exactly the rows of the plain join") {
