@@ -53,15 +53,24 @@ object Events {
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
-  /** Approximate distinct users per event type (HLL++) — no SQL
-    * oracle (sketch values are engine-specific); the driver records a
-    * rows-only check and [[exactUsers]] carries the oracle-able exact
-    * count (the EventsSpec asserts the sketch is within rsd of it).
+  /** The HLL++ relative standard deviation [[approxUsers]] requests —
+    * named so the accuracy spec bounds against the SAME constant the
+    * sketch is configured with (3·rsd ≈ the 99.7% band for a
+    * well-behaved sketch).
+    */
+  val ApproxRsd = 0.05
+
+  /** Approximate distinct users per event type (HLL++ at
+    * [[ApproxRsd]]) — no SQL oracle (sketch values are
+    * engine-specific); the driver records a rows-only check,
+    * [[exactUsers]] carries the oracle-able exact count, and
+    * OperatorsSpec ("approx distinct users...") asserts each group's
+    * sketch is within 3·rsd of it.
     */
   def approxUsers(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), ApproxRsd).as("approx_users"))
       .orderBy(col("event_type"))
 
   /** Exact distinct users per event type — the oracle-checked twin of

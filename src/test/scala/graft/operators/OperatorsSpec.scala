@@ -224,16 +224,20 @@ class OperatorsSpec extends AnyFunSuite {
       "corpus side must stay a scan projection — no shingle explode")
   }
 
-  test("approx distinct users tracks the exact count") {
+  test("approx distinct users tracks the exact count within 3x rsd") {
     val approx = Events.approxUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Events.exactUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
+    // Per-group bound against the SAME rsd the sketch is configured
+    // with: 3·rsd is the 99.7% band, so a sketch drifting past it on
+    // this fixed corpus indicates a broken estimator, not bad luck.
+    val bound = 3.0 * Events.ApproxRsd
     exact.foreach { case (k, e) =>
       val a = approx(k)
-      assert(math.abs(a - e).toDouble / e < 0.15,
-        s"HLL++ estimate $a too far from exact $e for $k")
+      assert(math.abs(a - e).toDouble / e < bound,
+        s"HLL++ estimate $a off exact $e by more than 3*rsd for $k")
     }
   }
 }
