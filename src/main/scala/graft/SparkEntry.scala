@@ -83,7 +83,12 @@ object SparkEntry {
     "q54_token_budget" -> ((s: SparkSession, d: String) =>
       Curation.tokenBudgetSelect(s, d)),
     "q54b_token_budget_apply" -> ((s: SparkSession, d: String) =>
-      Curation.tokenBudgetApply(s, d))
+      Curation.tokenBudgetApply(s, d)),
+    "q55_vocab_topk" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabTopK(s, d)),
+    "q56_pack_manifest" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packManifest(s, d)),
+    "q57_salted_join" -> (Relational.saltedSegmentStats _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -848,6 +853,41 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
          |  CAST(sum(doc_id) AS BIGINT) AS docid_sum
          |FROM s54 GROUP BY split ORDER BY split""".stripMargin,
+
+    // Vocabulary: the rank runs over per-(lang, token) counts; ties
+    // broken lexically on the token on both sides.
+    "q55_vocab_topk" ->
+      """WITH t AS (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY lang, tok),
+        |r AS (SELECT lang, tok, n,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, tok) AS BIGINT) AS rk FROM c)
+        |SELECT lang, tok, n, rk FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
+
+    // The packing manifest: same shard/bin assignment as q45b, plus
+    // the numerically-ordered doc-id list per bin.
+    "q56_pack_manifest" ->
+      """WITH d AS (SELECT doc_id // 64 AS shard, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM d)
+        |SELECT shard, CAST((run - n_tok) // 2048 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    // The salted join must be result-identical to the plain join —
+    // the oracle IS the plain join, so the hash gate fails on any
+    // dropped or duplicated replica.
+    "q57_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_value
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q49_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),

@@ -55,6 +55,13 @@ object Curation {
       when(lang === l, lit(r)).otherwise(acc)
     }
 
+  /** The keep decision itself — a pure per-row predicate, usable as a
+    * batch filter, the audit's `keep` column, or a streaming-ingest
+    * filter ([[graft.streaming.DocumentStreams.sampledDocuments]]).
+    */
+  def keepCol(docId: Column, lang: Column): Column =
+    sampleBucket(docId) < rateCol(lang)
+
   /** Mixture-sampling audit: per language, input docs vs docs/tokens
     * kept at [[mixtureRates]]. Applying the sample at scale is the
     * same `bucket < rate` predicate as a filter — a pure per-row
@@ -66,8 +73,7 @@ object Curation {
     */
   def mixtureSampleOf(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bucket", sampleBucket(col("doc_id")))
-      .withColumn("keep", col("bucket") < rateCol(col("lang")))
+      .withColumn("keep", keepCol(col("doc_id"), col("lang")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_in"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -323,6 +323,24 @@ object Relational {
     spread.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Per-segment order stats computed THROUGH [[saltedJoin]] — the
+    * skew-handling path as an oracle-gated query, not just a unit
+    * test: the oracle is the plain join (salting must be
+    * result-invisible), so any semantic drift in the salting — a
+    * dropped row, a duplicated replica — fails the hash gate.
+    */
+  def saltedSegmentStats(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val customer = t(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    saltedJoin(orders, customer, Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Sum of the 3 largest order totals per segment via the typed
     * [[graft.functions.TopKSumAgg]] Aggregator — bounded-buffer
     * partial aggregation instead of a full window sort.

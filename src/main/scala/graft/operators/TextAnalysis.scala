@@ -199,8 +199,12 @@ object TextAnalysis {
     * partitioning clusters equal shards, so the window adds no
     * second exchange), and shards come out storage-ordered.
     */
-  def packBinsSharded(spark: SparkSession, dir: String,
-      budget: Long = 2048, shardSize: Long = 64): DataFrame = {
+  /** Per-document shard/bin assignment — the shared core of
+    * [[packBinsSharded]] (bin summary) and [[packManifest]] (bin
+    * contents): (shard, doc_id, n_tok, bin).
+    */
+  private def shardedBins(spark: SparkSession, dir: String,
+      budget: Long, shardSize: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -210,9 +214,54 @@ object TextAnalysis {
       .repartitionByRange(col("shard"))
       .withColumn("run", sum(col("n_tok")).over(w))
       .withColumn("bin", expr(s"(run - n_tok) div $budget"))
+  }
+
+  def packBinsSharded(spark: SparkSession, dir: String,
+      budget: Long = 2048, shardSize: Long = 64): DataFrame =
+    shardedBins(spark, dir, budget, shardSize)
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
       .orderBy(col("shard"), col("bin"))
+
+  /** The packing MANIFEST: per (shard, bin), the ordered document-id
+    * list a training worker would concatenate into one sequence —
+    * the artifact a packing job actually hands downstream, not just
+    * its size audit. The list is bounded by construction (a bin holds
+    * at most budget/min-doc-tokens documents), so the collect_list
+    * aggregation state is bounded per group at any corpus size; ids
+    * are sorted numerically before joining so the manifest is
+    * deterministic and oracle-comparable.
+    */
+  def packManifest(spark: SparkSession, dir: String,
+      budget: Long = 2048, shardSize: Long = 64): DataFrame =
+    shardedBins(spark, dir, budget, shardSize)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        expr("array_join(transform(sort_array(collect_list(doc_id)), " +
+          "x -> cast(x AS string)), ',')").as("doc_list"))
+      .orderBy(col("shard"), col("bin"))
+
+  /** Vocabulary construction: the k most frequent whitespace tokens
+    * per language, with counts — the frequency pass a tokenizer fit
+    * runs over the corpus. The token explode feeds a map-side-
+    * combinable hash aggregate (the canonical distributed word count:
+    * per-token rows exist only between scan and partial aggregate
+    * inside each task — unlike the dedup family, the per-token
+    * aggregate IS the product here, so the explode is irreducible);
+    * the per-language rank then plans as a bounded TopKRows heap via
+    * the injected rank-limit rewrite — k rows per (lang, partition)
+    * into the exchange, no sort of the full vocabulary.
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    Corpus.read(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("lang"), col("rk"))
   }
 
   /** Deterministic train/val/test split by content-independent hash:

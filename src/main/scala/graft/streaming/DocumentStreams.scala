@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Curation, TextAnalysis}
 
 /** Structured Streaming over the DOCUMENT corpus: the training-data
   * cleaning stages running on an unbounded ingest feed, built from
@@ -42,6 +42,17 @@ object DocumentStreams {
     * [[TextAnalysis.redact]], emitting the cleaned, scrubbed record a
     * downstream dedup/packing stage would consume.
     */
+  /** Mixture-sample each arriving document at
+    * [[Curation.mixtureRates]] — the same deterministic
+    * bucket < rate predicate as the batch operator, applied at
+    * ingest: stateless, constant-memory, and reproducible (a
+    * replayed document makes the same keep decision on any worker at
+    * any time — rand() sampling cannot promise that on a stream).
+    */
+  def sampledDocuments(docs: DataFrame): DataFrame =
+    docs.filter(Curation.keepCol(col("doc_id"), col("lang")))
+      .select(col("doc_id"), col("lang"), col("source"))
+
   def cleanedDocuments(docs: DataFrame): DataFrame =
     TextAnalysis.docQualityOf(docs)
       .filter(col("quality") > 0.4)

@@ -27,6 +27,24 @@ class DocumentStreamsSpec extends AnyFunSuite {
     dir.stripSuffix("/documents.parquet")
   }
 
+  test("streaming mixture sample equals the batch keep set") {
+    val streamed = DocumentStreams.sampledDocuments(
+      DocumentStreams.readDocumentStream(spark, streamDir))
+    val q = EventStreams.runToMemory(streamed, "sampled_docs", OutputMode.Append())
+    try {
+      val got = spark.table("sampled_docs").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      val want = DocumentStreams.sampledDocuments(
+          Corpus.read(spark, TestSpark.sf, "documents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      assert(got.nonEmpty)
+      assert(got.length < spark.read
+        .parquet(s"${TestSpark.sf}/documents.parquet").count())
+      assert(got.toSeq === want.toSeq)
+    } finally spark.sql("drop view if exists sampled_docs")
+  }
+
   test("streaming cleaned documents equal the batch pipeline rows") {
     val streamed = DocumentStreams.cleanedDocuments(
       DocumentStreams.readDocumentStream(spark, streamDir))
