@@ -265,6 +265,12 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Rounds the last [[connectedComponents]] call took — exposed so
+    * CcSpec can assert the O(log n) bound DIRECTLY (a 200-node chain
+    * in ≤ 9 rounds), not just infer it from the 64-round guard.
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // Only the symmetrized edge view — read every round — needs a
     // cache (callers pass small materialized pair sets).
@@ -329,6 +335,9 @@ object Dedup {
     }
     if (!converged)
       System.err.println(s"[connectedComponents] round cap hit after $rounds rounds")
+    lastRounds = rounds
+    if (sys.env.contains("GRAFT_CC_LOG"))
+      System.err.println(s"[connectedComponents] converged in $rounds rounds")
     val out = labels.select(col("doc_id").as("id"), col("rep"))
       .localCheckpoint(true)
     labelsRdd.foreach(_.unpersist(false))

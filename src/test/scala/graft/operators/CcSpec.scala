@@ -22,6 +22,11 @@ class CcSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 200)
     assert(got.values.toSet === Set(0L))
+    // The direct O(log n) assertion: plain min-propagation needs 199
+    // rounds on this chain; pointer jumping must land well under
+    // log-with-slack.
+    assert(Dedup.lastRounds <= 9,
+      s"chain took ${Dedup.lastRounds} rounds — pointer jumping broken")
   }
 
   test("superseded round checkpoints are released eagerly") {
