@@ -88,7 +88,9 @@ object SparkEntry {
       TextAnalysis.vocabTopK(s, d)),
     "q56_pack_manifest" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packManifest(s, d)),
-    "q57_salted_join" -> (Relational.saltedSegmentStats _)
+    "q57_salted_join" -> (Relational.saltedSegmentStats _),
+    "q58_curated_pipeline" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.curatedPipeline(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -163,6 +165,13 @@ object SparkEntry {
   private def hexBucketSql(arg: String): String =
     s"(strpos('0123456789abcdef', substring(md5($arg), 1, 1)) - 1) * 16\n" +
       s"    + strpos('0123456789abcdef', substring(md5($arg), 2, 1)) - 1"
+
+  /** The per-language mixture-rate CASE, generated from the one
+    * Curation.mixtureRates table (shared by q53 and q58).
+    */
+  private lazy val mixtureRateCase: String =
+    "CASE lang " + graft.operators.Curation.mixtureRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") + " ELSE 0 END"
 
   /** The q54 two-phase histogram threshold as CTEs ending in `c54`
     * (per-(lang, quality-bucket) doc/token counts with running-from-
@@ -808,12 +817,10 @@ object SparkEntry {
     // integers on both sides; the rate CASE is generated from the one
     // mixtureRates table so engine and oracle can never drift.
     "q53_mixture_sample" -> {
-      val rateCase = "CASE lang " + graft.operators.Curation.mixtureRates
-        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") + " ELSE 0 END"
       s"""WITH b AS (SELECT lang, text,
          |    ${hexBucketSql("'mix:' || CAST(doc_id AS VARCHAR)")} AS bucket
          |  FROM documents),
-         |k AS (SELECT lang, bucket < ($rateCase) AS keep,
+         |k AS (SELECT lang, bucket < ($mixtureRateCase) AS keep,
          |    len(regexp_extract_all(text, '\\S+')) AS n_tok FROM b)
          |SELECT lang, count(*) AS n_in,
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -853,6 +860,53 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
          |  CAST(sum(doc_id) AS BIGINT) AS docid_sum
          |FROM s54 GROUP BY split ORDER BY split""".stripMargin,
+
+    // q52 plus the mixture-sampling stage between near-dup rep keep
+    // and split assignment — the complete curation pipeline; lang is
+    // carried through so the per-language rate CASE can apply.
+    "q58_curated_pipeline" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT a, b FROM j WHERE jaccard >= 0.2),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (SELECT a AS n, b AS m FROM edges
+         |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a),
+         |reps AS (SELECT n AS doc_id, least(n, min(m)) AS rep
+         |  FROM reach GROUP BY n),
+         |dq AS (SELECT doc_id, lang, text, ' ' || text || ' ' AS padded,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |eq AS (SELECT doc_id, lang, text, n_tok, n_punct,
+         |  (${scoreSql("en")}) AS n_stop FROM dq),
+         |q AS (SELECT doc_id, lang, text, CAST(n_tok AS BIGINT) AS n_tok,
+         |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+         |    + (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 0.5
+         |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.25, 6) AS quality
+         |  FROM eq),
+         |f AS (SELECT doc_id, lang, n_tok,
+         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM q WHERE quality > 0.4),
+         |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+         |ded AS (SELECT f.doc_id, f.lang, f.n_tok FROM f JOIN k USING (fp, doc_id)),
+         |kept AS (SELECT ded.doc_id, ded.lang, ded.n_tok FROM ded
+         |  LEFT JOIN reps USING (doc_id)
+         |  WHERE reps.rep IS NULL OR reps.rep = ded.doc_id),
+         |mx AS (SELECT doc_id, n_tok FROM kept
+         |  WHERE ${hexBucketSql("'mix:' || CAST(doc_id AS VARCHAR)")}
+         |    < ($mixtureRateCase)),
+         |sb AS (SELECT doc_id, n_tok,
+         |  CASE WHEN bkt < 204 THEN 'train' WHEN bkt < 230 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  doc_id // 64 AS shard
+         |  FROM (SELECT doc_id, n_tok,
+         |    ${hexBucketSql("CAST(doc_id AS VARCHAR)")} AS bkt
+         |    FROM mx)),
+         |c AS (SELECT split, shard, doc_id, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM sb)
+         |SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  count(DISTINCT shard * 10000 + (run - n_tok) // 2048) AS n_bins
+         |FROM c GROUP BY split ORDER BY split""".stripMargin,
 
     // Vocabulary: the rank runs over per-(lang, token) counts; ties
     // broken lexically on the token on both sides.

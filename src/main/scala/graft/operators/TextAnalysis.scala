@@ -325,15 +325,34 @@ object TextAnalysis {
     * stages' own.
     */
   def trainingPipeline(spark: SparkSession, dir: String,
-      budget: Long = 2048, shardSize: Long = 64): DataFrame = {
+      budget: Long = 2048, shardSize: Long = 64): DataFrame =
+    pipelineOf(spark, dir, budget, shardSize, mixture = false)
+
+  /** [[trainingPipeline]] with the per-language MIXTURE-SAMPLING
+    * stage ([[Curation.keepCol]]) composed in between near-dup
+    * representative keep and split assignment — the complete
+    * curation story (quality → exact dedup → near-dup rep keep →
+    * mixture rebalance → split → pack) as one declarative plan. The
+    * mixture stage is a pure per-row predicate, so composing it adds
+    * zero shuffle to q52's plan.
+    */
+  def curatedPipeline(spark: SparkSession, dir: String,
+      budget: Long = 2048, shardSize: Long = 64): DataFrame =
+    pipelineOf(spark, dir, budget, shardSize, mixture = true)
+
+  private def pipelineOf(spark: SparkSession, dir: String,
+      budget: Long, shardSize: Long, mixture: Boolean): DataFrame = {
     val scored = docQuality(spark, dir)
       .filter(col("quality") > 0.4)
       .withColumn("fp", fingerprintCol(col("text")))
       .withColumn("n_tok", tokenCount(col("text")).cast("long"))
     val deduped = keepFirstByFingerprint(scored)
     val reps = Dedup.dedupClusters(spark, dir)
-    val kept = deduped.join(reps, Seq("doc_id"), "left")
+    val kept0 = deduped.join(reps, Seq("doc_id"), "left")
       .filter(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
+    val kept =
+      if (mixture) kept0.filter(Curation.keepCol(col("doc_id"), col("lang")))
+      else kept0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
