@@ -73,6 +73,7 @@ object SparkEntry {
     "q46_interval_decode" -> (Relational.intervalDecode _),
     "q47_hash_split" -> (TextAnalysis.hashSplit _),
     "q48_decontaminate" -> (Dedup.decontaminate _),
+    "q48b_decontaminate_bloom" -> (Dedup.decontaminateBloom _),
     "q49_repetition" -> (TextAnalysis.repetitionRatio _),
     "q50_embedding_clusters" -> (Dedup.embeddingClusters _),
     "q51_correlated_subquery" -> ((s: SparkSession, d: String) =>
@@ -197,6 +198,18 @@ object SparkEntry {
        |c54 AS (SELECT lang, bucket, n_docs, toks,
        |  CAST(sum(toks) OVER (PARTITION BY lang ORDER BY bucket DESC) AS BIGINT) AS cum,
        |  CAST(sum(toks) OVER (PARTITION BY lang) AS BIGINT) AS total FROM h54)""".stripMargin
+
+  /** Exact decontamination semantics — shared by q48 (exact-set
+    * kernel) and q48b (Bloom prefilter + distributed exact join),
+    * which must be row-identical by construction.
+    */
+  private lazy val decontaminateOracle: String =
+    s"""WITH $shinglesCte,
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM sh JOIN bench USING (shingle)
+       |WHERE doc_id % 10 <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB sign-LSH bucket mirroring Similarity.bucketCol. */
   private val bucketSql: String = (0 until 8).map(j =>
@@ -805,13 +818,11 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY split ORDER BY split""".stripMargin,
 
-    "q48_decontaminate" ->
-      s"""WITH $shinglesCte,
-         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
-         |SELECT doc_id, count(*) AS n_hits
-         |FROM sh JOIN bench USING (shingle)
-         |WHERE doc_id % 10 <> 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q48_decontaminate" -> decontaminateOracle,
+
+    // The Bloom prefilter changes the PLAN, never the answer: same
+    // oracle as q48 (false positives vanish at the exact join).
+    "q48b_decontaminate_bloom" -> decontaminateOracle,
 
     // Mixture sampling: the keep decision is bucket < rate in exact
     // integers on both sides; the rate CASE is generated from the one

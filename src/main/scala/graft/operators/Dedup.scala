@@ -72,6 +72,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[decontaminate]]'s scale path for when the eval-set shingle
+    * universe outgrows an executor-resident exact HashSet: only a
+    * ~12-bits-per-shingle Bloom array rides the broadcast
+    * ([[graft.functions.BloomKernel]] — no false negatives, so the
+    * prefilter can never drop a contaminated doc), the corpus
+    * prefilters itself in the scan projection, and EXACT verification
+    * explodes only the surviving candidate docs' shingles into a
+    * distributed join against the eval shingle table — the full
+    * universe is never broadcast and never driver-resident: the bit
+    * array itself is built DISTRIBUTED (per-partition Bloom inserts,
+    * OR-merged by treeAggregate). False positives cost only wasted
+    * verification rows and vanish at the exact join. Result is
+    * row-identical to [[decontaminate]] (same oracle; spec-pinned).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val benchDF = shinglesOf(evalDocs).select(col("shingle")).distinct()
+    val n = benchDF.count().toInt
+    val zero = new Array[Long](graft.functions.BloomKernel.wordsFor(n))
+    val bits = benchDF.rdd.map(_.getString(0)).treeAggregate(zero)(
+      (w, s) => {
+        graft.functions.BloomKernel.add(w,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        w
+      },
+      (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      })
+    val bc = spark.sparkContext.broadcast(bits)
+    val cands = docs.filter(col("doc_id") % 10 =!= 0)
+      .filter(graft.functions.BloomFunctions
+        .shingle_bloom_hits(TextAnalysis.tokens(col("text")), bc) > 0)
+    shinglesOf(cands).join(benchDF, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup over the md5 fingerprint. Input is the corpus
     * unioned with itself so the operator demonstrably removes copies:
     * per language, n_input = 2·docs, n_unique = distinct texts.

@@ -224,6 +224,32 @@ class OperatorsSpec extends AnyFunSuite {
       "corpus side must stay a scan projection — no shingle explode")
   }
 
+  test("bloom decontamination equals the exact-set path") {
+    val exact = Dedup.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.decontaminateBloom(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact)
+    assert(bloom.nonEmpty)
+  }
+
+  test("bloom kernel has no false negatives and a sane FP rate") {
+    import graft.functions.BloomKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    val members = (0 until 2000).map(i => s"member shingle $i")
+    val words = new Array[Long](BloomKernel.wordsFor(members.size))
+    members.foreach(s => BloomKernel.add(words, UTF8String.fromString(s)))
+    // A Bloom filter may lie positive, never negative.
+    members.foreach { s =>
+      assert(BloomKernel.mightContain(words, UTF8String.fromString(s)))
+    }
+    val falsePos = (0 until 10000).count(i =>
+      BloomKernel.mightContain(words, UTF8String.fromString(s"absent $i")))
+    // ~12 bits/element at k=7 gives ~0.3% theoretical FP; 2% is a
+    // generous determinism-safe ceiling (the probe set is fixed).
+    assert(falsePos < 200, s"false-positive rate too high: $falsePos/10000")
+  }
+
   test("approx distinct users tracks the exact count within 3x rsd") {
     val approx = Events.approxUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
