@@ -137,6 +137,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("media wrap/parse roundtrip holds across sizes and edge ids") {
+    import graft.functions.MediaKernel
+    val rnd = new scala.util.Random(42)
+    val ids = Seq(0L, 1L, 2L, 63L, 64L, 576L, 577L, 578L, 416L, 417L,
+      1000000L) ++ (0 until 50).map(_ => rnd.nextLong().abs)
+    ids.foreach { id =>
+      val content = Array.fill(rnd.nextInt(2000))(rnd.nextInt().toByte)
+      val payload = MediaKernel.wrap(id, content)
+      val (w, h, f) = MediaKernel.parse(payload)
+      assert(w === MediaKernel.widthOf(id), s"width for id $id")
+      assert(h === MediaKernel.heightOf(id), s"height for id $id")
+      assert(f === (if (id % 2 == 0) "png" else "bmp"), s"format for id $id")
+      val headerLen = if (id % 2 == 0) MediaKernel.PngHeaderBytes
+        else MediaKernel.BmpHeaderBytes
+      assert(payload.length === headerLen + content.length)
+      // Content must ride through untouched after the header.
+      assert(payload.drop(headerLen).toSeq === content.toSeq)
+    }
+  }
+
   test("header parser reads independently assembled headers") {
     import graft.functions.MediaKernel
     // PNG assembled via DataOutputStream, not MediaKernel.wrap.
