@@ -91,7 +91,8 @@ object SparkEntry {
       TextAnalysis.packManifest(s, d)),
     "q57_salted_join" -> (Relational.saltedSegmentStats _),
     "q58_curated_pipeline" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.curatedPipeline(s, d))
+      TextAnalysis.curatedPipeline(s, d)),
+    "q59_range_window" -> (Temporal.trailingWindow _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -730,6 +731,19 @@ object SparkEntry {
         |  GROUP BY a.event_id)
         |SELECT e.event_id, e.user_id, e.ts, m.n_next
         |FROM e JOIN m USING (event_id) ORDER BY event_id""".stripMargin,
+
+    // RANGE frame over integer day numbers: the frame boundary is an
+    // exact integer compare; the frame sum runs in DECIMAL on both
+    // engines (order-free) and casts to double once.
+    "q59_range_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, ship_day,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY ship_day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |        CAST(date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS BIGINT) AS ship_day,
+        |        l_quantity FROM lineitem) t
+        |ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber""".stripMargin,
 
     "q41_percentiles" ->
       """SELECT event_type,

@@ -116,6 +116,23 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** The IVF cell id of every vector — [[ivfTopK]]'s assignment stage
+    * as a standalone relation, so the corpus can be STORED partitioned
+    * by `cid` (hive-style directory per cell): probes then become
+    * partition-pruned reads touching only nprobe directories
+    * (LayoutSpec proves the filter lands in PartitionFilters).
+    */
+  def cellAssignments(spark: SparkSession, dir: String,
+      ncells: Int = 16): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < ncells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("s", round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("s"), -col("cid"))).as("cid"))
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe: each query
     * probes its own bucket plus every bucket at Hamming distance 1
     * (9 keys — the same probe scheme as

@@ -82,6 +82,33 @@ object Temporal {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Trailing-time aggregation with a RANGE frame: per supplier, the
+    * quantity shipped in the trailing 7 days of each shipment —
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the ship date
+    * as an integer day number, so the frame boundary is an exact
+    * integer compare on both engines. A ROWS frame cannot express
+    * this (gaps and ties in time change the row count inside a fixed
+    * row window); the range frame is the remaining frame kind next to
+    * q10's running rows-frame. The frame sum runs in DECIMAL (double
+    * addition is order-sensitive inside a frame; decimal is exact and
+    * order-free) and casts once at the end.
+    */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+      .rangeBetween(-6, 0)
+    Corpus.read(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("ship_day"),
+        col("l_quantity"))
+      .withColumn("qty_7d",
+        sum(col("l_quantity").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_day"), col("qty_7d"))
+      .orderBy(col("l_suppkey"), col("ship_day"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
   /** Binned range join: count, for every event, the same user's
     * events in the following `windowSec` seconds. A naive range join
     * (`b.ts > a.ts AND b.ts <= a.ts + w`) is a per-key cross product;

@@ -61,4 +61,25 @@ class LayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("IVF cell layout partition-prunes probe reads") {
+    // The SCALING claim for q31b made concrete: store the corpus
+    // partitioned by IVF cell and a probe's cell filter must become
+    // directory pruning, not a full scan.
+    val cells = graft.operators.Similarity
+      .cellAssignments(spark, TestSpark.sf)
+    val stored = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .join(cells, "vec_id")
+    val dir = Files.createTempDirectory("ivf").toString + "/cells"
+    Layout.writePartitioned(stored, dir, Seq("cid"))
+
+    val probes = Seq(3, 7)
+    val q = spark.read.parquet(dir).filter(col("cid").isin(probes: _*))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(800))
+    assert(plan.contains("cid#"), plan.take(800))
+    val expected = stored.filter(col("cid").isin(probes: _*)).count()
+    assert(q.count() === expected)
+    assert(expected > 0)
+  }
 }
