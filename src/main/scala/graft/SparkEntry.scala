@@ -92,7 +92,10 @@ object SparkEntry {
     "q57_salted_join" -> (Relational.saltedSegmentStats _),
     "q58_curated_pipeline" -> ((s: SparkSession, d: String) =>
       TextAnalysis.curatedPipeline(s, d)),
-    "q59_range_window" -> (Temporal.trailingWindow _)
+    "q59_range_window" -> (Temporal.trailingWindow _),
+    "q60_media_resize" -> ((s: SparkSession, d: String) =>
+      Multimodal.resizeMeta(s, d)),
+    "q61_frame_sample" -> (Multimodal.frameSample _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -634,6 +637,48 @@ object SparkEntry {
          |  CAST(64 + doc_id % 417 AS BIGINT) AS height,
          |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Resize: the engine re-wraps content under fit-into-256 dims and
+    // reports what a RE-PARSE of the new header bytes says; the
+    // oracle recomputes the fit arithmetically (floor division).
+    "q60_media_resize" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(64 + doc_id % 577 AS BIGINT) AS w,
+         |    CAST(64 + doc_id % 417 AS BIGINT) AS h,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+         |    CAST(octet_length(encode(text))
+         |      + CASE WHEN doc_id % 2 = 0
+         |             THEN ${graft.functions.MediaKernel.PngHeaderBytes}
+         |             ELSE ${graft.functions.MediaKernel.BmpHeaderBytes} END
+         |      AS BIGINT) AS n_bytes
+         |  FROM documents)
+         |SELECT doc_id, w AS width, h AS height,
+         |  CASE WHEN greatest(w, h) <= 256 THEN w
+         |       WHEN w >= h THEN 256 ELSE (w * 256) // h END AS new_width,
+         |  CASE WHEN greatest(w, h) <= 256 THEN h
+         |       WHEN w >= h THEN (h * 256) // w ELSE 256 END AS new_height,
+         |  format, n_bytes
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Frame sampling: the engine slices real 256-byte frames and
+    // counts what it sliced; the oracle recomputes the counts from
+    // the content length (ceil divisions; short-last-frame CASE).
+    "q61_frame_sample" -> {
+      val fb = graft.operators.Multimodal.FrameBytes
+      val st = graft.operators.Multimodal.FrameStride
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+         |f AS (SELECT doc_id, len, (len + ${fb - 1}) // $fb AS n_frames FROM b),
+         |s AS (SELECT doc_id, n_frames, (n_frames + ${st - 1}) // $st AS n_sampled,
+         |  CASE WHEN n_frames = 0 THEN 0
+         |       WHEN (n_frames - 1) % $st = 0 AND len % $fb > 0
+         |       THEN ((n_frames + ${st - 1}) // $st) * $fb - ($fb - len % $fb)
+         |       ELSE ((n_frames + ${st - 1}) // $st) * $fb END AS sampled_bytes
+         |  FROM f)
+         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(n_sampled AS BIGINT) AS n_sampled,
+         |  CAST(sampled_bytes AS BIGINT) AS sampled_bytes
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "q34_asof_join" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,

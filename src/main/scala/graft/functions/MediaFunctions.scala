@@ -52,10 +52,16 @@ object MediaKernel {
     * info header: width/height little-endian i32, 24 bpp). The
     * content stands in for the compressed pixel stream.
     */
-  def wrap(docId: Long, content: Array[Byte]): Array[Byte] = {
-    val w = widthOf(docId)
-    val h = heightOf(docId)
-    if (docId % 2 == 0) {
+  def wrap(docId: Long, content: Array[Byte]): Array[Byte] =
+    wrapDims(docId % 2 == 0, widthOf(docId), heightOf(docId), content)
+
+  /** The header-assembly half with explicit dimensions — shared by
+    * the fixture wrap and the resize transform (which re-wraps the
+    * same content under new dims).
+    */
+  def wrapDims(png: Boolean, w: Int, h: Int,
+      content: Array[Byte]): Array[Byte] = {
+    if (png) {
       val out = new Array[Byte](PngHeaderBytes + content.length)
       System.arraycopy(PngSignature, 0, out, 0, 8)
       beInt(out, 8, 13)                       // IHDR data length
@@ -84,6 +90,15 @@ object MediaKernel {
       out
     }
   }
+
+  /** Fit (w, h) into a `box`×`box` square preserving aspect ratio,
+    * downscale only — exact integer arithmetic (floor division), so
+    * the DuckDB oracle reproduces it with `//`.
+    */
+  def fitInto(w: Int, h: Int, box: Int): (Int, Int) =
+    if (math.max(w, h) <= box) (w, h)
+    else if (w >= h) (box, (h.toLong * box / w).toInt)
+    else ((w.toLong * box / h).toInt, box)
 
   /** Parsed header metadata: (width, height, format). Bytes that
     * match no known magic — or are too short for their format's

@@ -90,6 +90,68 @@ object Multimodal {
         col("format"))
       .orderBy(col("doc_id"))
 
+  /** Resize-to-fit transform: parse each payload's header, compute
+    * the fit-into-256×256 target dims (exact integer arithmetic,
+    * downscale only), RE-WRAP the content under the new header, and
+    * re-parse the resized payload — so the reported new dims come
+    * from bytes the transform actually wrote, not from the formula.
+    * A real deployment swaps the content passthrough for pixel
+    * resampling; header surgery, batch iteration, and the verify-by-
+    * reparse loop are the production shape.
+    */
+  def resizeMeta(spark: SparkSession, dir: String, box: Int = 256): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h, format) = MediaKernel.parse(payload)
+          val (nw, nh) = MediaKernel.fitInto(w, h, box)
+          val headerLen = if (format == "png") MediaKernel.PngHeaderBytes
+            else MediaKernel.BmpHeaderBytes
+          val content = java.util.Arrays.copyOfRange(
+            payload, headerLen, payload.length)
+          val resized = MediaKernel.wrapDims(format == "png", nw, nh, content)
+          val (vw, vh, vf) = MediaKernel.parse(resized)
+          (id, w.toLong, h.toLong, vw.toLong, vh.toLong, vf,
+            resized.length.toLong)
+        }
+      }
+      .toDF("doc_id", "width", "height", "new_width", "new_height",
+        "format", "n_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling over an opaque stream payload (the video/audio
+    * stand-in): the content splits into fixed 256-byte frames (last
+    * frame may be short) and every 4th frame is sampled — the frame
+    * extraction a vision pipeline runs before per-frame decode. The
+    * kernel SLICES the real byte ranges and reports what it sliced;
+    * the oracle recomputes the counts arithmetically from the content
+    * length.
+    */
+  val FrameBytes = 256
+  val FrameStride = 4
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, content) =>
+          val frames = content.grouped(FrameBytes).toArray
+          val sampled = frames.zipWithIndex
+            .collect { case (f, i) if i % FrameStride == 0 => f }
+          (id, frames.length.toLong, sampled.length.toLong,
+            sampled.map(_.length.toLong).sum)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "sampled_bytes")
+      .orderBy(col("doc_id"))
+  }
+
   /** Declarative payload-level stats per source — byte accounting a
     * media pipeline runs before any decode: payload sizes (container
     * overhead included — the oracle checks the exact per-format

@@ -157,6 +157,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("fitInto only downscales and preserves aspect direction") {
+    import graft.functions.MediaKernel.fitInto
+    assert(fitInto(100, 200, 256) === ((100, 200)))   // already fits
+    assert(fitInto(256, 256, 256) === ((256, 256)))   // exact boundary
+    assert(fitInto(512, 256, 256) === ((256, 128)))   // wide
+    assert(fitInto(100, 400, 256) === ((64, 256)))    // tall
+    assert(fitInto(640, 417, 256) === ((256, 166)))   // floor division
+  }
+
   test("header parser reads independently assembled headers") {
     import graft.functions.MediaKernel
     // PNG assembled via DataOutputStream, not MediaKernel.wrap.
