@@ -27,9 +27,14 @@ object BloomKernel {
 
   /** Bits sized at ~12 per element (FP ≈ 0.3% at k=7), rounded up to
     * whole 64-bit words; at least one word so an empty build still
-    * probes safely.
+    * probes safely. Long arithmetic throughout — an Int bit-count
+    * would wrap at ~180M elements and silently collapse the filter
+    * to one word.
     */
-  def wordsFor(n: Int): Int = math.max(1, (n.toLong * 12 + 63).toInt / 64)
+  def wordsFor(n: Long): Int = {
+    val words = (n * 12 + 63) / 64
+    math.max(1L, math.min(words, Int.MaxValue.toLong)).toInt
+  }
 
   private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
@@ -78,22 +83,13 @@ object BloomKernel {
   /** Count of DISTINCT word-3-gram shingles of the token array that
     * bloom-test positive — an upper bound on the exact hit count
     * (no false negatives), used to prefilter the corpus to candidate
-    * documents before exact verification.
+    * documents before exact verification. The shingle iteration is
+    * [[MinHashKernel.countMatchingShingles]] — ONE definition of the
+    * 3-gram walk shared with the exact-set kernel, so the two
+    * decontamination paths cannot drift.
     */
-  def shingleBloomHits(tokens: ArrayData, words: Array[Long]): Long = {
-    val n = tokens.numElements()
-    if (n < 3) return 0L
-    val hits = new java.util.HashSet[UTF8String]()
-    val SpaceUtf8 = UTF8String.fromString(" ")
-    var i = 0
-    while (i <= n - 3) {
-      val sh = UTF8String.concat(tokens.getUTF8String(i), SpaceUtf8,
-        tokens.getUTF8String(i + 1), SpaceUtf8, tokens.getUTF8String(i + 2))
-      if (mightContain(words, sh)) hits.add(sh)
-      i += 1
-    }
-    hits.size.toLong
-  }
+  def shingleBloomHits(tokens: ArrayData, words: Array[Long]): Long =
+    MinHashKernel.countMatchingShingles(tokens, s => mightContain(words, s))
 }
 
 /** `shingle_bloom_hits(tokensArray)` → count of the doc's distinct

@@ -176,29 +176,40 @@ object MinHashKernel {
     java.lang.Long.valueOf(max.toLong)
   }
 
-  /** Count of DISTINCT word-3-gram shingles of the token array that
-    * are members of `set` — the corpus side of benchmark
-    * decontamination as one per-document pass: no shingle explode, no
-    * per-shingle rows into any exchange (the declarative twin — the
-    * oracle formulation — explodes every corpus shingle only to
-    * semi-join a broadcast set and count). The local hit-set dedups a
-    * doc's repeated shingles; it holds hits only, so its size is
-    * bounded by the (small) eval universe, not by document length.
+  /** Count of the doc's DISTINCT word-3-gram shingles satisfying
+    * `test` — the ONE definition of the decontamination shingle walk,
+    * shared by the exact-set kernel ([[shingleHits]]) and the Bloom
+    * prefilter ([[BloomKernel.shingleBloomHits]]) so the two paths
+    * cannot drift. The local hit-set dedups a doc's repeated
+    * shingles; it holds matches only, so its size is bounded by the
+    * matching universe, not by document length.
     */
-  def shingleHits(tokens: ArrayData,
-      set: java.util.HashSet[UTF8String]): Long = {
+  def countMatchingShingles(tokens: ArrayData,
+      test: UTF8String => Boolean): Long = {
     val n = tokens.numElements()
-    if (n < 3 || set.isEmpty) return 0L
+    if (n < 3) return 0L
     val hits = new java.util.HashSet[UTF8String]()
     var i = 0
     while (i <= n - 3) {
       val sh = UTF8String.concat(tokens.getUTF8String(i), SpaceUtf8,
         tokens.getUTF8String(i + 1), SpaceUtf8, tokens.getUTF8String(i + 2))
-      if (set.contains(sh)) hits.add(sh)
+      if (test(sh)) hits.add(sh)
       i += 1
     }
     hits.size.toLong
   }
+
+  /** Count of DISTINCT word-3-gram shingles of the token array that
+    * are members of `set` — the corpus side of benchmark
+    * decontamination as one per-document pass: no shingle explode, no
+    * per-shingle rows into any exchange (the declarative twin — the
+    * oracle formulation — explodes every corpus shingle only to
+    * semi-join a broadcast set and count).
+    */
+  def shingleHits(tokens: ArrayData,
+      set: java.util.HashSet[UTF8String]): Long =
+    if (set.isEmpty) 0L
+    else countMatchingShingles(tokens, set.contains)
 
   /** Exact Jaccard similarity of two SORTED DISTINCT shingle arrays
     * (as produced by [[sortedShingles]]): one merge pass, no per-pair

@@ -51,18 +51,15 @@ object Dedup {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
-    // One scan job with NO exchange: per-doc distinct shingle arrays
-    // from the SortedShingles kernel, globally deduped into the set
-    // at the driver (the global distinct that a shuffle would
-    // otherwise pay for falls out of the HashSet insert).
+    // Collect the DEDUPED relation, exactly as a BroadcastExchange
+    // would: the driver's transient footprint is the distinct
+    // universe, never the sum of per-doc shingle sets (cross-doc
+    // overlap in an eval suite is the norm, not the exception).
     val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-    docs.filter(col("doc_id") % 10 === 0)
-      .select(graft.functions.MinHashFunctions
-        .sorted_shingles(TextAnalysis.tokens(col("text"))).as("shs"))
-      .collect().foreach { r =>
-        r.getSeq[String](0).foreach(s =>
-          set.add(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
-      }
+    shinglesOf(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("shingle")).distinct()
+      .collect().foreach(r => set.add(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
     val bench = spark.sparkContext.broadcast(set)
     docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), graft.functions.MinHashFunctions
@@ -89,8 +86,13 @@ object Dedup {
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
     val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    // Materialized ONCE (lineage-free): consumed three times — the
+    // sizing count, the distributed bit build, and the exact
+    // verification join — and the explode+distinct behind it is the
+    // dominant eval-side cost; eval-sized blocks are cheap to hold.
     val benchDF = shinglesOf(evalDocs).select(col("shingle")).distinct()
-    val n = benchDF.count().toInt
+      .localCheckpoint(true)
+    val n = benchDF.count()
     val zero = new Array[Long](graft.functions.BloomKernel.wordsFor(n))
     val bits = benchDF.rdd.map(_.getString(0)).treeAggregate(zero)(
       (w, s) => {

@@ -99,25 +99,37 @@ object Multimodal {
     * resampling; header surgery, batch iteration, and the verify-by-
     * reparse loop are the production shape.
     */
+  /** One payload through parse → fit → re-wrap → re-parse. Corrupt
+    * payloads honor parse()'s degrade-don't-throw contract: they come
+    * back as a filterable "unknown" row (zero dims, original byte
+    * count), never "resized" into a fake 0×0 container and never an
+    * exception — a corrupt row in a 100 TB corpus must not fail the
+    * job.
+    */
+  def resizeOne(id: Long, payload: Array[Byte],
+      box: Int): (Long, Long, Long, Long, Long, String, Long) = {
+    val (w, h, format) = MediaKernel.parse(payload)
+    if (format == "unknown") {
+      (id, 0L, 0L, 0L, 0L, "unknown", payload.length.toLong)
+    } else {
+      val (nw, nh) = MediaKernel.fitInto(w, h, box)
+      val headerLen = if (format == "png") MediaKernel.PngHeaderBytes
+        else MediaKernel.BmpHeaderBytes
+      val content = java.util.Arrays.copyOfRange(
+        payload, headerLen, payload.length)
+      val resized = MediaKernel.wrapDims(format == "png", nw, nh, content)
+      val (vw, vh, vf) = MediaKernel.parse(resized)
+      (id, w.toLong, h.toLong, vw.toLong, vh.toLong, vf,
+        resized.length.toLong)
+    }
+  }
+
   def resizeMeta(spark: SparkSession, dir: String, box: Int = 256): DataFrame = {
     import spark.implicits._
     payloads(spark, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val (w, h, format) = MediaKernel.parse(payload)
-          val (nw, nh) = MediaKernel.fitInto(w, h, box)
-          val headerLen = if (format == "png") MediaKernel.PngHeaderBytes
-            else MediaKernel.BmpHeaderBytes
-          val content = java.util.Arrays.copyOfRange(
-            payload, headerLen, payload.length)
-          val resized = MediaKernel.wrapDims(format == "png", nw, nh, content)
-          val (vw, vh, vf) = MediaKernel.parse(resized)
-          (id, w.toLong, h.toLong, vw.toLong, vh.toLong, vf,
-            resized.length.toLong)
-        }
-      }
+      .mapPartitions(_.map { case (id, payload) => resizeOne(id, payload, box) })
       .toDF("doc_id", "width", "height", "new_width", "new_height",
         "format", "n_bytes")
       .orderBy(col("doc_id"))

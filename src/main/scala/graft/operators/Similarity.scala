@@ -83,13 +83,10 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = e.crossJoin(broadcast(cents))
       .withColumn("s", round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
-    // Cell assignment is a map-side-combinable argmax — one partial
-    // aggregate per scan partition, one row per vector into the
-    // exchange — not a window rank over the 16x-scored corpus (which
-    // would shuffle every scored row). Ties: highest s, then lowest
-    // cid, matching ORDER BY s DESC, cid.
-    val cells = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("s"), -col("cid"))).as("cid"))
+    // Search-time cells come from the SAME assignment relation the
+    // stored layout uses — one definition, so index build and search
+    // can never disagree on a vector's cell.
+    val cells = cellAssignments(spark, dir, ncells)
     // nprobe cells per QUERY: the rank runs over queries only (the
     // filter prunes the crossJoin to the query rows before ranking),
     // and the rank-limit rewrite plans it as a bounded top-k.
@@ -116,11 +113,16 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** The IVF cell id of every vector — [[ivfTopK]]'s assignment stage
-    * as a standalone relation, so the corpus can be STORED partitioned
-    * by `cid` (hive-style directory per cell): probes then become
-    * partition-pruned reads touching only nprobe directories
-    * (LayoutSpec proves the filter lands in PartitionFilters).
+  /** The IVF cell id of every vector — the ONE assignment relation
+    * shared by [[ivfTopK]]'s search and the stored layout
+    * (`Layout.writePartitioned(cid)`), so index build and search can
+    * never disagree. Cell assignment is a map-side-combinable
+    * argmax — one partial aggregate per scan partition, one row per
+    * vector into the exchange — not a window rank over the
+    * ncells×-scored corpus (which would shuffle every scored row).
+    * Ties: highest s, then lowest cid, matching ORDER BY s DESC, cid.
+    * Stored partitioned by `cid`, probes become partition-pruned
+    * reads (LayoutSpec proves the filter lands in PartitionFilters).
     */
   def cellAssignments(spark: SparkSession, dir: String,
       ncells: Int = 16): DataFrame = {

@@ -42,6 +42,15 @@ object DocumentStreams {
     * [[TextAnalysis.redact]], emitting the cleaned, scrubbed record a
     * downstream dedup/packing stage would consume.
     */
+  def cleanedDocuments(docs: DataFrame): DataFrame =
+    TextAnalysis.docQualityOf(docs)
+      .filter(col("quality") > 0.4)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        TextAnalysis.fingerprintCol(col("text")).as("fp"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), TextAnalysis.EmailPattern, "<EMAIL>"),
+          TextAnalysis.LongNumberPattern, "<NUM>")).as("redacted_fp"))
+
   /** Mixture-sample each arriving document at
     * [[Curation.mixtureRates]] — the same deterministic
     * bucket < rate predicate as the batch operator, applied at
@@ -52,13 +61,4 @@ object DocumentStreams {
   def sampledDocuments(docs: DataFrame): DataFrame =
     docs.filter(Curation.keepCol(col("doc_id"), col("lang")))
       .select(col("doc_id"), col("lang"), col("source"))
-
-  def cleanedDocuments(docs: DataFrame): DataFrame =
-    TextAnalysis.docQualityOf(docs)
-      .filter(col("quality") > 0.4)
-      .select(col("doc_id"), col("lang"), col("quality"),
-        TextAnalysis.fingerprintCol(col("text")).as("fp"),
-        md5(regexp_replace(
-          regexp_replace(col("text"), TextAnalysis.EmailPattern, "<EMAIL>"),
-          TextAnalysis.LongNumberPattern, "<NUM>")).as("redacted_fp"))
 }

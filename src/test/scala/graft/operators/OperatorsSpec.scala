@@ -166,6 +166,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fitInto(640, 417, 256) === ((256, 166)))   // floor division
   }
 
+  test("resize degrades corrupt payloads instead of throwing") {
+    // Shorter than any header: must come back unknown, not crash.
+    assert(Multimodal.resizeOne(7L, Array[Byte](1, 2, 3), 256) ===
+      ((7L, 0L, 0L, 0L, 0L, "unknown", 3L)))
+    // Long enough for a BMP header but wrong magic: still unknown.
+    val junk = Array.fill(100)(0x42.toByte)
+    junk(1) = 0x00
+    assert(Multimodal.resizeOne(8L, junk, 256)._6 === "unknown")
+  }
+
   test("header parser reads independently assembled headers") {
     import graft.functions.MediaKernel
     // PNG assembled via DataOutputStream, not MediaKernel.wrap.
