@@ -370,7 +370,9 @@ object Dedup {
         (prevSum != null && prevSum.compareTo(sum0) == 0)
       prevSum = sum0
       // The new round is materialized; the superseded round's blocks
-      // are dead — release them now instead of waiting for GC.
+      // are dead — release them now instead of waiting for GC. Spark
+      // WARNs that a locally-checkpointed RDD cannot be recomputed
+      // after unpersist; that is the point — nothing references it.
       labelsRdd.foreach(_.unpersist(false))
       labels = stepped
       labelsRdd = checkpointRdd(stepped)
