@@ -92,6 +92,26 @@ class RankLimitSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("rls_orders")
   }
 
+  test("rank over an aggregate's output rewrites (the q55 vocab shape)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("en", "a"), ("en", "a"), ("en", "b"), ("en", "c"),
+      ("en", "c"), ("en", "c"), ("de", "x"), ("de", "y"), ("de", "y"))
+    val w = W.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    val df = rows.toDF("lang", "tok")
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+    val plan = df.queryExecution.optimizedPlan
+    assert(!plan.exists(_.isInstanceOf[Window]),
+      s"Window survived over the aggregate:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === Set(("en", "c", 3L, 1), ("en", "a", 2L, 2),
+      ("de", "y", 2L, 1), ("de", "x", 1L, 2)))
+  }
+
   test("non-row_number and unfiltered windows are left alone") {
     val w = W.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
