@@ -32,8 +32,13 @@ object BloomKernel {
     * to one word.
     */
   def wordsFor(n: Long): Int = {
+    val MaxWords = Int.MaxValue - 8L    // HotSpot's array-size ceiling
     val words = (n * 12 + 63) / 64
-    math.max(1L, math.min(words, Int.MaxValue.toLong)).toInt
+    if (words > MaxWords)
+      System.err.println(s"[BloomKernel] $n elements exceeds the max " +
+        "addressable bit array — FP rate degrades below the " +
+        "12-bits/element design; shard the filter before trusting it")
+    math.max(1L, math.min(words, MaxWords)).toInt
   }
 
   private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](

@@ -91,12 +91,23 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 
-  /** SQL registration: `SELECT cosine_sim(a.embedding, b.embedding)`. */
+  /** SQL registration: `SELECT cosine_sim(a.embedding, b.embedding)`.
+    * Arity-validated exactly like the extension-injected builders —
+    * this path OVERRIDES them in the registry (createOrReplace), so a
+    * lax builder here would silently replace a strict one and turn a
+    * clear wrong-argument-count error back into an index exception.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def binary(name: String, f: (Expression, Expression) => Expression)(
+        es: Seq[Expression]): Expression = es match {
+      case Seq(a, b) => f(a, b)
+      case _ => throw new graft.FlacoSparkException(
+        s"$name expects exactly 2 arguments, got ${es.length}")
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
+      "cosine_sim", binary("cosine_sim", CosineSimilarity.apply), "built-in")
     reg.createOrReplaceTempFunction(
-      "dot_product", es => DotProduct(es.head, es(1)), "built-in")
+      "dot_product", binary("dot_product", DotProduct.apply), "built-in")
   }
 }

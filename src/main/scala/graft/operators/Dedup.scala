@@ -109,10 +109,18 @@ object Dedup {
     val cands = docs.filter(col("doc_id") % 10 =!= 0)
       .filter(graft.functions.BloomFunctions
         .shingle_bloom_hits(TextAnalysis.tokens(col("text")), bc) > 0)
-    shinglesOf(cands).join(benchDF, Seq("shingle"))
+    // Materialize the (tiny) RESULT and release benchDF's checkpoint
+    // blocks before returning — the candidatePairJaccard discipline:
+    // callers get a small self-contained relation, not a plan pinning
+    // eval-universe blocks in executor storage (and not one that dies
+    // unrecomputably if a holding executor is lost later).
+    val out = shinglesOf(cands).join(benchDF, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    checkpointRdd(benchDF).foreach(_.unpersist(false))
+    out
   }
 
   /** Exact dedup over the md5 fingerprint. Input is the corpus

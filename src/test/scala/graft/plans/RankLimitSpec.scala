@@ -105,10 +105,12 @@ class RankLimitSpec extends AnyFunSuite {
     val plan = df.queryExecution.optimizedPlan
     assert(!plan.exists(_.isInstanceOf[Window]),
       s"Window survived over the aggregate:\n$plan")
-    val got = df.collect()
+    val rows2 = df.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
-      .toSet
-    assert(got === Set(("en", "c", 3L, 1), ("en", "a", 2L, 2),
+    // Cardinality AND membership: a rewrite emitting a qualifying row
+    // twice must fail here, not be collapsed by the set compare.
+    assert(rows2.length === 4)
+    assert(rows2.toSet === Set(("en", "c", 3L, 1), ("en", "a", 2L, 2),
       ("de", "y", 2L, 1), ("de", "x", 1L, 2)))
   }
 
