@@ -176,4 +176,33 @@ object Curation {
   def tokenBudgetApply(spark: SparkSession, dir: String,
       num: Int = BudgetNum, den: Int = BudgetDen): DataFrame =
     tokenBudgetApplyOf(TextAnalysis.docQuality(spark, dir), num, den)
+
+  /** Deterministic EXACT-SIZE stratified sample: exactly
+    * min(k, stratum size) documents per language, chosen by md5-hash
+    * order (salted "strat:" so it is independent of the mixture and
+    * split hashes). Rate-based sampling ([[mixtureSample]]) gives
+    * binomially-noisy sizes; mixture TUNING wants exact counts, and
+    * the at-scale way to take them is a bounded per-stratum top-k —
+    * the rank plans through the injected rewrite as a TopKRows heap
+    * (k rows per (lang, partition) into the exchange), never a global
+    * sort or a driver-side reservoir. Reported per language with a
+    * doc_id-sum identity so the gate proves WHICH docs were drawn.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      k: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rk_hash"), col("doc_id"))
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("rk_hash",
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_tok")).as("tokens"),
+        sum(col("doc_id")).as("docid_sum"))
+      .orderBy(col("lang"))
+  }
 }

@@ -108,6 +108,22 @@ class CurationSpec extends AnyFunSuite {
     assert(applied.map(_.getLong(3)).sum === 30L)       // doc ids 10 + 20
   }
 
+  test("stratified sample draws exactly k per stratum, deterministically") {
+    val a = Curation.stratifiedSample(spark, TestSpark.sf, k = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val b = Curation.stratifiedSample(spark, TestSpark.sf, k = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(a.toSeq === b.toSeq)            // same draw every run
+    a.foreach { case (lang, n, _) =>
+      assert(n === 7L, s"stratum $lang drew $n docs, wanted exactly 7")
+    }
+    // A different k draws a superset-ordered prefix: the k=7 docid
+    // sum can never exceed the k=8 one (hash order is a fixed list).
+    val bigger = Curation.stratifiedSample(spark, TestSpark.sf, k = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    a.foreach { case (lang, _, ds) => assert(ds <= bigger(lang)) }
+  }
+
   test("select and apply agree on the kept token volume (corpus)") {
     val sel = Curation.tokenBudgetSelect(spark, TestSpark.sf).collect()
       .map(_.getLong(3)).sum
