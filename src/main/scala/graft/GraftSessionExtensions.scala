@@ -18,21 +18,32 @@ import graft.plans.RankLimitToTopK
   * [[graft.functions.VectorFunctions.register]] (which mutates one
   * session's registry at runtime).
   */
-class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
+/** Arity-validating function builders — ONE definition shared by the
+  * extension-injection path ([[GraftSessionExtensions]]) and the
+  * runtime registration path ([[graft.functions.VectorFunctions
+  * .register]], which OVERRIDES the injected builders via
+  * createOrReplace), so the two can never diverge on how a
+  * wrong-argument-count call fails.
+  */
+private[graft] object FunctionBuilders {
 
-  private def unary(name: String, f: Expression => Expression)(
+  def unary(name: String, f: Expression => Expression)(
       es: Seq[Expression]): Expression = es match {
     case Seq(a) => f(a)
     case _ => throw new FlacoSparkException(
       s"$name expects exactly 1 argument, got ${es.length}")
   }
 
-  private def binary(name: String, f: (Expression, Expression) => Expression)(
+  def binary(name: String, f: (Expression, Expression) => Expression)(
       es: Seq[Expression]): Expression = es match {
     case Seq(a, b) => f(a, b)
     case _ => throw new FlacoSparkException(
       s"$name expects exactly 2 arguments, got ${es.length}")
   }
+}
+
+class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
+  import FunctionBuilders.{binary, unary}
 
   private def inject(ext: SparkSessionExtensions, name: String,
       clazz: Class[_], builder: Seq[Expression] => Expression): Unit =

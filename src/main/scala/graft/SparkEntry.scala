@@ -904,17 +904,18 @@ object SparkEntry {
     // each language, keep the first k; doc_id-sum identity proves the
     // drawn set, not just its size.
     "q62_stratified_sample" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |    len(regexp_extract_all(text, '\S+')) AS n_tok,
-        |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS rk_hash
-        |  FROM documents),
-        |r AS (SELECT doc_id, lang, n_tok,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY rk_hash, doc_id) AS rk FROM d)
-        |SELECT lang, count(*) AS n_sampled,
-        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
-        |  CAST(sum(doc_id) AS BIGINT) AS docid_sum
-        |FROM r WHERE rk <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS rk_hash
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, n_tok,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY rk_hash, doc_id) AS rk FROM d)
+         |SELECT lang, count(*) AS n_sampled,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS docid_sum
+         |FROM r WHERE rk <= ${graft.operators.Curation.StratK}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Histogram threshold audit: kept-bucket aggregate per language.
     // The budget compare is exact integer arithmetic (cum·den ≤

@@ -98,12 +98,7 @@ object VectorFunctions {
     * clear wrong-argument-count error back into an index exception.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    def binary(name: String, f: (Expression, Expression) => Expression)(
-        es: Seq[Expression]): Expression = es match {
-      case Seq(a, b) => f(a, b)
-      case _ => throw new graft.FlacoSparkException(
-        s"$name expects exactly 2 arguments, got ${es.length}")
-    }
+    import graft.FunctionBuilders.binary
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_sim", binary("cosine_sim", CosineSimilarity.apply), "built-in")

@@ -35,6 +35,11 @@ object Curation {
   val BudgetNum = 6
   val BudgetDen = 10
 
+  /** Default stratified-sample size per language — named because the
+    * q62 oracle interpolates the same k.
+    */
+  val StratK = 50
+
   /** Deterministic sampling bucket 0..255: the first two hex digits
     * of md5 over a salted doc id. The salt decorrelates mixture
     * sampling from [[TextAnalysis.splitCol]]'s train/val/test buckets
@@ -189,7 +194,7 @@ object Curation {
     * doc_id-sum identity so the gate proves WHICH docs were drawn.
     */
   def stratifiedSample(spark: SparkSession, dir: String,
-      k: Int = 50): DataFrame = {
+      k: Int = StratK): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("rk_hash"), col("doc_id"))
     Corpus.read(spark, dir, "documents")

@@ -120,6 +120,10 @@ object Dedup {
       .orderBy(col("doc_id"))
       .localCheckpoint(true)
     checkpointRdd(benchDF).foreach(_.unpersist(false))
+    // The bits broadcast is eval-universe-sized too; out is fully
+    // materialized (the prefilter already ran), so destroy it now
+    // rather than pinning executor blocks until GC.
+    bc.destroy()
     out
   }
 

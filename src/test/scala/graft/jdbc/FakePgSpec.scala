@@ -21,17 +21,23 @@ class FakePgSpec extends AnyFunSuite {
 
   private def spark = TestSpark.spark
 
-  private def load() = {
-    FlacoPostgresDialect.register()
-    spark.read.format("jdbc")
+  /** Register the dialect only for the duration of the action —
+    * the registry is process-global and a leaked registration would
+    * let FlacoPostgresDialectSpec's precedence assertions pass
+    * against OUR instance instead of their own.
+    */
+  private def withDialect[T](f: org.apache.spark.sql.DataFrame => T): T = {
+    val d = FlacoPostgresDialect.register()
+    try f(spark.read.format("jdbc")
       .option("url", "jdbc:postgresql://fake:5432/db")
       .option("driver", classOf[FakePgDriver].getName)
       .option("dbtable", "pgtab")
-      .load()
+      .load())
+    finally org.apache.spark.sql.jdbc.JdbcDialects.unregisterDialect(d)
   }
 
   test("dialect maps pgjdbc type names through a real jdbc load") {
-    val df = load()
+    withDialect { df =>
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     assert(types("id") === LongType)
     assert(types("label") === StringType)
@@ -43,10 +49,11 @@ class FakePgSpec extends AnyFunSuite {
     // Every column records its wire type name for parity transforms.
     assert(df.schema("tstz").metadata.getString("pg_type") === "timestamptz")
     assert(df.schema("num").metadata.getString("pg_type") === "numeric")
+    }
   }
 
   test("values and nulls decode through the real getter path") {
-    val rows = load().orderBy(col("id")).collect()
+    val rows = withDialect(_.orderBy(col("id")).collect())
     assert(rows.length === 3)
     assert(rows(0).getLong(0) === 1L)
     assert(rows(0).getString(1) === "alpha")
