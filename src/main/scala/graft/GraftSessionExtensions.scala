@@ -7,17 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleJaccard, SimHash32, SortedShingles, TopGramCount}
 import graft.plans.RankLimitToTopK
 
-/** Session-extension hook (`spark.sql.extensions=graft.GraftSessionExtensions`):
-  * injects the native vector expressions into every new session's
-  * function registry, so plain SQL — including sessions created by
-  * `newSession()` or thrift/connect fronts — can call `cosine_sim` /
-  * `dot_product` without imperative registration; and injects the
-  * [[graft.plans.RankLimitToTopK]] optimizer rule so every rank-limit
-  * window (the ANN top-k shape) plans as a bounded top-k aggregate.
-  * This is the deployment-grade twin of
-  * [[graft.functions.VectorFunctions.register]] (which mutates one
-  * session's registry at runtime).
-  */
 /** Arity-validating function builders — ONE definition shared by the
   * extension-injection path ([[GraftSessionExtensions]]) and the
   * runtime registration path ([[graft.functions.VectorFunctions
@@ -42,6 +31,17 @@ private[graft] object FunctionBuilders {
   }
 }
 
+/** Session-extension hook (`spark.sql.extensions=graft.GraftSessionExtensions`):
+  * injects the native vector expressions into every new session's
+  * function registry, so plain SQL — including sessions created by
+  * `newSession()` or thrift/connect fronts — can call `cosine_sim` /
+  * `dot_product` without imperative registration; and injects the
+  * [[graft.plans.RankLimitToTopK]] optimizer rule so every rank-limit
+  * window (the ANN top-k shape) plans as a bounded top-k aggregate.
+  * This is the deployment-grade twin of
+  * [[graft.functions.VectorFunctions.register]] (which mutates one
+  * session's registry at runtime).
+  */
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
   import FunctionBuilders.{binary, unary}
 

@@ -51,15 +51,17 @@ object Dedup {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
-    // Collect the DEDUPED relation, exactly as a BroadcastExchange
-    // would: the driver's transient footprint is the distinct
-    // universe, never the sum of per-doc shingle sets (cross-doc
-    // overlap in an eval suite is the norm, not the exception).
+    // Stream the DEDUPED relation into the set partition-by-partition
+    // (toLocalIterator), exactly as a BroadcastExchange materializes
+    // its build side: peak driver footprint is ~1x the distinct
+    // universe — never the sum of per-doc shingle sets (cross-doc
+    // overlap is the norm in an eval suite) and never a second full
+    // copy as an Array[Row].
     val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-    shinglesOf(docs.filter(col("doc_id") % 10 === 0))
-      .select(col("shingle")).distinct()
-      .collect().foreach(r => set.add(
-        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+    val it = shinglesOf(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("shingle")).distinct().toLocalIterator()
+    while (it.hasNext) set.add(
+      org.apache.spark.unsafe.types.UTF8String.fromString(it.next().getString(0)))
     val bench = spark.sparkContext.broadcast(set)
     docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), graft.functions.MinHashFunctions
@@ -93,18 +95,22 @@ object Dedup {
     val benchDF = shinglesOf(evalDocs).select(col("shingle")).distinct()
       .localCheckpoint(true)
     val n = benchDF.count()
-    val zero = new Array[Long](graft.functions.BloomKernel.wordsFor(n))
-    val bits = benchDF.rdd.map(_.getString(0)).treeAggregate(zero)(
-      (w, s) => {
-        graft.functions.BloomKernel.add(w,
-          org.apache.spark.unsafe.types.UTF8String.fromString(s))
-        w
-      },
-      (a, b) => {
-        var i = 0
-        while (i < a.length) { a(i) |= b(i); i += 1 }
-        a
-      })
+    val nWords = graft.functions.BloomKernel.wordsFor(n)
+    // Per-partition build + tree OR-merge: each task ALLOCATES its
+    // array fresh (only the int size rides the closure) — an
+    // aggregate with an array zero-value would deserialize a full
+    // bit-array copy per task, multiplying executor memory by the
+    // task count at exactly the scale this path exists for.
+    val bits = benchDF.rdd.mapPartitions { rows =>
+      val w = new Array[Long](nWords)
+      rows.foreach(r => graft.functions.BloomKernel.add(w,
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+      Iterator.single(w)
+    }.treeReduce { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
     val bc = spark.sparkContext.broadcast(bits)
     val cands = docs.filter(col("doc_id") % 10 =!= 0)
       .filter(graft.functions.BloomFunctions

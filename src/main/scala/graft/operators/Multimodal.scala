@@ -90,15 +90,6 @@ object Multimodal {
         col("format"))
       .orderBy(col("doc_id"))
 
-  /** Resize-to-fit transform: parse each payload's header, compute
-    * the fit-into-256×256 target dims (exact integer arithmetic,
-    * downscale only), RE-WRAP the content under the new header, and
-    * re-parse the resized payload — so the reported new dims come
-    * from bytes the transform actually wrote, not from the formula.
-    * A real deployment swaps the content passthrough for pixel
-    * resampling; header surgery, batch iteration, and the verify-by-
-    * reparse loop are the production shape.
-    */
   /** One payload through parse → fit → re-wrap → re-parse. Corrupt
     * payloads honor parse()'s degrade-don't-throw contract: they come
     * back as a filterable "unknown" row (zero dims, original byte
@@ -124,6 +115,15 @@ object Multimodal {
     }
   }
 
+  /** Resize-to-fit transform: parse each payload's header, compute
+    * the fit-into-256×256 target dims (exact integer arithmetic,
+    * downscale only), RE-WRAP the content under the new header, and
+    * re-parse the resized payload — so the reported new dims come
+    * from bytes the transform actually wrote, not from the formula.
+    * A real deployment swaps the content passthrough for pixel
+    * resampling; header surgery, batch iteration, and the verify-by-
+    * reparse loop are the production shape.
+    */
   def resizeMeta(spark: SparkSession, dir: String, box: Int = 256): DataFrame = {
     import spark.implicits._
     payloads(spark, dir)
