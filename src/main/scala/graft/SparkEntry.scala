@@ -97,7 +97,8 @@ object SparkEntry {
       Multimodal.resizeMeta(s, d)),
     "q61_frame_sample" -> (Multimodal.frameSample _),
     "q62_stratified_sample" -> ((s: SparkSession, d: String) =>
-      Curation.stratifiedSample(s, d))
+      Curation.stratifiedSample(s, d)),
+    "q63_window_suite" -> (Relational.windowSuite _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -778,6 +779,25 @@ object SparkEntry {
         |  GROUP BY a.event_id)
         |SELECT e.event_id, e.user_id, e.ts, m.n_next
         |FROM e JOIN m USING (event_id) ORDER BY event_id""".stripMargin,
+
+    // The enumerated window functions under full deterministic
+    // orders; first/last use explicit ROWS frames on both sides.
+    "q63_window_suite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(rank() OVER wp AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wp AS BIGINT) AS drk,
+        |  CAST(ntile(4) OVER wp AS BIGINT) AS quartile,
+        |  lead(o_orderdate, 1) OVER wt AS next_date,
+        |  first_value(o_totalprice) OVER (
+        |    wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        |  last_value(o_totalprice) OVER (
+        |    wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_custkey
+        |                ORDER BY o_totalprice DESC, o_orderkey),
+        |       wt AS (PARTITION BY o_custkey
+        |                ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // RANGE frame over integer day numbers: the frame boundary is an
     // exact integer compare; the frame sum runs in DECIMAL on both

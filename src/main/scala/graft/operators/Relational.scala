@@ -150,6 +150,35 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** The remaining enumerated window functions in one gate —
+    * rank/dense_rank/ntile over the price order, lead and
+    * first/last-in-frame over the time order (row_number and lag are
+    * gated by q09/q34). Every window carries a full deterministic
+    * ORDER BY (tiebreak o_orderkey) so ntile's positional split and
+    * the picked values are engine-independent; first/last pin
+    * explicit ROWS frames on both sides (default frames differ in
+    * RANGE-vs-ROWS tie handling across engines).
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wt = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("rnk", rank().over(wp).cast("long"))
+      .withColumn("drk", dense_rank().over(wp).cast("long"))
+      .withColumn("quartile", ntile(4).over(wp).cast("long"))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(wt))
+      .withColumn("first_price", first(col("o_totalprice")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("last_price", last(col("o_totalprice")).over(
+        wt.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .drop("o_orderdate")
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Window running total per supplier (cumulative frame). l_quantity
     * is integer-valued so the running double sum is exact — safe to
     * hash-compare unrounded across engines.
