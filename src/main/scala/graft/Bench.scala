@@ -23,16 +23,31 @@ import org.apache.spark.sql.SparkSession
   *   - an ABSOLUTE steal guard: the relative sentinel is blind to
   *     steal that is uniform across the whole run (every pass equally
   *     slow → "stable"), which is exactly what polluted two rounds'
-  *     official artifacts. A fixed single-threaded spin loop is timed
-  *     against a committed low-load reference for this host
-  *     ([[SpinReference]]); pure register arithmetic has no memory or
-  *     scheduler component, so the only thing that can stretch it is
-  *     the hypervisor not scheduling the vCPU — CPU steal. If the
-  *     best observed spin exceeds 2x the reference the JSON says
-  *     "noisy": true regardless of sentinel stability — an artifact
-  *     that would otherwise read as a 2-4x regression must indict the
-  *     host, not the engine. Both spin and reference are emitted so a
-  *     reader can re-derive the verdict.
+  *     official artifacts. A fixed spin workload is timed against a
+  *     committed low-load reference for this host; pure register
+  *     arithmetic has no memory or scheduler component, so the only
+  *     thing that can stretch it is the hypervisor not scheduling the
+  *     vCPU — CPU steal. If the best observed spin exceeds 2x the
+  *     reference the JSON says "noisy": true regardless of sentinel
+  *     stability — an artifact that would otherwise read as a 2-4x
+  *     regression must indict the host, not the engine. Both spin and
+  *     reference are emitted so a reader can re-derive the verdict.
+  *   - the spin probe is PARALLEL ([[spinSecondsParallel]]): a single
+  *     spin thread is blind to partial-core steal — a co-tenant taking
+  *     half of 32 vCPUs still leaves one whole core for one probe
+  *     thread while local[32] query parallelism halves (this exact
+  *     blindness let the round-4 artifact ship ~2x inflated with
+  *     "noisy": false). N threads of fixed equal work, barrier-started,
+  *     measure wall-to-last-finish: with >= N simultaneously
+  *     schedulable vCPUs the wall equals the single-thread time; steal
+  *     of ANY core subset the probe lands on stretches it. N matches
+  *     the bench's own parallelism (min(32, cores)) so the probe times
+  *     the same resource the queries use. Per-pass samples are emitted
+  *     ("spin_samples") so a reader can see WHICH pass was polluted.
+  *   - the result JSON is also WRITTEN to /tmp/bench_result.json —
+  *     round-4's official artifact lost its total and q01-q09 to
+  *     stdout-tail truncation; a file artifact cannot be truncated by
+  *     whatever captures stdout.
   */
 object Bench {
 
@@ -41,24 +56,75 @@ object Bench {
     */
   val SpinReference = 0.81
 
+  /** Best observed [[spinSecondsParallel]] ([[SpinThreads]]-way) on
+    * this host under load < 0.3. Calibrated separately from the
+    * single-thread constant: N-way wall can legitimately exceed 1x
+    * single-thread even idle (SMT siblings, turbo-frequency drop
+    * under all-core load), and that hardware cost must live in the
+    * reference, not be misread as steal. Calibrated 2026-08-12 under
+    * load 0.05: min 0.879 over 6 runs (single-thread ran 0.80).
+    */
+  val SpinReferenceParallel = 0.88
+
+  /** Probe parallelism — matches the local[32] bench worker count so
+    * the probe times the same resource the queries use.
+    */
+  val SpinThreads: Int =
+    math.min(32, Runtime.getRuntime.availableProcessors())
+
+  private def spinLoop(seed: Long): Long = {
+    var x = seed
+    var i = 0
+    while (i < 400000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
   /** Wall seconds for 4e8 xorshift64 steps on one thread. JIT-warmed
     * by the caller (min of several runs); the xor fold into the check
     * defeats dead-code elimination.
     */
   def spinSeconds(): Double = {
-    var x = 0x9e3779b97f4a7c15L
     val t0 = System.nanoTime()
-    var i = 0
-    while (i < 400000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val x = spinLoop(0x9e3779b97f4a7c15L)
     val t = (System.nanoTime() - t0) / 1e9
     if (x == 0) System.err.println("xorshift cycle hit zero")
     t
   }
+
+  /** Wall seconds for [[SpinThreads]] barrier-started threads each
+    * doing the single-thread workload, timed start-to-LAST-finish.
+    * Equals [[spinSeconds]] when >= N cores are simultaneously
+    * schedulable; partial-core steal — invisible to one probe thread —
+    * stretches whichever threads land on stolen cores, and the max
+    * (the wall) reports it. Distinct per-thread seeds keep the loops
+    * identical in work but not in state.
+    */
+  def spinSecondsParallel(n: Int = SpinThreads): Double = {
+    val ready = new java.util.concurrent.CyclicBarrier(n + 1)
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val threads = (0 until n).map { i =>
+      val th = new Thread(() => {
+        ready.await()
+        sink.addAndGet(spinLoop(0x9e3779b97f4a7c15L + i))
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ready.await()
+    val t0 = System.nanoTime()
+    threads.foreach(_.join())
+    val t = (System.nanoTime() - t0) / 1e9
+    if (sink.get() == 0) System.err.println("xorshift cycle hit zero")
+    t
+  }
   def main(args: Array[String]): Unit = {
-    // Re-calibration mode for SpinReference (run under load < 0.3,
-    // take the min): sbt "runMain graft.Bench --spin"
+    // Re-calibration mode for SpinReference / SpinReferenceParallel
+    // (run under load < 0.3, take the min of each column):
+    // sbt "runMain graft.Bench --spin"
     if (args.contains("--spin")) {
-      (1 to 6).foreach(i => println(f"spin $i: ${spinSeconds()}%.4f s"))
+      (1 to 6).foreach { i =>
+        val s = spinSeconds(); val p = spinSecondsParallel()
+        println(f"spin $i: single $s%.4f s  parallel(x$SpinThreads) $p%.4f s")
+      }
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,10 +171,20 @@ object Bench {
     val best = scala.collection.mutable.Map[String, Double]()
     var bestSentinel = Double.MaxValue
     var bestSpin = Double.MaxValue
+    // JIT-warm both spin shapes once, outside any measured window
+    // (steal can only inflate, so warm-up runs can only be slower).
+    spinSeconds(); spinSecondsParallel()
+    val spinSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def spinCheck(): Boolean = {
-      // min of 2 (the first call JIT-warms; steal can only inflate)
-      bestSpin = math.min(bestSpin, math.min(spinSeconds(), spinSeconds()))
-      bestSpin <= 2.0 * SpinReference
+      // One parallel probe per pass, recorded raw (per-pass samples
+      // let a reader see WHICH pass a co-tenant polluted); the guard
+      // compares the best across passes — per-query minimums merge
+      // across passes, so the reported numbers come from the cleanest
+      // window the best probe saw.
+      val s = spinSecondsParallel()
+      spinSamples += s
+      bestSpin = math.min(bestSpin, s)
+      bestSpin <= 2.0 * SpinReferenceParallel
     }
     var attempts = 0
     var stable = false
@@ -124,8 +200,8 @@ object Bench {
       stable = recheck <= 2.0 * bestSentinel && spinOk
       if (!stable)
         System.err.println(f"[bench] drift: sentinel $recheck%.2fs vs best " +
-          f"$bestSentinel%.2fs, spin $bestSpin%.2fs vs ref $SpinReference%.2fs" +
-          " — host CPU steal suspected, re-running suite")
+          f"$bestSentinel%.2fs, spin(x$SpinThreads) $bestSpin%.2fs vs ref " +
+          f"$SpinReferenceParallel%.2fs — host CPU steal suspected, re-running suite")
     }
 
     // Never-successful queries report -1 and are excluded from the
@@ -136,7 +212,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"noisy":${!stable},"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReference,"sf":"$sfDir"}""")
+    val samples = spinSamples.map(s => f"$s%.4f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"noisy":${!stable},"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"spin_threads":$SpinThreads,"spin_samples":$samples,"sf":"$sfDir"}"""
+    println(json)
+    // File twin of the stdout line: the official artifact is captured
+    // from a stdout tail that has truncated before (r4 lost the total
+    // and q01-q09); a file can be read back whole.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write /tmp/bench_result.json: $e")
+    }
     spark.stop()
   }
 }
