@@ -98,7 +98,13 @@ object SparkEntry {
     "q61_frame_sample" -> (Multimodal.frameSample _),
     "q62_stratified_sample" -> ((s: SparkSession, d: String) =>
       Curation.stratifiedSample(s, d)),
-    "q63_window_suite" -> (Relational.windowSuite _)
+    "q63_window_suite" -> (Relational.windowSuite _),
+    "q63b_window_dist" -> (Relational.windowSuiteExtras _),
+    "q64_setops_all" -> (Relational.setOpsAll _),
+    "q65_full_outer" -> (Relational.fullOuterYears _),
+    "q65b_right_join" -> (Relational.rightJoinSegments _),
+    "q66_line_dedup" -> (TextAnalysis.lineDedup _),
+    "q67_bigram_lm" -> (TextAnalysis.bigramLogProb _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1061,6 +1067,133 @@ object SparkEntry {
         |    CAST(max(cnt) AS BIGINT) AS max_rep FROM c GROUP BY doc_id)
         |SELECT doc_id, n_grams, max_rep,
         |  round(CAST(max_rep AS DOUBLE) / n_grams, 6) AS rep_ratio
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Distribution-rank windows: the price order is tie-free
+    // (o_orderkey tiebreak), so (rank-1)/(n-1) and peers/n divide the
+    // same integers in double on both engines; nth_value pins an
+    // explicit running ROWS frame on both sides.
+    "q63b_window_dist" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  round(percent_rank() OVER wp, 6) AS pct_rank,
+        |  round(cume_dist() OVER wp, 6) AS cume,
+        |  nth_value(o_totalprice, 3) OVER (
+        |    wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_price
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_custkey
+        |                ORDER BY o_totalprice DESC, o_orderkey),
+        |       wt AS (PARTITION BY o_custkey
+        |                ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Each branch is tagged so one result carries all three set-op
+    // semantics: distinct intersection, min-multiplicity bag
+    // intersection, truncated bag difference.
+    "q64_setops_all" ->
+      """SELECT op, o_custkey FROM (
+        |  SELECT 'intersect' AS op, o_custkey FROM (
+        |    SELECT o_custkey FROM orders
+        |     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders
+        |     WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00') i
+        |  UNION ALL
+        |  SELECT 'intersect_all' AS op, o_custkey FROM (
+        |    SELECT o_custkey FROM orders
+        |     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+        |    INTERSECT ALL
+        |    SELECT o_custkey FROM orders
+        |     WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00') ia
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, o_custkey FROM (
+        |    SELECT o_custkey FROM orders
+        |     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+        |    EXCEPT ALL
+        |    SELECT o_custkey FROM orders
+        |     WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00') ea
+        |) u ORDER BY op, o_custkey""".stripMargin,
+
+    "q65_full_outer" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS n95, sum(o_totalprice) AS v95
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |b AS (SELECT o_custkey, count(*) AS n96, sum(o_totalprice) AS v96
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL THEN 'both'
+        |       WHEN a.o_custkey IS NOT NULL THEN 'only_1995'
+        |       ELSE 'only_1996' END AS presence,
+        |  coalesce(n95, 0) AS n_1995, coalesce(n96, 0) AS n_1996,
+        |  round(coalesce(v95, 0) + coalesce(v96, 0), 2) AS total_value
+        |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q65b_right_join" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  count(o_custkey) AS n_orders,
+        |  count(DISTINCT CASE WHEN o_custkey IS NULL THEN c_custkey END) AS n_inactive,
+        |  round(sum(coalesce(o_totalprice, 0)), 2) AS h1_value
+        |FROM (SELECT o_custkey, o_totalprice FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00') o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Lines are LineTokens-token segments (the corpus has no
+    // newlines); a line in more than BoilerplateDocThreshold distinct
+    // docs is boilerplate. The kept-text md5 hashes the actual
+    // reconstruction, ordered by line position.
+    "q66_line_dedup" -> {
+      val n = graft.operators.TextAnalysis.LineTokens
+      val k = graft.operators.TextAnalysis.BoilerplateDocThreshold
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         |  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) > 0),
+         |p AS (SELECT doc_id, toks,
+         |    unnest(range(1, CAST((len(toks) + $n - 1) // $n AS BIGINT) + 1)) AS pos
+         |  FROM t),
+         |l AS (SELECT doc_id, pos,
+         |    array_to_string(toks[((pos-1)*$n+1):((pos-1)*$n+$n)], ' ') AS line
+         |  FROM p),
+         |lf AS (SELECT doc_id, pos, line, md5(line) AS fp FROM l),
+         |c AS (SELECT fp AS bfp FROM lf GROUP BY fp
+         |      HAVING count(DISTINCT doc_id) > $k),
+         |f AS (SELECT lf.doc_id, lf.pos, lf.line, c.bfp IS NOT NULL AS boiler
+         |      FROM lf LEFT JOIN c ON lf.fp = c.bfp)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+         |    chr(10) ORDER BY pos), '')) AS kept_fp
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // Laplace-smoothed bigram log-prob, model fitted on the corpus
+    // itself with the bigram table pruned to the BigramVocab most
+    // frequent (count desc, then lexicographic — deterministic).
+    "q67_bigram_lm" -> {
+      val v = graft.operators.TextAnalysis.BigramVocab
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         |  FROM documents),
+         |uni AS (SELECT w1, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+         |v AS (SELECT count(*) AS vsz FROM uni),
+         |bp AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |big AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bp),
+         |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+         |       ORDER BY c2 DESC, w1, w2 LIMIT $v),
+         |s AS (SELECT big.doc_id,
+         |    ln((coalesce(bc.c2, 0) + 1.0) / (uni.c1 + v.vsz)) AS logp
+         |  FROM big
+         |  LEFT JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+         |  JOIN uni ON big.w1 = uni.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(logp), 6) AS logprob
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -179,6 +179,30 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The distribution-rank window functions q63 leaves out:
+    * percent_rank and cume_dist over the deterministic price order
+    * (no ties — o_orderkey breaks them — so the fractions are
+    * engine-independent; both engines compute (rank-1)/(n-1) and
+    * peers/n in double from the same integers, rounded at 6), and
+    * nth_value(3) over a running ROWS frame pinned explicitly on both
+    * sides (null until the frame holds 3 rows).
+    */
+  def windowSuiteExtras(spark: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wt = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("pct_rank", round(percent_rank().over(wp), 6))
+      .withColumn("cume", round(cume_dist().over(wp), 6))
+      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("o_orderdate")
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Window running total per supplier (cumulative frame). l_quantity
     * is integer-valued so the running double sum is exact — safe to
     * hash-compare unrounded across engines.
@@ -205,6 +229,82 @@ object Relational {
       .distinct()
       .except(month("1996-03-01 00:00:00", "1996-04-01 00:00:00"))
       .orderBy(col("o_custkey"))
+  }
+
+  /** The remaining set-operation surface in one gate (q11 covers
+    * UNION/EXCEPT): INTERSECT, INTERSECT ALL and EXCEPT ALL over the
+    * Jan-vs-Feb 1996 custkey multisets, each branch tagged so one
+    * result row-hashes all three semantics — distinct intersection,
+    * min-multiplicity bag intersection, and truncated bag difference.
+    * Each set op is one hash aggregate on the compared columns
+    * (Catalyst plans INTERSECT/EXCEPT ALL as an aggregate computing
+    * per-key counts on both sides then replicating — a single key
+    * shuffle per branch, map-side combinable, no sort).
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def month(from: String, to: String) =
+      o.filter(col("o_orderdate") >= tsn(from) && col("o_orderdate") < tsn(to))
+        .select(col("o_custkey"))
+    val jan = month("1996-01-01 00:00:00", "1996-02-01 00:00:00")
+    val feb = month("1996-02-01 00:00:00", "1996-03-01 00:00:00")
+    jan.intersect(feb)
+      .select(lit("intersect").as("op"), col("o_custkey"))
+      .union(jan.intersectAll(feb)
+        .select(lit("intersect_all").as("op"), col("o_custkey")))
+      .union(jan.exceptAll(feb)
+        .select(lit("except_all").as("op"), col("o_custkey")))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  /** FULL OUTER join gate: 1995-vs-1996 per-customer order activity
+    * reconciliation — customers active only one year surface as a
+    * null side, exercised through the null-handling projection
+    * (presence tag, zero-coalesced counts, summed value). The
+    * using-column join coalesces the key, so the plan is one
+    * sort-merge full-outer over the o_custkey shuffle both aggregates
+    * already produce — no extra exchange.
+    */
+  def fullOuterYears(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def year(y: Int) =
+      o.filter(col("o_orderdate") >= tsn(s"$y-01-01 00:00:00") &&
+          col("o_orderdate") < tsn(s"${y + 1}-01-01 00:00:00"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"n$y"), sum(col("o_totalprice")).as(s"v$y"))
+    year(1995).join(year(1996), Seq("o_custkey"), "full")
+      .select(col("o_custkey"),
+        when(col("n1995").isNotNull && col("n1996").isNotNull, "both")
+          .when(col("n1995").isNotNull, "only_1995")
+          .otherwise("only_1996").as("presence"),
+        coalesce(col("n1995"), lit(0L)).as("n_1995"),
+        coalesce(col("n1996"), lit(0L)).as("n_1996"),
+        round(coalesce(col("v1995"), lit(0.0)) +
+          coalesce(col("v1996"), lit(0.0)), 2).as("total_value"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** RIGHT OUTER join gate: every customer kept against a filtered
+    * orders side (1997H1), so customers without matching orders flow
+    * through as null order rows — counted distinctly as inactive and
+    * zero-coalesced in the value sum.
+    */
+  def rightJoinSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= tsn("1997-01-01 00:00:00") &&
+        col("o_orderdate") < tsn("1997-07-01 00:00:00"))
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(c, col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_custkey")).as("n_orders"),
+        countDistinct(when(col("o_custkey").isNull, col("c_custkey")))
+          .as("n_inactive"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("h1_value"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** Global top-k (TakeOrderedAndProject — no full sort at scale). */

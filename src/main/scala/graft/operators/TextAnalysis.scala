@@ -419,4 +419,126 @@ object TextAnalysis {
           .as("simhash"))
       .filter(col("simhash").isNotNull)
       .orderBy(col("doc_id"))
+
+  /** Tokens per "line" for [[lineDedup]]: the corpus text carries no
+    * newlines, so lines are consecutive fixed-width token segments —
+    * the splitter is the only corpus-specific piece; a newline corpus
+    * swaps it for split(text, '\n') and the pipeline is unchanged.
+    */
+  val LineTokens = 3
+
+  /** A line present in more than this many distinct documents is
+    * boilerplate (CCNet/RefinedWeb-style removal threshold). Shared
+    * with the oracle by name.
+    */
+  val BoilerplateDocThreshold = 2
+
+  /** Line-level (paragraph-granularity) dedup: fingerprint every line
+    * of every document, count distinct documents per line across the
+    * corpus, and strip lines shared by more than
+    * [[BoilerplateDocThreshold]] documents — the standard boilerplate
+    * (header/footer/nav) removal pass between exact-dedup and
+    * near-dup. Output per document: line counts and the md5 of the
+    * kept text, so the gate hashes the actual reconstruction, not
+    * just the counts.
+    *
+    * Scale shape: the line-document table is grouped on the 32-char
+    * md5 fingerprint, not the line text, so shuffle rows stay narrow;
+    * the distinct-doc count plans as Spark's two-level distinct
+    * aggregate (partial on (fp, doc_id) inside each task — map-side
+    * combinable, no raw line stream crosses the wire); the
+    * boilerplate set joins back by fingerprint (bounded by the
+    * threshold to lines that repeat, typically tiny — AQE broadcasts
+    * it at any realistic size); and the per-document reassembly
+    * shuffles each line once on doc_id, which a 100 TB corpus pays
+    * for any per-doc reconstruction.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, (size(toks) + $LineTokens - 1) div $LineTokens),
+           |  i -> struct(i AS pos,
+           |    concat_ws(' ', slice(toks, (i - 1) * $LineTokens + 1, $LineTokens)) AS line))"""
+          .stripMargin)).as("pl"))
+      .select(col("doc_id"), col("pl.pos").as("pos"), col("pl.line").as("line"),
+        md5(col("pl.line")).as("fp"))
+    val boiler = lines
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > BoilerplateDocThreshold)
+      .select(col("fp"), lit(1).as("is_boiler"))
+    lines.join(boiler, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(
+            when(col("is_boiler").isNull, struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n")).as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram table size cap for [[bigramLogProb]] — the top-V
+    * frequency prune that keeps the model broadcastable at any corpus
+    * size (bigrams outside the table score as unseen). Shared with
+    * the oracle by name; 512 < the gate corpus's ~900 distinct
+    * bigrams, so the pruned/unseen path is exercised.
+    */
+  val BigramVocab = 512
+
+  /** N-gram LM quality scoring (perplexity filtering): fit a
+    * Laplace-smoothed bigram model on the corpus itself, then score
+    * every document by its mean bigram log-probability — low scorers
+    * are gibberish/boilerplate, the classic CCNet-style quality
+    * signal. Two passes, both visible in the plan:
+    *
+    *  1. FIT — token explode into two hash aggregates (unigram and
+    *     bigram counts, both map-side combinable word counts); the
+    *     bigram table is pruned to the [[BigramVocab]] most frequent
+    *     (TakeOrderedAndProject — a bounded heap per partition, no
+    *     full sort), making its size a constant independent of corpus
+    *     scale.
+    *  2. SCORE — per-document bigrams left-join the pruned table and
+    *     inner-join unigram counts, both explicitly broadcast
+    *     (bounded: top-V and the vocabulary), so the scoring pass is
+    *     one scan with map-side lookups — no shuffle except the final
+    *     per-doc aggregate.
+    *
+    * logp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1) + |V|)): exact-integer
+    * numerator and denominator, one double division and one ln in
+    * both engines, mean rounded at 6.
+    */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = docs
+      .select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("vsz"))
+    val bigrams = docs
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigramTable = bigrams
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(BigramVocab)
+    bigrams
+      .join(broadcast(bigramTable), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log(
+        (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (col("c1") + col("vsz")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("logprob"))
+      .orderBy(col("doc_id"))
+  }
 }
