@@ -61,4 +61,37 @@ object DocumentStreams {
   def sampledDocuments(docs: DataFrame): DataFrame =
     docs.filter(Curation.keepCol(col("doc_id"), col("lang")))
       .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Streaming NEAR-dup guard: drop documents whose full MinHash
+    * signature was already seen within the watermark horizon — the
+    * streaming member of the batch MinHash dedup family (same
+    * [[graft.functions.MinHashFunctions.minhash_signature]] kernel as
+    * [[graft.operators.Dedup.minhashLshPairs]]). Full-signature
+    * equality is the highest-precision LSH band: it catches the
+    * near-identical re-crawls and replays that dominate an ingest
+    * feed while guaranteeing every kept document differs in at least
+    * one minhash. The corpus carries no event-time column, so ingest
+    * time is stamped at arrival — the honest horizon for a feed
+    * ("seen this content recently?"); signature state older than the
+    * watermark is evicted, keeping memory bounded exactly as the
+    * exact-fingerprint variant ([[EventStreams.dedupedEvents]]) does.
+    */
+  def nearDupGuardedDocuments(docs: DataFrame,
+      horizon: String = "2 hours"): DataFrame =
+    signatureKeyed(docs)
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("sig_key")
+      .select(col("doc_id"), col("lang"), col("source"), col("sig_key"))
+
+  /** The stateless half of [[nearDupGuardedDocuments]] — the per-row
+    * signature-key projection, shared with the batch twin (batch
+    * composes it with a plain dropDuplicates;
+    * dropDuplicatesWithinWatermark is streaming-only).
+    */
+  def signatureKeyed(docs: DataFrame): DataFrame =
+    docs.withColumn("sig_key", concat_ws("|",
+      graft.functions.MinHashFunctions
+        .minhash_signature(TextAnalysis.tokens(col("text")))))
+      .select(col("doc_id"), col("lang"), col("source"), col("sig_key"))
 }

@@ -23,6 +23,23 @@ import java.util.logging.Logger
   * of silently misbehaving.
   */
 object FakePgTable {
+
+  /** Every SQL text Spark's JDBC path sends, in arrival order —
+    * the observable half of the pushdown contract (schema probe,
+    * per-partition WHERE clauses, pushed filters). Thread-safe:
+    * partitioned reads prepare statements concurrently.
+    */
+  val recorded = new java.util.concurrent.CopyOnWriteArrayList[String]()
+
+  def record(sql: String): Unit = recorded.add(sql)
+
+  def recordedSql: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    recorded.asScala.toSeq
+  }
+
+  def clearRecorded(): Unit = recorded.clear()
+
   /** (name, java.sql type code, pg type name, precision, scale). */
   val columns: Seq[(String, Int, String, Int, Int)] = Seq(
     ("id", Types.BIGINT, "int8", 19, 0),
@@ -114,6 +131,7 @@ class FakePgDriver extends Driver {
     }
 
   private def statement(sql: String): PreparedStatement = {
+    FakePgTable.record(sql)
     // Spark's schema probe is dialect.getSchemaQuery = "... WHERE 1=0";
     // serve it metadata with zero rows, everything else all rows.
     val data = if (sql.contains("1=0")) Seq.empty else rows

@@ -69,4 +69,61 @@ class FakePgSpec extends AnyFunSuite {
     assert(rows(2).getAs[java.time.LocalDateTime]("ts").toString
       === "1999-12-31T23:59:59")
   }
+
+  /** The observable half of the pushdown contract: the SQL texts
+    * Spark actually SENDS (recorded by the driver) — the schema
+    * probe, one statement per partition each carrying its range
+    * predicate, and the pushed filter inside every partition's
+    * WHERE. Against live PostgreSQL these are exactly the statements
+    * the server would plan.
+    */
+  test("partitioned read sends per-partition WHERE clauses with the pushed filter") {
+    val d = FlacoPostgresDialect.register()
+    try {
+      FakePgTable.clearRecorded()
+      val df = spark.read.format("jdbc")
+        .option("url", "jdbc:postgresql://fake:5432/db")
+        .option("driver", classOf[FakePgDriver].getName)
+        .option("dbtable", "pgtab")
+        .option("partitionColumn", "id")
+        .option("lowerBound", "1").option("upperBound", "5")
+        .option("numPartitions", "2")
+        .load()
+        .filter(col("id") > 1)
+      // The fixture serves the full table to every non-probe
+      // statement, so 2 partitions x 3 rows proves two partition
+      // statements executed AND that Spark trusts the pushed filter
+      // (no re-evaluation: rows with id=1 come back uncut).
+      assert(df.count() === 6L)
+      val sqls = FakePgTable.recordedSql
+      assert(sqls.exists(_.contains("WHERE 1=0")), s"no schema probe in $sqls")
+      val parts = sqls.filterNot(_.contains("1=0"))
+      assert(parts.length === 2, s"expected 2 partition statements: $parts")
+      // Range split of [1,5) into 2 strides at 3; null rows ride the
+      // first stride.
+      assert(parts.exists(s => s.contains("< 3") && s.contains("is null")),
+        s"no lower-stride clause in $parts")
+      assert(parts.exists(_.contains(">= 3")), s"no upper-stride clause in $parts")
+      parts.foreach { s =>
+        assert(s.toLowerCase.contains("where"), s"partition statement without WHERE: $s")
+        assert(s.contains("\"id\" > 1"), s"pushed filter missing from: $s")
+      }
+    } finally org.apache.spark.sql.jdbc.JdbcDialects.unregisterDialect(d)
+  }
+
+  test("dbtable subquery travels verbatim as the FROM relation") {
+    val sub = "(SELECT id, label FROM pgtab WHERE id > 0) sq"
+    val d = FlacoPostgresDialect.register()
+    try {
+      FakePgTable.clearRecorded()
+      spark.read.format("jdbc")
+        .option("url", "jdbc:postgresql://fake:5432/db")
+        .option("driver", classOf[FakePgDriver].getName)
+        .option("dbtable", sub)
+        .load().collect()
+      val sqls = FakePgTable.recordedSql
+      assert(sqls.nonEmpty)
+      sqls.foreach(s => assert(s.contains(sub), s"FROM relation rewritten: $s"))
+    } finally org.apache.spark.sql.jdbc.JdbcDialects.unregisterDialect(d)
+  }
 }
