@@ -104,7 +104,12 @@ object SparkEntry {
     "q65_full_outer" -> (Relational.fullOuterYears _),
     "q65b_right_join" -> (Relational.rightJoinSegments _),
     "q66_line_dedup" -> (TextAnalysis.lineDedup _),
-    "q67_bigram_lm" -> (TextAnalysis.bigramLogProb _)
+    "q67_bigram_lm" -> (TextAnalysis.bigramLogProb _),
+    "q68_null_semantics" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, nullSemanticsSql)),
+    "q69_stats_agg" -> (Events.statsAgg _),
+    "q70_array_funcs" -> (TextAnalysis.arrayFuncs _),
+    "q71_edit_distance" -> (Dedup.editDistancePairs _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -116,6 +121,44 @@ object SparkEntry {
     * contract. Money is compared in exact integer cents (doubles
     * summed in engine-dependent order could flip a boundary `>`).
     */
+  /** One SQL text, two planners (the q51 pattern): the three-valued
+    * IN / NOT IN / EXISTS subquery semantics — the classic NULL trap
+    * the reference's SQL delegation inherits from PostgreSQL. The
+    * nulled branches inject NULLs deterministically (every 50th
+    * custkey), so `not_in_nulls` counts 0 — one NULL in the list
+    * poisons the whole NOT IN — while `in_nulls` silently loses only
+    * the nulled matches. Catalyst plans the NOT IN branches as
+    * null-aware anti joins (broadcast-built — the reason EXISTS, a
+    * plain shuffled anti join, is the formulation that scales; this
+    * gate pins that both agree with DuckDB anyway).
+    */
+  private val nullSemanticsSql: String = {
+    val jan =
+      """FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin
+    s"""SELECT tag, cnt FROM (
+       |  SELECT 'in' AS tag, count(*) AS cnt FROM customer
+       |   WHERE c_custkey IN (SELECT o_custkey $jan)
+       |  UNION ALL
+       |  SELECT 'in_nulls' AS tag, count(*) AS cnt FROM customer
+       |   WHERE c_custkey IN (SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
+       |                                   ELSE o_custkey END $jan)
+       |  UNION ALL
+       |  SELECT 'not_in' AS tag, count(*) AS cnt FROM customer
+       |   WHERE c_custkey NOT IN (SELECT o_custkey $jan)
+       |  UNION ALL
+       |  SELECT 'not_in_nulls' AS tag, count(*) AS cnt FROM customer
+       |   WHERE c_custkey NOT IN (SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
+       |                                       ELSE o_custkey END $jan)
+       |  UNION ALL
+       |  SELECT 'exists' AS tag, count(*) AS cnt FROM customer
+       |   WHERE EXISTS (SELECT 1 $jan AND o_custkey = c_custkey)
+       |  UNION ALL
+       |  SELECT 'not_exists' AS tag, count(*) AS cnt FROM customer
+       |   WHERE NOT EXISTS (SELECT 1 $jan AND o_custkey = c_custkey)
+       |) t ORDER BY tag""".stripMargin
+  }
+
   private val correlatedSql: String =
     """SELECT o_orderkey, o_totalprice FROM orders o
       |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
@@ -1194,6 +1237,43 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_bigrams,
          |  round(avg(logp), 6) AS logprob
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // The identical SQL text both planners run (the q51 pattern).
+    "q68_null_semantics" -> nullSemanticsSql,
+
+    "q69_stats_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(stddev_samp(value), 4) AS sd,
+        |  round(var_samp(value), 4) AS vr,
+        |  round(median(value), 6) AS med,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uid,
+        |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_uid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q70_array_funcs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+        |  CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_len,
+        |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS vocab_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Same candidate CTEs as q27/q28/q43; levenshtein in both engines
+    // is the classic unit-cost edit distance over an ASCII corpus.
+    "q71_edit_distance" ->
+      s"""WITH $minhashCtes,
+         |dt AS (SELECT doc_id, text FROM documents),
+         |e AS (SELECT j.a AS doc_a, j.b AS doc_b, j.jaccard,
+         |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+         |    greatest(length(ta.text), length(tb.text)) AS mx
+         |  FROM j JOIN dt ta ON ta.doc_id = j.a
+         |         JOIN dt tb ON tb.doc_id = j.b)
+         |SELECT doc_a, doc_b, jaccard, edit_dist,
+         |  round(1.0 - CAST(edit_dist AS DOUBLE) / mx, 6) AS edit_sim
+         |FROM e ORDER BY doc_a, doc_b""".stripMargin
   )
 }

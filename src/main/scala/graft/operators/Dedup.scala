@@ -287,6 +287,31 @@ object Dedup {
       .filter(col("jaccard") >= 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Edit-distance verification over the SAME LSH candidate pairs —
+    * the character-level near-dup check (templated spam, small edits)
+    * that complements shingle Jaccard's token-level view; fuzzy-dedup
+    * pipelines run both. Levenshtein is O(len²) per pair, which is
+    * exactly why it only ever runs on the LSH-blocked candidate set
+    * (never corpus²): work ∝ candidates × len², with the pair
+    * generation cost shared with [[minhashLshPairs]]. The pair table
+    * is candidate-sized, so AQE broadcasts it against the two text
+    * lookups.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val texts = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    candidatePairJaccard(spark, dir)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("edit_dist"),
+        round(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Connected components over the verified near-dup pair graph — the
     * clustering step an at-scale dedup pipeline runs after pair
     * generation (keep one representative per component). Iterative

@@ -96,4 +96,27 @@ object Events {
         round(expr("percentile(value, 0.9)"), 6).as("p90"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
+
+  /** Statistical aggregate battery per event type: sample
+    * stddev/variance, exact median (sort + midpoint interpolation in
+    * both engines), Pearson correlation and sample covariance against
+    * the user id — the PG aggregate surface beyond sums/counts. All
+    * are single-pass mergeable aggregates (Spark's parallel moment
+    * merge); moments are rounded at 4 because merge ORDER legitimately
+    * perturbs the low bits across engines (the values are ~1e2-1e4, so
+    * 1e-4 is far above fp noise and far below any semantic drift);
+    * the median interpolates two exact doubles and rounds at 6.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .withColumn("uid_d", col("user_id").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 4).as("vr"),
+        round(median(col("value")), 6).as("med"),
+        round(corr(col("value"), col("uid_d")), 4).as("corr_uid"),
+        round(covar_samp(col("value"), col("uid_d")), 4).as("cov_uid"))
+      .orderBy(col("event_type"))
 }

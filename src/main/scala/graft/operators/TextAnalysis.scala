@@ -420,6 +420,28 @@ object TextAnalysis {
       .filter(col("simhash").isNotNull)
       .orderBy(col("doc_id"))
 
+  /** Higher-order array-function battery over the token arrays —
+    * the collection surface (lambda filter/transform/aggregate,
+    * sort/distinct) that complements q15's scalar battery; all
+    * codegen'd built-ins, per-row, no explode. The vocabulary
+    * fingerprint hashes the sorted-distinct token list, so the gate
+    * pins element order semantics (binary ascending in both engines
+    * on this ASCII corpus), not just counts.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(filter(col("toks"), x => length(x) > 4)).cast("long").as("n_long"),
+        aggregate(col("toks"), lit(0L),
+          (acc, x) => acc + length(x).cast("long")).as("sum_len"),
+        array_max(transform(col("toks"), x => length(x)))
+          .cast("long").as("max_len"),
+        md5(array_join(array_sort(array_distinct(col("toks"))), " "))
+          .as("vocab_fp"))
+      .orderBy(col("doc_id"))
+
   /** Tokens per "line" for [[lineDedup]]: the corpus text carries no
     * newlines, so lines are consecutive fixed-width token segments —
     * the splitter is the only corpus-specific piece; a newline corpus

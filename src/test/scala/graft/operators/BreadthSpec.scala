@@ -120,6 +120,58 @@ class BreadthSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum === wantLines)
   }
 
+  test("null-semantics gate: one NULL poisons NOT IN, EXISTS mirrors IN") {
+    val got = graft.Flaco.sql(spark, sf, graft.SparkEntry.oracleSql("q68_null_semantics"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val custTotal = graft.sources.Corpus.read(spark, sf, "customer").count()
+    assert(got("not_in_nulls") === 0L)
+    assert(got("in") + got("not_in") === custTotal)
+    assert(got("exists") === got("in"))
+    assert(got("not_exists") === got("not_in"))
+    assert(got("in_nulls") <= got("in"))
+  }
+
+  test("stats aggregates are internally consistent per event type") {
+    val rows = Events.statsAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sd, vr) = (r.getDouble(2), r.getDouble(3))
+      val corr = r.getDouble(5)
+      assert(math.abs(sd * sd - vr) < 0.1, s"${r.getString(0)}: sd²=$sd² vs vr=$vr")
+      assert(corr >= -1.0 && corr <= 1.0)
+    }
+  }
+
+  test("array-function battery obeys its arithmetic bounds") {
+    val rows = TextAnalysis.arrayFuncs(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nToks, nLong, sumLen, maxLen) =>
+      assert(nLong <= nToks)
+      assert(sumLen >= nToks)       // every token has >= 1 char
+      assert(maxLen * nToks >= sumLen)
+      assert((nLong > 0) === (maxLen > 4))
+    }
+  }
+
+  test("edit-distance verification covers exactly the LSH candidate pairs") {
+    val got = Dedup.editDistancePairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val cand = Dedup.candidatePairJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === cand.keySet)
+    got.foreach { case (pair, (jac, dist, sim)) =>
+      assert(jac === cand(pair))
+      assert(dist >= 0L && sim <= 1.0, s"$pair")
+      // Identical-text duplicates must score distance 0 / sim 1.
+      if (dist == 0L) assert(sim === 1.0)
+    }
+    // The fixture corpus has exact duplicates — at least one candidate
+    // pair must verify as a perfect character-level match.
+    assert(got.values.exists(_._2 == 0L))
+  }
+
   test("bigram LM scores every multi-token doc with negative log-probs") {
     val rows = TextAnalysis.bigramLogProb(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
