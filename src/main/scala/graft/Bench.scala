@@ -40,14 +40,20 @@ import org.apache.spark.sql.SparkSession
   *     "noisy": false). N threads of fixed equal work, barrier-started,
   *     measure wall-to-last-finish: with >= N simultaneously
   *     schedulable vCPUs the wall equals the single-thread time; steal
-  *     of ANY core subset the probe lands on stretches it. N matches
-  *     the bench's own parallelism (min(32, cores)) so the probe times
-  *     the same resource the queries use. Per-pass samples are emitted
-  *     ("spin_samples") so a reader can see WHICH pass was polluted.
-  *   - the result JSON is also WRITTEN to /tmp/bench_result.json —
-  *     round-4's official artifact lost its total and q01-q09 to
-  *     stdout-tail truncation; a file artifact cannot be truncated by
-  *     whatever captures stdout.
+  *     of ANY core subset the probe lands on stretches it. N is the
+  *     bench's own SPARK_GRAFT_CPUS (capped at host cores) so the
+  *     probe times the same resource the queries use. Per-pass samples
+  *     are emitted ("spin_samples"), and each query's best time is
+  *     tagged with the pass it came from: a query whose only
+  *     measurements came from steal-polluted passes is listed in
+  *     "tainted" and forces "noisy": true even when a later clean
+  *     pass clears the global-minimum probe.
+  *   - the result JSON is also WRITTEN to a file (SPARK_GRAFT_BENCH_OUT,
+  *     default bench_result.json in the working directory — a fixed
+  *     world-writable /tmp path is clobber- and symlink-prone on a
+  *     shared host) — round-4's official artifact lost its total and
+  *     q01-q09 to stdout-tail truncation; a file artifact cannot be
+  *     truncated by whatever captures stdout.
   */
 object Bench {
 
@@ -66,11 +72,19 @@ object Bench {
     */
   val SpinReferenceParallel = 0.88
 
-  /** Probe parallelism — matches the local[32] bench worker count so
-    * the probe times the same resource the queries use.
+  /** Probe parallelism — the SAME SPARK_GRAFT_CPUS value the bench's
+    * local[N] session uses (capped at host cores), so the probe times
+    * exactly the resource the queries contend for. With fewer probe
+    * threads than the 32-way calibration shape, a clean-host wall can
+    * only be <= the committed reference (fewer threads contend less,
+    * no all-core frequency drop), so [[SpinReferenceParallel]] stays a
+    * valid — slightly generous — bound at any N.
     */
-  val SpinThreads: Int =
-    math.min(32, Runtime.getRuntime.availableProcessors())
+  val SpinThreads: Int = {
+    val requested = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(32)
+    math.max(1, math.min(requested, Runtime.getRuntime.availableProcessors()))
+  }
 
   private def spinLoop(seed: Long): Long = {
     var x = seed
@@ -169,6 +183,10 @@ object Bench {
     // failure during a steal-polluted pass that succeeds on the
     // re-run is exactly what the retry loop exists to recover.
     val best = scala.collection.mutable.Map[String, Double]()
+    // Pass (1-based attempt) each query's best time was measured in:
+    // spin_samples are per-pass, so this links every reported number
+    // to the steal probe that covered its measurement window.
+    val bestPass = scala.collection.mutable.Map[String, Int]()
     var bestSentinel = Double.MaxValue
     var bestSpin = Double.MaxValue
     // JIT-warm both spin shapes once, outside any measured window
@@ -192,7 +210,9 @@ object Bench {
       attempts += 1
       minOf2(sentinel).foreach(t => bestSentinel = math.min(bestSentinel, t))
       names.foreach { n =>
-        minOf2(n).foreach(t => best(n) = best.get(n).fold(t)(math.min(_, t)))
+        minOf2(n).foreach { t =>
+          if (best.get(n).forall(t < _)) { best(n) = t; bestPass(n) = attempts }
+        }
       }
       val recheck = minOf2(sentinel).getOrElse(Double.MaxValue)
       bestSentinel = math.min(bestSentinel, recheck)
@@ -207,22 +227,35 @@ object Bench {
     // Never-successful queries report -1 and are excluded from the
     // total so a fast crash can never read as a performance win.
     val errors = names.filterNot(best.contains)
+    // A query is tainted when the pass that produced its reported best
+    // time had a steal-polluted probe: the global bestSpin is a
+    // different pass's window and says nothing about THIS number. One
+    // clean early pass must not launder measurements that only ever
+    // ran under steal.
+    val tainted = names.filter { n =>
+      bestPass.get(n).exists { p =>
+        spinSamples.lift(p - 1).exists(_ > 2.0 * SpinReferenceParallel)
+      }
+    }
     val results = names.map { name => name -> best.getOrElse(name, -1.0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val taintedJson = tainted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val samples = spinSamples.map(s => f"$s%.4f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"noisy":${!stable},"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"spin_threads":$SpinThreads,"spin_samples":$samples,"sf":"$sfDir"}"""
+    val noisy = !stable || tainted.nonEmpty
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"noisy":$noisy,"tainted":$taintedJson,"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"spin_threads":$SpinThreads,"spin_samples":$samples,"sf":"$sfDir"}"""
     println(json)
     // File twin of the stdout line: the official artifact is captured
     // from a stdout tail that has truncated before (r4 lost the total
     // and q01-q09); a file can be read back whole.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/bench_result.json"),
+      java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write /tmp/bench_result.json: $e")
+      System.err.println(s"[bench] could not write $outPath: $e")
     }
     spark.stop()
   }

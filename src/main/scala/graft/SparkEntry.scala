@@ -124,13 +124,16 @@ object SparkEntry {
   /** One SQL text, two planners (the q51 pattern): the three-valued
     * IN / NOT IN / EXISTS subquery semantics — the classic NULL trap
     * the reference's SQL delegation inherits from PostgreSQL. The
-    * nulled branches inject NULLs deterministically (every 50th
-    * custkey), so `not_in_nulls` counts 0 — one NULL in the list
-    * poisons the whole NOT IN — while `in_nulls` silently loses only
-    * the nulled matches. Catalyst plans the NOT IN branches as
-    * null-aware anti joins (broadcast-built — the reason EXISTS, a
-    * plain shuffled anti join, is the formulation that scales; this
-    * gate pins that both agree with DuckDB anyway).
+    * nulled branches null out every 50th custkey AND append one
+    * unconditional NULL row (at small SFs no January custkey is
+    * divisible by 50, and a nulled branch that happens to inject
+    * nothing would silently test ordinary NOT IN), so `not_in_nulls`
+    * counts 0 at every scale — one NULL in the list poisons the whole
+    * NOT IN — while `in_nulls` silently loses only the nulled
+    * matches. Catalyst plans the NOT IN branches as null-aware anti
+    * joins (broadcast-built — the reason EXISTS, a plain shuffled
+    * anti join, is the formulation that scales; this gate pins that
+    * both agree with DuckDB anyway).
     */
   private val nullSemanticsSql: String = {
     val jan =
@@ -142,14 +145,16 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT 'in_nulls' AS tag, count(*) AS cnt FROM customer
        |   WHERE c_custkey IN (SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
-       |                                   ELSE o_custkey END $jan)
+       |                                   ELSE o_custkey END $jan
+       |                       UNION ALL SELECT CAST(NULL AS BIGINT))
        |  UNION ALL
        |  SELECT 'not_in' AS tag, count(*) AS cnt FROM customer
        |   WHERE c_custkey NOT IN (SELECT o_custkey $jan)
        |  UNION ALL
        |  SELECT 'not_in_nulls' AS tag, count(*) AS cnt FROM customer
        |   WHERE c_custkey NOT IN (SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
-       |                                       ELSE o_custkey END $jan)
+       |                                       ELSE o_custkey END $jan
+       |                           UNION ALL SELECT CAST(NULL AS BIGINT))
        |  UNION ALL
        |  SELECT 'exists' AS tag, count(*) AS cnt FROM customer
        |   WHERE EXISTS (SELECT 1 $jan AND o_custkey = c_custkey)

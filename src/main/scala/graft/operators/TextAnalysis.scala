@@ -532,6 +532,16 @@ object TextAnalysis {
     * logp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1) + |V|)): exact-integer
     * numerator and denominator, one double division and one ln in
     * both engines, mean rounded at 6.
+    *
+    * The tokenize+explode lineage is DELIBERATELY evaluated twice —
+    * once under the fit aggregates, once under the score scan. The
+    * alternative (persisting `bigrams` across the phases) is a
+    * micro-win at gate SF but the wrong shape at target scale: the
+    * exploded bigram intermediate is corpus-size x tokens-per-doc,
+    * and pinning it to executor storage to save a second columnar
+    * scan trades cheap sequential parquet reads for cluster-wide
+    * cache pressure. Fit+score as two independent scans is the
+    * standard two-pass LM shape.
     */
   def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
