@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleJaccard, SimHash32, SortedShingles, TopGramCount}
+import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleJaccard, SimHash32, SortedShingles, TopGramCount}
 import graft.plans.RankLimitToTopK
 
 /** Arity-validating function builders — ONE definition shared by the
@@ -72,6 +72,20 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         "top_gram_count expects (tokensArray, literal int n >= 1); got " +
           (if (es.length == 2) s"second argument ${es(1).sql}"
            else s"${es.length} arguments"))
+    })
+    // chunk_tokens(tokens, chunk, stride) — the chunking UDTF; window
+    // and stride must be literal positive ints (they shape the output
+    // schema's semantics, not per-row data).
+    inject(ext, "chunk_tokens", classOf[ChunkTokens], {
+      case Seq(a,
+          org.apache.spark.sql.catalyst.expressions.Literal(c: Int,
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.catalyst.expressions.Literal(s: Int,
+            org.apache.spark.sql.types.IntegerType)) if c >= 1 && s >= 1 =>
+        ChunkTokens(a, c, s)
+      case es => throw new FlacoSparkException(
+        "chunk_tokens expects (tokensArray, literal int chunk >= 1, " +
+          s"literal int stride >= 1); got ${es.length} arguments")
     })
     ext.injectOptimizerRule(_ => RankLimitToTopK)
   }

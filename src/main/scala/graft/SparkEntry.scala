@@ -109,7 +109,10 @@ object SparkEntry {
       Flaco.sql(s, d, nullSemanticsSql)),
     "q69_stats_agg" -> (Events.statsAgg _),
     "q70_array_funcs" -> (TextAnalysis.arrayFuncs _),
-    "q71_edit_distance" -> (Dedup.editDistancePairs _)
+    "q71_edit_distance" -> (Dedup.editDistancePairs _),
+    "q72_chunk_udtf" -> (TextAnalysis.chunkDocs _),
+    "q73_tfidf" -> (TextAnalysis.tfidfTopTerms _),
+    "q74_bucketed_join" -> (graft.sources.Layout.bucketedRevenue _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1279,6 +1282,56 @@ object SparkEntry {
          |         JOIN dt tb ON tb.doc_id = j.b)
          |SELECT doc_a, doc_b, jaccard, edit_dist,
          |  round(1.0 - CAST(edit_dist AS DOUBLE) / mx, 6) AS edit_sim
-         |FROM e ORDER BY doc_a, doc_b""".stripMargin
+         |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Window i covers tokens [i*stride, min(i*stride+chunk, n)) —
+    // DuckDB list slices are 1-based inclusive, hence the +1. Chunk
+    // and stride constants shared with TextAnalysis by name.
+    "q72_chunk_udtf" ->
+      s"""WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+         |  FROM documents),
+         |i AS (SELECT doc_id, l, unnest(range(0, len(l),
+         |  ${TextAnalysis.ChunkStride})) AS s FROM d)
+         |SELECT doc_id,
+         |  CAST(s // ${TextAnalysis.ChunkStride} AS BIGINT) AS chunk_idx,
+         |  CAST(least(s + ${TextAnalysis.ChunkSize}, len(l)) - s AS BIGINT)
+         |    AS n_chunk_toks,
+         |  md5(array_to_string(
+         |    l[s + 1 : least(s + ${TextAnalysis.ChunkSize}, len(l))], ' '))
+         |    AS chunk_fp
+         |FROM i ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // tf computed over (doc, term) pairs appearing once each; df is
+    // the count of docs per term; N counts all documents. Ranking by
+    // the UNROUNDED score (ties by term) — score is one ln and one
+    // multiply from exact integers in both engines.
+    "q73_tfidf" ->
+      s"""WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(l) AS term FROM d),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |    tf * ln(n_docs / df) AS score FROM tf
+         |  JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, df, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS BIGINT) AS rk FROM s)
+         |SELECT doc_id, rk, term, tf, df, round(score, 6) AS score
+         |FROM r WHERE rk <= ${TextAnalysis.TfidfTopK}
+         |ORDER BY doc_id, rk""".stripMargin,
+
+    // The oracle is the PLAIN join over raw parquet — bucketing must
+    // be result-invisible (the q57 pattern for physical layout).
+    "q74_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Corpus
@@ -441,6 +442,92 @@ object TextAnalysis {
         md5(array_join(array_sort(array_distinct(col("toks"))), " "))
           .as("vocab_fp"))
       .orderBy(col("doc_id"))
+
+  /** Context-window size (tokens) for [[chunkDocs]] — shared with the
+    * oracle by name.
+    */
+  val ChunkSize = 8
+
+  /** Chunk stride for [[chunkDocs]]: stride < window, so consecutive
+    * chunks overlap by ChunkSize - ChunkStride tokens and no boundary
+    * context is lost. Shared with the oracle by name.
+    */
+  val ChunkStride = 6
+
+  /** Fixed-token context-window chunking with overlap — the standard
+    * LLM-training preprocessing step (documents longer than the model
+    * context are split into windows; stride < window keeps boundary
+    * context in two chunks). The splitting itself is the
+    * [[graft.functions.ChunkTokens]] Generator — a genuine Catalyst
+    * table function emitting chunk rows straight from the token array,
+    * never materializing a per-document chunk collection — so the only
+    * row blow-up is the output itself. Chunks are reported as md5
+    * fingerprints (the gate checks exact text reconstruction without
+    * shipping megabytes through the compare).
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.ChunkTokens.chunkTokens(
+          tokens(col("text")), ChunkSize, ChunkStride))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_toks"),
+        md5(col("chunk_text")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Top terms per document for [[tfidfTopTerms]] — shared with the
+    * oracle by name.
+    */
+  val TfidfTopK = 3
+
+  /** TF-IDF top terms per document — the classic keyword/topic signal
+    * (search indexing, near-dup domain features, topic balancing).
+    * score = tf x ln(N / df), ranked per doc (score desc, term asc).
+    *
+    * Shapes, in scale order:
+    *  - TF is computed PER ROW with higher-order functions (distinct
+    *    tokens x in-doc count) and exploded once — the (doc, term)
+    *    rows appear exactly once each, so no corpus-token-sized
+    *    explode and no (doc, term) aggregation shuffle at all;
+    *  - DF is a map-side-combinable count over those rows: the only
+    *    exchange on the fit path carries partially-counted rows, so
+    *    its volume is vocabulary-sized per task, not corpus-sized;
+    *  - the scoring join builds on the DF table (vocabulary-sized —
+    *    AQE broadcasts it; ChunkSpec pins that the tf branch reaches
+    *    the join with NO exchange of its own, so the corpus-derived
+    *    rows are never shuffled at all. If the vocabulary ever
+    *    outgrows broadcast, the same plan degrades to one shuffle of
+    *    the unique (doc, term) rows — the floor for a global-DF
+    *    computation);
+    *  - the per-doc top-k plans as a bounded TopKRows heap via the
+    *    injected rank-limit rewrite — no corpus-wide Window sort.
+    * N (corpus size) is a 1-row broadcast.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tf = docs
+      .select(col("doc_id"), explode(expr(
+        """transform(array_distinct(toks),
+          |  t -> struct(t AS term,
+          |              CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS tf))"""
+          .stripMargin)).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Corpus.read(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
 
   /** Tokens per "line" for [[lineDedup]]: the corpus text carries no
     * newlines, so lines are consecutive fixed-width token segments —

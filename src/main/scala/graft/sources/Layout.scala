@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout operators — the two techniques that decide whether
   * a 100 TB table is queryable: directory partitioning (partition
@@ -42,4 +43,34 @@ object Layout {
       spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Oracle-gated bucketed join (the q57 salting pattern: a physical
+    * layout choice must be result-invisible): orders and customer are
+    * re-written as bucketed tables on their join keys, then joined and
+    * aggregated to revenue per market segment — the oracle is the
+    * PLAIN join over the raw parquet, so any row lost or duplicated by
+    * the bucketing write/read round-trip fails the hash. The
+    * shuffle-elimination claim itself is pinned in LayoutSpec (plan
+    * has no Exchange with broadcast disabled); at 100 TB this layout
+    * is what turns every repeated fact-dim join on the same key from
+    * a full shuffle into a local merge. Money in exact integer cents.
+    */
+  def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q74_").toString
+    writeBucketed(
+      Corpus.read(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "q74_orders_b", s"$tmp/orders", "o_custkey", 8)
+    writeBucketed(
+      Corpus.read(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "q74_customer_b", s"$tmp/customer", "c_custkey", 8)
+    spark.table("q74_orders_b")
+      .join(spark.table("q74_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
 }
