@@ -112,7 +112,8 @@ object SparkEntry {
     "q71_edit_distance" -> (Dedup.editDistancePairs _),
     "q72_chunk_udtf" -> (TextAnalysis.chunkDocs _),
     "q73_tfidf" -> (TextAnalysis.tfidfTopTerms _),
-    "q74_bucketed_join" -> (graft.sources.Layout.bucketedRevenue _)
+    "q74_bucketed_join" -> (graft.sources.Layout.bucketedRevenue _),
+    "q75_gap_fill" -> (Temporal.gapFillHourly _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1332,6 +1333,34 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // ts is TIMESTAMP(NANOS) in parquet; the engine reads it truncated
+    // to microseconds (Corpus), so the oracle truncates identically
+    // with CAST(ts AS TIMESTAMP) before epoch_us. The last-in-hour
+    // pick orders by the same zero-padded (micros, event_id) string
+    // as the engine — total order even under timestamp ties.
+    "q75_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    arg_max(value,
+        |      lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') ||
+        |      lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v_obs,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY user_id, h),
+        |bounds AS (SELECT user_id, min(h) AS hmin, max(h) AS hmax
+        |  FROM hourly GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(hmin, hmax + 1)) AS h
+        |  FROM bounds),
+        |j AS (SELECT g.user_id, g.h, o.v_obs,
+        |    coalesce(o.n_obs, CAST(0 AS BIGINT)) AS n_obs
+        |  FROM grid g LEFT JOIN hourly o
+        |    ON g.user_id = o.user_id AND g.h = o.h)
+        |SELECT user_id, h, last_value(v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+        |  n_obs
+        |FROM j ORDER BY user_id, h""".stripMargin
   )
 }

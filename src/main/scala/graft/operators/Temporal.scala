@@ -204,4 +204,52 @@ object Temporal {
       .toDF()
       .orderBy(col("user_id"), col("session_start"))
   }
+
+  /** Gap-fill / resampling: per-user hourly grid from first to last
+    * observed hour, forward-filling the latest observation into
+    * silent hours — the standard time-series regularization
+    * (monitoring rollups, feature snapshots, training sequences need
+    * an observation per step, not per event). Three shapes keep it
+    * scale-safe:
+    *
+    *  - raw events collapse FIRST into one row per (user, hour) via a
+    *    map-side-combinable aggregate (the last-in-hour pick is
+    *    max_by over a zero-padded (micros, event_id) string — total
+    *    order even under timestamp ties, so the pick is deterministic
+    *    on any data, not just this fixture's unique timestamps);
+    *  - the grid derives from per-user min/max bounds and explodes
+    *    sequence(hmin, hmax) — grid size is bounded by users x span
+    *    hours, never by event count;
+    *  - the forward fill is one running `last(ignoreNulls)` window
+    *    per user over grid-sized rows (span hours per user, a few
+    *    hundred — sorts are per-user-partition and bounded).
+    * The first grid hour per user is observed by construction, so the
+    * fill is never null. Hour indices are integer epoch-hours (exact
+    * in both engines); values pass through untouched (no arithmetic,
+    * exact hash compare).
+    */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    // Microsecond epoch (the Corpus truncation) — exact integers.
+    val micros = unix_micros(col("ts").cast("timestamp"))
+    val hourly = Corpus.read(spark, dir, "events")
+      .select(col("user_id"), expr("(ts_us div 3600000000)").as("h"),
+        col("value"),
+        concat(lpad(micros.cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0")).as("ord"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(expr("max_by(value, ord)").as("v_obs"),
+        count(lit(1)).as("n_obs"))
+    val grid = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .select(col("user_id"),
+        explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("v_fill"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .orderBy(col("user_id"), col("h"))
+  }
 }

@@ -305,4 +305,32 @@ class OperatorsSpec extends AnyFunSuite {
         s"HLL++ estimate $a off exact $e by more than 3*rsd for $k")
     }
   }
+
+  test("gap fill: contiguous per-user grid, forward fill matches a local replay") {
+    val got = Temporal.gapFillHourly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // Independent replay from the raw events: last-in-hour per (user,
+    // hour) by (micros, event_id), then a sequential forward fill.
+    val raw = graft.sources.Corpus.read(spark, sf, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val lastInHour = raw
+      .groupBy(e => (e._1, e._2 / 3600000000L))
+      .view.mapValues(es => es.maxBy(e => (e._2, e._3))._4).toMap
+    val nObs = raw.groupBy(e => (e._1, e._2 / 3600000000L))
+      .view.mapValues(_.length.toLong).toMap
+    val want = raw.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val hours = es.map(_._2 / 3600000000L)
+      var fill = 0.0
+      (hours.min to hours.max).map { h =>
+        fill = lastInHour.getOrElse((uid, h), fill)
+        (uid, h, fill, nObs.getOrElse((uid, h), 0L))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+  }
 }
