@@ -83,9 +83,12 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Literal(s: Int,
             org.apache.spark.sql.types.IntegerType)) if c >= 1 && s >= 1 =>
         ChunkTokens(a, c, s)
-      case es => throw new FlacoSparkException(
+      case es if es.length != 3 => throw new FlacoSparkException(
         "chunk_tokens expects (tokensArray, literal int chunk >= 1, " +
           s"literal int stride >= 1); got ${es.length} arguments")
+      case es => throw new FlacoSparkException(
+        "chunk_tokens expects chunk and stride to be literal positive " +
+          s"integers; got chunk=${es(1).sql}, stride=${es(2).sql}")
     })
     ext.injectOptimizerRule(_ => RankLimitToTopK)
   }

@@ -55,10 +55,12 @@ case class ChunkTokens(child: Expression, chunkTokens: Int, stride: Int)
     if (arr == null) return Nil
     val n = arr.numElements()
     if (n == 0) return Nil
-    val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var start = 0
-    var idx = 0L
-    while (start < n) {
+    // Lazy: GenerateExec pulls this iterator row by row, so only ONE
+    // chunk string is live at a time — the incremental-emission claim
+    // in the scaladoc holds because nothing here pre-buffers chunks.
+    val nChunks = ((n - 1) / stride) + 1
+    Iterator.range(0, nChunks).map { c =>
+      val start = c * stride
       val end = math.min(start + chunkTokens, n)
       val sb = new java.lang.StringBuilder()
       var i = start
@@ -67,12 +69,9 @@ case class ChunkTokens(child: Expression, chunkTokens: Int, stride: Int)
         sb.append(arr.getUTF8String(i).toString)
         i += 1
       }
-      rows += InternalRow(idx, (end - start).toLong,
+      InternalRow(c.toLong, (end - start).toLong,
         UTF8String.fromString(sb.toString))
-      idx += 1
-      start += stride
     }
-    rows
   }
 
   override def prettyName: String = "chunk_tokens"

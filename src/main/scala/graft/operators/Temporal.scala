@@ -232,7 +232,8 @@ object Temporal {
     // Microsecond epoch (the Corpus truncation) — exact integers.
     val micros = unix_micros(col("ts").cast("timestamp"))
     val hourly = Corpus.read(spark, dir, "events")
-      .select(col("user_id"), expr("(ts_us div 3600000000)").as("h"),
+      .select(col("user_id"),
+        expr("(unix_micros(cast(ts as timestamp)) div 3600000000)").as("h"),
         col("value"),
         concat(lpad(micros.cast("string"), 20, "0"),
           lpad(col("event_id").cast("string"), 12, "0")).as("ord"))

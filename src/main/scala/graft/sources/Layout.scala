@@ -55,8 +55,20 @@ object Layout {
     * is what turns every repeated fact-dim join on the same key from
     * a full shuffle into a local merge. Money in exact integer cents.
     */
+  // One bucketed-layout directory per JVM, overwritten (not re-created)
+  // on every invocation: the bench runs each query several times per
+  // pass, and a fresh createTempDirectory per call would orphan the
+  // previous copy each time saveAsTable repoints the catalog table —
+  // an unbounded disk leak across bench/correctness runs.
+  private lazy val bucketDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q74_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString
+  }
+
   def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q74_").toString
+    val tmp = bucketDir
     writeBucketed(
       Corpus.read(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),

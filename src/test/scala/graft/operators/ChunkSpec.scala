@@ -147,6 +147,7 @@ class ChunkSpec extends AnyFunSuite {
     // rows (vocabulary-sized) and the bounded TopKRows heaps keyed by
     // doc_id. The corpus-derived tf rows reach the scoring join with
     // no exchange of their own (the DF table broadcasts).
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val executed =
@@ -164,7 +165,7 @@ class ChunkSpec extends AnyFunSuite {
           s"got $hashExchanges:\n$executed")
       assert(hashExchanges.exists(_.contains("term")), s"$hashExchanges")
       assert(hashExchanges.exists(_.contains("doc_id")), s"$hashExchanges")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("bucketed revenue equals the plain-join formulation") {
