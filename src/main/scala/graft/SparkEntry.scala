@@ -113,7 +113,13 @@ object SparkEntry {
     "q72_chunk_udtf" -> (TextAnalysis.chunkDocs _),
     "q73_tfidf" -> (TextAnalysis.tfidfTopTerms _),
     "q74_bucketed_join" -> (graft.sources.Layout.bucketedRevenue _),
-    "q75_gap_fill" -> (Temporal.gapFillHourly _)
+    "q75_gap_fill" -> (Temporal.gapFillHourly _),
+    "q76_distinct_on" -> (Relational.distinctOnLatest _),
+    "q77_string_agg" -> (Relational.orderedStringAgg _),
+    "q78_token_dedup" -> (TextAnalysis.tokenDedup _),
+    "q79_interpolate" -> (Temporal.interpolateHourly _),
+    "q80_json_funcs" -> (Relational.jsonFuncs _),
+    "q81_zipf_histogram" -> (TextAnalysis.zipfHistogram _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1341,26 +1347,135 @@ object SparkEntry {
     // pick orders by the same zero-padded (micros, event_id) string
     // as the engine — total order even under timestamp ties.
     "q75_gap_fill" ->
-      """WITH hourly AS (
-        |  SELECT user_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
-        |    arg_max(value,
-        |      lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') ||
-        |      lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v_obs,
-        |    CAST(count(*) AS BIGINT) AS n_obs
-        |  FROM events GROUP BY user_id, h),
-        |bounds AS (SELECT user_id, min(h) AS hmin, max(h) AS hmax
-        |  FROM hourly GROUP BY user_id),
-        |grid AS (SELECT user_id, unnest(range(hmin, hmax + 1)) AS h
-        |  FROM bounds),
-        |j AS (SELECT g.user_id, g.h, o.v_obs,
-        |    coalesce(o.n_obs, CAST(0 AS BIGINT)) AS n_obs
-        |  FROM grid g LEFT JOIN hourly o
-        |    ON g.user_id = o.user_id AND g.h = o.h)
-        |SELECT user_id, h, last_value(v_obs IGNORE NULLS) OVER (
-        |    PARTITION BY user_id ORDER BY h
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
-        |  n_obs
-        |FROM j ORDER BY user_id, h""".stripMargin
+      s"""WITH $hourlyGridCtes
+         |SELECT user_id, h, last_value(v_obs IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+         |  n_obs
+         |FROM j ORDER BY user_id, h""".stripMargin,
+
+    // PG's DISTINCT ON, stated in its native form — DuckDB implements
+    // the PostgreSQL semantics directly, while the engine states it
+    // as a row_number()=1 rank limit (which the injected rewrite
+    // plans as a k=1 top-k heap). The (micros desc, event_id desc)
+    // order is total, so both picks are forced to the same row.
+    "q76_distinct_on" ->
+      """SELECT DISTINCT ON (user_id) user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+        |FROM events
+        |ORDER BY user_id, epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+        |  event_id DESC""".stripMargin,
+
+    // DuckDB's PG-style string_agg(DISTINCT … ORDER BY …) vs Spark's
+    // listagg WITHIN GROUP — two spellings of the same SQL:2016
+    // ordered string aggregation.
+    "q77_string_agg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations_csv,
+        |  CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations,
+        |  count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // First-occurrence order is re-derived via min-ordinality
+    // grouping (list_distinct does NOT preserve order in DuckDB) —
+    // a genuinely independent formulation of array_distinct's
+    // documented first-occurrence semantics.
+    "q78_token_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |tok AS (SELECT doc_id, unnest(toks) AS term,
+        |    generate_subscripts(toks, 1) AS ord FROM t),
+        |f AS (SELECT doc_id, term, min(ord) AS first_ord FROM tok
+        |  GROUP BY doc_id, term),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_uniq,
+        |    md5(string_agg(term, ' ' ORDER BY first_ord)) AS dedup_fp
+        |  FROM f GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks, d.n_uniq,
+        |  round(1.0 - CAST(d.n_uniq AS DOUBLE) / len(t.toks), 6) AS rep_ratio,
+        |  d.dedup_fp
+        |FROM t JOIN d ON t.doc_id = d.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // Same hourly/grid CTEs as q75. The interpolated value is an
+    // EXACT integer rational in cents (numerator/denominator plus
+    // the truncated micro-unit quotient) — rounded doubles are not
+    // gateable here because midpoints land exactly on decimal
+    // rounding boundaries where the engines' round() differ.
+    "q79_interpolate" ->
+      s"""WITH $hourlyGridCtes,
+         |w AS (SELECT user_id, h, v_obs,
+         |    last_value(v_obs IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+         |    last_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp,
+         |    first_value(v_obs IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY h
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+         |    first_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY h
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hn
+         |  FROM j),
+         |r AS (SELECT user_id, h,
+         |    CASE WHEN v_obs IS NOT NULL THEN 'obs' ELSE 'gap' END AS src,
+         |    CASE WHEN v_obs IS NOT NULL
+         |      THEN CAST(round(v_obs * 100) AS BIGINT)
+         |      ELSE CAST(round(vp * 100) AS BIGINT) * (hn - h) +
+         |           CAST(round(vn * 100) AS BIGINT) * (h - hp) END AS num_cents,
+         |    CASE WHEN v_obs IS NOT NULL THEN CAST(1 AS BIGINT)
+         |      ELSE hn - hp END AS den
+         |  FROM w)
+         |SELECT user_id, h, src, num_cents, den,
+         |  (num_cents * 10000) // den AS v_micro
+         |FROM r ORDER BY user_id, h""".stripMargin,
+
+    // Two independent JSON parse paths per row (the ->> operator and
+    // json_extract_string), and to_json re-serialization hashed
+    // against Spark's writer — the q46 independent-encodings pattern
+    // on the published compact-JSON format.
+    "q80_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(props->>'k' AS BIGINT) AS k,
+        |  CASE WHEN CAST(props->>'k' AS BIGINT) =
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS mismatch,
+        |  md5(to_json(struct_pack(uid := user_id, et := event_type,
+        |    k := CAST(props->>'k' AS BIGINT)))) AS fp
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // floor(log2) via binary-string length on BOTH sides — integer-
+    // exact (log(2, x) is an ln ratio in Spark and rounds wrong at
+    // exact powers of two).
+    "q81_zipf_histogram" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        |SELECT CAST(length(printf('%b', cnt)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+        |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
   )
+
+  /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the
+    * total-ordered last-in-hour pick, per-user bounds, the hourly
+    * grid, and the grid⟕hourly join `j`.
+    */
+  private val hourlyGridCtes: String =
+    """hourly AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+      |    arg_max(value,
+      |      lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') ||
+      |      lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v_obs,
+      |    CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM events GROUP BY user_id, h),
+      |bounds AS (SELECT user_id, min(h) AS hmin, max(h) AS hmax
+      |  FROM hourly GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(range(hmin, hmax + 1)) AS h
+      |  FROM bounds),
+      |j AS (SELECT g.user_id, g.h, o.v_obs,
+      |    coalesce(o.n_obs, CAST(0 AS BIGINT)) AS n_obs
+      |  FROM grid g LEFT JOIN hourly o
+      |    ON g.user_id = o.user_id AND g.h = o.h)""".stripMargin
 }

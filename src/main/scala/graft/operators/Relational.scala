@@ -470,6 +470,84 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** PostgreSQL `SELECT DISTINCT ON (key) … ORDER BY key, ord` — the
+    * keep-one-row-per-key idiom (latest event per user here). The PG
+    * semantics are "first row of each key group under the ORDER BY";
+    * expressed as a `row_number() = 1` rank-limit so the injected
+    * [[graft.plans.RankLimitToTopK]] rewrite plans it as a k=1
+    * bounded top-k aggregate: each map partition ships ONE row per
+    * user into the exchange — no per-user window sort, no
+    * corpus-sized shuffle payload. The (micros, event_id) ordering is
+    * total, so the pick is deterministic under timestamp ties.
+    */
+  def distinctOnLatest(spark: SparkSession, dir: String): DataFrame = {
+    val micros = expr("unix_micros(cast(ts as timestamp))")
+    t(spark, dir, "events")
+      .select(col("user_id"), micros.as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_us"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Ordered string aggregation — PG's `string_agg(x, d ORDER BY …)`
+    * surface via Spark 4's `listagg … WITHIN GROUP (ORDER BY …)`:
+    * per market segment, the alphabetical CSV of the distinct nations
+    * its customers live in, plus exact counts. Stated through the SQL
+    * front door: `WITHIN GROUP` is SQL-only surface (the `expr()`
+    * fragment parser mis-types the sort order inside `agg`), and this
+    * is the reference's delegation shape anyway.
+    *
+    * The distinct-then-concat is a two-level aggregate: the inner
+    * GROUP BY collapses to (segment, nation) cardinality BEFORE any
+    * string is built, so listagg's buffer holds at most |nation| rows
+    * per group and every stage is map-side combinable — also the only
+    * formulation that dodges a genuine Spark 4.1 bug
+    * (`ListAgg.withNewChildrenInternal` casts its replaced order
+    * child AttributeReference to SortOrder inside
+    * RewriteDistinctAggregates when `listagg(DISTINCT …) WITHIN
+    * GROUP` meets another distinct aggregate).
+    */
+  def orderedStringAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.Flaco.sql(spark, dir,
+      """WITH per AS (
+        |  SELECT c_mktsegment, n_name, count(*) AS n_cust
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY c_mktsegment, n_name)
+        |SELECT c_mktsegment,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv,
+        |  CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(n_cust) AS BIGINT) AS n_customers
+        |FROM per GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  /** Real JSON functions (q16 is the regex fallback): schema-pinned
+    * `from_json` and path-style `get_json_object` over the events
+    * `props` JSON column, plus `to_json` re-serialization of a struct
+    * built from the row — hashed per row, so the gate pins the exact
+    * serialized bytes against DuckDB's independent JSON writer (the
+    * q46 independent-encodings pattern: two engines, one published
+    * format). Both parse paths (`from_json` and `get_json_object`)
+    * run on every row and the gate emits their disagreement count per
+    * row (always 0). Everything stays inside one codegen'd scan
+    * projection — row-level output, zero shuffles, no per-group
+    * state.
+    */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k2"))
+      .select(col("event_id"), col("k"),
+        when(col("k") === col("k2"), 0L).otherwise(1L).as("mismatch"),
+        md5(to_json(struct(col("user_id").as("uid"),
+          col("event_type").as("et"), col("k")))).as("fp"))
+      .orderBy(col("event_id"))
+
   /** Sum of the 3 largest order totals per segment via the typed
     * [[graft.functions.TopKSumAgg]] Aggregator — bounded-buffer
     * partial aggregation instead of a full window sort.

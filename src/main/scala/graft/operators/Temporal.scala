@@ -228,7 +228,11 @@ object Temporal {
     * in both engines); values pass through untouched (no arithmetic,
     * exact hash compare).
     */
-  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared first stage of [[gapFillHourly]] / [[interpolateHourly]]:
+    * the per-user hourly grid left-joined to the per-(user, hour)
+    * collapsed observations — (user_id, h, v_obs nullable, n_obs).
+    */
+  private def hourlyGrid(spark: SparkSession, dir: String): DataFrame = {
     // Microsecond epoch (the Corpus truncation) — exact integers.
     val micros = unix_micros(col("ts").cast("timestamp"))
     val hourly = Corpus.read(spark, dir, "events")
@@ -245,12 +249,66 @@ object Temporal {
       .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
       .select(col("user_id"),
         explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"), col("v_obs"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+  }
+
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "h"), "left")
+    hourlyGrid(spark, dir)
       .select(col("user_id"), col("h"),
         last(col("v_obs"), ignoreNulls = true).over(w).as("v_fill"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        col("n_obs"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  /** Linear-interpolation resampling — the other standard time-series
+    * regularization next to [[gapFillHourly]]'s forward fill: silent
+    * hours take the straight line between the surrounding observed
+    * hours, `v = (vp·(hn−h) + vn·(h−hp)) / (hn−hp)`. Both grid
+    * endpoints are observed by construction (the grid spans min..max
+    * observed hour per user), so every gap has a previous AND a next
+    * observation — the interpolation is total.
+    *
+    * Scale shape: identical to q75 — event volume collapses in the
+    * first map-side-combinable aggregate; the two bracketing lookups
+    * are ONE forward and ONE backward running window over grid-sized
+    * rows (`last(ignoreNulls)` up to the row, `first(ignoreNulls)`
+    * from the row), never a self-join of the grid against the
+    * observations.
+    *
+    * The gate reports the interpolated value as an EXACT integer
+    * rational in cents — numerator `vp_c·(hn−h) + vn_c·(h−hp)`,
+    * denominator `hn−hp` — plus its truncated micro-unit quotient.
+    * A rounded double here is NOT gateable: interpolated midpoints
+    * land exactly on decimal rounding boundaries (denominators 8/16
+    * over 2-decimal inputs ⇒ …6875), where Spark's BigDecimal
+    * HALF_UP and DuckDB's double-multiply rounding genuinely differ
+    * in the last digit.
+    */
+  def interpolateHourly(spark: SparkSession, dir: String): DataFrame = {
+    val before = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("v_obs").isNotNull, col("h"))
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    hourlyGrid(spark, dir)
+      .select(col("user_id"), col("h"), col("v_obs"),
+        last(col("v_obs"), ignoreNulls = true).over(before).as("vp"),
+        last(obsH, ignoreNulls = true).over(before).as("hp"),
+        first(col("v_obs"), ignoreNulls = true).over(after).as("vn"),
+        first(obsH, ignoreNulls = true).over(after).as("hn"))
+      .select(col("user_id"), col("h"),
+        when(col("v_obs").isNotNull, lit("obs")).otherwise(lit("gap")).as("src"),
+        when(col("v_obs").isNotNull, cents(col("v_obs"))).otherwise(
+          cents(col("vp")) * (col("hn") - col("h")) +
+            cents(col("vn")) * (col("h") - col("hp"))).as("num_cents"),
+        when(col("v_obs").isNotNull, lit(1L))
+          .otherwise(col("hn") - col("hp")).as("den"))
+      .withColumn("v_micro", expr("num_cents * 10000 div den"))
       .orderBy(col("user_id"), col("h"))
   }
 }

@@ -660,4 +660,49 @@ object TextAnalysis {
         round(avg(col("logp")), 6).as("logprob"))
       .orderBy(col("doc_id"))
   }
+
+  /** Intra-document repetition removal at token granularity — the
+    * within-doc companion to [[lineDedup]]'s cross-doc boilerplate
+    * pass (Gopher's repetition signals, q49, MEASURE repetition;
+    * this one REMOVES it): each document keeps the FIRST occurrence
+    * of every token, in original order. First-occurrence order is the
+    * load-bearing semantics — `array_distinct` guarantees it in
+    * Spark, while DuckDB's `list_distinct` does NOT, so the oracle
+    * must re-derive order independently via min-ordinality grouping:
+    * two genuinely different formulations, one hashed reconstruction.
+    * Everything is one codegen'd scan projection per row (the
+    * higher-order dedup never leaves the row); zero shuffles before
+    * the output sort.
+    */
+  def tokenDedup(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        round(lit(1.0) - size(array_distinct(col("toks")))
+          .cast("double") / size(col("toks")), 6).as("rep_ratio"),
+        md5(array_join(array_distinct(col("toks")), " ")).as("dedup_fp"))
+      .orderBy(col("doc_id"))
+
+  /** Zipf / token-frequency-distribution histogram — the corpus
+    * balance audit every tokenizer-training and curation run does
+    * (how heavy is the head, how long is the tail). Terms bucket by
+    * floor(log2(occurrences)), computed EXACTLY as
+    * `length(bin(cnt)) - 1` (binary-string length, integer-only —
+    * `log(2, x)` is ln-ratio floating point in Spark and rounds
+    * wrong at exact powers of two; DuckDB mirrors with
+    * printf('%b')). Two map-side-combinable hash aggregates:
+    * corpus-sized word count, then vocabulary-sized bucketing —
+    * output is ~log2(max count) rows.
+    */
+  def zipfHistogram(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), (length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("bucket"))
 }
