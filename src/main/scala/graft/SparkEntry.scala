@@ -119,7 +119,13 @@ object SparkEntry {
     "q78_token_dedup" -> (TextAnalysis.tokenDedup _),
     "q79_interpolate" -> (Temporal.interpolateHourly _),
     "q80_json_funcs" -> (Relational.jsonFuncs _),
-    "q81_zipf_histogram" -> (TextAnalysis.zipfHistogram _)
+    "q81_zipf_histogram" -> (TextAnalysis.zipfHistogram _),
+    "q82_unpivot" -> (Relational.unpivotMetrics _),
+    "q83_funnel" -> (Events.funnelStages _),
+    "q84_cooccur" -> (TextAnalysis.cooccurLift _),
+    "q85_rolling_zscore" -> (Events.rollingAnomalies _),
+    "q86_value_buckets" -> (Events.valueBuckets _),
+    "q87_attribution" -> (Temporal.lastTouchAttribution _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1454,7 +1460,139 @@ object SparkEntry {
         |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
         |SELECT CAST(length(printf('%b', cnt)) - 1 AS BIGINT) AS bucket,
         |  count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS n_occurrences
-        |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // DuckDB's first-class UNPIVOT vs Spark's Dataset.unpivot — two
+    // independent implementations of the same relational transpose.
+    // Money summed as exact integer cents BEFORE the melt.
+    "q82_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS extendedprice_cents,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |      AS discount_cents,
+        |    CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT)
+        |      AS tax_cents
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value_cents
+        |FROM wide UNPIVOT (value_cents FOR metric IN
+        |  (extendedprice_cents, discount_cents, tax_cents))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // Ordered funnel: stage 2 requires a click STRICTLY AFTER the
+    // first view, stage 3 a purchase strictly after that first
+    // qualifying click — same chained min-after-join formulation on
+    // both sides; uid/ts sums are exact integer identities over WHICH
+    // users converged and WHEN.
+    "q83_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS t2 FROM e
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS t3 FROM e
+        |  JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |  CAST(sum(t1) AS BIGINT) AS ts_us_sum FROM v
+        |UNION ALL
+        |SELECT '2_click', count(*), CAST(sum(user_id) AS BIGINT),
+        |  CAST(sum(t2) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', count(*), CAST(sum(user_id) AS BIGINT),
+        |  CAST(sum(t3) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    // Top-32 vocabulary by doc frequency (dfreq desc, term — total
+    // order), pairs (a < b) within a doc, lift in exact integer ppm:
+    // (c_ab · N · 1e6) // (c_a · c_b). Constants pinned to
+    // TextAnalysis.CooccurVocab / CooccurMinSupport.
+    "q84_cooccur" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term, count(*) AS dfreq FROM tok GROUP BY term
+        |  ORDER BY dfreq DESC, term LIMIT 32),
+        |f AS (SELECT t.doc_id, t.term FROM tok t
+        |  JOIN vocab v ON t.term = v.term),
+        |pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+        |    count(*) AS c_ab
+        |  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY a.term, b.term HAVING count(*) >= 5),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term_a, term_b, c_ab, va.dfreq AS c_a, vb.dfreq AS c_b,
+        |  CAST((c_ab * n_docs * 1000000) // (va.dfreq * vb.dfreq)
+        |    AS BIGINT) AS lift_ppm
+        |FROM pairs
+        |JOIN vocab va ON term_a = va.term
+        |JOIN vocab vb ON term_b = vb.term
+        |CROSS JOIN n
+        |ORDER BY term_a, term_b""".stripMargin,
+
+    // Integer-exact rolling z-score: with cents x, S1/S2 over the
+    // trailing 24-row frame, |x−μ| > 2σ (population) ⇔
+    // (n·x − S1)² > 4·(n·S2 − S1²) — both sides Long, no float σ.
+    // The frame ordering (us, event_id) is total in both engines.
+    "q85_rolling_zscore" ->
+      """WITH b AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, us, x,
+        |    CAST(count(*) OVER win AS BIGINT) AS n_w,
+        |    CAST(sum(x) OVER win AS BIGINT) AS s1,
+        |    CAST(sum(x * x) OVER win AS BIGINT) AS s2
+        |  FROM b WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, us, x, n_w, s1, s2,
+        |  CASE WHEN (n_w * x - s1) * (n_w * x - s1) >
+        |    4 * (n_w * s2 - s1 * s1)
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS anom
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    // Bucket restated as `1 + cents // 2500` — an independent integer
+    // encoding of width_bucket(x, 0, 60000, 24) (boundaries are exact
+    // multiples of the width, so the float path cannot straddle one).
+    "q86_value_buckets" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events)
+        |SELECT event_type, CAST(1 + x // 2500 AS BIGINT) AS bucket,
+        |  count(*) AS n, CAST(sum(x) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // Last-touch attribution: the running last(enc IGNORE NULLS) over
+    // rows strictly before the current one carries the latest
+    // click/view as ts·4+code (one value — ts and type cannot come
+    // from different touches); purchases decode it and test the
+    // 7-day horizon (604800000000 µs = Temporal.AttributionWindowUs).
+    "q87_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 END
+        |      AS code
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, event_type, us,
+        |    last_value(CASE WHEN code IS NOT NULL
+        |        THEN us * 4 + code END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_enc
+        |  FROM e)
+        |SELECT event_id, user_id, us,
+        |  CASE WHEN within THEN last_enc // 4 END AS touch_us,
+        |  CASE WHEN within THEN
+        |    CASE WHEN last_enc % 4 = 1 THEN 'click' ELSE 'view' END
+        |  END AS touch_type,
+        |  CASE WHEN within THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS attributed
+        |FROM (SELECT *, last_enc IS NOT NULL AND
+        |    us - last_enc // 4 <= 604800000000 AS within FROM w)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Corpus
@@ -119,4 +120,108 @@ object Events {
         round(corr(col("value"), col("uid_d")), 4).as("corr_uid"),
         round(covar_samp(col("value"), col("uid_d")), 4).as("cov_uid"))
       .orderBy(col("event_type"))
+
+  /** Microsecond epoch of the event timestamp — the Corpus truncation,
+    * exact integers in both engines (the q75/q76 convention).
+    */
+  private def micros = expr("unix_micros(cast(ts as timestamp))")
+
+  /** Integer cents of the event value — exact in both engines for the
+    * 2-decimal synthetic values (the q75/q79 convention).
+    */
+  private def cents = round(col("value") * 100).cast("long")
+
+  /** Ordered conversion funnel view → click → purchase: a user
+    * reaches stage 2 only with a click STRICTLY AFTER their first
+    * view, stage 3 only with a purchase strictly after that first
+    * qualifying click. The naive `min(ts) per type` funnel overcounts
+    * (a click before any view would qualify); the ordered form is the
+    * one product analytics actually means.
+    *
+    * Shape: three per-user min-aggregates chained by equi-joins on
+    * user_id — each stage's input is the previous stage's survivor
+    * set, so the frontier shrinks monotonically. All three aggregates
+    * are map-side combinable; the joins are user-cardinality vs
+    * event-cardinality on the same key (AQE broadcasts the survivor
+    * side when it is small; at cluster scale they hash-join
+    * co-partitioned on user_id — no plan rewrite needed at 1000×).
+    * The gate output is stage-level: row count, user-id sum and
+    * stage-timestamp sum as exact integer identities over WHICH users
+    * converted and WHEN.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val e = Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), micros.as("us"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, "user_id").where(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").where(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    def stage(df: DataFrame, name: String, ts: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+        sum(col("user_id")).as("uid_sum"),
+        sum(col(ts)).as("ts_us_sum"))
+        .select(lit(name).as("stage"), col("n_users"), col("uid_sum"),
+          col("ts_us_sum"))
+    stage(views, "1_view", "t1")
+      .unionAll(stage(clicks, "2_click", "t2"))
+      .unionAll(stage(purchases, "3_purchase", "t3"))
+      .orderBy(col("stage"))
+  }
+
+  /** Rolling z-score anomaly flags: each event against the trailing
+    * 24-event window (23 preceding + current) of its user's stream,
+    * flagged when |x − μ| > 2σ (population σ over the window). The
+    * whole test is INTEGER-EXACT: with cents x, S1 = Σx, S2 = Σx²
+    * over the window of size n, the flag is
+    * `(n·x − S1)² > 4·(n·S2 − S1²)` — both sides Long (cents ≤ 56k,
+    * n ≤ 24 ⇒ n·S2 ≤ 2e15), so no float σ ever exists to disagree
+    * on. The gate emits n/S1/S2 so the oracle pins the window sums
+    * themselves, not just the flag.
+    *
+    * Shape: one window pass per user ordered by (us, event_id) — a
+    * total order, so frames are deterministic. Running ROWS sums are
+    * O(1) per row in both engines; state per partition is the 24-row
+    * frame. Scale = q10's running-window shape: one shuffle by
+    * user_id, no self-join.
+    */
+  def rollingAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-23, Window.currentRow)
+    Corpus.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), micros.as("us"),
+        cents.as("x"))
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("x")).over(w))
+      .withColumn("s2", sum(col("x") * col("x")).over(w))
+      .withColumn("anom",
+        when((col("n_w") * col("x") - col("s1")) *
+          (col("n_w") * col("x") - col("s1")) >
+          lit(4L) * (col("n_w") * col("s2") - col("s1") * col("s1")),
+          lit(1L)).otherwise(lit(0L)))
+      .orderBy(col("event_id"))
+  }
+
+  /** Fixed-width value histogram per event type via `width_bucket`
+    * over integer cents (lo 0, hi 60 000, 24 buckets of 2 500). The
+    * oracle restates the bucket as `1 + cents div 2500` — an
+    * independent encoding of the same binning (the q46/q80 pattern):
+    * boundaries are exact multiples of 2500, cents are exact Longs,
+    * and at those boundaries double division is exact, so the two
+    * formulations cannot drift. One scan + one map-side-combinable
+    * hash aggregate; output is ≤ types×24 rows at any corpus size.
+    */
+  def valueBuckets(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .select(col("event_type"), cents.as("x"))
+      .withColumn("bucket",
+        width_bucket(col("x").cast("double"), lit(0d), lit(60000d), lit(24))
+          .cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"))
+      .orderBy(col("event_type"), col("bucket"))
 }

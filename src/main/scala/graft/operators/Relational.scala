@@ -564,4 +564,32 @@ object Relational {
       .agg(graft.functions.TopKSumAgg.topKSum(3, col("o_totalprice"))
         .as("top3_sum"))
       .orderBy(col("c_mktsegment"))
+
+  /** UNPIVOT (melt) — the inverse of [[pivotReturns]]' wide form: the
+    * per-returnflag money totals as (flag, metric, value_cents) long
+    * rows, via Spark's native `Dataset.unpivot` (PG stack the same
+    * surface with `unnest`/`VALUES` laterals; DuckDB states it as
+    * first-class UNPIVOT — an independent implementation of the same
+    * relational transpose). Money in exact integer cents, summed as
+    * Long BEFORE the melt, so the gate compares integers.
+    *
+    * Scale: the wide aggregate is one map-side-combinable hash
+    * aggregate to ≤ |flags| rows; the melt itself is a zero-shuffle
+    * projection (each wide row becomes |metrics| narrow rows in
+    * place) — unpivot never moves data, whatever the corpus size.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    def cents(c: String) =
+      sum(expr(s"CAST(round($c * 100) AS BIGINT)")).as(s"${c.drop(2)}_cents")
+    val wide = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(cents("l_extendedprice"), cents("l_discount"), cents("l_tax"))
+    wide.unpivot(
+      ids = Array(col("l_returnflag")),
+      values = Array(col("extendedprice_cents"), col("discount_cents"),
+        col("tax_cents")),
+      variableColumnName = "metric",
+      valueColumnName = "value_cents")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
 }

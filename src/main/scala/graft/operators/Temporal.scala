@@ -289,18 +289,25 @@ object Temporal {
     * in the last digit.
     */
   def interpolateHourly(spark: SparkSession, dir: String): DataFrame = {
+    // Both bracket lookups are stated as RUNNING frames (unbounded
+    // preceding → current row): the forward scan over ascending h,
+    // the backward scan over DESCENDING h. A `currentRow →
+    // unboundedFollowing` frame looks equivalent for the backward
+    // scan but is O(n²) per partition — Spark's UnboundedFollowing
+    // frame re-aggregates the partition tail for every row (35 s vs
+    // 0.9 s at sf0.1), while running frames keep O(1) state per row.
     val before = Window.partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val after = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val after = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsH = when(col("v_obs").isNotNull, col("h"))
     def cents(c: Column): Column = round(c * 100).cast("long")
     hourlyGrid(spark, dir)
       .select(col("user_id"), col("h"), col("v_obs"),
         last(col("v_obs"), ignoreNulls = true).over(before).as("vp"),
         last(obsH, ignoreNulls = true).over(before).as("hp"),
-        first(col("v_obs"), ignoreNulls = true).over(after).as("vn"),
-        first(obsH, ignoreNulls = true).over(after).as("hn"))
+        last(col("v_obs"), ignoreNulls = true).over(after).as("vn"),
+        last(obsH, ignoreNulls = true).over(after).as("hn"))
       .select(col("user_id"), col("h"),
         when(col("v_obs").isNotNull, lit("obs")).otherwise(lit("gap")).as("src"),
         when(col("v_obs").isNotNull, cents(col("v_obs"))).otherwise(
@@ -310,5 +317,57 @@ object Temporal {
           .otherwise(col("hn") - col("hp")).as("den"))
       .withColumn("v_micro", expr("num_cents * 10000 div den"))
       .orderBy(col("user_id"), col("h"))
+  }
+
+  /** Attribution lookback horizon: 7 days in microseconds. Shared by
+    * name with the oracle SQL so both sides test the same window.
+    */
+  val AttributionWindowUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent PRECEDING click or view within [[AttributionWindowUs]]
+    * — the marketing-analytics flavor of an as-of backward join
+    * ([[asofJoin]]'s shape with a type-filtered right side and a
+    * horizon).
+    *
+    * Stated as ONE running window instead of a join: touches carry
+    * `enc = us·4 + code` (click 1, view 2 — monotone in time, so the
+    * running `last(enc ignore nulls)` over rows strictly before the
+    * current one IS the latest touch), purchases read the carried
+    * value and decode (ts, type) back out. Encoding ts and type into
+    * one Long matters: two separate `last(ignoreNulls)` columns could
+    * disagree about WHICH touch they came from under identical
+    * timestamps; one value cannot. Ordering (us, event_id) is total,
+    * so ties are deterministic in both engines.
+    *
+    * Scale: one shuffle by user_id, O(1) state per row — the same
+    * shape as [[trailingWindow]], with no events self-join (a join
+    * formulation shuffles the corpus twice and re-sorts; this passes
+    * once). Out-of-horizon touches null out and flag attributed=0
+    * rather than dropping the purchase — attribution coverage is
+    * usually the metric of interest.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val us = expr("unix_micros(cast(ts as timestamp))")
+    val code = when(col("event_type") === "click", lit(1L))
+      .when(col("event_type") === "view", lit(2L))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Corpus.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        us.as("us"))
+      .withColumn("enc", when(code.isNotNull, col("us") * 4 + code))
+      .withColumn("last_enc", last(col("enc"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("within", col("last_enc").isNotNull &&
+        col("us") - expr("last_enc div 4") <= lit(AttributionWindowUs))
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(col("within"), expr("last_enc div 4")).as("touch_us"),
+        when(col("within"),
+          when(expr("last_enc % 4") === 1, "click").otherwise("view"))
+          .as("touch_type"),
+        when(col("within"), lit(1L)).otherwise(lit(0L)).as("attributed"))
+      .orderBy(col("event_id"))
   }
 }

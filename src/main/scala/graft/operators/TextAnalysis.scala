@@ -705,4 +705,56 @@ object TextAnalysis {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("n_occurrences"))
       .orderBy(col("bucket"))
+
+  /** Co-occurrence vocabulary cap and minimum pair support — named so
+    * the oracle SQL pins the same constants.
+    */
+  val CooccurVocab = 32
+  val CooccurMinSupport = 5
+
+  /** Term co-occurrence lift over the top-[[CooccurVocab]] vocabulary:
+    * for term pairs (a < b) appearing in ≥ [[CooccurMinSupport]]
+    * common documents, `lift = P(a,b) / (P(a)·P(b))` — the
+    * association score under every PMI/collocation analysis (PMI is
+    * its log). Emitted as the EXACT integer
+    * `(c_ab · N · 10⁶) div (c_a · c_b)` (parts-per-million, Long-safe:
+    * c ≤ N ⇒ numerator ≤ N²·10⁶) — no float log to disagree on.
+    *
+    * Scale is governed by the vocabulary cap, not the corpus: per-doc
+    * distinct terms filter against the broadcast top-V table BEFORE
+    * the pair self-join, so a document contributes ≤ V²/2 pairs no
+    * matter how long it is, and the pair aggregate has ≤ V²/2 groups
+    * total. The top-V table itself is a map-side-combinable doc-
+    * frequency count + a TakeOrdered heap (constant size at any
+    * corpus scale); N arrives as a broadcast one-row cross join, not
+    * a driver-side collect.
+    */
+  def cooccurLift(spark: SparkSession, dir: String): DataFrame = {
+    val docTerms = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("term"))
+    val vocab = docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("dfreq"))
+      .orderBy(col("dfreq").desc, col("term"))
+      .limit(CooccurVocab)
+    val f = docTerms.join(broadcast(vocab.select(col("term"))), "term")
+    val pairs = f.as("a")
+      .join(f.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CooccurMinSupport)
+    val n = Corpus.read(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(vocab.select(col("term").as("term_a"),
+        col("dfreq").as("c_a"))), "term_a")
+      .join(broadcast(vocab.select(col("term").as("term_b"),
+        col("dfreq").as("c_b"))), "term_b")
+      .crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"),
+        col("c_b"),
+        expr("c_ab * n_docs * 1000000 div (c_a * c_b)").as("lift_ppm"))
+      .orderBy(col("term_a"), col("term_b"))
+  }
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Invariant specs for the round-7 analytics gates (unpivot, ordered
+  * funnel, co-occurrence lift, rolling z-score, value histogram,
+  * last-touch attribution). The value-level gate is the DuckDB
+  * oracle; these pin local independent replays and plan shapes.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  /** (user_id, event_type, us, event_id) for local replays, in the
+    * same micros truncation the operators use.
+    */
+  private lazy val events: Seq[(Long, String, Long, Long)] =
+    graft.sources.Corpus.read(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("funnel stages are monotone and match a local ordered replay") {
+    val rows = Events.funnelStages(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet === Set("1_view", "2_click", "3_purchase"))
+    // Monotone frontier: each stage only loses users.
+    assert(rows("1_view")._1 >= rows("2_click")._1)
+    assert(rows("2_click")._1 >= rows("3_purchase")._1)
+    // Local replay of the chained min-after semantics.
+    val byUser = events.groupBy(_._1)
+    def minAfter(uid: Long, tpe: String, after: Long): Option[Long] = {
+      val ts = byUser(uid).collect { case (_, t, us, _) if t == tpe && us > after => us }
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    val t1 = byUser.keys.flatMap { u =>
+      minAfter(u, "view", Long.MinValue).map(u -> _)
+    }.toMap
+    val t2 = t1.flatMap { case (u, t) => minAfter(u, "click", t).map(u -> _) }
+    val t3 = t2.flatMap { case (u, t) => minAfter(u, "purchase", t).map(u -> _) }
+    def identity(m: Map[Long, Long]) =
+      (m.size.toLong, m.keys.sum, m.values.sum)
+    assert(rows("1_view") === identity(t1))
+    assert(rows("2_click") === identity(t2))
+    assert(rows("3_purchase") === identity(t3))
+  }
+
+  test("rolling z-score window sums and flags match a local replay") {
+    val centsById = graft.sources.Corpus.read(spark, sf, "events")
+      .select(col("event_id"), round(col("value") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Events.rollingAnomalies(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))).toMap
+    assert(got.size === events.size)
+    events.groupBy(_._1).foreach { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4)).map(e => centsById(e._4))
+      val ids = es.sortBy(e => (e._3, e._4)).map(_._4)
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 23), i + 1)
+        val (n, s1, s2) =
+          (frame.size.toLong, frame.sum, frame.map(x => x * x).sum)
+        val x = ordered(i)
+        val anom =
+          if ((n * x - s1) * (n * x - s1) > 4 * (n * s2 - s1 * s1)) 1L else 0L
+        assert(got(ids(i)) === ((x, n, s1, s2, anom)), s"event ${ids(i)}")
+      }
+    }
+  }
+
+  test("value buckets partition the corpus and respect bucket bounds") {
+    val rows = Events.valueBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Every event lands in exactly one bucket.
+    assert(rows.map(_._3).sum === events.size)
+    // Cents ≤ 56021 < 60000: no underflow (0) or overflow (25) bucket.
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 24))
+    // Bucket×type sums re-derive from the raw table.
+    val cents = graft.sources.Corpus.read(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = cents.groupBy { case (t, x) => (t, 1 + x / 2500) }
+      .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    rows.foreach { case (t, b, n, s) =>
+      assert(want((t, b)) === ((n, s)), s"bucket ($t, $b)")
+    }
+  }
+
+  test("co-occurrence lift is the exact integer ppm of its own counts") {
+    val rows = TextAnalysis.cooccurLift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Corpus.read(spark, sf, "documents").count()
+    rows.foreach { case (a, b, cab, ca, cb, ppm) =>
+      assert(a < b, s"pair order ($a, $b)")
+      assert(cab >= TextAnalysis.CooccurMinSupport)
+      // Support can't exceed either marginal (pairs ⊆ docs with a term).
+      assert(cab <= math.min(ca, cb))
+      assert(ppm === cab * nDocs * 1000000L / (ca * cb), s"pair ($a, $b)")
+    }
+  }
+
+  test("attribution picks the latest preceding touch within the horizon") {
+    val got = Temporal.lastTouchAttribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(4)), r.getLong(5)))).toMap
+    val purchases = events.filter(_._2 == "purchase")
+    assert(got.size === purchases.size)
+    val byUser = events.groupBy(_._1)
+    purchases.foreach { case (uid, _, us, eid) =>
+      val touches = byUser(uid)
+        .filter(e => (e._2 == "click" || e._2 == "view") &&
+          (e._3 < us || (e._3 == us && e._4 < eid)))
+      val last: Option[(Long, String, Long, Long)] =
+        if (touches.isEmpty) None
+        else Some(touches.maxBy(e => (e._3, e._4)))
+      val want = last match {
+        case Some((_, t, tus, _)) if us - tus <= Temporal.AttributionWindowUs =>
+          (Some(tus), Some(t), 1L)
+        case _ => (None, None, 0L)
+      }
+      assert(got(eid) === want, s"purchase $eid")
+    }
+  }
+
+  test("unpivot lowers to an Expand projection, not a join or shuffle") {
+    val df = Relational.unpivotMetrics(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.isDefined, s"no Expand in:\n$optimized")
+    assert(optimized.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "melt must not plan a join")
+    // 3 flags × 3 metrics, values re-derived locally in exact cents.
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.size === 9)
+    val li = graft.sources.Corpus.read(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_tax") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    li.groupBy(_._1).foreach { case (flag, xs) =>
+      assert(rows((flag, "extendedprice_cents")) === xs.map(_._2).sum)
+      assert(rows((flag, "discount_cents")) === xs.map(_._3).sum)
+      assert(rows((flag, "tax_cents")) === xs.map(_._4).sum)
+    }
+  }
+}
