@@ -125,7 +125,9 @@ object SparkEntry {
     "q84_cooccur" -> (TextAnalysis.cooccurLift _),
     "q85_rolling_zscore" -> (Events.rollingAnomalies _),
     "q86_value_buckets" -> (Events.valueBuckets _),
-    "q87_attribution" -> (Temporal.lastTouchAttribution _)
+    "q87_attribution" -> (Temporal.lastTouchAttribution _),
+    "q88_stopword_filter" -> (TextAnalysis.stopwordFilter _),
+    "q89_containment" -> (Dedup.containmentPairs _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1592,7 +1594,57 @@ object SparkEntry {
         |FROM (SELECT *, last_enc IS NOT NULL AND
         |    us - last_enc // 4 <= 604800000000 AS within FROM w)
         |WHERE event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // Stopword list pinned to TextAnalysis.StopWords; DuckDB's
+    // list_filter is an independent lambda implementation of the
+    // order-preserving filter; fingerprint checks WHICH tokens
+    // survived and in what order.
+    "q88_stopword_filter" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |f AS (SELECT doc_id, toks,
+        |    list_filter(toks, x -> x <> 'a' AND x <> 'the') AS content
+        |  FROM t)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(content) AS BIGINT) AS n_content,
+        |  CAST((len(toks) - len(content)) * 1000000 // len(toks) AS BIGINT)
+        |    AS stop_ppm,
+        |  md5(array_to_string(content, ' ')) AS content_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Directed containment (quote/subset detection) over the
+    // df-capped shingle space — constants pinned to
+    // Dedup.ContainDfCap / ContainMinPpm / ContainMinShingles; the
+    // same word-3-gram shingle CTE as the q27/q28 oracles.
+    "q89_containment" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    regexp_extract_all(text, '\S+') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM (
+        |  SELECT doc_id, lang, l,
+        |    unnest(range(1, greatest(len(l) - 1, 1))) AS i FROM d)),
+        |df AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY shingle),
+        |f AS (SELECT sh.doc_id, sh.lang, sh.shingle FROM sh
+        |  JOIN df USING (shingle) WHERE dfreq <= 64),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM f
+        |  GROUP BY doc_id HAVING count(*) >= 5),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM f x JOIN f y ON x.shingle = y.shingle AND x.lang = y.lang
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT contained, container, common, n_contained, cont_ppm
+        |FROM (
+        |  SELECT a AS contained, b AS container, common,
+        |    s.n_sh AS n_contained,
+        |    CAST(common * 1000000 // s.n_sh AS BIGINT) AS cont_ppm
+        |  FROM common JOIN sizes s ON a = s.doc_id
+        |  UNION ALL
+        |  SELECT b, a, common, s.n_sh,
+        |    CAST(common * 1000000 // s.n_sh AS BIGINT)
+        |  FROM common JOIN sizes s ON b = s.doc_id)
+        |WHERE cont_ppm >= 600000
+        |ORDER BY contained, container""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -469,4 +469,61 @@ object Dedup {
       .select(col("a").as("vec_a"), col("b").as("vec_b"), col("sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Containment detection constants, shared by name with the oracle:
+    * shingles seen in more than [[ContainDfCap]] documents are dropped
+    * before pairing (boilerplate — and the per-shingle join fanout
+    * bound); a directed pair reports when at least
+    * [[ContainMinPpm]]/10⁶ of the smaller side's surviving shingles
+    * appear in the other doc, and docs with fewer than
+    * [[ContainMinShingles]] surviving shingles are too short to call.
+    */
+  val ContainDfCap = 64
+  val ContainMinPpm = 600000L
+  val ContainMinShingles = 5
+
+  /** Directed containment pairs — quote/subset detection, the
+    * asymmetric sibling of [[candidatePairJaccard]]'s near-dup
+    * search: `containment(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|` is high
+    * when doc a is quoted inside doc b even though their Jaccard is
+    * low (a small doc inside a big one), which is exactly the pair
+    * an LSH band blocked on OVERALL similarity never surfaces. So
+    * the candidate generator here is different by necessity: a
+    * shingle inverted index with a document-frequency cap —
+    * boilerplate shingles (df > [[ContainDfCap]]) are dropped, every
+    * surviving shingle joins at most df ≤ cap docs, so pair
+    * generation is bounded by cap · |shingle table| regardless of
+    * corpus size (the df-cap analogue of [[MaxBandDocs]], and the
+    * CCNet boilerplate-removal move: what the cap discards is
+    * mass-repeated content that exact dedup already handles).
+    *
+    * One undirected common-shingle count serves both directions;
+    * containment is the exact integer ppm `common·10⁶ div n_a` (no
+    * float ratio to disagree on). All stages are narrow-row shuffle
+    * joins on shingle / doc_id keys plus map-side-combinable counts.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesOf(Corpus.read(spark, dir, "documents"))
+    val keep = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= ContainDfCap)
+      .select(col("shingle"))
+    val f = sh.join(keep, "shingle")
+    val sizes = f.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .filter(col("n_sh") >= ContainMinShingles)
+    val common = f.as("x")
+      .join(f.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.lang") === col("y.lang") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    def directed(inner: String, outer: String): DataFrame = common
+      .join(sizes.withColumnRenamed("doc_id", inner), inner)
+      .select(col(inner).as("contained"), col(outer).as("container"),
+        col("common"), col("n_sh").as("n_contained"),
+        expr("common * 1000000 div n_sh").as("cont_ppm"))
+    directed("a", "b").unionAll(directed("b", "a"))
+      .filter(col("cont_ppm") >= ContainMinPpm)
+      .orderBy(col("contained"), col("container"))
+  }
 }

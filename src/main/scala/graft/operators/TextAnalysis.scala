@@ -757,4 +757,37 @@ object TextAnalysis {
         expr("c_ab * n_docs * 1000000 div (c_a * c_b)").as("lift_ppm"))
       .orderBy(col("term_a"), col("term_b"))
   }
+
+  /** Stopword list for [[stopwordFilter]] — pinned by name so the
+    * oracle SQL and the spec test the same set.
+    */
+  val StopWords: Seq[String] = Seq("a", "the")
+
+  /** Stopword removal — the standard curation pass before dedup and
+    * indexing: drop [[StopWords]] from each document's token stream
+    * (order preserved), report exact token bookkeeping and the md5
+    * fingerprint of the filtered stream (so the gate checks WHICH
+    * tokens survived and in what order, not just how many). The
+    * stop ratio is exact integer ppm.
+    *
+    * One codegen'd scan projection — the higher-order `filter` runs
+    * per row against a literal array, no explode, no join, no
+    * shuffle (the orderBy is presentation). At any corpus size this
+    * is a single pass.
+    */
+  def stopwordFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stopLit = StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    Corpus.read(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("content",
+        expr(s"filter(toks, t -> NOT array_contains($stopLit, t))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("content")).cast("long").as("n_content"),
+        expr("(size(toks) - size(content)) * 1000000L div size(toks)")
+          .as("stop_ppm"),
+        md5(array_join(col("content"), " ")).as("content_fp"))
+      .orderBy(col("doc_id"))
+  }
 }

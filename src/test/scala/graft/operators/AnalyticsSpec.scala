@@ -131,6 +131,61 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("stopword filter preserves order and matches a local replay") {
+    val got = TextAnalysis.stopwordFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stop = TextAnalysis.StopWords.toSet
+    var nonTrivial = 0
+    docs.foreach { case (id, text) =>
+      val toks = "\\S+".r.findAllIn(text).toSeq
+      if (toks.isEmpty) assert(!got.contains(id))
+      else {
+        val content = toks.filterNot(stop)
+        if (content.size < toks.size) nonTrivial += 1
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(content.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val ppm = (toks.size - content.size) * 1000000L / toks.size
+        assert(got(id) === ((toks.size.toLong, content.size.toLong, ppm, fp)),
+          s"doc $id")
+      }
+    }
+    // The corpus vocabulary contains stopwords — the filter must do
+    // real work somewhere or the gate is vacuous.
+    assert(nonTrivial > 0)
+  }
+
+  test("containment pairs match an exhaustive local replay") {
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(text: String): Set[String] = {
+      val t = "\\S+".r.findAllIn(text).toSeq
+      if (t.size < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, lang, text) => (id, lang, shingles(text)) }
+    val dfreq = all.flatMap(_._3).groupBy(identity).view.mapValues(_.size)
+    val surviving = all.map { case (id, lang, sh) =>
+      (id, lang, sh.filter(s => dfreq(s) <= Dedup.ContainDfCap))
+    }
+    val want = (for {
+      (a, la, sa) <- surviving if sa.size >= Dedup.ContainMinShingles
+      (b, lb, sb) <- surviving if b != a && lb == la
+      common = (sa & sb).size if common > 0
+      ppm = common.toLong * 1000000L / sa.size
+      if ppm >= Dedup.ContainMinPpm
+    } yield (a, b) -> ((common.toLong, sa.size.toLong, ppm))).toMap
+    assert(got === want)
+  }
+
   test("unpivot lowers to an Expand projection, not a join or shuffle") {
     val df = Relational.unpivotMetrics(spark, sf)
     val optimized = df.queryExecution.optimizedPlan
