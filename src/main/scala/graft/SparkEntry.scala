@@ -127,7 +127,11 @@ object SparkEntry {
     "q86_value_buckets" -> (Events.valueBuckets _),
     "q87_attribution" -> (Temporal.lastTouchAttribution _),
     "q88_stopword_filter" -> (TextAnalysis.stopwordFilter _),
-    "q89_containment" -> (Dedup.containmentPairs _)
+    "q89_containment" -> (Dedup.containmentPairs _),
+    "q90_string_battery" -> (Relational.stringBattery _),
+    "q91_date_battery" -> (Relational.dateBattery _),
+    "q92_disc_mode" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, discModeSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -181,6 +185,36 @@ object SparkEntry {
        |   WHERE NOT EXISTS (SELECT 1 $jan AND o_custkey = c_custkey)
        |) t ORDER BY tag""".stripMargin
   }
+
+  /** One SQL text, two planners (the q51/q68 pattern): SQL-standard
+    * `percentile_disc … WITHIN GROUP` (discrete quantiles — actual
+    * elements, so exact over integer cents) plus a DETERMINISTIC
+    * mode: rank (count desc, value asc) = 1 — Spark's and DuckDB's
+    * native `mode()` both break frequency ties arbitrarily, which is
+    * not gateable; the rank formulation pins the smallest
+    * most-frequent value on both engines.
+    */
+  private val discModeSql: String =
+    """WITH b AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+      |c AS (SELECT event_type, x, count(*) AS cnt FROM b
+      |  GROUP BY event_type, x),
+      |m AS (SELECT event_type, x AS mode_x FROM (
+      |  SELECT event_type, x,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cnt DESC, x) AS rn FROM c) r WHERE rn = 1),
+      |p AS (SELECT event_type,
+      |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY x)
+      |      AS BIGINT) AS p25,
+      |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x)
+      |      AS BIGINT) AS p50,
+      |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY x)
+      |      AS BIGINT) AS p75,
+      |    count(*) AS n
+      |  FROM b GROUP BY event_type)
+      |SELECT p.event_type, p25, p50, p75, n, mode_x
+      |FROM p JOIN m ON p.event_type = m.event_type
+      |ORDER BY p.event_type""".stripMargin
 
   private val correlatedSql: String =
     """SELECT o_orderkey, o_totalprice FROM orders o
@@ -404,7 +438,7 @@ object SparkEntry {
     "q10_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS UNBOUNDED PRECEDING) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
@@ -1644,7 +1678,50 @@ object SparkEntry {
         |    CAST(common * 1000000 // s.n_sh AS BIGINT)
         |  FROM common JOIN sizes s ON b = s.doc_id)
         |WHERE cont_ppm >= 600000
-        |ORDER BY contained, container""".stripMargin
+        |ORDER BY contained, container""".stripMargin,
+
+    // Same functions, DuckDB's implementations (strpos for instr,
+    // trim(s, chars) for the char-set TRIM) — exact string outputs.
+    "q90_string_battery" ->
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS word1,
+        |  split_part(p_name, ' ', 2) AS word2,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+        |  lpad(p_brand, 10, '*') AS brand_l,
+        |  rpad(p_brand, 10, '=') AS brand_r,
+        |  repeat(left(p_name, 2), 3) AS rep2,
+        |  reverse(p_name) AS name_rev,
+        |  replace(p_name, ' ', '_') AS name_us,
+        |  CAST(strpos(p_name, ' ') AS BIGINT) AS sp_pos,
+        |  right(p_type, 3) AS type_r3,
+        |  trim(p_brand, 'Bdran#') AS brand_num,
+        |  CAST(ascii(p_name) AS BIGINT) AS first_ascii
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB's date surface restated: PG dow convention is native
+    // (Spark's is re-based engine-side); next-Monday re-derived
+    // arithmetically from dow — an independent encoding of
+    // next_day's strictly-after contract.
+    "q91_date_battery" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(date_trunc('month', d) AS DATE) AS mon,
+        |  CAST(date_trunc('quarter', d) AS DATE) AS qtr,
+        |  CAST(extract(dow FROM d) AS BIGINT) AS dow,
+        |  CAST(extract(doy FROM d) AS BIGINT) AS doy,
+        |  CAST(extract(week FROM d) AS BIGINT) AS iso_week,
+        |  last_day(d) AS month_end,
+        |  CAST(d + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |  d + 30 AS plus30d,
+        |  CAST(date_diff('day', d, DATE '2000-01-01') AS BIGINT)
+        |    AS days_to_y2k,
+        |  d + CASE WHEN (8 - CAST(extract(dow FROM d) AS INT)) % 7 = 0
+        |    THEN 7 ELSE (8 - CAST(extract(dow FROM d) AS INT)) % 7 END
+        |    AS next_monday
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+
+    "q92_disc_mode" -> discModeSql
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -206,10 +206,20 @@ object Relational {
   /** Window running total per supplier (cumulative frame). l_quantity
     * is integer-valued so the running double sum is exact — safe to
     * hash-compare unrounded across engines.
+    *
+    * l_quantity is the LAST sort key because (l_orderkey,
+    * l_linenumber) is NOT unique in this corpus (the generator reuses
+    * pairs): at sf0.1 one pair collides on the whole (suppkey,
+    * shipdate, orderkey, linenumber) prefix with different
+    * quantities, and a ROWS running sum at a non-total ordering is
+    * engine-tie-order-dependent. With quantity in the key, rows that
+    * still tie are interchangeable — the output multiset is
+    * deterministic even though the internal order isn't.
     */
   def runningQuantity(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "lineitem")
       .withColumn("running_qty", sum(col("l_quantity")).over(w))
@@ -592,4 +602,57 @@ object Relational {
       valueColumnName = "value_cents")
       .orderBy(col("l_returnflag"), col("metric"))
   }
+
+  /** String-function battery beyond [[scalarFunctions]]' basics — the
+    * rest of the PG string surface a delegated `SELECT` can contain:
+    * split_part / translate / lpad / rpad / repeat / reverse /
+    * replace / strpos / left / right / character-set trim. Every
+    * output is an exact string (hash compare); all per-row codegen'd
+    * projections, zero shuffles beyond the presentation sort.
+    */
+  def stringBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        expr("split_part(p_name, ' ', 1)").as("word1"),
+        expr("split_part(p_name, ' ', 2)").as("word2"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+        lpad(col("p_brand"), 10, "*").as("brand_l"),
+        rpad(col("p_brand"), 10, "=").as("brand_r"),
+        expr("repeat(left(p_name, 2), 3)").as("rep2"),
+        reverse(col("p_name")).as("name_rev"),
+        expr("replace(p_name, ' ', '_')").as("name_us"),
+        expr("instr(p_name, ' ')").cast("long").as("sp_pos"),
+        expr("right(p_type, 3)").as("type_r3"),
+        expr("trim(BOTH 'Bdran#' FROM p_brand)").as("brand_num"),
+        ascii(col("p_name")).cast("long").as("first_ascii"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time battery beyond [[scalarFunctions]]' year/month — the
+    * PG date surface: date_trunc (month/quarter), ISO week, day-of-
+    * year, 0=Sunday day-of-week (Spark's 1-based `dayofweek`
+    * re-based to PG/DuckDB convention), last_day, add_months
+    * (month-end clamping exercised), fixed-offset date_add, datediff
+    * against a pinned anchor, and next-Monday computed from the
+    * weekday delta — the oracle re-derives it arithmetically from
+    * `dow`, an independent encoding of `next_day`'s strictly-after
+    * contract. Per-row projections; hash-exact DATE/BIGINT outputs.
+    */
+  def dateBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("d", col("o_orderdate").cast("date"))
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("d")).cast("date").as("mon"),
+        date_trunc("quarter", col("d")).cast("date").as("qtr"),
+        (dayofweek(col("d")) - 1).cast("long").as("dow"),
+        dayofyear(col("d")).cast("long").as("doy"),
+        weekofyear(col("d")).cast("long").as("iso_week"),
+        last_day(col("d")).as("month_end"),
+        add_months(col("d"), 3).as("plus3mo"),
+        date_add(col("d"), 30).as("plus30d"),
+        datediff(lit(java.sql.Date.valueOf("2000-01-01")), col("d"))
+          .cast("long").as("days_to_y2k"),
+        next_day(col("d"), "Mon").as("next_monday"))
+      .orderBy(col("o_orderkey"))
 }

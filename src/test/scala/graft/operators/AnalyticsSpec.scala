@@ -186,6 +186,77 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("string battery matches a local JVM replay") {
+    val got = Relational.stringBattery(spark, sf).collect()
+    val parts = graft.sources.Corpus.read(spark, sf, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3)))).toMap
+    assert(got.length === parts.size)
+    got.foreach { r =>
+      val (name, brand, ptype) = parts(r.getLong(0))
+      val words = name.split(" ", -1)
+      assert(r.getString(1) === words(0))
+      assert(r.getString(2) === (if (words.length > 1) words(1) else ""))
+      assert(r.getString(3) ===
+        ptype.map(c => "AEIOU".indexOf(c) match {
+          case -1 => c; case i => "aeiou"(i)
+        }))
+      assert(r.getString(4) === ("*" * (10 - brand.length) + brand).take(10))
+      assert(r.getString(6) === (name.take(2) * 3))
+      assert(r.getString(7) === name.reverse)
+      assert(r.getString(8) === name.replace(' ', '_'))
+      assert(r.getLong(9) === (name.indexOf(' ') + 1).toLong)
+      assert(r.getString(10) === ptype.takeRight(3))
+      assert(r.getString(11) === brand.dropWhile("Bdran#".contains(_))
+        .reverse.dropWhile("Bdran#".contains(_)).reverse)
+      assert(r.getLong(12) === name.head.toLong)
+    }
+  }
+
+  test("date battery: dow/next-Monday/clamping contracts hold") {
+    val rows = Relational.dateBattery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dow = r.getLong(3)
+      assert(dow >= 0 && dow <= 6)
+      val nextMon = r.getDate(10).toLocalDate
+      assert(nextMon.getDayOfWeek === java.time.DayOfWeek.MONDAY)
+      val monthEnd = r.getDate(6).toLocalDate
+      assert(monthEnd === monthEnd.withDayOfMonth(monthEnd.lengthOfMonth))
+      // add_months clamps: day never overflows the target month.
+      val plus3 = r.getDate(7).toLocalDate
+      assert(plus3.getDayOfMonth <= plus3.lengthOfMonth)
+    }
+  }
+
+  test("running window output is deterministic despite duplicate line keys") {
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus; the
+    // window sort must include l_quantity so tied rows are
+    // interchangeable. Replay the running sum locally under the
+    // full sort and compare as a multiset per (supp, order, line).
+    val li = graft.sources.Corpus.read(spark, sf, "lineitem")
+      .select(col("l_suppkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp))"),
+        col("l_orderkey"), col("l_linenumber").cast("long"),
+        col("l_quantity"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val want = li.groupBy(_._1).toSeq.flatMap { case (supp, rows) =>
+      var acc = 0d
+      rows.sortBy(x => (x._2, x._3, x._4, x._5)).toSeq.map { x =>
+        acc += x._5; ((supp, x._3, x._4), acc)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = Relational.runningQuantity(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(got === want)
+  }
+
   test("unpivot lowers to an Expand projection, not a join or shuffle") {
     val df = Relational.unpivotMetrics(spark, sf)
     val optimized = df.queryExecution.optimizedPlan
