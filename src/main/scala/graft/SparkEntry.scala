@@ -131,7 +131,10 @@ object SparkEntry {
     "q90_string_battery" -> (Relational.stringBattery _),
     "q91_date_battery" -> (Relational.dateBattery _),
     "q92_disc_mode" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, discModeSql))
+      Flaco.sql(s, d, discModeSql)),
+    "q93_twa" -> (Events.timeWeightedAvg _),
+    "q94_map_roundtrip" -> (Relational.mapRoundtrip _),
+    "q95_token_deciles" -> (TextAnalysis.tokenDeciles _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1542,7 +1545,7 @@ object SparkEntry {
         |  CAST(sum(t3) AS BIGINT) FROM p
         |ORDER BY stage""".stripMargin,
 
-    // Top-32 vocabulary by doc frequency (dfreq desc, term — total
+    // Top-16 vocabulary by doc frequency (dfreq desc, term — total
     // order), pairs (a < b) within a doc, lift in exact integer ppm:
     // (c_ab · N · 1e6) // (c_a · c_b). Constants pinned to
     // TextAnalysis.CooccurVocab / CooccurMinSupport.
@@ -1551,7 +1554,7 @@ object SparkEntry {
         |    unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS term
         |  FROM documents),
         |vocab AS (SELECT term, count(*) AS dfreq FROM tok GROUP BY term
-        |  ORDER BY dfreq DESC, term LIMIT 32),
+        |  ORDER BY dfreq DESC, term LIMIT 16),
         |f AS (SELECT t.doc_id, t.term FROM tok t
         |  JOIN vocab v ON t.term = v.term),
         |pairs AS (SELECT a.term AS term_a, b.term AS term_b,
@@ -1721,7 +1724,62 @@ object SparkEntry {
         |    AS next_monday
         |FROM b ORDER BY o_orderkey""".stripMargin,
 
-    "q92_disc_mode" -> discModeSql
+    "q92_disc_mode" -> discModeSql,
+
+    // Same lead-window formulation over the same total (us, event_id)
+    // order; all integer (cents × µs, Long-safe at this span).
+    "q93_twa" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |w AS (SELECT user_id, us, x,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS dt
+        |  FROM b),
+        |a AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(x * dt) AS BIGINT) AS num,
+        |    max(us) - min(us) AS den
+        |  FROM w GROUP BY user_id)
+        |SELECT user_id, n_events, num, den, num // den AS twa_cents
+        |FROM a WHERE den > 0 ORDER BY user_id""".stripMargin,
+
+    // The map exists only on the engine side — the oracle computes
+    // every output directly from the source columns (the q46
+    // independent-encodings inversion), so an engine-side value that
+    // survives build → concat → extract unchanged proves MapType
+    // semantics.
+    "q94_map_roundtrip" ->
+      """SELECT doc_id,
+        |  n_chars AS chars_v,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks_v,
+        |  CAST(2 * len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |    AS toks2_v,
+        |  CAST(3 AS BIGINT) AS m_size,
+        |  'chars,toks,toks2' AS keys_csv,
+        |  CAST((CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN len(regexp_extract_all(text, '\S+')) >= 100
+        |      THEN 1 ELSE 0 END) +
+        |    (CASE WHEN 2 * len(regexp_extract_all(text, '\S+')) >= 100
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Interpolated quantile boundaries (quantile_cont == Spark
+    // percentile, the q41 parity), value-based bucket = count of
+    // bounds strictly below — a pure function of n_toks, so ties
+    // share a bucket deterministically.
+    "q95_token_deciles" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |q AS (SELECT quantile_cont(n_toks,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+        |  FROM b)
+        |SELECT CAST(len(list_filter(bounds,
+        |    x -> CAST(n_toks AS DOUBLE) > x)) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, min(n_toks) AS min_toks,
+        |  max(n_toks) AS max_toks, CAST(sum(n_toks) AS BIGINT) AS sum_toks
+        |FROM b CROSS JOIN q
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

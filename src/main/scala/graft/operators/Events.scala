@@ -206,6 +206,36 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Time-weighted average value per user — the metric that matters
+    * when observations are irregularly spaced (a value held for six
+    * hours must weigh more than one held for a minute; the plain
+    * mean is sampling-rate-biased). Each event's value is held until
+    * the next event: `num = Σ xᵢ·(tᵢ₊₁ − tᵢ)`, `den = t_n − t_1`,
+    * TWA = num/den — emitted as the exact Long pair plus the
+    * truncated cents quotient (cents ≤ 56k × span µs ≤ 2.6e12 ⇒
+    * num ≤ 1.5e17, Long-safe; no float accumulation to disagree on).
+    *
+    * One lead() window pass per user over the total (us, event_id)
+    * order, then one hash aggregate — the q10 running-window shape.
+    * Single-event users have den = 0 (no held interval) and are
+    * excluded by contract.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), micros.as("us"),
+        cents.as("x"))
+      .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("x") * col("dt")).as("num"),
+        (max(col("us")) - min(col("us"))).as("den"))
+      .filter(col("den") > 0)
+      .withColumn("twa_cents", expr("num div den"))
+      .orderBy(col("user_id"))
+  }
+
   /** Fixed-width value histogram per event type via `width_bucket`
     * over integer cents (lo 0, hi 60 000, 24 buckets of 2 500). The
     * oracle restates the bucket as `1 + cents div 2500` — an

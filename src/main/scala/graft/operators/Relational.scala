@@ -628,6 +628,35 @@ object Relational {
         ascii(col("p_name")).cast("long").as("first_ascii"))
       .orderBy(col("p_partkey"))
 
+  /** MapType round-trip — the PG hstore/jsonb-object surface as
+    * Spark's first-class MapType: build with `map_from_arrays`,
+    * extend with `map_concat`, read back with `element_at`, inspect
+    * with sorted `map_keys`/`size`, and reduce with a `map_filter`
+    * lambda. The oracle computes every output DIRECTLY from the
+    * source columns (the q46 independent-encodings inversion): the
+    * map structure exists only on the engine side, so a value that
+    * survives build → concat → extract unchanged proves the map
+    * semantics rather than re-implementing them in SQL. Per-row
+    * projections, zero shuffles.
+    */
+  def mapRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = TextAnalysis.tokenCount(col("text")).cast("long")
+    t(spark, dir, "documents")
+      .withColumn("m", map_concat(
+        map_from_arrays(array(lit("chars"), lit("toks")),
+          array(col("n_chars"), nToks)),
+        map(lit("toks2"), nToks * 2)))
+      .select(col("doc_id"),
+        element_at(col("m"), "chars").as("chars_v"),
+        element_at(col("m"), "toks").as("toks_v"),
+        element_at(col("m"), "toks2").as("toks2_v"),
+        size(col("m")).cast("long").as("m_size"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        size(expr("map_filter(m, (k, v) -> v >= 100)")).cast("long")
+          .as("n_big"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Date/time battery beyond [[scalarFunctions]]' year/month — the
     * PG date surface: date_trunc (month/quarter), ISO week, day-of-
     * year, 0=Sunday day-of-week (Spark's 1-based `dayofweek`

@@ -709,7 +709,7 @@ object TextAnalysis {
   /** Co-occurrence vocabulary cap and minimum pair support — named so
     * the oracle SQL pins the same constants.
     */
-  val CooccurVocab = 32
+  val CooccurVocab = 16
   val CooccurMinSupport = 5
 
   /** Term co-occurrence lift over the top-[[CooccurVocab]] vocabulary:
@@ -756,6 +756,37 @@ object TextAnalysis {
         col("c_b"),
         expr("c_ab * n_docs * 1000000 div (c_a * c_b)").as("lift_ppm"))
       .orderBy(col("term_a"), col("term_b"))
+  }
+
+  /** Value-based token-count deciles — curriculum/length bucketing
+    * stated the way it scales: `ntile(10)` needs ONE global sort (a
+    * single task owns the whole corpus order), so the boundaries are
+    * computed instead as the constant-size interpolated quantile
+    * vector (Spark `percentile` == DuckDB `quantile_cont`, the q41
+    * parity; exact doubles — integer inputs interpolate at .5
+    * fractions), broadcast via a one-row cross join, and each doc's
+    * bucket is `|{b : n_toks > b}|` — a per-row lambda against the
+    * 9-element array. Value-based means ties share a bucket (pandas
+    * qcut semantics), which is what makes the bucket a pure function
+    * of n_toks and therefore gateable; position-split ties (ntile's
+    * contract) are inherently engine-order-dependent AND unscalable.
+    * Everything after the scan is one map-side-combinable aggregate
+    * to ≤ 10 rows.
+    */
+  def tokenDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val base = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_toks"))
+    val bounds = base.agg(expr(
+      "percentile(n_toks, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+      .as("bounds"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(expr("filter(bounds, b -> cast(n_toks as double) > b)"))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_toks")).as("min_toks"),
+        max(col("n_toks")).as("max_toks"), sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("bucket"))
   }
 
   /** Stopword list for [[stopwordFilter]] — pinned by name so the

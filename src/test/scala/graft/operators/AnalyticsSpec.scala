@@ -257,6 +257,58 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("co-occurrence vocabulary cap binds on this corpus") {
+    // The corpus has ~31 distinct terms; with CooccurVocab = 16 the
+    // top-V prune must actually exclude terms, or the scale design
+    // is never exercised.
+    val vocabTerms = TextAnalysis.cooccurLift(spark, sf).collect()
+      .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    val allTerms = graft.sources.Corpus.read(spark, sf, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(vocabTerms.size <= TextAnalysis.CooccurVocab)
+    assert(allTerms.size > TextAnalysis.CooccurVocab,
+      s"corpus vocabulary shrank to ${allTerms.size}; cap no longer binds")
+  }
+
+  test("time-weighted average matches a local replay") {
+    val cents = graft.sources.Corpus.read(spark, sf, "events")
+      .select(col("event_id"), round(col("value") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Events.timeWeightedAvg(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val byUser = events.groupBy(_._1)
+    byUser.foreach { case (uid, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      val den = ordered.last._3 - ordered.head._3
+      if (den == 0) assert(!got.contains(uid), s"user $uid")
+      else {
+        val num = ordered.sliding(2).collect {
+          case Seq(a, b) => cents(a._4) * (b._3 - a._3)
+        }.sum
+        assert(got(uid) === ((es.size.toLong, num, den, num / den)),
+          s"user $uid")
+      }
+    }
+    assert(got.keySet === byUser.collect {
+      case (u, es) if es.map(_._3).distinct.size > 1 => u
+    }.toSet)
+  }
+
+  test("token deciles partition the corpus with monotone bounds") {
+    val rows = TextAnalysis.tokenDeciles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.sources.Corpus.read(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum === nDocs)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    // Buckets are value-ordered: each bucket's max ≤ next bucket's min.
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hiA), (_, _, loB, _)) => assert(hiA <= loB)
+      case _ =>
+    }
+  }
+
   test("unpivot lowers to an Expand projection, not a join or shuffle") {
     val df = Relational.unpivotMetrics(spark, sf)
     val optimized = df.queryExecution.optimizedPlan
