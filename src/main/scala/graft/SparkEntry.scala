@@ -134,7 +134,11 @@ object SparkEntry {
       Flaco.sql(s, d, discModeSql)),
     "q93_twa" -> (Events.timeWeightedAvg _),
     "q94_map_roundtrip" -> (Relational.mapRoundtrip _),
-    "q95_token_deciles" -> (TextAnalysis.tokenDeciles _)
+    "q95_token_deciles" -> (TextAnalysis.tokenDeciles _),
+    "q96_approx_percentile" -> (Events.approxPercentiles _),
+    "q97_regex_battery" -> (Relational.regexBattery _),
+    "q98_bit_battery" -> (Relational.bitBattery _),
+    "q99_inverted_index" -> (TextAnalysis.invertedIndex _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1779,7 +1783,57 @@ object SparkEntry {
         |  count(*) AS n_docs, min(n_toks) AS min_toks,
         |  max(n_toks) AS max_toks, CAST(sum(n_toks) AS BIGINT) AS sum_toks
         |FROM b CROSS JOIN q
-        |GROUP BY bucket ORDER BY bucket""".stripMargin
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q96_approx_percentile: no oracle by design — sketch values are
+    // engine-specific (the q20 pattern); AnalyticsSpec bounds the
+    // sketch against the exact-percentile twin.
+
+    // DuckDB's regexp_extract with group index mirrors Spark's; the
+    // num_matches_key column must be all-1 on both sides.
+    "q97_regex_battery" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) AS name_num,
+        |  CAST(len(regexp_extract_all(c_mktsegment, '[AEIOU]+'))
+        |    AS BIGINT) AS n_vowel_runs,
+        |  CASE WHEN regexp_matches(c_name, '00$')
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ends_00,
+        |  CASE WHEN CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT)
+        |      = c_custkey
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |    AS num_matches_key
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB's ^ is exponentiation — XOR via xor(); pmod restated as
+    // ((x % m) + m) % m. All BIGINT-exact.
+    "q98_bit_battery" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS and255,
+        |  o_orderkey | 4096 AS or4096,
+        |  xor(o_orderkey, 777) AS xor777,
+        |  o_orderkey << 3 AS shl3,
+        |  o_orderkey >> 2 AS shr2,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS pop,
+        |  ((2500 - o_orderkey) % 7 + 7) % 7 AS pm7,
+        |  abs(o_orderkey - 5000) AS absd,
+        |  CAST(CASE WHEN o_orderkey > 5000 THEN 1
+        |    WHEN o_orderkey < 5000 THEN -1 ELSE 0 END AS BIGINT) AS sgn
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Posting prefix = the sorted doc-id list sliced to the cap
+    // (PostingCap = 16, pinned to TextAnalysis.PostingCap); df is the
+    // full distinct-doc count.
+    "q99_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS term
+        |  FROM documents),
+        |g AS (SELECT term, count(*) AS dfreq,
+        |    list_sort(list(doc_id)) AS all_docs
+        |  FROM tok GROUP BY term)
+        |SELECT term, dfreq,
+        |  CAST(least(dfreq, 16) AS BIGINT) AS n_posting,
+        |  array_to_string(all_docs[1:16], ',') AS posting_csv
+        |FROM g ORDER BY term""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -206,6 +206,30 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** KLL-style sketch accuracy knob for [[approxPercentiles]] — named
+    * so the accuracy spec bounds against the SAME constant (the
+    * [[ApproxRsd]] pattern): rank error ≤ n / accuracy.
+    */
+  val ApproxPercentileAccuracy = 10000
+
+  /** Approximate percentiles per event type — the sketch twin of
+    * q41's exact `percentile` (the q20/q20b pairing: sketch values
+    * are engine-specific, so this gate is rows-only and the accuracy
+    * contract lives in AnalyticsSpec against the exact twin).
+    * `approx_percentile` is a mergeable sketch aggregate — partials
+    * combine associatively at any parallelism, which is the whole
+    * point at 100 TB: one pass, bounded memory, no global sort.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, array(0.5, 0.9), " +
+        s"$ApproxPercentileAccuracy)").as("approx_p"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("approx_p")(0).as("ap50"),
+        col("approx_p")(1).as("ap90"), col("n"))
+      .orderBy(col("event_type"))
+
   /** Time-weighted average value per user — the metric that matters
     * when observations are irregularly spaced (a value held for six
     * hours must weigh more than one held for a minute; the plain

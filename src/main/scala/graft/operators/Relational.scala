@@ -657,6 +657,52 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** Regex extraction battery: capture-group extract (the structured
+    * field pulled out of `Customer#000000042`), match counting, and
+    * a match predicate — the PG `substring(… from …)` /
+    * `regexp_matches` surface. Backreference replacement is
+    * deliberately absent: Spark spells it `$1`, DuckDB `\1` — same
+    * engine feature, un-shareable syntax. Per-row codegen'd
+    * projections; the custkey equality column proves the extracted
+    * group round-trips to the source key.
+    */
+  def regexBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        expr("CAST(regexp_extract(c_name, '#(\\\\d+)', 1) AS BIGINT)")
+          .as("name_num"),
+        expr("size(regexp_extract_all(c_mktsegment, '[AEIOU]+', 0))")
+          .cast("long").as("n_vowel_runs"),
+        when(expr("c_name rlike '00$'"), lit(1L)).otherwise(lit(0L))
+          .as("ends_00"),
+        when(expr("CAST(regexp_extract(c_name, '#(\\\\d+)', 1) AS BIGINT)")
+          === col("c_custkey"), lit(1L)).otherwise(lit(0L))
+          .as("num_matches_key"))
+      .orderBy(col("c_custkey"))
+
+  /** Bitwise/integer-math battery over the order keys: AND/OR/XOR,
+    * shifts, popcount, and the positive-mod identity — the PG
+    * integer-operator surface. DuckDB's `^` is exponentiation, so
+    * XOR goes through its `xor()` function, and Spark's `pmod` is
+    * restated arithmetically (`((x % m) + m) % m`) — independent
+    * encodings on both. All outputs exact BIGINT.
+    */
+  def bitBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        expr("o_orderkey & 255").as("and255"),
+        expr("o_orderkey | 4096").as("or4096"),
+        expr("o_orderkey ^ 777").as("xor777"),
+        expr("shiftleft(o_orderkey, 3)").as("shl3"),
+        expr("shiftright(o_orderkey, 2)").as("shr2"),
+        expr("CAST(bit_count(o_orderkey) AS BIGINT)").as("pop"),
+        expr("pmod(2500 - o_orderkey, 7)").as("pm7"),
+        abs(col("o_orderkey") - 5000).as("absd"),
+        signum(col("o_orderkey") - 5000).cast("long").as("sgn"))
+      .orderBy(col("o_orderkey"))
+
   /** Date/time battery beyond [[scalarFunctions]]' year/month — the
     * PG date surface: date_trunc (month/quarter), ISO week, day-of-
     * year, 0=Sunday day-of-week (Spark's 1-based `dayofweek`

@@ -789,6 +789,44 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Posting-list cap for [[invertedIndex]] — named so the oracle
+    * slices to the same bound.
+    */
+  val PostingCap = 16
+
+  /** Inverted-index construction — the search/retrieval building
+    * block next to dedup in a training-data stack: per term, the
+    * document frequency (full count) and the FIRST [[PostingCap]]
+    * doc ids as the stored posting prefix. The cap is what makes the
+    * build scale-shaped: `collect_list` over a hot term's full
+    * posting set holds df rows of state, while the rank-limit
+    * `row_number() ≤ cap` on (term → doc_id order) plans as the
+    * injected bounded TopKRows heap (k rows per term per map
+    * partition into the exchange), so the collect that follows only
+    * ever sees ≤ cap rows per term. df rides a separate map-side-
+    * combinable count — the full posting mass is never materialized
+    * per group anywhere.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docTerms = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val dfreq = docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("dfreq"))
+    val prefix = docTerms
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= PostingCap)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_posting"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("posting_csv"))
+    dfreq.join(prefix, "term")
+      .select(col("term"), col("dfreq"), col("n_posting"),
+        col("posting_csv"))
+      .orderBy(col("term"))
+  }
+
   /** Stopword list for [[stopwordFilter]] — pinned by name so the
     * oracle SQL and the spec test the same set.
     */

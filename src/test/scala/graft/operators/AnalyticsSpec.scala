@@ -309,6 +309,63 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles honor the sketch's rank-error contract") {
+    val byType = graft.sources.Corpus.read(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = Events.approxPercentiles(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vs = byType(r.getString(0))
+      val n = vs.length
+      assert(r.getLong(3) === n.toLong)
+      // Rank error ≤ n/accuracy (+1 slack for boundary rounding).
+      val slack = n / Events.ApproxPercentileAccuracy + 1
+      def bound(q: Double, v: Double): Unit = {
+        val r0 = math.max(0, (q * (n - 1)).toInt - slack)
+        val r1 = math.min(n - 1, math.ceil(q * (n - 1)).toInt + slack)
+        assert(v >= vs(r0) && v <= vs(r1),
+          s"${r.getString(0)} q=$q v=$v outside [${vs(r0)}, ${vs(r1)}]")
+      }
+      bound(0.5, r.getDouble(1))
+      bound(0.9, r.getDouble(2))
+    }
+  }
+
+  test("inverted index caps postings via the TopKRows rewrite") {
+    val df = TextAnalysis.invertedIndex(spark, sf)
+    // The rank-limit must plan as the bounded heap, not a window sort
+    // over the full posting mass (the q76 plan contract).
+    val optimized = df.queryExecution.optimizedPlan
+    val hasTopK = optimized.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.exists {
+            case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+              ae.aggregateFunction.isInstanceOf[graft.functions.TopKRows]
+            case _ => false
+          }) => a
+    }.isDefined
+    assert(hasTopK, s"no TopKRows heap in:\n$optimized")
+    // Value contract: df = full distinct-doc count; posting = the
+    // FIRST min(df, cap) doc ids in sorted order.
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      "\\S+".r.findAllIn(text).toSeq.distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val got = df.collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val ids = want(r.getString(0))
+      assert(r.getLong(1) === ids.length.toLong)
+      val prefix = ids.take(TextAnalysis.PostingCap)
+      assert(r.getLong(2) === prefix.length.toLong)
+      assert(r.getString(3) === prefix.mkString(","))
+    }
+  }
+
   test("unpivot lowers to an Expand projection, not a join or shuffle") {
     val df = Relational.unpivotMetrics(spark, sf)
     val optimized = df.queryExecution.optimizedPlan
