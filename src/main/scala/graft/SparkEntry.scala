@@ -138,7 +138,9 @@ object SparkEntry {
     "q96_approx_percentile" -> (Events.approxPercentiles _),
     "q97_regex_battery" -> (Relational.regexBattery _),
     "q98_bit_battery" -> (Relational.bitBattery _),
-    "q99_inverted_index" -> (TextAnalysis.invertedIndex _)
+    "q99_inverted_index" -> (TextAnalysis.invertedIndex _),
+    "q100_type_shares" -> (Events.typeShares _),
+    "q101_user_profiles" -> (Events.userProfiles _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1833,7 +1835,61 @@ object SparkEntry {
         |SELECT term, dfreq,
         |  CAST(least(dfreq, 16) AS BIGINT) AS n_posting,
         |  array_to_string(all_docs[1:16], ',') AS posting_csv
-        |FROM g ORDER BY term""".stripMargin
+        |FROM g ORDER BY term""".stripMargin,
+
+    // Ratio-to-report in exact integer ppm; the oracle uses the
+    // window-over-() formulation the engine deliberately avoids —
+    // same values, independent plans.
+    "q100_type_shares" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS type_cents FROM b
+        |  GROUP BY event_type)
+        |SELECT event_type, n, type_cents,
+        |  CAST(type_cents * 1000000 //
+        |    (sum(type_cents) OVER ()) AS BIGINT) AS cents_ppm,
+        |  CAST(n * 1000000 // (sum(n) OVER ()) AS BIGINT) AS count_ppm
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // Composed pipeline: the q19 gaps-and-islands session count
+    // joined to the q83 chained funnel CTEs with the 6-hour
+    // step-conversion horizon (21600000000 µs =
+    // Events.ProfileHorizonUs — the unbounded funnel saturates on
+    // this corpus), summarized per stage reached. uid/session sums
+    // are exact integer identities over WHICH users landed in each
+    // stage.
+    "q101_user_profiles" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |ns AS (SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+        |  FROM m GROUP BY user_id),
+        |v AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS t2 FROM e
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1
+        |    AND us <= t1 + 21600000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS t3 FROM e
+        |  JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2
+        |    AND us <= t2 + 21600000000 GROUP BY e.user_id),
+        |prof AS (SELECT ns.user_id, ns.n_sessions,
+        |    CASE WHEN p.user_id IS NOT NULL THEN 3
+        |      WHEN c.user_id IS NOT NULL THEN 2
+        |      WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM ns LEFT JOIN v USING (user_id)
+        |    LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |  CAST(sum(n_sessions) AS BIGINT) AS sessions_sum
+        |FROM prof GROUP BY stage ORDER BY stage""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -149,17 +149,30 @@ object Events {
     * stage-timestamp sum as exact integer identities over WHICH users
     * converted and WHEN.
     */
-  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+  /** The chained per-user funnel frames (first view, first click
+    * after it, first purchase after that) — shared by
+    * [[funnelStages]] (unbounded) and [[userProfiles]] (horizon-
+    * bounded: each step must convert within `horizonUs`).
+    */
+  private def funnelFrames(spark: SparkSession, dir: String,
+      horizonUs: Option[Long] = None): (DataFrame, DataFrame, DataFrame) = {
     val e = Corpus.read(spark, dir, "events")
       .select(col("user_id"), col("event_type"), micros.as("us"))
+    def within(prev: String): Column =
+      horizonUs.map(h => col("us") <= col(prev) + h).getOrElse(lit(true))
     val views = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
     val clicks = e.filter(col("event_type") === "click")
-      .join(views, "user_id").where(col("us") > col("t1"))
+      .join(views, "user_id").where(col("us") > col("t1") && within("t1"))
       .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
     val purchases = e.filter(col("event_type") === "purchase")
-      .join(clicks, "user_id").where(col("us") > col("t2"))
+      .join(clicks, "user_id").where(col("us") > col("t2") && within("t2"))
       .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    (views, clicks, purchases)
+  }
+
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val (views, clicks, purchases) = funnelFrames(spark, dir)
     def stage(df: DataFrame, name: String, ts: String): DataFrame =
       df.agg(count(lit(1)).as("n_users"),
         sum(col("user_id")).as("uid_sum"),
@@ -258,6 +271,69 @@ object Events {
       .filter(col("den") > 0)
       .withColumn("twa_cents", expr("num div den"))
       .orderBy(col("user_id"))
+  }
+
+  /** [[userProfiles]]' step-conversion horizon: 6 hours in µs,
+    * shared by name with the oracle SQL.
+    */
+  val ProfileHorizonUs: Long = 6L * 3600 * 1000000L
+
+  /** The composed event-analytics pipeline — the events-side twin of
+    * the document pipelines (q42/q52/q58): per-user profiles built
+    * from two proven operators (30-minute [[sessions]] windows
+    * collapsed to a session count; the chained ordered funnel),
+    * then summarized per funnel stage reached (0 = never viewed).
+    * The funnel here is horizon-bounded ([[ProfileHorizonUs]]: each
+    * step must convert within 6 hours of the previous one) — the
+    * unbounded q83 funnel saturates on this corpus (every user
+    * eventually does everything), which would make the profile
+    * degenerate. One declarative plan: every stage is a map-side-
+    * combinable aggregate or a user_id equi-join — the same key end
+    * to end, so at cluster scale the joins co-partition on one
+    * shuffle chain. uid/session sums are exact integer identities
+    * over WHICH users landed in each stage.
+    */
+  def userProfiles(spark: SparkSession, dir: String): DataFrame = {
+    val (views, clicks, purchases) =
+      funnelFrames(spark, dir, Some(ProfileHorizonUs))
+    val nSessions = Corpus.read(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+    nSessions
+      .join(views.withColumn("v", lit(1L)), Seq("user_id"), "left")
+      .join(clicks.withColumn("c", lit(1L)), Seq("user_id"), "left")
+      .join(purchases.withColumn("p", lit(1L)), Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("p").isNotNull, lit(3L))
+          .when(col("c").isNotNull, lit(2L))
+          .when(col("v").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("uid_sum"),
+        sum(col("n_sessions")).as("sessions_sum"))
+      .orderBy(col("stage"))
+  }
+
+  /** Share-of-total per event type (ratio-to-report) — stated
+    * scale-honestly: the textbook `sum(x) OVER ()` window puts the
+    * whole relation in ONE window partition (a single task), so the
+    * total instead comes from a second map-side-combinable aggregate
+    * broadcast back via a one-row cross join (the q95 boundary
+    * pattern). Shares are exact integer ppm of cents — no float
+    * division to disagree on.
+    */
+  def typeShares(spark: SparkSession, dir: String): DataFrame = {
+    val base = Corpus.read(spark, dir, "events")
+      .select(col("event_type"), cents.as("x"))
+    val perType = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("type_cents"))
+    val total = base.agg(sum(col("x")).as("total_cents"),
+      count(lit(1)).as("total_n"))
+    perType.crossJoin(broadcast(total))
+      .select(col("event_type"), col("n"), col("type_cents"),
+        expr("type_cents * 1000000 div total_cents").as("cents_ppm"),
+        expr("n * 1000000 div total_n").as("count_ppm"))
+      .orderBy(col("event_type"))
   }
 
   /** Fixed-width value histogram per event type via `width_bucket`

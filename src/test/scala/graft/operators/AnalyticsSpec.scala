@@ -366,6 +366,53 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("type shares are exact ppm and sum to ~1e6") {
+    val rows = Events.typeShares(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._2).sum === events.size.toLong)
+    // Truncated integer shares undershoot by < 1 ppm per group.
+    val ppmSum = rows.map(_._4).sum
+    assert(ppmSum > 1000000L - rows.length && ppmSum <= 1000000L)
+  }
+
+  test("user profiles match a local sessions × horizon-funnel replay") {
+    val gapUs = 30L * 60 * 1000000L
+    val byUser = events.groupBy(_._1)
+    def sessions(uid: Long): Long = {
+      val ts = byUser(uid).map(_._3).sorted
+      1L + ts.sliding(2).count {
+        case Seq(a, b) => b - a >= gapUs
+        case _ => false
+      }
+    }
+    def minAfter(uid: Long, tpe: String, after: Long, horizon: Long)
+        : Option[Long] = {
+      val ts = byUser(uid).collect {
+        case (_, t, us, _) if t == tpe && us > after && us <= after + horizon => us
+      }
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    val h = Events.ProfileHorizonUs
+    val want = byUser.keys.toSeq.map { u =>
+      val t1 = {
+        val vs = byUser(u).collect { case (_, "view", us, _) => us }
+        if (vs.isEmpty) None else Some(vs.min)
+      }
+      val t2 = t1.flatMap(t => minAfter(u, "click", t, h))
+      val t3 = t2.flatMap(t => minAfter(u, "purchase", t, h))
+      val stage = if (t3.isDefined) 3L else if (t2.isDefined) 2L
+        else if (t1.isDefined) 1L else 0L
+      (u, stage, sessions(u))
+    }.groupBy(_._2).view.mapValues { us =>
+      (us.size.toLong, us.map(_._1).sum, us.map(_._3).sum)
+    }.toMap
+    val got = Events.userProfiles(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === want)
+  }
+
   test("unpivot lowers to an Expand projection, not a join or shuffle") {
     val df = Relational.unpivotMetrics(spark, sf)
     val optimized = df.queryExecution.optimizedPlan
