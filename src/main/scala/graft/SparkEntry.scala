@@ -140,7 +140,9 @@ object SparkEntry {
     "q98_bit_battery" -> (Relational.bitBattery _),
     "q99_inverted_index" -> (TextAnalysis.invertedIndex _),
     "q100_type_shares" -> (Events.typeShares _),
-    "q101_user_profiles" -> (Events.userProfiles _)
+    "q101_user_profiles" -> (Events.userProfiles _),
+    "q102_retention" -> (Events.retentionCurve _),
+    "q103_interarrival" -> (Events.interArrival _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1889,7 +1891,38 @@ object SparkEntry {
         |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users,
         |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
         |  CAST(sum(n_sessions) AS BIGINT) AS sessions_sum
-        |FROM prof GROUP BY stage ORDER BY stage""".stripMargin
+        |FROM prof GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // Distinct (user, epoch-day) activity → per-user first day →
+    // offset histogram; same integer epoch-day math on both sides.
+    "q102_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM days GROUP BY user_id)
+        |SELECT day - d0 AS day_offset, count(*) AS n_users,
+        |  CAST(sum(days.user_id) AS BIGINT) AS uid_sum
+        |FROM days JOIN f ON days.user_id = f.user_id
+        |GROUP BY day_offset ORDER BY day_offset""".stripMargin,
+
+    // The q81 binary-length log2 bucket over lag() gaps; zero gaps
+    // (same-µs events) take bucket -1 by convention on both sides.
+    "q103_interarrival" ->
+      """WITH e AS (SELECT event_type, user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS dt
+        |  FROM e),
+        |b AS (SELECT event_type, dt,
+        |    CASE WHEN dt = 0 THEN CAST(-1 AS BIGINT)
+        |      ELSE CAST(length(printf('%b', dt)) - 1 AS BIGINT) END
+        |      AS bucket
+        |  FROM g WHERE dt IS NOT NULL)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  CAST(sum(dt) AS BIGINT) AS sum_dt_us
+        |FROM b GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

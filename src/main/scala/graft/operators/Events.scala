@@ -314,6 +314,55 @@ object Events {
       .orderBy(col("stage"))
   }
 
+  /** Retention curve — product analytics' standard cohort question:
+    * of the users first active on day d₀, how many return on day
+    * d₀+k? Stated over distinct (user, epoch-day) activity pairs:
+    * the distinct collapse is the map-side-combinable volume killer
+    * (event count → at most users × days rows), first-day is a
+    * per-user min, and the offset histogram is one final hash
+    * aggregate. Offset 0 counts every user by construction — the
+    * curve's denominator. All epoch-day integer math; the uid sum
+    * pins WHICH users were retained, not just how many.
+    */
+  def retentionCurve(spark: SparkSession, dir: String): DataFrame = {
+    val days = Corpus.read(spark, dir, "events")
+      .select(col("user_id"), (micros.divide(lit(86400000000L)))
+        .cast("long").as("day"))
+      .distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    days.join(first, "user_id")
+      .select(col("user_id"), (col("day") - col("d0")).as("day_offset"))
+      .groupBy(col("day_offset"))
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("uid_sum"))
+      .orderBy(col("day_offset"))
+  }
+
+  /** Inter-arrival time distribution per event type: consecutive-gap
+    * µs bucketed by floor(log2) — the burstiness/periodicity profile
+    * behind rate limiting and bot detection. The gap comes from ONE
+    * lag() window over the total (us, event_id) per-user order; the
+    * bucket is the q81 binary-string-length trick (integer-exact —
+    * float log2 rounds wrong at exact powers of two); zero gaps
+    * (same-µs events) take bucket −1 by convention. One shuffle by
+    * user_id, then a map-side-combinable histogram aggregate to
+    * ≤ types × ~45 rows.
+    */
+  def interArrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Corpus.read(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        micros.as("us"))
+      .withColumn("dt", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("dt").isNotNull)
+      .withColumn("bucket",
+        when(col("dt") === 0, lit(-1L))
+          .otherwise((length(bin(col("dt"))) - 1).cast("long")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("dt")).as("sum_dt_us"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Share-of-total per event type (ratio-to-report) — stated
     * scale-honestly: the textbook `sum(x) OVER ()` window puts the
     * whole relation in ONE window partition (a single task), so the

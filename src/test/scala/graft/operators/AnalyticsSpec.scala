@@ -413,6 +413,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("retention curve anchors at the full cohort and never exceeds it") {
+    val rows = Events.retentionCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = events.map(_._1).distinct
+    val anchor = rows.find(_._1 == 0L).get
+    assert(anchor._2 === users.size.toLong)
+    assert(anchor._3 === users.sum)
+    assert(rows.forall(_._1 >= 0))
+    assert(rows.forall(_._2 <= users.size.toLong))
+    // Local replay of the full offset histogram.
+    val days = events.map(e => (e._1, e._3 / 86400000000L)).distinct
+    val d0 = days.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    val want = days.groupBy { case (u, d) => d - d0(u) }
+      .map { case (off, xs) => (off, xs.size.toLong, xs.map(_._1).sum) }
+      .toSet
+    assert(rows.toSet === want)
+  }
+
+  test("inter-arrival histogram matches a local lag replay") {
+    val got = Events.interArrival(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3)))).toMap
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      ordered.sliding(2).collect {
+        case Seq(a, b) => (b._2, b._3 - a._3)
+      }
+    }.groupBy { case (tpe, dt) =>
+      (tpe, if (dt == 0) -1L else 63L - java.lang.Long.numberOfLeadingZeros(dt))
+    }.view.mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    assert(got === want)
+  }
+
   test("unpivot lowers to an Expand projection, not a join or shuffle") {
     val df = Relational.unpivotMetrics(spark, sf)
     val optimized = df.queryExecution.optimizedPlan
