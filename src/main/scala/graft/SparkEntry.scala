@@ -142,7 +142,11 @@ object SparkEntry {
     "q100_type_shares" -> (Events.typeShares _),
     "q101_user_profiles" -> (Events.userProfiles _),
     "q102_retention" -> (Events.retentionCurve _),
-    "q103_interarrival" -> (Events.interArrival _)
+    "q103_interarrival" -> (Events.interArrival _),
+    "q104_filter_agg" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, filterAggSql)),
+    "q105_nulls_order" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, nullsOrderSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -226,6 +230,43 @@ object SparkEntry {
       |SELECT p.event_type, p25, p50, p75, n, mode_x
       |FROM p JOIN m ON p.event_type = m.event_type
       |ORDER BY p.event_type""".stripMargin
+
+  /** One SQL text, two planners: PG's `FILTER (WHERE …)` aggregate
+    * modifier — conditional aggregation without CASE arithmetic.
+    * Money in exact integer cents.
+    */
+  private val filterAggSql: String =
+    """SELECT o_orderstatus,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+      |    AS urgent_cents,
+      |  count(*) FILTER (WHERE o_orderdate >=
+      |    TIMESTAMP '1998-01-01 00:00:00') AS n_recent
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** One SQL text, two planners: explicit `NULLS FIRST / NULLS LAST`
+    * in both a sort and a window frame order. The explicitness is
+    * the point — the engines' DEFAULTS differ (Spark: nulls first
+    * under ASC; DuckDB/PG: nulls last), so any unspelled null
+    * ordering in a gated query is a latent cross-engine mismatch.
+    * The nullable key is injected deterministically (every 7th
+    * customer), the (key, c_custkey) order is total, and rows
+    * carry first/last flags per nation so the placement of the null
+    * block is value-visible, not just order-visible.
+    */
+  private val nullsOrderSql: String =
+    """WITH b AS (SELECT c_custkey, c_nationkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |      ELSE c_custkey % 100 END AS k
+      |  FROM customer)
+      |SELECT c_nationkey, c_custkey, k,
+      |  row_number() OVER (PARTITION BY c_nationkey
+      |    ORDER BY k ASC NULLS LAST, c_custkey) AS rn_last,
+      |  row_number() OVER (PARTITION BY c_nationkey
+      |    ORDER BY k DESC NULLS FIRST, c_custkey) AS rn_first
+      |FROM b ORDER BY c_nationkey, c_custkey""".stripMargin
 
   private val correlatedSql: String =
     """SELECT o_orderkey, o_totalprice FROM orders o
@@ -1922,7 +1963,10 @@ object SparkEntry {
         |SELECT event_type, bucket, count(*) AS n,
         |  CAST(sum(dt) AS BIGINT) AS sum_dt_us
         |FROM b GROUP BY event_type, bucket
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q104_filter_agg" -> filterAggSql,
+    "q105_nulls_order" -> nullsOrderSql
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the
