@@ -145,6 +145,7 @@ object SparkEntry {
     "q103_interarrival" -> (Events.interArrival _),
     "q104_filter_agg" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, filterAggSql)),
+    "q106_federated" -> (graft.sources.Layout.federatedRevenue _),
     "q105_nulls_order" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, nullsOrderSql))
   )
@@ -1966,7 +1967,20 @@ object SparkEntry {
         |ORDER BY event_type, bucket""".stripMargin,
 
     "q104_filter_agg" -> filterAggSql,
-    "q105_nulls_order" -> nullsOrderSql
+    "q105_nulls_order" -> nullsOrderSql,
+
+    // The oracle joins the ORIGINAL parquet — the engine side goes
+    // through CSV/JSON re-writes of the dims, so any format
+    // round-trip mangling breaks the hash (the q74 plain-oracle
+    // pattern applied to the format selector).
+    "q106_federated" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -85,4 +85,46 @@ object Layout {
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** One federation directory per JVM, overwritten in place — the
+    * [[bucketDir]] leak-avoidance pattern.
+    */
+  private lazy val federationDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q106_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString
+  }
+
+  /** Cross-format federation — the reference's file-format selector
+    * (`/root/reference/src/lib.rs:19-26`) exercised as one QUERY
+    * instead of isolated round-trips: the nation dim is re-written as
+    * headered CSV, region as JSON lines, and both join back against
+    * the parquet customer table in a single plan. The oracle runs the
+    * same join over the ORIGINAL parquet — any value a format writer
+    * or reader mangles (type widening, header handling, JSON numeric
+    * round-trip) breaks the hash. Dims stay broadcast-small; the one
+    * corpus-sized input is the parquet scan.
+    */
+  def federatedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = federationDir
+    Corpus.read(spark, dir, "nation").write.mode("overwrite")
+      .option("header", "true").csv(s"$tmp/nation_csv")
+    Corpus.read(spark, dir, "region").write.mode("overwrite")
+      .json(s"$tmp/region_json")
+    val nation = spark.read.option("header", "true")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .csv(s"$tmp/nation_csv")
+    val region = spark.read
+      .schema("r_regionkey INT, r_name STRING")
+      .json(s"$tmp/region_json")
+    Corpus.read(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+          .as("acctbal_cents"))
+      .orderBy(col("r_name"))
+  }
 }

@@ -232,4 +232,57 @@ class EventStreamsSpec extends AnyFunSuite {
         s"streamed sessions not found in batch: ${streamed.diff(batch).take(3)}")
     } finally q.stop()
   }
+
+  test("late data beyond the watermark is dropped, never double-counted") {
+    // Two micro-batches (one file each): batch 1 covers hours 0-5, so
+    // the 2h watermark closes window [0,1) at 3h and append mode
+    // emits its count. Batch 2 replays an event back at hour 0 (past
+    // the watermark -> must be DROPPED) plus a fresh hour-6 event
+    // (advances the watermark so more windows close). The closed
+    // window must appear exactly once, with only its on-time count —
+    // a second row or n=2 would mean the late row leaked into state.
+    val dir = Files.createTempDirectory("evlate").toString
+    val evDir = s"$dir/events.parquet"
+    val baseUs = 1706745600000000L // 2024-02-01T00:00:00Z
+    val hourUs = 3600000000L
+    def writeFile(rows: Seq[(Long, Long)]): Unit = {
+      import org.apache.spark.sql.Row
+      val data = rows.map { case (id, us) =>
+        Row(id, us * 1000L, 1L, "view", 1.0, "{}")
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), EventStreams.eventSchema)
+        .write.mode("append").parquet(evDir)
+    }
+    // Two RUNS against one checkpoint (the resume pattern below) so
+    // the batch boundary — and therefore the watermark the second
+    // batch sees — is deterministic: AvailableNow in a single run may
+    // coalesce both files into one micro-batch.
+    val outDir = s"$dir/out"
+    val chkDir = s"$dir/chk"
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(EventStreams.eventSchema)
+        .parquet(evDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = EventStreams.tumblingCounts(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+    }
+    writeFile((0L to 5L).map(h => (h, baseUs + h * hourUs)))
+    runOnce() // watermark now 3h: window [0,1) closed and emitted
+    writeFile(Seq((100L, baseUs), (101L, baseUs + 6 * hourUs)))
+    runOnce() // late h0 row is behind the restored watermark
+    val out = spark.read.parquet(outDir)
+      .select(col("wstart").cast("string"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val w0 = out.filter(_._1 == "2024-02-01 00:00:00")
+    assert(w0.length === 1,
+      s"window 0 must emit exactly once, got: ${out.toSeq}")
+    assert(w0.head._2 === 1L,
+      s"late replay inflated the closed window: ${out.toSeq}")
+  }
 }
