@@ -563,7 +563,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |m AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
@@ -856,7 +856,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |m AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
@@ -1909,7 +1909,7 @@ object SparkEntry {
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |m AS (SELECT user_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
         |      THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |ns AS (SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions

@@ -121,15 +121,11 @@ object Events {
         round(covar_samp(col("value"), col("uid_d")), 4).as("cov_uid"))
       .orderBy(col("event_type"))
 
-  /** Microsecond epoch of the event timestamp — the Corpus truncation,
-    * exact integers in both engines (the q75/q76 convention).
+  /** The shared [[Exact]] conventions applied to this table's
+    * columns (ts → µs epoch, value → cents).
     */
-  private def micros = expr("unix_micros(cast(ts as timestamp))")
-
-  /** Integer cents of the event value — exact in both engines for the
-    * 2-decimal synthetic values (the q75/q79 convention).
-    */
-  private def cents = round(col("value") * 100).cast("long")
+  private def micros = Exact.micros
+  private def cents = Exact.cents(col("value"))
 
   /** Ordered conversion funnel view → click → purchase: a user
     * reaches stage 2 only with a click STRICTLY AFTER their first
@@ -325,9 +321,12 @@ object Events {
     * pins WHICH users were retained, not just how many.
     */
   def retentionCurve(spark: SparkSession, dir: String): DataFrame = {
+    // Integer `div`, never `/`: Column./ on longs is IEEE double
+    // division, which rounds a 1 µs-before-midnight timestamp into
+    // the NEXT day once epoch-µs outgrows double precision (the
+    // Corpus.scala nanos trap, same failure mode).
     val days = Corpus.read(spark, dir, "events")
-      .select(col("user_id"), (micros.divide(lit(86400000000L)))
-        .cast("long").as("day"))
+      .select(col("user_id"), Exact.microsDiv(86400000000L).as("day"))
       .distinct()
     val first = days.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
     days.join(first, "user_id")
@@ -391,8 +390,15 @@ object Events {
     * independent encoding of the same binning (the q46/q80 pattern):
     * boundaries are exact multiples of 2500, cents are exact Longs,
     * and at those boundaries double division is exact, so the two
-    * formulations cannot drift. One scan + one map-side-combinable
-    * hash aggregate; output is ≤ types×24 rows at any corpus size.
+    * formulations cannot drift ON THE DOMAIN WHERE THEY AGREE,
+    * cents ∈ [0, 62 500): outside it width_bucket clamps to the
+    * under/overflow buckets 0 and 25 while the div form keeps
+    * counting. The corpus is pinned well inside that domain
+    * (values ≤ 560.21 ⇒ cents ≤ 56 021; AnalyticsSpec asserts no
+    * bucket escapes 1..24, so a corpus regeneration that breaks the
+    * precondition fails the spec before it can skew the gate). One
+    * scan + one map-side-combinable hash aggregate; output is
+    * ≤ types×24 rows at any corpus size.
     */
   def valueBuckets(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "events")

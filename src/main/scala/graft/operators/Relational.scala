@@ -491,7 +491,7 @@ object Relational {
     * total, so the pick is deterministic under timestamp ties.
     */
   def distinctOnLatest(spark: SparkSession, dir: String): DataFrame = {
-    val micros = expr("unix_micros(cast(ts as timestamp))")
+    val micros = Exact.micros
     t(spark, dir, "events")
       .select(col("user_id"), micros.as("ts_us"), col("event_id"),
         col("event_type"), col("value"))

@@ -127,7 +127,7 @@ object Temporal {
     // timestamp cast (binning only — the join predicate uses real ts).
     val binUs = windowSec * 1000000L
     val l = e
-      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("us", Exact.micros)
       .withColumn("bin", explode(array(
         floor(col("us") / binUs), floor(col("us") / binUs) + 1)))
     val r = e.select(col("user_id").as("r_user"), col("ts").as("r_ts"))
@@ -172,7 +172,7 @@ object Temporal {
       def flush(): Unit = out += Session(uid, start, last.plus(gap), n,
         sum.setScale(2, java.math.RoundingMode.HALF_UP).doubleValue)
       evs.foreach { case (ts, v) =>
-        if (java.time.Duration.between(last, ts).compareTo(gap) >= 0) {
+        if (java.time.Duration.between(last, ts).compareTo(gap) > 0) {
           flush(); start = ts; n = 0L; sum = java.math.BigDecimal.ZERO
         }
         last = ts; n += 1; sum = sum.add(dec(v))
@@ -234,10 +234,9 @@ object Temporal {
     */
   private def hourlyGrid(spark: SparkSession, dir: String): DataFrame = {
     // Microsecond epoch (the Corpus truncation) — exact integers.
-    val micros = unix_micros(col("ts").cast("timestamp"))
+    val micros = Exact.micros
     val hourly = Corpus.read(spark, dir, "events")
-      .select(col("user_id"),
-        expr("(unix_micros(cast(ts as timestamp)) div 3600000000)").as("h"),
+      .select(col("user_id"), Exact.microsDiv(3600000000L).as("h"),
         col("value"),
         concat(lpad(micros.cast("string"), 20, "0"),
           lpad(col("event_id").cast("string"), 12, "0")).as("ord"))
@@ -301,7 +300,7 @@ object Temporal {
     val after = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsH = when(col("v_obs").isNotNull, col("h"))
-    def cents(c: Column): Column = round(c * 100).cast("long")
+    def cents(c: Column): Column = Exact.cents(c)
     hourlyGrid(spark, dir)
       .select(col("user_id"), col("h"), col("v_obs"),
         last(col("v_obs"), ignoreNulls = true).over(before).as("vp"),
@@ -348,7 +347,7 @@ object Temporal {
     * usually the metric of interest.
     */
   def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val us = expr("unix_micros(cast(ts as timestamp))")
+    val us = Exact.micros
     val code = when(col("event_type") === "click", lit(1L))
       .when(col("event_type") === "view", lit(2L))
     val w = Window.partitionBy(col("user_id"))

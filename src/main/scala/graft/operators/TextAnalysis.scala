@@ -845,12 +845,15 @@ object TextAnalysis {
     * is a single pass.
     */
   def stopwordFilter(spark: SparkSession, dir: String): DataFrame = {
-    val stopLit = StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    // Column-API lambda, not an interpolated SQL string: a stopword
+    // containing a quote (or any SQL metacharacter) must stay data,
+    // never syntax.
+    val stopArr = typedLit(StopWords)
     Corpus.read(spark, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) > 0)
       .withColumn("content",
-        expr(s"filter(toks, t -> NOT array_contains($stopLit, t))"))
+        filter(col("toks"), t => !array_contains(stopArr, t)))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
         size(col("content")).cast("long").as("n_content"),

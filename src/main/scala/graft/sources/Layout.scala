@@ -55,17 +55,20 @@ object Layout {
     * is what turns every repeated fact-dim join on the same key from
     * a full shuffle into a local merge. Money in exact integer cents.
     */
-  // One bucketed-layout directory per JVM, overwritten (not re-created)
-  // on every invocation: the bench runs each query several times per
-  // pass, and a fresh createTempDirectory per call would orphan the
-  // previous copy each time saveAsTable repoints the catalog table —
-  // an unbounded disk leak across bench/correctness runs.
-  private lazy val bucketDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_q74_")
+  /** One scratch directory per (JVM, prefix), overwritten — never
+    * re-created — on every invocation: the bench runs each query
+    * several times per pass, and a fresh createTempDirectory per call
+    * would orphan the previous copy each time (an unbounded disk leak
+    * across bench/correctness runs). Deleted on JVM shutdown.
+    */
+  private def jvmScratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
     p.toString
   }
+
+  private lazy val bucketDir: String = jvmScratchDir("graft_q74_")
 
   def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val tmp = bucketDir
@@ -86,15 +89,7 @@ object Layout {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** One federation directory per JVM, overwritten in place — the
-    * [[bucketDir]] leak-avoidance pattern.
-    */
-  private lazy val federationDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_q106_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-    p.toString
-  }
+  private lazy val federationDir: String = jvmScratchDir("graft_q106_")
 
   /** Cross-format federation — the reference's file-format selector
     * (`/root/reference/src/lib.rs:19-26`) exercised as one QUERY

@@ -382,7 +382,7 @@ class AnalyticsSpec extends AnyFunSuite {
     def sessions(uid: Long): Long = {
       val ts = byUser(uid).map(_._3).sorted
       1L + ts.sliding(2).count {
-        case Seq(a, b) => b - a >= gapUs
+        case Seq(a, b) => b - a > gapUs
         case _ => false
       }
     }
