@@ -146,6 +146,8 @@ object SparkEntry {
     "q104_filter_agg" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, filterAggSql)),
     "q106_federated" -> (graft.sources.Layout.federatedRevenue _),
+    "q107_grouping_meta" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, groupingMetaSql)),
     "q105_nulls_order" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, nullsOrderSql))
   )
@@ -268,6 +270,24 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY c_nationkey
       |    ORDER BY k DESC NULLS FIRST, c_custkey) AS rn_first
       |FROM b ORDER BY c_nationkey, c_custkey""".stripMargin
+
+  /** One SQL text, two planners: the GROUPING()/GROUPING_ID()
+    * metadata functions over a ROLLUP — the standard way to tell a
+    * data NULL from a super-aggregate row (q13/q36 gate the rollup
+    * shapes; this gates the disambiguation surface). Explicit NULLS
+    * LAST everywhere (the q105 lesson: the engines' default null
+    * order differs).
+    */
+  private val groupingMetaSql: String =
+    """WITH b AS (SELECT c_mktsegment AS seg, c_nationkey AS nk,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer)
+      |SELECT seg, nk,
+      |  CAST(grouping(seg) AS BIGINT) AS g_seg,
+      |  CAST(grouping(nk) AS BIGINT) AS g_nk,
+      |  CAST(grouping_id(seg, nk) AS BIGINT) AS gid,
+      |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM b GROUP BY ROLLUP(seg, nk)
+      |ORDER BY gid, seg NULLS LAST, nk NULLS LAST""".stripMargin
 
   private val correlatedSql: String =
     """SELECT o_orderkey, o_totalprice FROM orders o
@@ -1967,6 +1987,7 @@ object SparkEntry {
         |ORDER BY event_type, bucket""".stripMargin,
 
     "q104_filter_agg" -> filterAggSql,
+    "q107_grouping_meta" -> groupingMetaSql,
     "q105_nulls_order" -> nullsOrderSql,
 
     // The oracle joins the ORIGINAL parquet — the engine side goes
