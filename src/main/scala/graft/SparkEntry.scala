@@ -513,7 +513,8 @@ object SparkEntry {
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS UNBOUNDED PRECEDING) AS running_qty
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
 
     "q11_setops" ->
       """SELECT o_custkey FROM (
@@ -593,7 +594,21 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
-    // q20_approx_distinct: HLL sketch — intentionally no oracle (rows-only).
+    // q20: the sketch VALUE is engine-specific so it is projected out;
+    // the gated output is the exact count, its ±3·rsd integer band
+    // (pure Long arithmetic — no decimal/double literal drift), and
+    // in_band, which the oracle asserts as literal 1. The hash now
+    // covers the accuracy contract itself: a drifting sketch flips
+    // in_band to 0 and fails loudly.
+    "q20_approx_distinct" ->
+      """WITH e AS (SELECT event_type,
+        |    count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, exact_users,
+        |  exact_users - (exact_users * 15 // 100 + 1) AS lo_users,
+        |  exact_users + (exact_users * 15 // 100 + 1) AS hi_users,
+        |  CAST(1 AS BIGINT) AS in_band
+        |FROM e ORDER BY event_type""".stripMargin,
 
     "q20b_exact_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
@@ -1633,8 +1648,8 @@ object SparkEntry {
         |  GROUP BY a.term, b.term HAVING count(*) >= 5),
         |n AS (SELECT count(*) AS n_docs FROM documents)
         |SELECT term_a, term_b, c_ab, va.dfreq AS c_a, vb.dfreq AS c_b,
-        |  CAST((c_ab * n_docs * 1000000) // (va.dfreq * vb.dfreq)
-        |    AS BIGINT) AS lift_ppm
+        |  CAST((CAST(c_ab AS HUGEINT) * n_docs * 1000000)
+        |    // (va.dfreq * vb.dfreq) AS BIGINT) AS lift_ppm
         |FROM pairs
         |JOIN vocab va ON term_a = va.term
         |JOIN vocab vb ON term_b = vb.term
@@ -1851,9 +1866,30 @@ object SparkEntry {
         |FROM b CROSS JOIN q
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
-    // q96_approx_percentile: no oracle by design — sketch values are
-    // engine-specific (the q20 pattern); AnalyticsSpec bounds the
-    // sketch against the exact-percentile twin.
+    // q96: the q20 pattern for quantile sketches — the gated columns
+    // are the EXACT percentile_disc bracket [p−0.01, p+0.01] in
+    // integer cents plus in_band flags (oracle: literal 1); the
+    // sketch values themselves never reach the hash. The δ=0.01 rank
+    // band strictly contains the sketch's rank-error contract
+    // (n/accuracy + 1 ranks) for any group ≥ 102 rows.
+    "q96_approx_percentile" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |p AS (SELECT event_type,
+        |    CAST(percentile_disc(0.49) WITHIN GROUP (ORDER BY x)
+        |      AS BIGINT) AS lo50,
+        |    CAST(percentile_disc(0.51) WITHIN GROUP (ORDER BY x)
+        |      AS BIGINT) AS hi50,
+        |    CAST(percentile_disc(0.89) WITHIN GROUP (ORDER BY x)
+        |      AS BIGINT) AS lo90,
+        |    CAST(percentile_disc(0.91) WITHIN GROUP (ORDER BY x)
+        |      AS BIGINT) AS hi90,
+        |    count(*) AS n
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, n, lo50, hi50, lo90, hi90,
+        |  CAST(1 AS BIGINT) AS ap50_in_band,
+        |  CAST(1 AS BIGINT) AS ap90_in_band
+        |FROM p ORDER BY event_type""".stripMargin,
 
     // DuckDB's regexp_extract with group index mirrors Spark's; the
     // num_matches_key column must be all-1 on both sides.

@@ -61,18 +61,41 @@ object Events {
     */
   val ApproxRsd = 0.05
 
-  /** Approximate distinct users per event type (HLL++ at
-    * [[ApproxRsd]]) — no SQL oracle (sketch values are
-    * engine-specific); the driver records a rows-only check,
-    * [[exactUsers]] carries the oracle-able exact count, and
-    * OperatorsSpec ("approx distinct users...") asserts each group's
-    * sketch is within 3·rsd of it.
+  /** Raw sketch next to its exact twin — the probe OperatorsSpec
+    * ("approx distinct users...") bounds at 3·rsd. Not the gated
+    * shape: the sketch VALUE is engine-specific, so it can never be
+    * hash-compared; [[approxUsers]] projects this to one that can.
     */
-  def approxUsers(spark: SparkSession, dir: String): DataFrame =
+  def approxUsersDetail(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), ApproxRsd).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), ApproxRsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
+
+  /** Approximate distinct users per event type (HLL++ at
+    * [[ApproxRsd]]), gated the only way a sketch can be: the output
+    * carries the EXACT count with its ±3·rsd band as integer bounds
+    * plus `in_band` = does the sketch fall inside — all of which the
+    * oracle reproduces exactly (it emits `1` for in_band), so the
+    * driver's row hash covers the accuracy contract itself. A sketch
+    * drifting past 3·rsd flips in_band to 0 → loud hash mismatch.
+    * Slack is pure Long arithmetic (`exact·15 div 100 + 1` ≥
+    * 0.15·exact = 3·[[ApproxRsd]]·exact; +1 absorbs the floor) —
+    * identical on both engines, no decimal-vs-double literal drift.
+    */
+  def approxUsers(spark: SparkSession, dir: String): DataFrame = {
+    val slackPct = math.round(3 * ApproxRsd * 100) // 15, from the SAME rsd
+    approxUsersDetail(spark, dir)
+      .withColumn("slack", expr(s"exact_users * $slackPct div 100 + 1"))
+      .select(col("event_type"), col("exact_users"),
+        (col("exact_users") - col("slack")).as("lo_users"),
+        (col("exact_users") + col("slack")).as("hi_users"),
+        (col("approx_users") >= col("exact_users") - col("slack") &&
+          col("approx_users") <= col("exact_users") + col("slack"))
+          .cast("long").as("in_band"))
+      .orderBy(col("event_type"))
+  }
 
   /** Exact distinct users per event type — the oracle-checked twin of
     * [[approxUsers]] (split so the sketch query's lack of an oracle
@@ -221,15 +244,13 @@ object Events {
     */
   val ApproxPercentileAccuracy = 10000
 
-  /** Approximate percentiles per event type — the sketch twin of
-    * q41's exact `percentile` (the q20/q20b pairing: sketch values
-    * are engine-specific, so this gate is rows-only and the accuracy
-    * contract lives in AnalyticsSpec against the exact twin).
-    * `approx_percentile` is a mergeable sketch aggregate — partials
-    * combine associatively at any parallelism, which is the whole
-    * point at 100 TB: one pass, bounded memory, no global sort.
+  /** Raw sketch quantiles over the double value domain — the probe
+    * AnalyticsSpec bounds with the rank-error contract (rank error ≤
+    * n/[[ApproxPercentileAccuracy]]). Not the gated shape: sketch
+    * VALUES are engine-specific; [[approxPercentiles]] is the
+    * hash-comparable projection.
     */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+  def approxPercentilesDetail(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(expr(s"approx_percentile(value, array(0.5, 0.9), " +
@@ -238,6 +259,42 @@ object Events {
       .select(col("event_type"), col("approx_p")(0).as("ap50"),
         col("approx_p")(1).as("ap90"), col("n"))
       .orderBy(col("event_type"))
+
+  /** Approximate percentiles per event type, gated like [[approxUsers]]:
+    * the output is the EXACT `percentile_disc` bracket [p−δ, p+δ]
+    * (δ = 0.01 in rank probability) around each sketched quantile,
+    * in integer cents, plus `in_band` flags the oracle emits as `1`.
+    * The rank-error contract (rank ∈ p·n ± n/accuracy) guarantees the
+    * sketch value sits inside the bracket whenever δ·n ≥ n/accuracy
+    * + 1 — i.e. any group of ≥ 102 rows at accuracy 10000; the gate
+    * corpora have ≥ 2 000 per type, and AnalyticsSpec holds the far
+    * tighter ±(n/accuracy + 1)-rank bound on the raw sketch.
+    * `approx_percentile` stays the scale path: a mergeable sketch —
+    * one pass, bounded memory, no global sort at any parallelism.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    graft.Flaco.sql(spark, dir,
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+         |p AS (SELECT event_type,
+         |    approx_percentile(x, array(0.5, 0.9),
+         |      $ApproxPercentileAccuracy) AS ap,
+         |    CAST(percentile_disc(0.49) WITHIN GROUP (ORDER BY x)
+         |      AS BIGINT) AS lo50,
+         |    CAST(percentile_disc(0.51) WITHIN GROUP (ORDER BY x)
+         |      AS BIGINT) AS hi50,
+         |    CAST(percentile_disc(0.89) WITHIN GROUP (ORDER BY x)
+         |      AS BIGINT) AS lo90,
+         |    CAST(percentile_disc(0.91) WITHIN GROUP (ORDER BY x)
+         |      AS BIGINT) AS hi90,
+         |    count(*) AS n
+         |  FROM b GROUP BY event_type)
+         |SELECT event_type, n, lo50, hi50, lo90, hi90,
+         |  CAST(CASE WHEN ap[0] BETWEEN lo50 AND hi50
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ap50_in_band,
+         |  CAST(CASE WHEN ap[1] BETWEEN lo90 AND hi90
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ap90_in_band
+         |FROM p ORDER BY event_type""".stripMargin)
 
   /** Time-weighted average value per user — the metric that matters
     * when observations are irregularly spaced (a value held for six

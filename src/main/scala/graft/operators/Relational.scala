@@ -225,7 +225,12 @@ object Relational {
       .withColumn("running_qty", sum(col("l_quantity")).over(w))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("running_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      // running_qty completes the presentation order: rows tied on the
+      // window key get DIFFERENT running values (acc+q vs acc+2q) under
+      // identical (suppkey, orderkey, linenumber) keys, so without it
+      // the emitted sequence is engine-tie-order-dependent.
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
   }
 
   /** Set operations: (Jan ∪ Feb) ∖ Mar active custkeys, 1996. */

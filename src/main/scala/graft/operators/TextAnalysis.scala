@@ -717,8 +717,14 @@ object TextAnalysis {
     * common documents, `lift = P(a,b) / (P(a)·P(b))` — the
     * association score under every PMI/collocation analysis (PMI is
     * its log). Emitted as the EXACT integer
-    * `(c_ab · N · 10⁶) div (c_a · c_b)` (parts-per-million, Long-safe:
-    * c ≤ N ⇒ numerator ≤ N²·10⁶) — no float log to disagree on.
+    * `(c_ab · N · 10⁶) div (c_a · c_b)` (parts-per-million) — no
+    * float log to disagree on. The numerator is widened to
+    * DECIMAL(38,0) (the oracle uses HUGEINT — an independent 128-bit
+    * encoding) because in Long it overflows once N exceeds ~3·10⁶
+    * (c_ab scales with N for top-vocab terms, so N²·10⁶ is the real
+    * bound); the QUOTIENT is Long-safe at any corpus size the wide
+    * type holds: c_a,c_b ≥ c_ab ≥ minSupport ⇒ lift_ppm ≤ N·10⁶ /
+    * minSupport.
     *
     * Scale is governed by the vocabulary cap, not the corpus: per-doc
     * distinct terms filter against the broadcast top-V table BEFORE
@@ -754,7 +760,8 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"),
         col("c_b"),
-        expr("c_ab * n_docs * 1000000 div (c_a * c_b)").as("lift_ppm"))
+        expr("cast(c_ab as decimal(38,0)) * n_docs * 1000000 div (c_a * c_b)")
+          .as("lift_ppm"))
       .orderBy(col("term_a"), col("term_b"))
   }
 

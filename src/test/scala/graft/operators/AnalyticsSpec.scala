@@ -314,7 +314,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .select(col("event_type"), col("value")).collect()
       .map(r => (r.getString(0), r.getDouble(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    val got = Events.approxPercentiles(spark, sf).collect()
+    val got = Events.approxPercentilesDetail(spark, sf).collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       val vs = byType(r.getString(0))

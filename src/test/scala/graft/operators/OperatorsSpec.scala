@@ -290,7 +290,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("approx distinct users tracks the exact count within 3x rsd") {
-    val approx = Events.approxUsers(spark, sf).collect()
+    val approx = Events.approxUsersDetail(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Events.exactUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -303,6 +303,11 @@ class OperatorsSpec extends AnyFunSuite {
       val a = approx(k)
       assert(math.abs(a - e).toDouble / e < bound,
         s"HLL++ estimate $a off exact $e by more than 3*rsd for $k")
+    }
+    // The gated projection encodes the same contract hashably.
+    Events.approxUsers(spark, sf).collect().foreach { r =>
+      assert(r.getLong(4) === 1L,
+        s"sketch outside the gated +/-3*rsd band for ${r.getString(0)}")
     }
   }
 
