@@ -149,7 +149,12 @@ object SparkEntry {
     "q107_grouping_meta" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, groupingMetaSql)),
     "q105_nulls_order" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, nullsOrderSql))
+      Flaco.sql(s, d, nullsOrderSql)),
+    "q108_recursive_cte" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, recursiveSparkSql)),
+    "q109_lateral_join" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, lateralSql)),
+    "q110_groups_frame" -> (Events.groupsFrames _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -295,6 +300,50 @@ object SparkEntry {
       |  (SELECT 2.0 * sum(CAST(round(i.o_totalprice * 100) AS BIGINT)) / count(*)
       |   FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** `WITH RECURSIVE` through Spark's own recursive-CTE execution
+    * (4.0+): ancestor closure over the implicit binary-tree hierarchy
+    * parent(k) = k div 2 on customer keys — a deterministic, genuinely
+    * multi-iteration recursion (depth = ⌊log₂ max(key)⌋, so ~11 rounds
+    * at sf0.01) whose row count n·O(log n) stays materializable at any
+    * corpus size. The oracle is DuckDB's native WITH RECURSIVE over
+    * the same closure (integer division spelled `//` there). Scale
+    * disposition: bounded-depth recursion like this runs one
+    * distributed job per level, and Spark's recursion is UNION
+    * ALL-only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which DIVERGES
+    * on cyclic graphs — unbounded closures (connected components)
+    * must use q43's pointer-jumping operator instead: O(log n)
+    * rounds, cycle-safe, dedup per round. RecursiveSqlSpec
+    * cross-checks the two on the same pair graph.
+    */
+  private val recursiveSparkSql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS node,
+      |    CAST(c_custkey AS BIGINT) AS anc, CAST(0 AS BIGINT) AS depth
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT node, anc div 2 AS anc, depth + 1 AS depth
+      |  FROM anc WHERE anc > 1
+      |)
+      |SELECT node, anc, depth FROM anc ORDER BY node, depth""".stripMargin
+
+  /** LATERAL correlated TABLE subquery (q51 gates only the scalar
+    * form): top-2 orders per customer via `, LATERAL (... ORDER BY
+    * ... LIMIT 2)`. One SQL text, two planners — Spark and DuckDB
+    * both accept this spelling; Spark must DECORRELATE it (the
+    * rank-over-partition + join rewrite) rather than re-scan orders
+    * per customer row — RecursiveSqlSpec pins the plan (no lateral
+    * node survives optimization, no nested-loop join), and the
+    * result is cross-checked against the q09 window formulation.
+    * Inner-lateral semantics: order-less customers drop out.
+    */
+  private val lateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.cents
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""".stripMargin
 
   /** DuckDB: distinct word-3-gram shingles per doc, as a WITH body. */
   private val shinglesCte =
@@ -2025,6 +2074,59 @@ object SparkEntry {
     "q104_filter_agg" -> filterAggSql,
     "q107_grouping_meta" -> groupingMetaSql,
     "q105_nulls_order" -> nullsOrderSql,
+
+    // DuckDB's native recursive CTE over the same ancestor closure;
+    // only the integer-division spelling differs (`//` vs `div`).
+    "q108_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node,
+        |    CAST(c_custkey AS BIGINT) AS anc, CAST(0 AS BIGINT) AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node, anc // 2 AS anc, depth + 1 AS depth
+        |  FROM anc WHERE anc > 1
+        |)
+        |SELECT node, anc, depth FROM anc ORDER BY node, depth""".stripMargin,
+
+    // One SQL text, two planners (the q51 pattern).
+    "q109_lateral_join" -> lateralSql,
+
+    // The oracle derives the GROUPS frame from FIRST PRINCIPLES (this
+    // DuckDB predates native GROUPS mode, and a first-principles
+    // encoding is the stronger check anyway): the frame of a row is
+    // BY DEFINITION the rows whose ORDER value is the row's own x or
+    // the previous distinct x in its partition — materialized as two
+    // equi-joins — and each EXCLUDE variant is a FILTER over that row
+    // set. SUM FILTER over an emptied set is NULL, which reproduces
+    // the empty-frame NULLs without any special-casing.
+    "q110_groups_frame" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x, user_id AS w
+        |  FROM events),
+        |d AS (SELECT event_type, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY x) AS px
+        |  FROM (SELECT DISTINCT event_type, x FROM b)),
+        |pairs AS (
+        |  SELECT r.event_id AS rid, r.x AS rx, s.event_id AS sid,
+        |    s.x AS sx, s.w AS sw
+        |  FROM b r JOIN b s
+        |    ON s.event_type = r.event_type AND s.x = r.x
+        |  UNION ALL
+        |  SELECT r.event_id, r.x, s.event_id, s.x, s.w
+        |  FROM b r
+        |  JOIN d ON d.event_type = r.event_type AND d.x = r.x
+        |  JOIN b s ON s.event_type = r.event_type AND s.x = d.px),
+        |f AS (SELECT rid,
+        |    CAST(sum(sw) AS BIGINT) AS g_sum,
+        |    CAST(sum(sw) FILTER (WHERE sx <> rx) AS BIGINT) AS x_group,
+        |    CAST(sum(sw) FILTER (WHERE sid <> rid) AS BIGINT) AS x_row,
+        |    CAST(sum(sw) FILTER (WHERE sx <> rx OR sid = rid)
+        |      AS BIGINT) AS x_ties
+        |  FROM pairs GROUP BY rid)
+        |SELECT b.event_id, b.event_type, b.x, b.w,
+        |  g_sum, x_group, x_row, x_ties
+        |FROM b JOIN f ON b.event_id = f.rid
+        |ORDER BY b.event_id""".stripMargin,
 
     // The oracle joins the ORIGINAL parquet — the engine side goes
     // through CSV/JSON re-writes of the dims, so any format

@@ -150,6 +150,62 @@ object Events {
   private def micros = Exact.micros
   private def cents = Exact.cents(col("value"))
 
+  /** GROUPS window-frame mode + frame EXCLUDE, emulated — Spark has
+    * neither (only ROWS and RANGE; no EXCLUDE clause), but both are
+    * PG window surface behind the reference's opaque-SQL delegation,
+    * so they get an emulation gate instead of a documented absence:
+    *
+    *  - GROUPS n PRECEDING ≡ RANGE n PRECEDING over `dense_rank()`
+    *    of the ORDER key (peer groups are exactly the dense-rank
+    *    levels);
+    *  - EXCLUDE GROUP / CURRENT ROW / TIES ≡ subtracting the peer
+    *    sum (a RANGE CURRENT ROW..CURRENT ROW frame — the peers —
+    *    over the SAME sort, no extra shuffle) and/or the row's own
+    *    value from the inclusive frame sum.
+    *
+    * The aggregated column (user_id) is deliberately different from
+    * the ORDER key (cents) so the three EXCLUDE variants are
+    * value-distinguishable even inside a tie group. The oracle
+    * derives the frame from FIRST PRINCIPLES — equi-joins
+    * materializing "rows whose x is mine or the previous distinct x"
+    * with FILTER aggregates per EXCLUDE variant (this DuckDB predates
+    * native GROUPS mode; the set-based encoding is the stronger
+    * check anyway). All Long-exact.
+    *
+    * Plan shape: one shuffle on event_type; dense_rank + peer_sum
+    * share the (event_type, x) sort, the frame sum re-sorts the same
+    * partitions by dr without re-exchanging — O(1) window state per
+    * row at any scale.
+    */
+  def groupsFrames(spark: SparkSession, dir: String): DataFrame = {
+    val byX = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val peers = byX.rangeBetween(Window.currentRow, Window.currentRow)
+    val byDr = Window.partitionBy(col("event_type")).orderBy(col("dr"))
+      .rangeBetween(-1, 0)
+    Corpus.read(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), cents.as("x"),
+        col("user_id").as("w"))
+      .withColumn("dr", dense_rank().over(byX).cast("long"))
+      .withColumn("peer_sum", sum(col("w")).over(peers))
+      .withColumn("peer_cnt", count(lit(1)).over(peers))
+      .withColumn("g_sum", sum(col("w")).over(byDr))
+      // An EXCLUDE that empties the frame is SUM over nothing = NULL
+      // in SQL, which plain subtraction would render as 0: EXCLUDE
+      // GROUP empties iff there is no preceding peer group (dr = 1);
+      // EXCLUDE CURRENT ROW empties iff the frame was exactly this
+      // row (dr = 1 and a singleton peer group). EXCLUDE TIES keeps
+      // the current row, so its frame is never empty.
+      .select(col("event_id"), col("event_type"), col("x"), col("w"),
+        col("g_sum"),
+        when(col("dr") === 1, lit(null).cast("long"))
+          .otherwise(col("g_sum") - col("peer_sum")).as("x_group"),
+        when(col("dr") === 1 && col("peer_cnt") === 1,
+          lit(null).cast("long"))
+          .otherwise(col("g_sum") - col("w")).as("x_row"),
+        (col("g_sum") - col("peer_sum") + col("w")).as("x_ties"))
+      .orderBy(col("event_id"))
+  }
+
   /** Ordered conversion funnel view → click → purchase: a user
     * reaches stage 2 only with a click STRICTLY AFTER their first
     * view, stage 3 only with a purchase strictly after that first
