@@ -33,12 +33,29 @@ object FeatherSink {
 
   private val BatchRows = 4096
 
-  def write(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+  /** Ceiling for [[write]]'s `singleFile` parity mode. That mode
+    * streams the WHOLE result through the driver by design
+    * (reference-layout parity) — correct for interchange-sized
+    * results, catastrophic if invoked on a corpus-sized one by
+    * accident. The guard fails fast with a typed error the moment
+    * the budget is crossed (bytes actually written, not an estimate
+    * — plan statistics are unreliable before execution), deletes the
+    * partial file, and names the per-partition mode as the scale
+    * path. Override per call for bigger deliberate exports.
+    */
+  val DefaultSingleFileByteBudget: Long = 4L << 30
+
+  def write(df: DataFrame, path: String, singleFile: Boolean = false,
+      singleFileByteBudget: Long = DefaultSingleFileByteBudget): Unit = {
     val schema = df.schema
     validate(schema)
     if (singleFile) {
       val it = df.toLocalIterator()
-      writeIterator(schema, it.asScala, path)
+      try writeIterator(schema, it.asScala, path, singleFileByteBudget)
+      catch { case e: Throwable =>
+        new File(path).delete() // no truncated IPC file left behind
+        throw e
+      }
     } else {
       val dir = new File(path)
       dir.mkdirs()
@@ -109,12 +126,57 @@ object FeatherSink {
     }
   }
 
-  /** Stream `rows` into one IPC file at `file` in BatchRows chunks. */
+  /** Stream `rows` into one IPC file at `file` in BatchRows chunks.
+    * `byteBudget`, if finite, bounds the bytes actually written.
+    */
   private def writeIterator(
-      schema: StructType, rows: Iterator[Row], file: String): Unit = {
+      schema: StructType, rows: Iterator[Row], file: String,
+      byteBudget: Long = Long.MaxValue): Unit = {
     val out = new FileOutputStream(file)
-    try writeRows(schema, rows, out.getChannel, stream = false)
-    finally out.close()
+    try {
+      if (byteBudget == Long.MaxValue)
+        writeRows(schema, rows, out.getChannel, stream = false)
+      else {
+        val ch = new BudgetedChannel(out.getChannel, byteBudget)
+        // The trip surfaces as IOException somewhere inside the Arrow
+        // writer (possibly wrapped, possibly superseded by the
+        // writer's own shutdown) — the flag, not the exception type,
+        // is the reliable signal to translate into the typed error.
+        try writeRows(schema, rows, ch, stream = false)
+        catch { case e: Throwable =>
+          if (ch.tripped) throw new FlacoSparkException(
+            s"Feather singleFile output exceeded its $byteBudget-byte " +
+              s"budget at $file. singleFile streams the whole result " +
+              "through the driver (reference-parity layout); use the " +
+              "default per-partition mode for large results, or raise " +
+              "singleFileByteBudget deliberately.")
+          throw e
+        }
+      }
+    } finally out.close()
+  }
+
+  /** Counts bytes through to `inner`; crossing `budget` sets
+    * [[tripped]] and refuses all further writes — fail-fast for the
+    * driver-side singleFile parity path.
+    */
+  private final class BudgetedChannel(
+      inner: WritableByteChannel, budget: Long)
+      extends WritableByteChannel {
+    private var written = 0L
+    @volatile var tripped = false
+    override def write(src: java.nio.ByteBuffer): Int = {
+      if (tripped) throw new java.io.IOException("byte budget exceeded")
+      val n = inner.write(src)
+      written += n
+      if (written > budget) {
+        tripped = true
+        throw new java.io.IOException("byte budget exceeded")
+      }
+      n
+    }
+    override def isOpen: Boolean = inner.isOpen
+    override def close(): Unit = inner.close()
   }
 
   /** Stream `rows` into `ch` in BatchRows chunks, as the IPC file
@@ -144,9 +206,15 @@ object FeatherSink {
         writer.writeBatch()
       }
       writer.end()
-    } finally {
-      writer.close(); root.close(); allocator.close()
+    } catch { case e: Throwable =>
+      // writer.close() re-flushes through the (possibly tripped)
+      // channel; don't let its secondary failure supersede the real
+      // one or leak the root/allocator.
+      try writer.close() catch { case _: Throwable => () }
+      root.close(); allocator.close()
+      throw e
     }
+    writer.close(); root.close(); allocator.close()
   }
 
   private def fillVector(

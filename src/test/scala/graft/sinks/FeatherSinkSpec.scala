@@ -230,4 +230,21 @@ class FeatherSinkSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not supported"))
   }
+
+  test("singleFile byte budget fails fast with a typed error, no partial file") {
+    val df = Corpus.read(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text")
+    val path = Files.createTempDirectory("feather-budget").toString + "/one.arrow"
+    val e = intercept[FlacoSparkException] {
+      FeatherSink.write(df, path, singleFile = true,
+        singleFileByteBudget = 1024L)
+    }
+    assert(e.getMessage.contains("byte budget"))
+    assert(!new java.io.File(path).exists(),
+      "partial over-budget IPC file left behind")
+    // The same result within budget (and the per-partition scale
+    // mode) writes fine — the guard gates only the parity path.
+    FeatherSink.write(df, path, singleFile = true)
+    assert(readBack(path, df.schema).size === df.count())
+  }
 }
