@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Engine-written corpus twins for scale evidence — the two stresses
+  * the driver's uniform fixtures never exercise:
+  *
+  *   - [[skewedEvents]]/[[skewedLineitem]]: a HOT KEY holding ~1/denom
+  *     of all rows (real event logs always have one; uniform user_ids
+  *     make every per-key window partition the same size, hiding
+  *     straggler behavior);
+  *   - [[replicated]]: the same corpus at k× rows (unique keys, text
+  *     perturbed per copy so near-dup structure isn't trivially k×
+  *     duplicated), for measuring observed scaling exponents.
+  *
+  * Both are deterministic (key arithmetic, no RNG) so measured numbers
+  * are reproducible. Written OUTSIDE the read-only driver corpus.
+  */
+object ScaleFixtures {
+
+  /** events twin with event_id ≡ 0 (mod denom) remapped to one hot
+    * user — that user then holds ~1/denom of the corpus. Returns the
+    * hot user id.
+    */
+  def skewedEvents(spark: SparkSession, srcDir: String, outDir: String,
+      denom: Int = 10): Long = {
+    val ev = Corpus.read(spark, srcDir, "events")
+    val hot = ev.agg(min(col("user_id"))).head().getLong(0)
+    ev.withColumn("user_id",
+        when(pmod(col("event_id"), lit(denom.toLong)) === 0, lit(hot))
+          .otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    hot
+  }
+
+  /** lineitem twin with ~1/denom of lines remapped to one hot
+    * supplier (the q10/q59 window-partition key). Returns the hot
+    * suppkey.
+    */
+  def skewedLineitem(spark: SparkSession, srcDir: String, outDir: String,
+      denom: Int = 10): Long = {
+    val li = Corpus.read(spark, srcDir, "lineitem")
+    val hot = li.agg(min(col("l_suppkey"))).head().getLong(0)
+    li.withColumn("l_suppkey",
+        when(pmod(col("l_orderkey") * 10 + col("l_linenumber"),
+          lit(denom.toLong)) === 0, lit(hot))
+          .otherwise(col("l_suppkey")))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    hot
+  }
+
+  /** documents + events at `factor`× rows: copy k offsets every key
+    * by k·(max+1) (stays unique), prefixes copy k>0 document text
+    * with a copy marker (so shingles differ and near-dup work isn't
+    * just k× exact duplicates), keeps the event time span (k× density
+    * — the realistic direction: more traffic, same month).
+    */
+  def replicated(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val docs = Corpus.read(spark, srcDir, "documents")
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      val text = if (k == 0) col("text")
+        else concat(lit(s"copy$k "), col("text"))
+      docs.select((col("doc_id") + lit(k * maxDoc)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val ev = Corpus.read(spark, srcDir, "events")
+    val maxEid = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val maxUid = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      ev.select((col("event_id") + lit(k * maxEid)).as("event_id"),
+        (col("user_id") + lit(k * maxUid)).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+}
+
+/** Scale-evidence main (SCALING.md's measured numbers):
+  *
+  *   runMain graft.Sweep skew <srcDir> <workDir>
+  *     builds hot-key twins of events + lineitem and times the
+  *     per-key-window queries on uniform vs skewed data;
+  *
+  *   runMain graft.Sweep x10 <srcDir> <workDir> [factor]
+  *     builds the replicated corpus and times the document/event
+  *     heavy queries at 1× and k×, reporting the observed scaling
+  *     exponent log_k(t_k / t_1) per query.
+  *
+  * Timing mirrors Bench: min-of-2 fully-materialized (noop write)
+  * runs, caches cleared between queries.
+  */
+object Sweep {
+
+  private val SkewQueries = Seq("q75_gap_fill", "q79_interpolate",
+    "q85_rolling_zscore", "q87_attribution", "q93_twa",
+    "q10_window_running", "q59_range_window")
+
+  private val SweepQueries = Seq("q58_curated_pipeline",
+    "q52_training_pipeline", "q73_tfidf", "q79_interpolate",
+    "q71_edit_distance", "q43_dedup_clusters", "q89_containment",
+    "q72_chunk_udtf", "q75_gap_fill", "q85_rolling_zscore")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val srcDir = args(1)
+    val workDir = args(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", classOf[GraftSessionExtensions].getName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def once(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+    def minOf2(name: String, dir: String): Double =
+      math.min(once(name, dir), once(name, dir))
+
+    mode match {
+      case "skew" =>
+        val hotUser = ScaleFixtures.skewedEvents(spark, srcDir, workDir)
+        val hotSupp = ScaleFixtures.skewedLineitem(spark, srcDir, workDir)
+        val evTotal = Corpus.read(spark, workDir, "events").count()
+        val evHot = Corpus.read(spark, workDir, "events")
+          .filter(col("user_id") === hotUser).count()
+        println(f"[skew] hot user $hotUser holds $evHot/$evTotal events " +
+          f"(${100.0 * evHot / evTotal}%.1f%%); hot supplier $hotSupp")
+        val lines = SkewQueries.map { q =>
+          val tu = minOf2(q, srcDir)
+          val ts = minOf2(q, workDir)
+          f""""$q": {"uniform": $tu%.3f, "skewed": $ts%.3f, "ratio": ${ts / tu}%.2f}"""
+        }
+        println(lines.mkString("SWEEP_RESULT {", ", ", "}"))
+      case "x10" =>
+        val factor = if (args.length > 3) args(3).toInt else 10
+        ScaleFixtures.replicated(spark, srcDir, workDir, factor)
+        val lines = SweepQueries.map { q =>
+          val t1 = minOf2(q, srcDir)
+          val tk = minOf2(q, workDir)
+          val exp = math.log(tk / t1) / math.log(factor.toDouble)
+          f""""$q": {"t1": $t1%.3f, "t$factor": $tk%.3f, "exponent": $exp%.2f}"""
+        }
+        println(lines.mkString("SWEEP_RESULT {", ", ", "}"))
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

@@ -27,16 +27,24 @@ object Corpus {
     }
 
   /** events with ts as microsecond TimestampNTZ (naive UTC wall-clock,
-    * matching DuckDB's naive TIMESTAMP semantics).
+    * matching DuckDB's naive TIMESTAMP semantics). Handles both the
+    * driver corpus encoding (TIMESTAMP(NANOS), read as long under the
+    * legacy conf) and engine-written twins (skew/scale fixtures),
+    * where ts is already a microsecond timestamp.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // ts arrives as nanos-since-epoch long; integer-divide to micros.
-    // `div`, not `/`: at ~1.7e18 the double division `/` produces is
-    // past 53-bit mantissa precision and lands 1µs off for some rows.
-    raw.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // ts arrives as nanos-since-epoch long; integer-divide to
+        // micros. `div`, not `/`: at ~1.7e18 the double division `/`
+        // produces is past 53-bit mantissa precision and lands 1µs
+        // off for some rows.
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
 
   /** Register every corpus table present in `dir` as a temp view. */
