@@ -270,10 +270,10 @@ object SparkEntry {
       |      ELSE c_custkey % 100 END AS k
       |  FROM customer)
       |SELECT c_nationkey, c_custkey, k,
-      |  row_number() OVER (PARTITION BY c_nationkey
-      |    ORDER BY k ASC NULLS LAST, c_custkey) AS rn_last,
-      |  row_number() OVER (PARTITION BY c_nationkey
-      |    ORDER BY k DESC NULLS FIRST, c_custkey) AS rn_first
+      |  CAST(row_number() OVER (PARTITION BY c_nationkey
+      |    ORDER BY k ASC NULLS LAST, c_custkey) AS BIGINT) AS rn_last,
+      |  CAST(row_number() OVER (PARTITION BY c_nationkey
+      |    ORDER BY k DESC NULLS FIRST, c_custkey) AS BIGINT) AS rn_first
       |FROM b ORDER BY c_nationkey, c_custkey""".stripMargin
 
   /** One SQL text, two planners: the GROUPING()/GROUPING_ID()
