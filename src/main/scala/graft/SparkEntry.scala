@@ -154,7 +154,8 @@ object SparkEntry {
       Flaco.sql(s, d, recursiveSparkSql)),
     "q109_lateral_join" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, lateralSql)),
-    "q110_groups_frame" -> (Events.groupsFrames _)
+    "q110_groups_frame" -> (Events.groupsFrames _),
+    "q111_window_filter" -> (Relational.windowFilter _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -2090,6 +2091,23 @@ object SparkEntry {
 
     // One SQL text, two planners (the q51 pattern).
     "q109_lateral_join" -> lateralSql,
+
+    // DuckDB's NATIVE window FILTER vs the engine's CASE-projection
+    // emulation (Spark has no window FILTER) — independent encodings
+    // of the same running conditional aggregate.
+    "q111_window_filter" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(o_totalprice > 150000 AS BIGINT) AS is_big,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_totalprice > 150000) OVER w
+        |    AS BIGINT) AS run_big_cents,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 150000) OVER w
+        |    AS BIGINT) AS run_big_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // The oracle derives the GROUPS frame from FIRST PRINCIPLES (this
     // DuckDB predates native GROUPS mode, and a first-principles

@@ -179,6 +179,37 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Aggregate FILTER on WINDOW functions, emulated — PG allows
+    * `agg(x) FILTER (WHERE …) OVER w` and Spark does not (q104 gates
+    * only the GROUP BY form), so the engine states it as the
+    * conditional-projection window `sum(CASE WHEN … THEN x END) OVER
+    * w` while the ORACLE uses DuckDB's NATIVE window FILTER — an
+    * independent first-class implementation. The NULL contracts line
+    * up by construction: a frame with no qualifying rows is an
+    * all-NULL sum (NULL on both sides) and a zero count. Running
+    * frame over the total (o_orderdate, o_orderkey) per-customer
+    * order; money in exact integer cents; one shuffle, O(1) frame
+    * state.
+    */
+  def windowFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = expr("cast(round(o_totalprice * 100) as bigint)")
+    val big = col("o_totalprice") > 150000
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        cents.as("cents"), big.as("is_big"))
+      .withColumn("run_big_cents",
+        sum(when(col("is_big"), col("cents"))).over(w))
+      .withColumn("run_big_n",
+        count(when(col("is_big"), lit(1))).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+        col("is_big").cast("long").as("is_big"),
+        col("run_big_cents"), col("run_big_n"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** The distribution-rank window functions q63 leaves out:
     * percent_rank and cume_dist over the deterministic price order
     * (no ties — o_orderkey breaks them — so the fractions are
