@@ -155,7 +155,15 @@ object SparkEntry {
     "q109_lateral_join" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, lateralSql)),
     "q110_groups_frame" -> (Events.groupsFrames _),
-    "q111_window_filter" -> (Relational.windowFilter _)
+    "q111_window_filter" -> (Relational.windowFilter _),
+    "q112_null_safe" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, nullSafeSql)),
+    "q113_bool_agg" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, boolAggSql)),
+    "q114_ordinality" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, ordinalitySparkSql)),
+    "q115_percentile_cont" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, percentileContSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -301,6 +309,80 @@ object SparkEntry {
       |  (SELECT 2.0 * sum(CAST(round(i.o_totalprice * 100) AS BIGINT)) / count(*)
       |   FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** One SQL text, two planners: the null-safe comparison and
+    * conditional-scalar surface — `IS [NOT] DISTINCT FROM` (the PG
+    * null-safe equality; Spark's `<=>` is its operator spelling),
+    * NULLIF / COALESCE chains, GREATEST/LEAST (both engines ignore
+    * NULLs and return NULL only when every argument is NULL — the
+    * PG contract), ILIKE, and TRY_CAST (PG's error-on-bad-cast
+    * becomes typed-NULL on both engines here). The %7/%3 null
+    * injections overlap at multiples of 21, so the full 3VL matrix
+    * (null-null, null-value, value-value) is exercised on every run.
+    */
+  private val nullSafeSql: String =
+    """WITH b AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |      ELSE c_custkey % 100 END AS a,
+      |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+      |      ELSE c_custkey % 50 END AS bb,
+      |    c_name FROM customer)
+      |SELECT c_custkey, a, bb,
+      |  CAST(a IS DISTINCT FROM bb AS BIGINT) AS isd,
+      |  CAST(a IS NOT DISTINCT FROM bb AS BIGINT) AS isnd,
+      |  NULLIF(a, bb) AS nullif_ab,
+      |  COALESCE(a, bb, -1) AS coal,
+      |  GREATEST(a, bb) AS gr,
+      |  LEAST(a, bb) AS ls,
+      |  CAST(c_name ILIKE '%customer%' AS BIGINT) AS ilike_hit,
+      |  TRY_CAST(c_name AS BIGINT) AS try_bad
+      |FROM b ORDER BY c_custkey""".stripMargin
+
+  /** One SQL text, two planners: the PG boolean-aggregate surface —
+    * bool_and / bool_or (PG's names; Spark aliases every/any) and
+    * count_if, grouped and bare.
+    */
+  private val boolAggSql: String =
+    """SELECT o_orderstatus,
+      |  CAST(bool_and(o_totalprice > 1000) AS BIGINT) AS all_over_1k,
+      |  CAST(bool_or(o_totalprice > 400000) AS BIGINT) AS any_over_400k,
+      |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** One SQL text, two planners: the SQL-standard ordered-set
+    * spelling `percentile_cont(f) WITHIN GROUP (ORDER BY …)` — q41
+    * gates the same interpolation semantics under each engine's
+    * native spelling (Spark `percentile`, DuckDB `quantile_cont`);
+    * this gates PG's standard syntax itself through both parsers.
+    * Exact over integer cents; interpolated midpoints are x.5 in
+    * cents (denominator 2), where both engines' doubles are exact.
+    */
+  private val percentileContSql: String =
+    """WITH b AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS x FROM events)
+      |SELECT event_type,
+      |  percentile_cont(0.25) WITHIN GROUP (ORDER BY x) AS p25,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS p50,
+      |  percentile_cont(0.9) WITHIN GROUP (ORDER BY x) AS p90,
+      |  count(*) AS n
+      |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** PG's `unnest … WITH ORDINALITY` surface: the engine spells it
+    * `LATERAL VIEW posexplode` (0-based pos re-based to the 1-based
+    * SQL ordinal), the oracle spells it `unnest +
+    * generate_subscripts` — two independent encodings of
+    * position-preserving table-function expansion. The ord ≤ 5
+    * prefix keeps the gate row count bounded while still proving
+    * positions (a wrong ordinal changes WHICH tokens survive, not
+    * just a column value).
+    */
+  private val ordinalitySparkSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_extract_all(text, '\\S+', 0) AS toks FROM documents)
+      |SELECT doc_id, CAST(pos + 1 AS BIGINT) AS ord, tok
+      |FROM t LATERAL VIEW posexplode(toks) p AS pos, tok
+      |WHERE pos < 5 ORDER BY doc_id, ord""".stripMargin
 
   /** `WITH RECURSIVE` through Spark's own recursive-CTE execution
     * (4.0+): ancestor closure over the implicit binary-tree hierarchy
@@ -2091,6 +2173,19 @@ object SparkEntry {
 
     // One SQL text, two planners (the q51 pattern).
     "q109_lateral_join" -> lateralSql,
+    "q112_null_safe" -> nullSafeSql,
+    "q113_bool_agg" -> boolAggSql,
+    "q115_percentile_cont" -> percentileContSql,
+
+    // unnest + generate_subscripts — DuckDB's independent encoding of
+    // WITH ORDINALITY (the q78-oracle idiom, here as its own gate).
+    "q114_ordinality" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok,
+        |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS ord FROM t)
+        |SELECT doc_id, ord, tok FROM tok WHERE ord <= 5
+        |ORDER BY doc_id, ord""".stripMargin,
 
     // DuckDB's NATIVE window FILTER vs the engine's CASE-projection
     // emulation (Spark has no window FILTER) — independent encodings
