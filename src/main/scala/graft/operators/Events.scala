@@ -97,9 +97,9 @@ object Events {
       .orderBy(col("event_type"))
   }
 
-  /** Exact distinct users per event type — the oracle-checked twin of
-    * [[approxUsers]] (split so the sketch query's lack of an oracle
-    * doesn't hide the distinct-count path from the correctness gate).
+  /** Exact distinct users per event type — the plain-value twin of
+    * [[approxUsers]] (whose gated output carries bounds and a flag
+    * rather than the bare counts).
     */
   def exactUsers(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "events")
