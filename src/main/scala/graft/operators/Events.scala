@@ -177,14 +177,22 @@ object Events {
     * partitions by dr without re-exchanging — O(1) window state per
     * row at any scale.
     */
-  def groupsFrames(spark: SparkSession, dir: String): DataFrame = {
+  def groupsFrames(spark: SparkSession, dir: String): DataFrame =
+    groupsFramesOf(Corpus.read(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), cents.as("x"),
+        col("user_id").as("w")))
+
+  /** The emulation core over any `(event_id, event_type, x, w)` frame
+    * — separated from the corpus wrapper so GroupsFrameSpec can
+    * drive randomized shapes (all-tie partitions, singletons) through
+    * it against a brute-force frame replay.
+    */
+  def groupsFramesOf(rows: DataFrame): DataFrame = {
     val byX = Window.partitionBy(col("event_type")).orderBy(col("x"))
     val peers = byX.rangeBetween(Window.currentRow, Window.currentRow)
     val byDr = Window.partitionBy(col("event_type")).orderBy(col("dr"))
       .rangeBetween(-1, 0)
-    Corpus.read(spark, dir, "events")
-      .select(col("event_id"), col("event_type"), cents.as("x"),
-        col("user_id").as("w"))
+    rows
       .withColumn("dr", dense_rank().over(byX).cast("long"))
       .withColumn("peer_sum", sum(col("w")).over(peers))
       .withColumn("peer_cnt", count(lit(1)).over(peers))
