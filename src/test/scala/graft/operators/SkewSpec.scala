@@ -97,6 +97,27 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("replicated fixture multiplies rows with unique keys and preserved span") {
+    val work = Files.createTempDirectory("x3-fixture").toString
+    ScaleFixtures.replicated(spark, TestSpark.sf, work, factor = 3)
+    val docs0 = Corpus.read(spark, TestSpark.sf, "documents")
+    val docs3 = Corpus.read(spark, work, "documents")
+    assert(docs3.count() === 3 * docs0.count())
+    assert(docs3.select("doc_id").distinct().count() === docs3.count())
+    val ev0 = Corpus.read(spark, TestSpark.sf, "events")
+    val ev3 = Corpus.read(spark, work, "events")
+    assert(ev3.count() === 3 * ev0.count())
+    assert(ev3.select("event_id").distinct().count() === ev3.count())
+    // Same time span (k× density, not a longer history) — the ts
+    // range must survive the engine-written round-trip exactly.
+    val span0 = ev0.agg(min(col("ts")), max(col("ts"))).head()
+    val span3 = ev3.agg(min(col("ts")), max(col("ts"))).head()
+    assert(span0 === span3)
+    // Copy k>0 text is perturbed, so exact-dup structure is NOT k×.
+    assert(docs3.select("text").distinct().count() >
+      docs0.select("text").distinct().count())
+  }
+
   test("q87 attribution: hot partition replays the latest-preceding-touch scan") {
     val got = Temporal.lastTouchAttribution(spark, dir)
       .filter(col("user_id") === hotUser)
