@@ -171,8 +171,23 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(t) else None
     }
+    /** Min of two back-to-back runs — plus an adaptive THIRD when the
+      * two disagree by >1.5x. The pass-level guards (sentinel drift,
+      * spin probe) catch steal that spans a pass, but a transient
+      * shorter than one query can hit both halves of a min-of-2
+      * asymmetrically and still ship an inflated minimum (the r7
+      * q59/q72/q73 and r8 q64/q65/q63b wandering spikes — all
+      * disproven by a later run of identical code). A >1.5x spread
+      * between adjacent samples of the same query IS that signature,
+      * so it pays one more sample on the spot instead of waiting for
+      * a judge round to adjudicate it.
+      */
     def minOf2(name: String): Option[Double] = (once(name), once(name)) match {
-      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (Some(a), Some(b)) =>
+        val lo = math.min(a, b)
+        if (math.max(a, b) > 1.5 * lo)
+          Some(math.min(lo, once(name).getOrElse(lo)))
+        else Some(lo)
       case (a, b) => a.orElse(b)
     }
 

@@ -152,9 +152,12 @@ object SparkEntry {
       Flaco.sql(s, d, nullsOrderSql)),
     "q108_recursive_cte" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, recursiveSparkSql)),
+    "q108b_recursive_union" -> (Relational.ancestorClosureDistinct _),
+    "q116_tablesample" -> (Curation.sampleGate _),
     "q109_lateral_join" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, lateralSql)),
     "q110_groups_frame" -> (Events.groupsFrames _),
+    "q110b_groups_frame_wide" -> (Events.groupsFramesWide _),
     "q111_window_filter" -> (Relational.windowFilter _),
     "q112_null_safe" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, nullSafeSql)),
@@ -355,16 +358,22 @@ object SparkEntry {
     * gates the same interpolation semantics under each engine's
     * native spelling (Spark `percentile`, DuckDB `quantile_cont`);
     * this gates PG's standard syntax itself through both parsers.
-    * Exact over integer cents; interpolated midpoints are x.5 in
-    * cents (denominator 2), where both engines' doubles are exact.
+    * Integer-cent inputs, but the interpolated double is ROUNDED at
+    * 6 decimals (the q41 pattern): p25/p50 land on dyadic fractions
+    * (denominator ≤ 4) where doubles are exact, but p90's rank
+    * fraction is k/10 and the engines' interpolation forms differ —
+    * Spark computes lo + (hi−lo)·f, PG/DuckDB lo·(1−f) + hi·f —
+    * which diverge in the last ulp on non-dyadic f. The true value
+    * is a multiple of 0.1 cents, so rounding at 1e-6 absorbs ulp
+    * noise with six orders of margin and zero semantic slack.
     */
   private val percentileContSql: String =
     """WITH b AS (SELECT event_type,
       |    CAST(round(value * 100) AS BIGINT) AS x FROM events)
       |SELECT event_type,
-      |  percentile_cont(0.25) WITHIN GROUP (ORDER BY x) AS p25,
-      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS p50,
-      |  percentile_cont(0.9) WITHIN GROUP (ORDER BY x) AS p90,
+      |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY x), 6) AS p25,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY x), 6) AS p50,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY x), 6) AS p90,
       |  count(*) AS n
       |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -731,14 +740,18 @@ object SparkEntry {
     // (pure Long arithmetic — no decimal/double literal drift), and
     // in_band, which the oracle asserts as literal 1. The hash now
     // covers the accuracy contract itself: a drifting sketch flips
-    // in_band to 0 and fails loudly.
+    // in_band to 0 and fails loudly. The band width is interpolated
+    // from Events.SlackPct — the SAME constant the engine side uses —
+    // so retuning the rsd cannot desync engine and oracle (the band's
+    // probabilistic nature and re-baselining contract are documented
+    // on the constant).
     "q20_approx_distinct" ->
-      """WITH e AS (SELECT event_type,
+      s"""WITH e AS (SELECT event_type,
         |    count(DISTINCT user_id) AS exact_users
         |  FROM events GROUP BY event_type)
         |SELECT event_type, exact_users,
-        |  exact_users - (exact_users * 15 // 100 + 1) AS lo_users,
-        |  exact_users + (exact_users * 15 // 100 + 1) AS hi_users,
+        |  exact_users - (exact_users * ${Events.SlackPct} // 100 + 1) AS lo_users,
+        |  exact_users + (exact_users * ${Events.SlackPct} // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM e ORDER BY event_type""".stripMargin,
 
@@ -1999,22 +2012,25 @@ object SparkEntry {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // q96: the q20 pattern for quantile sketches — the gated columns
-    // are the EXACT percentile_disc bracket [p−0.01, p+0.01] in
-    // integer cents plus in_band flags (oracle: literal 1); the
-    // sketch values themselves never reach the hash. The δ=0.01 rank
-    // band strictly contains the sketch's rank-error contract
+    // are the EXACT percentile_disc bracket [p−δ, p+δ] in integer
+    // cents plus in_band flags (oracle: literal 1); the sketch values
+    // themselves never reach the hash. δ = Events.DiscDelta is
+    // interpolated into BOTH SQL texts, so retuning the bracket (or
+    // ApproxPercentileAccuracy, whose contract δ must contain) cannot
+    // silently desync engine and oracle. The δ=0.01 rank band
+    // strictly contains the sketch's rank-error contract
     // (n/accuracy + 1 ranks) for any group ≥ 102 rows.
     "q96_approx_percentile" ->
-      """WITH b AS (SELECT event_type,
+      s"""WITH b AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
         |p AS (SELECT event_type,
-        |    CAST(percentile_disc(0.49) WITHIN GROUP (ORDER BY x)
+        |    CAST(percentile_disc(${Events.discP(0.5 - Events.DiscDelta)}) WITHIN GROUP (ORDER BY x)
         |      AS BIGINT) AS lo50,
-        |    CAST(percentile_disc(0.51) WITHIN GROUP (ORDER BY x)
+        |    CAST(percentile_disc(${Events.discP(0.5 + Events.DiscDelta)}) WITHIN GROUP (ORDER BY x)
         |      AS BIGINT) AS hi50,
-        |    CAST(percentile_disc(0.89) WITHIN GROUP (ORDER BY x)
+        |    CAST(percentile_disc(${Events.discP(0.9 - Events.DiscDelta)}) WITHIN GROUP (ORDER BY x)
         |      AS BIGINT) AS lo90,
-        |    CAST(percentile_disc(0.91) WITHIN GROUP (ORDER BY x)
+        |    CAST(percentile_disc(${Events.discP(0.9 + Events.DiscDelta)}) WITHIN GROUP (ORDER BY x)
         |      AS BIGINT) AS hi90,
         |    count(*) AS n
         |  FROM b GROUP BY event_type)
@@ -2171,6 +2187,34 @@ object SparkEntry {
         |)
         |SELECT node, anc, depth FROM anc ORDER BY node, depth""".stripMargin,
 
+    // q108b: DuckDB's NATIVE `WITH RECURSIVE … UNION` (per-iteration
+    // dedup against everything already produced — the PG semantics
+    // Spark's UNION ALL-only recursion lacks) over the same two-edge
+    // converging-path DAG the engine closes with its iterative
+    // dropDuplicates + anti-join loop.
+    "q108b_recursive_union" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node,
+        |    CAST(c_custkey AS BIGINT) AS anc
+        |  FROM customer
+        |  UNION
+        |  SELECT a.node, a.anc // d.v AS anc
+        |  FROM anc a, (VALUES (2), (3)) d(v)
+        |  WHERE a.anc // d.v >= 1 AND a.anc // d.v < a.anc
+        |)
+        |SELECT node, anc FROM anc ORDER BY node, anc""".stripMargin,
+
+    // q116: engine-RNG sampling is never hash-comparable, so the
+    // oracle pins the PROPERTY columns (subset, determinism, 6σ
+    // binomial size band) to literals and computes only the corpus
+    // anchor n_source itself.
+    "q116_tablesample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_source,
+        |  CAST(0 AS BIGINT) AS not_in_source,
+        |  CAST(0 AS BIGINT) AS n_diff,
+        |  CAST(1 AS BIGINT) AS in_band
+        |FROM documents""".stripMargin,
+
     // One SQL text, two planners (the q51 pattern).
     "q109_lateral_join" -> lateralSql,
     "q112_null_safe" -> nullSafeSql,
@@ -2229,6 +2273,42 @@ object SparkEntry {
         |  FROM b r
         |  JOIN d ON d.event_type = r.event_type AND d.x = r.x
         |  JOIN b s ON s.event_type = r.event_type AND s.x = d.px),
+        |f AS (SELECT rid,
+        |    CAST(sum(sw) AS BIGINT) AS g_sum,
+        |    CAST(sum(sw) FILTER (WHERE sx <> rx) AS BIGINT) AS x_group,
+        |    CAST(sum(sw) FILTER (WHERE sid <> rid) AS BIGINT) AS x_row,
+        |    CAST(sum(sw) FILTER (WHERE sx <> rx OR sid = rid)
+        |      AS BIGINT) AS x_ties
+        |  FROM pairs GROUP BY rid)
+        |SELECT b.event_id, b.event_type, b.x, b.w,
+        |  g_sum, x_group, x_row, x_ties
+        |FROM b JOIN f ON b.event_id = f.rid
+        |ORDER BY b.event_id""".stripMargin,
+
+    // q110b: the q110 first-principles oracle generalized to GROUPS
+    // 3 PRECEDING AND 1 FOLLOWING — instead of materializing "my x or
+    // the previous distinct x" with two equi-joins, dense-rank the
+    // distinct ORDER values once and band-join rows whose group
+    // ranks are within [-3, +1] of the current row's. The EXCLUDE
+    // variants stay the same FILTER aggregates over that row set
+    // (FILTER over an emptied set is NULL — reproduces the
+    // empty-frame NULLs with no special-casing).
+    "q110b_groups_frame_wide" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x, user_id AS w
+        |  FROM events),
+        |d AS (SELECT event_type, x,
+        |    CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      AS BIGINT) AS dr
+        |  FROM (SELECT DISTINCT event_type, x FROM b)),
+        |br AS (SELECT b.event_id, b.event_type, b.x, b.w, d.dr
+        |  FROM b JOIN d ON d.event_type = b.event_type AND d.x = b.x),
+        |pairs AS (
+        |  SELECT r.event_id AS rid, r.x AS rx, s.event_id AS sid,
+        |    s.x AS sx, s.w AS sw
+        |  FROM br r JOIN br s
+        |    ON s.event_type = r.event_type
+        |    AND s.dr BETWEEN r.dr - 3 AND r.dr + 1),
         |f AS (SELECT rid,
         |    CAST(sum(sw) AS BIGINT) AS g_sum,
         |    CAST(sum(sw) FILTER (WHERE sx <> rx) AS BIGINT) AS x_group,

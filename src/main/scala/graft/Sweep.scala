@@ -81,6 +81,25 @@ object ScaleFixtures {
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
+
+  /** lineitem at `factor`× rows for the skew×scale sweep: order and
+    * supplier keys offset per copy (so per-supplier window-partition
+    * sizes stay the sf-level baseline until [[skewedLineitem]]
+    * concentrates ~1/denom of ALL copies onto one hot supplier);
+    * non-key columns pass through unchanged (the skew queries touch
+    * only supplier windows — part/customer dims are not replicated).
+    */
+  def replicatedLineitem(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): Unit = {
+    val li = Corpus.read(spark, srcDir, "lineitem")
+    val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val maxSk = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOk))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * maxSk))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
 }
 
 /** Scale-evidence main (SCALING.md's measured numbers):
@@ -89,10 +108,17 @@ object ScaleFixtures {
   *     builds hot-key twins of events + lineitem and times the
   *     per-key-window queries on uniform vs skewed data;
   *
-  *   runMain graft.Sweep x10 <srcDir> <workDir> [factor]
+  *   runMain graft.Sweep skewx <srcDir> <workDir> [factor]
+  *     skew × scale: replicates events+lineitem factor× FIRST, then
+  *     skews the replicated corpus — the hot partition is factor×
+  *     the plain-skew one, the first configuration a straggler
+  *     cliff could appear in;
+  *
+  *   runMain graft.Sweep x10 <srcDir> <workDir> [factor] [query...]
   *     builds the replicated corpus and times the document/event
-  *     heavy queries at 1× and k×, reporting the observed scaling
-  *     exponent log_k(t_k / t_1) per query.
+  *     heavy queries (or just the listed ones) at 1× and k×,
+  *     reporting the observed scaling exponent log_k(t_k / t_1)
+  *     per query.
   *
   * Timing mirrors Bench: min-of-2 fully-materialized (noop write)
   * runs, caches cleared between queries.
@@ -135,25 +161,48 @@ object Sweep {
     def minOf2(name: String, dir: String): Double =
       math.min(once(name, dir), once(name, dir))
 
+    /** Times SkewQueries on a uniform vs a hot-key twin of the same
+      * corpus — shared by `skew` (driver corpus) and `skewx`
+      * (replicated corpus, where the hot partition is factor× the
+      * sf0.1 one — the first configuration a straggler cliff COULD
+      * appear in).
+      */
+    def skewReport(uniformDir: String, skewDir: String): Unit = {
+      val hotUser = ScaleFixtures.skewedEvents(spark, uniformDir, skewDir)
+      val hotSupp = ScaleFixtures.skewedLineitem(spark, uniformDir, skewDir)
+      val evTotal = Corpus.read(spark, skewDir, "events").count()
+      val evHot = Corpus.read(spark, skewDir, "events")
+        .filter(col("user_id") === hotUser).count()
+      println(f"[skew] hot user $hotUser holds $evHot/$evTotal events " +
+        f"(${100.0 * evHot / evTotal}%.1f%%); hot supplier $hotSupp")
+      val lines = SkewQueries.map { q =>
+        val tu = minOf2(q, uniformDir)
+        val ts = minOf2(q, skewDir)
+        f""""$q": {"uniform": $tu%.3f, "skewed": $ts%.3f, "ratio": ${ts / tu}%.2f}"""
+      }
+      println(lines.mkString("SWEEP_RESULT {", ", ", "}"))
+    }
+
     mode match {
       case "skew" =>
-        val hotUser = ScaleFixtures.skewedEvents(spark, srcDir, workDir)
-        val hotSupp = ScaleFixtures.skewedLineitem(spark, srcDir, workDir)
-        val evTotal = Corpus.read(spark, workDir, "events").count()
-        val evHot = Corpus.read(spark, workDir, "events")
-          .filter(col("user_id") === hotUser).count()
-        println(f"[skew] hot user $hotUser holds $evHot/$evTotal events " +
-          f"(${100.0 * evHot / evTotal}%.1f%%); hot supplier $hotSupp")
-        val lines = SkewQueries.map { q =>
-          val tu = minOf2(q, srcDir)
-          val ts = minOf2(q, workDir)
-          f""""$q": {"uniform": $tu%.3f, "skewed": $ts%.3f, "ratio": ${ts / tu}%.2f}"""
-        }
-        println(lines.mkString("SWEEP_RESULT {", ", ", "}"))
+        skewReport(srcDir, workDir)
+      case "skewx" =>
+        // Skew × scale: replicate events AND lineitem factor× first,
+        // then skew THAT — the hot key then holds ~10% of factor×
+        // the rows (at factor 10 on sf0.1: a ~1M-event corpus with a
+        // ~100k-event hot user).
+        val factor = if (args.length > 3) args(3).toInt else 10
+        val baseDir = s"$workDir/base"
+        ScaleFixtures.replicated(spark, srcDir, baseDir, factor)
+        ScaleFixtures.replicatedLineitem(spark, srcDir, baseDir, factor)
+        skewReport(baseDir, s"$workDir/skew")
       case "x10" =>
         val factor = if (args.length > 3) args(3).toInt else 10
+        // Optional trailing query names restrict the sweep (e.g. the
+        // output-linear trio at a deeper factor).
+        val names = if (args.length > 4) args.drop(4).toSeq else SweepQueries
         ScaleFixtures.replicated(spark, srcDir, workDir, factor)
-        val lines = SweepQueries.map { q =>
+        val lines = names.map { q =>
           val t1 = minOf2(q, srcDir)
           val tk = minOf2(q, workDir)
           val exp = math.log(tk / t1) / math.log(factor.toDouble)

@@ -210,4 +210,61 @@ object Curation {
         sum(col("doc_id")).as("docid_sum"))
       .orderBy(col("lang"))
   }
+
+  /** [[sampleGate]]'s sampling rate in integer percent and its fixed
+    * seed — PG `TABLESAMPLE BERNOULLI (20) REPEATABLE (42)`, run
+    * through Spark's OWN `TABLESAMPLE (20 PERCENT) REPEATABLE (42)`
+    * SQL surface (which plans to the same Bernoulli `Sample` node as
+    * `df.sample(0.2, 42)` — the documented API mapping). Named so the
+    * gate's binomial band derives from the same constants.
+    */
+  val SamplePct = 20
+  val SampleSeed = 42
+
+  /** The engine-RNG sampling gate (q116): sampled output can never be
+    * hash-compared cross-engine (each engine's RNG stream is its
+    * own), so the gate materializes the PROPERTIES a correct sampler
+    * must have, each as a column the DuckDB oracle pins to a literal:
+    *
+    *  - `not_in_source` = 0 — the sample is a subset of the source
+    *    (anti-join count, zero iff no invented rows);
+    *  - `n_diff` = 0 — REPEATABLE determinism: two independent runs
+    *    of the same TABLESAMPLE text produce the SAME SET (full-outer
+    *    join symmetric-difference count, not just equal sizes);
+    *  - `in_band` = 1 — the sample size sits inside the 6σ binomial
+    *    band: with d = 100·|sample| − pct·n, Var(d) =
+    *    n·pct·(100−pct), so the test is d² ≤ 36·pct·(100−pct)·n —
+    *    pure Long arithmetic, identical on both engines, and
+    *    deterministic on a fixed corpus because the sampler is
+    *    seeded (a false trip needs a 6σ fluke ONCE, ~2e-9, after
+    *    which the committed seed keeps the verdict frozen);
+    *  - `n_source` — the one value the oracle computes rather than
+    *    pins, anchoring the row to the corpus.
+    *
+    * Scale shape: production use is the bare TABLESAMPLE/`df.sample`
+    * — one narrow, partition-local pass, no shuffle, no driver data.
+    * The subset/determinism joins here are the GATE's evidence
+    * queries (sample-sized shuffles), not the operator.
+    */
+  def sampleGate(spark: SparkSession, dir: String): DataFrame = {
+    def sampled: DataFrame = graft.Flaco.sql(spark, dir,
+      s"SELECT doc_id FROM documents TABLESAMPLE ($SamplePct PERCENT) " +
+        s"REPEATABLE ($SampleSeed)")
+    val src = Corpus.read(spark, dir, "documents").select(col("doc_id"))
+    val s1 = sampled
+    val nSource = src.agg(count(lit(1)).as("n_source"))
+    val nSample = s1.agg(count(lit(1)).as("n_sample"))
+    val notIn = s1.join(src, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("not_in_source"))
+    val nDiff = s1.select(col("doc_id").as("a"))
+      .join(sampled.select(col("doc_id").as("b")),
+        col("a") === col("b"), "full_outer")
+      .filter(col("a").isNull || col("b").isNull)
+      .agg(count(lit(1)).as("n_diff"))
+    val d = lit(100L) * col("n_sample") - lit(SamplePct.toLong) * col("n_source")
+    nSource.crossJoin(nSample).crossJoin(notIn).crossJoin(nDiff)
+      .select(col("n_source"), col("not_in_source"), col("n_diff"),
+        (d * d <= lit(36L * SamplePct * (100 - SamplePct)) * col("n_source"))
+          .cast("long").as("in_band"))
+  }
 }

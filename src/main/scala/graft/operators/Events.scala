@@ -61,6 +61,35 @@ object Events {
     */
   val ApproxRsd = 0.05
 
+  /** The q20 band half-width in integer percent, derived from
+    * [[ApproxRsd]] (3·rsd·100 = 15) and interpolated into BOTH the
+    * engine expression and the DuckDB oracle SQL — one constant feeds
+    * both sides, so retuning the rsd cannot silently desync them.
+    * Note the band is a ~3-sigma PROBABILISTIC bound, not a hard
+    * sketch guarantee (unlike q96's deterministic rank-error
+    * contract): on the committed corpora the seed-stable HLL++
+    * estimate sits well inside it, but a regenerated or rescaled
+    * corpus can legitimately land outside — that is a DELIBERATE
+    * loud failure whose remedy is re-baselining (confirm the sketch
+    * error against [[approxUsersDetail]], then widen here), not a
+    * bug in either engine.
+    */
+  val SlackPct: Long = math.round(3 * ApproxRsd * 100)
+
+  /** q96's exact-bracket half-width in rank probability: the gated
+    * bracket is percentile_disc at p ± [[DiscDelta]]. Chosen so the
+    * bracket STRICTLY contains the sketch's deterministic rank-error
+    * contract (n/accuracy + 1 ranks) for any group ≥ 102 rows at
+    * [[ApproxPercentileAccuracy]] = 10000. [[discP]] renders the
+    * bracket probabilities for SQL interpolation on both sides.
+    */
+  val DiscDelta = 0.01
+
+  /** A percentile probability as SQL text (2 decimals — both
+    * constants in use are exact at that width).
+    */
+  def discP(p: Double): String = f"$p%.2f"
+
   /** Raw sketch next to its exact twin — the probe OperatorsSpec
     * ("approx distinct users...") bounds at 3·rsd. Not the gated
     * shape: the sketch VALUE is engine-specific, so it can never be
@@ -85,9 +114,8 @@ object Events {
     * identical on both engines, no decimal-vs-double literal drift.
     */
   def approxUsers(spark: SparkSession, dir: String): DataFrame = {
-    val slackPct = math.round(3 * ApproxRsd * 100) // 15, from the SAME rsd
     approxUsersDetail(spark, dir)
-      .withColumn("slack", expr(s"exact_users * $slackPct div 100 + 1"))
+      .withColumn("slack", expr(s"exact_users * $SlackPct div 100 + 1"))
       .select(col("event_type"), col("exact_users"),
         (col("exact_users") - col("slack")).as("lo_users"),
         (col("exact_users") + col("slack")).as("hi_users"),
@@ -155,9 +183,9 @@ object Events {
     * PG window surface behind the reference's opaque-SQL delegation,
     * so they get an emulation gate instead of a documented absence:
     *
-    *  - GROUPS n PRECEDING ≡ RANGE n PRECEDING over `dense_rank()`
-    *    of the ORDER key (peer groups are exactly the dense-rank
-    *    levels);
+    *  - GROUPS n PRECEDING AND m FOLLOWING ≡ RANGE BETWEEN n
+    *    PRECEDING AND m FOLLOWING over `dense_rank()` of the ORDER
+    *    key (peer groups are exactly the dense-rank levels);
     *  - EXCLUDE GROUP / CURRENT ROW / TIES ≡ subtracting the peer
     *    sum (a RANGE CURRENT ROW..CURRENT ROW frame — the peers —
     *    over the SAME sort, no extra shuffle) and/or the row's own
@@ -178,37 +206,59 @@ object Events {
     * row at any scale.
     */
   def groupsFrames(spark: SparkSession, dir: String): DataFrame =
-    groupsFramesOf(Corpus.read(spark, dir, "events")
+    groupsFramesOf(corpusFrameInput(spark, dir))
+
+  /** q110b: the SAME emulation at `GROUPS 3 PRECEDING AND 1
+    * FOLLOWING` — the generalized bounds q110's n=1 gate never
+    * exercises (following groups, multi-group spans, frames clipped
+    * at both partition edges). Same oracle style: first-principles
+    * set membership, extended from "my x or the previous distinct x"
+    * to a dense-rank band join.
+    */
+  def groupsFramesWide(spark: SparkSession, dir: String): DataFrame =
+    groupsFramesOf(corpusFrameInput(spark, dir), nPreceding = 3,
+      nFollowing = 1)
+
+  private def corpusFrameInput(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
       .select(col("event_id"), col("event_type"), cents.as("x"),
-        col("user_id").as("w")))
+        col("user_id").as("w"))
 
   /** The emulation core over any `(event_id, event_type, x, w)` frame
     * — separated from the corpus wrapper so GroupsFrameSpec can
-    * drive randomized shapes (all-tie partitions, singletons) through
-    * it against a brute-force frame replay.
+    * drive randomized shapes (all-tie partitions, singletons) AND
+    * randomized bounds through it against a brute-force frame
+    * replay. Frame = GROUPS `nPreceding` PRECEDING AND `nFollowing`
+    * FOLLOWING (both ≥ 0, so the current row's peer group is always
+    * inside the inclusive frame — the EXCLUDE algebra below relies
+    * on that).
     */
-  def groupsFramesOf(rows: DataFrame): DataFrame = {
+  def groupsFramesOf(rows: DataFrame, nPreceding: Int = 1,
+      nFollowing: Int = 0): DataFrame = {
+    require(nPreceding >= 0 && nFollowing >= 0,
+      "GROUPS emulation requires non-negative bounds")
     val byX = Window.partitionBy(col("event_type")).orderBy(col("x"))
     val peers = byX.rangeBetween(Window.currentRow, Window.currentRow)
     val byDr = Window.partitionBy(col("event_type")).orderBy(col("dr"))
-      .rangeBetween(-1, 0)
+      .rangeBetween(-nPreceding.toLong, nFollowing.toLong)
     rows
       .withColumn("dr", dense_rank().over(byX).cast("long"))
       .withColumn("peer_sum", sum(col("w")).over(peers))
       .withColumn("peer_cnt", count(lit(1)).over(peers))
       .withColumn("g_sum", sum(col("w")).over(byDr))
+      .withColumn("g_cnt", count(lit(1)).over(byDr))
       // An EXCLUDE that empties the frame is SUM over nothing = NULL
       // in SQL, which plain subtraction would render as 0: EXCLUDE
-      // GROUP empties iff there is no preceding peer group (dr = 1);
-      // EXCLUDE CURRENT ROW empties iff the frame was exactly this
-      // row (dr = 1 and a singleton peer group). EXCLUDE TIES keeps
-      // the current row, so its frame is never empty.
+      // GROUP empties iff the frame held ONLY the current peer group
+      // (frame count = peer count — at any bounds); EXCLUDE CURRENT
+      // ROW empties iff the frame was exactly this row (frame count
+      // = 1). EXCLUDE TIES keeps the current row, so its frame is
+      // never empty.
       .select(col("event_id"), col("event_type"), col("x"), col("w"),
         col("g_sum"),
-        when(col("dr") === 1, lit(null).cast("long"))
+        when(col("g_cnt") === col("peer_cnt"), lit(null).cast("long"))
           .otherwise(col("g_sum") - col("peer_sum")).as("x_group"),
-        when(col("dr") === 1 && col("peer_cnt") === 1,
-          lit(null).cast("long"))
+        when(col("g_cnt") === 1, lit(null).cast("long"))
           .otherwise(col("g_sum") - col("w")).as("x_row"),
         (col("g_sum") - col("peer_sum") + col("w")).as("x_ties"))
       .orderBy(col("event_id"))
@@ -343,13 +393,13 @@ object Events {
          |p AS (SELECT event_type,
          |    approx_percentile(x, array(0.5, 0.9),
          |      $ApproxPercentileAccuracy) AS ap,
-         |    CAST(percentile_disc(0.49) WITHIN GROUP (ORDER BY x)
+         |    CAST(percentile_disc(${discP(0.5 - DiscDelta)}) WITHIN GROUP (ORDER BY x)
          |      AS BIGINT) AS lo50,
-         |    CAST(percentile_disc(0.51) WITHIN GROUP (ORDER BY x)
+         |    CAST(percentile_disc(${discP(0.5 + DiscDelta)}) WITHIN GROUP (ORDER BY x)
          |      AS BIGINT) AS hi50,
-         |    CAST(percentile_disc(0.89) WITHIN GROUP (ORDER BY x)
+         |    CAST(percentile_disc(${discP(0.9 - DiscDelta)}) WITHIN GROUP (ORDER BY x)
          |      AS BIGINT) AS lo90,
-         |    CAST(percentile_disc(0.91) WITHIN GROUP (ORDER BY x)
+         |    CAST(percentile_disc(${discP(0.9 + DiscDelta)}) WITHIN GROUP (ORDER BY x)
          |      AS BIGINT) AS hi90,
          |    count(*) AS n
          |  FROM b GROUP BY event_type)

@@ -766,4 +766,67 @@ object Relational {
           .cast("long").as("days_to_y2k"),
         next_day(col("d"), "Mon").as("next_monday"))
       .orderBy(col("o_orderkey"))
+
+  /** PG's `WITH RECURSIVE … UNION` (DISTINCT) semantics, emulated
+    * (q108b) — q108 gates Spark's native recursive-CTE execution,
+    * but Spark recursion is UNION ALL-only
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE): on a closure with
+    * CONVERGING PATHS it re-derives the same (node, ancestor) fact
+    * once per path — exponentially many on deep DAGs — where PG's
+    * UNION dedupes each iteration against everything already
+    * produced and terminates on no-new-rows. This is the semantic
+    * emulation: a driver loop of frontier expansion →
+    * dropDuplicates → anti-join against the accumulated result
+    * (exactly PG's "append only rows not already present"
+    * contract), lineage-truncated per round with
+    * localCheckpoint(true) like [[Dedup.connectedComponents]], the
+    * new-row count observed DURING the checkpoint job so each round
+    * is one Spark job.
+    *
+    * The fixture DAG has two parent edges per key — k div 2 and
+    * k div 3 — so every node's ancestor walk collapses onto 1
+    * through many converging paths (12 → {6,4} → {3,2,1} → {1}…):
+    * the exact shape UNION ALL cannot close (its working table
+    * grows by paths, not by facts). The oracle is DuckDB's NATIVE
+    * `WITH RECURSIVE … UNION` over the same two-edge closure.
+    *
+    * Scale: rounds = closure depth (≤ log₂ max-key here — the
+    * frontier's anc strictly shrinks per step); each round is one
+    * distributed job; state is the accumulated fact set, the same
+    * O(output) the result itself costs; the frontier anti-join and
+    * dedup shuffle on (node, anc) — co-partitioned round to round.
+    */
+  def ancestorClosureDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val base = Corpus.read(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("node"))
+      .select(col("node"), col("node").as("anc"))
+    var reached = base.localCheckpoint(true)
+    var frontier = reached
+    var newRows = 1L
+    var rounds = 0
+    // Depth ≤ log₂(max key); 64 is an infinite-loop guard, not a
+    // correctness bound.
+    while (newRows > 0 && rounds < 64) {
+      val obs = org.apache.spark.sql.Observation(s"closure_round_$rounds")
+      val next = frontier
+        .select(col("node"), col("anc"),
+          explode(array(lit(2L), lit(3L))).as("d"))
+        .select(col("node"), expr("anc div d").as("anc2"), col("anc"))
+        .filter(col("anc2") >= 1 && col("anc2") < col("anc"))
+        .select(col("node"), col("anc2").as("anc"))
+        .dropDuplicates("node", "anc")
+        .join(reached, Seq("node", "anc"), "left_anti")
+        .observe(obs, count(lit(1)).as("n_new"))
+        .localCheckpoint(true)
+      newRows = Option(obs.get("n_new")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (newRows > 0) {
+        reached = reached.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      rounds += 1
+    }
+    if (newRows > 0)
+      System.err.println(s"[ancestorClosureDistinct] round cap hit at $rounds")
+    reached.orderBy(col("node"), col("anc"))
+  }
 }

@@ -333,6 +333,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentile detail plans a mergeable sketch, no exact percentile") {
+    // The 100 TB contract: approxPercentilesDetail (and approxUsers'
+    // HLL++ twin) is the PRODUCTION path precisely because the sketch
+    // is a one-pass mergeable aggregate with bounded memory. The
+    // GATED shapes q20/q96 additionally compute exact twins — a
+    // countDistinct and a percentile_disc bracket whose memory is
+    // ∝ distinct values per group — because exactness is what makes
+    // them hashable; nobody should ship THAT plan shape at scale
+    // (SCALING.md "Sketch gates"). This pin fails if an exact
+    // sort-based percentile ever sneaks into the detail plan.
+    val plan = Events.approxPercentilesDetail(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile"),
+      s"sketch aggregate missing from plan:\n$plan")
+    assert(!plan.contains("percentile_disc") &&
+      !plan.contains("percentile_cont") &&
+      !"(?i)\\bpercentile\\(".r.findFirstIn(plan).isDefined,
+      s"exact percentile aggregate in the sketch path:\n$plan")
+  }
+
   test("inverted index caps postings via the TopKRows rewrite") {
     val df = TextAnalysis.invertedIndex(spark, sf)
     // The rank-limit must plan as the bounded heap, not a window sort

@@ -131,4 +131,23 @@ class CurationSpec extends AnyFunSuite {
       .map(_.getLong(2)).sum
     assert(sel === app)
   }
+
+  test("TABLESAMPLE gate holds its own contract and plans a Sample node") {
+    val row = Curation.sampleGate(spark, TestSpark.sf).collect()
+    assert(row.length === 1)
+    val r = row(0)
+    assert(r.getLong(0) > 0, "n_source")
+    assert(r.getLong(1) === 0L, "sample invented rows not in the source")
+    assert(r.getLong(2) === 0L, "REPEATABLE seed is not set-deterministic")
+    assert(r.getLong(3) === 1L, "sample size outside the 6-sigma binomial band")
+    // The sampling itself must plan as Spark's native Sample operator
+    // (partition-local, no shuffle, no rand()-filter rewrite) — the
+    // shape that stays one narrow pass at any scale.
+    val plan = graft.Flaco.sql(spark, TestSpark.sf,
+      s"SELECT doc_id FROM documents TABLESAMPLE (${Curation.SamplePct} " +
+        s"PERCENT) REPEATABLE (${Curation.SampleSeed})")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Sample"), s"no Sample node in:\n$plan")
+    assert(!plan.contains("Exchange"), s"sampling shuffled:\n$plan")
+  }
 }

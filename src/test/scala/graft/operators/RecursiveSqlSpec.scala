@@ -43,6 +43,41 @@ class RecursiveSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("UNION-distinct closure matches a per-node BFS replay and the " +
+      "fixture genuinely converges") {
+    val got = SparkEntry.queries("q108b_recursive_union")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val keys = graft.sources.Corpus.read(spark, sf, "customer")
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+    // Independent replay: per-node BFS over the two-parent rule
+    // (anc div 2 / anc div 3, kept while >= 1 and strictly smaller).
+    def parents(a: Long): Seq[Long] =
+      Seq(a / 2, a / 3).filter(p => p >= 1 && p < a)
+    val want = keys.flatMap { k =>
+      val acc = scala.collection.mutable.Set(k)
+      var frontier = Set(k)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(parents).filterNot(acc)
+        acc ++= next
+        frontier = next
+      }
+      acc.map(a => (k, a))
+    }.toSet
+    assert(got === want)
+    // The gate is only meaningful if the DAG actually has converging
+    // paths — i.e. UNION ALL would derive strictly more rows (one
+    // per WALK) than there are facts. Count walks from the max key
+    // with memoized recursion and demand strict excess.
+    val walks = scala.collection.mutable.Map[Long, Long]()
+    def nWalks(a: Long): Long = walks.getOrElseUpdate(a,
+      1L + parents(a).map(nWalks).sum)
+    val maxKey = keys.max
+    val facts = got.count(_._1 == maxKey).toLong
+    assert(nWalks(maxKey) > facts,
+      s"fixture DAG from $maxKey has no converging paths — " +
+        "UNION vs UNION ALL would be indistinguishable")
+  }
+
   test("recursive closure agrees with pointer-jumping CC on the same pair graph") {
     val pairs = Dedup.minhashLshPairs(spark, sf)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -50,16 +85,35 @@ class RecursiveSqlSpec extends AnyFunSuite {
     // Spark's recursive CTEs accept only UNION ALL
     // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which diverges on a
     // cyclic (undirected) graph — so the closure is depth-bounded
-    // with an external dedup. Sound whenever the bound exceeds every
-    // component's diameter; walk fanout is degree^depth, so pin the
-    // degree precondition explicitly before paying it. The q43
-    // oracle's DuckDB recursion over this same graph uses UNION
-    // (distinct) — together the triangle closes: engine CC == engine
-    // recursion == oracle recursion.
-    val maxDegree = pairs.select(col("a").as("n"))
-      .union(pairs.select(col("b").as("n")))
-      .groupBy(col("n")).count().agg(max(col("count"))).head().getLong(0)
-    assert(maxDegree <= 4, s"fixture degree $maxDegree makes walk closure too costly")
+    // with an external dedup. Sound iff the bound exceeds every
+    // component's DIAMETER — which is what must be asserted (a
+    // degree cap bounds walk cost, not diameter: a chain of
+    // degree-2 nodes longer than the bound would make the closure
+    // silently incomplete and this test spuriously red on a future
+    // fixture). BFS from every node of the collected pair graph —
+    // the fixture has a few dozen edges, so the exact eccentricity
+    // sweep is trivial. The q43 oracle's DuckDB recursion over this
+    // same graph uses UNION (distinct) — together the triangle
+    // closes: engine CC == engine recursion == oracle recursion.
+    val edgeList = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edgeList ++ edgeList.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    def eccentricity(start: Long): Int = {
+      var depth = 0
+      var frontier = Set(start)
+      var seen = Set(start)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj(_)) -- seen
+        if (next.nonEmpty) depth += 1
+        seen ++= next
+        frontier = next
+      }
+      depth
+    }
+    // d < 8 admits d = 0..8, i.e. paths of up to 9 edges.
+    val diameter = adj.keys.map(eccentricity).max
+    assert(diameter <= 9,
+      s"fixture component diameter $diameter exceeds the closure's 9-edge bound")
     val viaRecursion = spark.sql(
       """WITH RECURSIVE edges AS (
         |  SELECT a, b FROM pair_graph
