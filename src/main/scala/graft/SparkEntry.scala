@@ -166,7 +166,10 @@ object SparkEntry {
     "q114_ordinality" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, ordinalitySparkSql)),
     "q115_percentile_cont" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, percentileContSql))
+      Flaco.sql(s, d, percentileContSql)),
+    "q117_named_window" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, namedWindowSql)),
+    "q118_ignore_nulls" -> (Events.ignoreNullsWindows _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -376,6 +379,27 @@ object SparkEntry {
       |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY x), 6) AS p90,
       |  count(*) AS n
       |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** One SQL text, two planners: the SQL-standard named `WINDOW`
+    * clause — one window definition shared by a frame aggregate, a
+    * rank and an offset function (PG surface the reference's opaque
+    * SQL rides through verbatim). ORDER BY (o_orderdate, o_orderkey)
+    * is total, so both engines' default RANGE UNBOUNDED
+    * PRECEDING..CURRENT ROW frame degenerates to ROWS and every
+    * output is deterministic; window sums CAST to BIGINT because
+    * DuckDB widens them to HUGEINT.
+    */
+  private val namedWindowSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+      |    AS BIGINT) AS run_cents,
+      |  CAST(rank() OVER w AS BIGINT) AS rk,
+      |  lag(o_orderkey, 1) OVER w AS prev_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** PG's `unnest … WITH ORDINALITY` surface: the engine spells it
     * `LATERAL VIEW posexplode` (0-based pos re-based to the 1-based
@@ -2220,6 +2244,29 @@ object SparkEntry {
     "q112_null_safe" -> nullSafeSql,
     "q113_bool_agg" -> boolAggSql,
     "q115_percentile_cont" -> percentileContSql,
+    "q117_named_window" -> namedWindowSql,
+
+    // q118: IGNORE NULLS window offsets — the engine side is the
+    // DataFrame API (lag/lead/first/last with the ignoreNulls flag),
+    // the oracle DuckDB's `f(x IGNORE NULLS)` spelling: independent
+    // encodings of skip-the-nulls offset semantics (PG itself lacks
+    // IGNORE NULLS; it is the standard's spelling of the carry-
+    // forward idiom the q75 gap-fill relies on, gated explicitly).
+    "q118_ignore_nulls" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL
+        |      ELSE CAST(round(value * 100) AS BIGINT) END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, v,
+        |  last_value(v IGNORE NULLS) OVER w AS carry,
+        |  lag(v IGNORE NULLS) OVER w AS prev_nn,
+        |  lead(v IGNORE NULLS) OVER w AS next_nn,
+        |  first_value(v IGNORE NULLS) OVER w AS first_nn
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // unnest + generate_subscripts — DuckDB's independent encoding of
     // WITH ORDINALITY (the q78-oracle idiom, here as its own gate).

@@ -264,6 +264,33 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** IGNORE NULLS window offsets (q118) — the standard's spelling of
+    * carry-forward/carry-back over sparse observations (the idiom
+    * [[Temporal.gapFillHourly]] builds on, here gated explicitly):
+    * value nulled on every event_id ≡ 0 (mod 3), then last/lag/lead/
+    * first with `ignoreNulls = true` over the total per-user
+    * (us, event_id) order. The oracle is DuckDB's
+    * `f(x IGNORE NULLS)` syntax — an independent encoding (PG has no
+    * IGNORE NULLS at all; this is delegated-surface PLUS). One
+    * shuffle on user_id; every function is O(1)-or-one-lookahead
+    * state under sort-based WindowExec.
+    */
+  def ignoreNullsWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), micros.as("us"),
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(cents).as("v"))
+      .select(col("user_id"), col("event_id"), col("v"),
+        last(col("v"), ignoreNulls = true).over(running).as("carry"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+        lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_nn"),
+        first(col("v"), ignoreNulls = true).over(running).as("first_nn"))
+      .orderBy(col("event_id"))
+  }
+
   /** Ordered conversion funnel view → click → purchase: a user
     * reaches stage 2 only with a click STRICTLY AFTER their first
     * view, stage 3 only with a purchase strictly after that first
