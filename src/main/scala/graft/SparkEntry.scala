@@ -169,7 +169,18 @@ object SparkEntry {
       Flaco.sql(s, d, percentileContSql)),
     "q117_named_window" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, namedWindowSql)),
-    "q118_ignore_nulls" -> (Events.ignoreNullsWindows _)
+    "q118_ignore_nulls" -> (Events.ignoreNullsWindows _),
+    "q119_limit_offset" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, limitOffsetSql)),
+    "q120_quantified_cmp" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, quantifiedSparkSql)),
+    "q121_array_agg_order" -> (Events.orderedArrayAgg _),
+    "q122_fetch_ties" -> (Relational.fetchFirstWithTies _),
+    "q123_regr" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, regrSparkSql)),
+    "q124_calendar_spine" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, calendarSpineSparkSql)),
+    "q125_distinct_aggs" -> (Relational.distinctAggs _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -400,6 +411,137 @@ object SparkEntry {
       |WINDOW w AS (PARTITION BY o_custkey
       |  ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** One SQL text, two planners: `LIMIT k OFFSET m` pagination over
+    * a total order — PG surface Spark gained in 3.4. The order
+    * (o_totalprice DESC, o_orderkey) is total, so the skipped prefix
+    * and kept page are deterministic on both engines. Scale shape:
+    * Spark plans a global top-(k+m) CollectLimit with a skip — fine
+    * for page-sized k+m, and the documented anti-pattern for deep
+    * pagination (use a keyset predicate instead).
+    */
+  private val limitOffsetSql: String =
+    """SELECT o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 30""".stripMargin
+
+  /** Shared q120 CTE prologue: customer balances and order totals in
+    * integer cents with DETERMINISTIC null injection on both sides
+    * (every 50th custkey's balance, every 7th orderkey's total), so
+    * all five 3VL branches of the quantified comparisons fire at any
+    * SF: empty subquery, NULL probe, definite counterexample,
+    * NULL-poisoned verdict, definite pass.
+    */
+  private val quantifiedCte: String =
+    """c AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 50 = 0 THEN NULL
+      |      ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal
+      |  FROM customer),
+      |o AS (SELECT o_custkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+      |  FROM orders)""".stripMargin
+
+  /** Quantified comparison subqueries (`> ALL`, `< ANY`) — PG
+    * delegated surface Spark's parser lacks entirely, so the engine
+    * side EMULATES the full three-valued semantics from per-group
+    * aggregates (count / non-null count / non-null max) + CASE:
+    *
+    *   x > ALL(S): TRUE on empty S (even for NULL x); else NULL for
+    *     NULL x; else FALSE iff a non-null counterexample exists
+    *     (x ≤ max); else NULL iff S contains a NULL; else TRUE.
+    *   x < ANY(S): FALSE on empty S; else NULL for NULL x; else TRUE
+    *     iff a non-null witness exists (x < max); else NULL iff S
+    *     contains a NULL; else FALSE.
+    *
+    * The oracle runs DuckDB's NATIVE correlated `> ALL` / `< ANY` —
+    * independent encodings; the null injections make every branch
+    * value-visible. Scale shape: one map-side-combinable aggregate
+    * on o_custkey + one co-partitioned equi-join — the decorrelation
+    * PG's planner performs, written out explicitly.
+    */
+  private val quantifiedSparkSql: String =
+    s"""WITH $quantifiedCte,
+       |a AS (SELECT o_custkey, count(*) AS cnt, count(v) AS cnt_nn,
+       |    max(v) AS maxnn
+       |  FROM o GROUP BY o_custkey)
+       |SELECT c.c_custkey, c.bal,
+       |  CASE WHEN coalesce(a.cnt, 0) = 0 THEN CAST(1 AS BIGINT)
+       |       WHEN c.bal IS NULL THEN CAST(NULL AS BIGINT)
+       |       WHEN c.bal <= a.maxnn THEN CAST(0 AS BIGINT)
+       |       WHEN a.cnt > a.cnt_nn THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(1 AS BIGINT) END AS gt_all,
+       |  CASE WHEN coalesce(a.cnt, 0) = 0 THEN CAST(0 AS BIGINT)
+       |       WHEN c.bal IS NULL THEN CAST(NULL AS BIGINT)
+       |       WHEN c.bal < a.maxnn THEN CAST(1 AS BIGINT)
+       |       WHEN a.cnt > a.cnt_nn THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS lt_any
+       |FROM c LEFT JOIN a ON a.o_custkey = c.c_custkey
+       |ORDER BY c.c_custkey""".stripMargin
+
+  /** PG's linear-regression aggregate family (q123): regr_count /
+    * regr_avgx / regr_avgy / regr_slope / regr_intercept / regr_r2
+    * over x = l_quantity (integral 1..50), y = exact integer cents.
+    * The engine runs Spark's NATIVE streaming moment aggregates
+    * (single-pass, mergeable, map-side-combinable — the shape that
+    * survives 100 TB); the ORACLE recomputes every statistic from
+    * first-principles EXACT integer sums (Σx, Σy, Σxy, Σx², Σy² in
+    * DuckDB HUGEINT, cast to DOUBLE only at the final ratio) —
+    * independent encodings, and the gate proves the streaming states
+    * agree with the closed form. Rounding: avgx/avgy are ratios of
+    * exact integers (bit-identical across engines; 6 dp), slope and
+    * intercept carry ~1e-11 relative error from the differing
+    * summation orders against a ~1e5-cent magnitude (2 dp = 5e-3
+    * window, four orders of margin), r2 ∈ [0,1] with ~1e-12 error
+    * (6 dp).
+    */
+  private val regrSparkSql: String =
+    """WITH b AS (SELECT l_returnflag AS flag,
+      |    CAST(l_quantity AS DOUBLE) AS x,
+      |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+      |      AS y
+      |  FROM lineitem)
+      |SELECT flag,
+      |  CAST(regr_count(y, x) AS BIGINT) AS n_pairs,
+      |  round(regr_avgx(y, x), 6) AS avgx,
+      |  round(regr_avgy(y, x), 6) AS avgy,
+      |  round(regr_slope(y, x), 2) AS slope,
+      |  round(regr_intercept(y, x), 2) AS icept,
+      |  round(regr_r2(y, x), 6) AS r2
+      |FROM b GROUP BY flag ORDER BY flag""".stripMargin
+
+  /** Calendar-spine zero-fill (q124): PG's `generate_series` +
+    * inline `VALUES` table surface, and the classic gap-free
+    * reporting join every pipeline needs — a generated date spine
+    * LEFT JOINed to per-day order aggregates with `coalesce` 0-fill,
+    * enriched from a constant VALUES dimension. The engine spells
+    * series generation `explode(sequence(date, date))` and the
+    * inline table Spark's `FROM VALUES … AS t(…)`; the oracle uses
+    * DuckDB's `generate_series` TABLE FUNCTION and parenthesized
+    * `(VALUES …) t(…)` — independent encodings of both surfaces.
+    * Scale shape: the spine is O(days) (broadcast side), the
+    * aggregate is map-side-combinable on the fact table, and the
+    * zero-fill join is broadcast — no shuffle of the spine.
+    */
+  private val calendarSpineSparkSql: String =
+    """WITH spine AS (
+      |  SELECT explode(sequence(DATE '1995-01-01', DATE '1995-06-30'))
+      |    AS d),
+      |daily AS (
+      |  SELECT o_orderdate AS d, count(*) AS n_orders,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY o_orderdate),
+      |w AS (SELECT * FROM VALUES (1, 10), (2, 25) AS t(q, weight))
+      |SELECT s.d, CAST(quarter(s.d) AS BIGINT) AS qtr,
+      |  coalesce(dl.n_orders, 0) AS n_orders,
+      |  coalesce(dl.cents, 0) AS cents,
+      |  CAST(coalesce(dl.n_orders, 0) * w.weight AS BIGINT) AS weighted
+      |FROM spine s
+      |JOIN w ON w.q = quarter(s.d)
+      |LEFT JOIN daily dl ON dl.d = s.d
+      |ORDER BY s.d""".stripMargin
 
   /** PG's `unnest … WITH ORDINALITY` surface: the engine spells it
     * `LATERAL VIEW posexplode` (0-based pos re-based to the 1-based
@@ -2245,6 +2387,109 @@ object SparkEntry {
     "q113_bool_agg" -> boolAggSql,
     "q115_percentile_cont" -> percentileContSql,
     "q117_named_window" -> namedWindowSql,
+    "q119_limit_offset" -> limitOffsetSql,
+
+    // q120: DuckDB's NATIVE correlated quantified comparisons vs the
+    // engine's aggregate+CASE three-valued emulation (Spark has no
+    // ALL/ANY subqueries) — independent encodings; the shared CTE
+    // prologue injects the NULLs that make every 3VL branch fire.
+    "q120_quantified_cmp" ->
+      s"""WITH $quantifiedCte
+         |SELECT c.c_custkey, c.bal,
+         |  CAST(c.bal > ALL (SELECT v FROM o
+         |    WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS gt_all,
+         |  CAST(c.bal < ANY (SELECT v FROM o
+         |    WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS lt_any
+         |FROM c ORDER BY c.c_custkey""".stripMargin,
+
+    // q121: DuckDB's native ordered array_agg + list slicing vs the
+    // engine's sort-encoded collect (Spark collect_list has no order
+    // contract) — both projected to a fingerprint because raw array
+    // columns don't hash-compare stably cross-engine.
+    "q121_array_agg_order" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  (array_agg(x ORDER BY us, event_id))[1] AS first_x,
+        |  md5(array_to_string(
+        |    (array_agg(CAST(x AS VARCHAR) ORDER BY us, event_id))[1:5],
+        |    ' ')) AS first5_fp
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q122: the DEFINITIONAL encoding of FETCH FIRST 48 WITH TIES —
+    // rank() <= 48 — vs the engine's boundary-key decomposition
+    // (top-n reduce + broadcast <= filter): independent encodings;
+    // neither engine parses WITH TIES natively. 48 (not 50) so the
+    // boundary day has real ties at both gate SFs.
+    "q122_fetch_ties" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM (SELECT *, rank() OVER (ORDER BY o_orderdate) AS r
+        |  FROM orders)
+        |WHERE r <= 48 ORDER BY o_orderkey""".stripMargin,
+
+    // q123: first-principles regression from EXACT integer sums
+    // (HUGEINT Σx/Σy/Σxy/Σx²/Σy², cast to DOUBLE only at the final
+    // ratios) vs Spark's native streaming regr_* moment aggregates —
+    // the gate proves the one-pass states reproduce the closed form.
+    "q123_regr" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM b GROUP BY flag)
+        |SELECT flag, CAST(n AS BIGINT) AS n_pairs,
+        |  round(CAST(sx AS DOUBLE) / n, 6) AS avgx,
+        |  round(CAST(sy AS DOUBLE) / n, 6) AS avgy,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 2) AS slope,
+        |  round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / n, 2) AS icept,
+        |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM s ORDER BY flag""".stripMargin,
+
+    // q124: DuckDB's generate_series TABLE function + parenthesized
+    // VALUES vs the engine's explode(sequence) + Spark VALUES —
+    // independent encodings of the series and inline-table surfaces.
+    "q124_calendar_spine" ->
+      """WITH spine AS (
+        |  SELECT CAST(gs AS DATE) AS d
+        |  FROM generate_series(DATE '1995-01-01', DATE '1995-06-30',
+        |    INTERVAL 1 DAY) t(gs)),
+        |daily AS (
+        |  SELECT o_orderdate AS d, count(*) AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_orderdate),
+        |w AS (SELECT * FROM (VALUES (1, 10), (2, 25)) t(q, weight))
+        |SELECT s.d, CAST(quarter(s.d) AS BIGINT) AS qtr,
+        |  coalesce(dl.n_orders, 0) AS n_orders,
+        |  CAST(coalesce(dl.cents, 0) AS BIGINT) AS cents,
+        |  CAST(coalesce(dl.n_orders, 0) * w.weight AS BIGINT)
+        |    AS weighted
+        |FROM spine s
+        |JOIN w ON w.q = quarter(s.d)
+        |LEFT JOIN daily dl ON dl.d = s.d
+        |ORDER BY s.d""".stripMargin,
+
+    // q125: DuckDB's DISTINCT-modified aggregates — the multi-arg
+    // variant spelled `count(DISTINCT (a, b))` (struct row) vs
+    // Spark's `count(DISTINCT a, b)`; sum(DISTINCT BIGINT) widens to
+    // HUGEINT there, hence the CAST.
+    "q125_distinct_aggs" ->
+      """SELECT l_returnflag AS flag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT (l_partkey, l_suppkey)) AS nd_pair,
+        |  CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS sum_dq,
+        |  round(avg(DISTINCT CAST(l_quantity AS BIGINT)), 6) AS avg_dq,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY flag ORDER BY flag""".stripMargin,
 
     // q118: IGNORE NULLS window offsets — the engine side is the
     // DataFrame API (lag/lead/first/last with the ignoreNulls flag),

@@ -291,6 +291,38 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** PG's `array_agg(x ORDER BY …)` ordered-aggregate surface
+    * (q121): Spark's collect_list has NO order contract, so the
+    * engine encodes the ordering deterministically — collect structs
+    * keyed by the total (us, event_id) order, `array_sort` (struct
+    * ordering is field-lexicographic, and the key prefix is unique
+    * per user), slice the first 5, fingerprint as md5 of the joined
+    * values (the q70 idiom: raw array columns don't hash-compare
+    * stably cross-engine; a fingerprint plus the first element and
+    * count do). The oracle is DuckDB's NATIVE
+    * `array_agg(… ORDER BY …)` with list slicing — independent
+    * encodings. Scale note: per-key collect_list materializes the
+    * group (bounded here by ~67 events/user at any SF); for
+    * unbounded keys the right shapes are the q62 TopKRows bounded
+    * heap or a window — collect-then-slice is the documented
+    * anti-pattern at scale, the gate's fixture is bounded by
+    * construction.
+    */
+  def orderedArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), micros.as("us"),
+        cents.as("x"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        collect_list(struct(col("us"), col("event_id"), col("x")))
+          .as("obs"))
+      .select(col("user_id"), col("n_events"),
+        element_at(array_sort(col("obs")), 1).getField("x").as("first_x"),
+        md5(array_join(
+          transform(slice(array_sort(col("obs")), 1, 5),
+            e => e.getField("x").cast("string")), " ")).as("first5_fp"))
+      .orderBy(col("user_id"))
+
   /** Ordered conversion funnel view → click → purchase: a user
     * reaches stage 2 only with a click STRICTLY AFTER their first
     * view, stage 3 only with a purchase strictly after that first
