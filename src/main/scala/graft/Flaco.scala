@@ -253,4 +253,21 @@ object Flaco {
         throw new FlacoSparkException(s"sql failed: ${e.getMessage}", e)
     }
   }
+
+  /** Parameterized SQL front door: named `:param` markers bound
+    * server-side — the prepared-statement surface every PG client
+    * (including the reference's `read_sql` callers) uses constantly.
+    * Spark substitutes the literals during parsing, so bound
+    * predicate params still reach the parquet scan as PushedFilters
+    * exactly like inlined constants (q126 gates this end-to-end).
+    */
+  def sqlParams(spark: SparkSession, dir: String, stmt: String,
+      args: Map[String, Any]): DataFrame = {
+    sources.Corpus.registerAll(spark, dir)
+    try spark.sql(stmt, args)
+    catch {
+      case e: Exception =>
+        throw new FlacoSparkException(s"sql failed: ${e.getMessage}", e)
+    }
+  }
 }

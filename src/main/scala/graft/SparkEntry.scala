@@ -180,7 +180,16 @@ object SparkEntry {
       Flaco.sql(s, d, regrSparkSql)),
     "q124_calendar_spine" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, calendarSpineSparkSql)),
-    "q125_distinct_aggs" -> (Relational.distinctAggs _)
+    "q125_distinct_aggs" -> (Relational.distinctAggs _),
+    "q126_named_params" -> ((s: SparkSession, d: String) =>
+      Flaco.sqlParams(s, d, namedParamsSql, Map(
+        "lo" -> 150000, "hi" -> "1996-01-01", "seg" -> "BUILDING"))),
+    "q127_weighted_sample" -> ((s: SparkSession, d: String) =>
+      Curation.weightedSample(s, d)),
+    "q128_bool_test" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, boolTestSql)),
+    "q129_any_value" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, anyValueSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -542,6 +551,61 @@ object SparkEntry {
       |JOIN w ON w.q = quarter(s.d)
       |LEFT JOIN daily dl ON dl.d = s.d
       |ORDER BY s.d""".stripMargin
+
+  /** Named-parameter SQL (q126): Spark's `:param` marker binding via
+    * `Flaco.sqlParams` — the prepared-statement surface every PG
+    * client binds through. The text carries three parameter KINDS
+    * (numeric predicate, date string cast, string equality); the
+    * oracle is the same logical query with the constants INLINED, so
+    * the gate proves binding is semantically identical to literal
+    * substitution — including predicate pushdown (params reach the
+    * scan as PushedFilters like any literal).
+    */
+  private val namedParamsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |  c_mktsegment AS seg
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |WHERE o_totalprice > :lo AND o_orderdate < CAST(:hi AS DATE)
+      |  AND c_mktsegment = :seg
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** One SQL text, two planners (q128): the SQL-standard boolean
+    * test predicates `IS [NOT] TRUE / FALSE / UNKNOWN` — the 3VL
+    * surface PG WHERE clauses lean on. A %7 null injection keeps all
+    * three truth values live in every run; every test output is a
+    * total (never-NULL) BIGINT by definition, which is exactly the
+    * property the gate proves (vs `= TRUE`, which propagates NULL).
+    */
+  private val boolTestSql: String =
+    """WITH b AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_totalprice > 150000 END AS p
+      |  FROM orders)
+      |SELECT o_orderkey, CAST(p AS BIGINT) AS p,
+      |  CAST(p IS TRUE AS BIGINT) AS is_t,
+      |  CAST(p IS NOT TRUE AS BIGINT) AS not_t,
+      |  CAST(p IS FALSE AS BIGINT) AS is_f,
+      |  CAST(p IS NOT FALSE AS BIGINT) AS not_f,
+      |  CAST(p IS UNKNOWN AS BIGINT) AS is_u,
+      |  CAST(p IS NOT UNKNOWN AS BIGINT) AS not_u
+      |FROM b ORDER BY o_orderkey""".stripMargin
+
+  /** One SQL text, two planners (q129): `any_value` (PG 16 surface;
+    * Spark 3.4+/DuckDB native). Deterministic ONLY when the value is
+    * constant within its group — here c_mktsegment through the
+    * customer equi-join, constant per o_custkey by construction —
+    * which is also the documented usage contract: any_value is for
+    * functionally-dependent columns, not arbitrary picks. Scale
+    * shape: any_value carries one value per group through the
+    * partial aggregate — the cheap way to keep dependent attributes
+    * without widening the GROUP BY key.
+    */
+  private val anyValueSql: String =
+    """SELECT o_custkey, any_value(c_mktsegment) AS seg,
+      |  count(*) AS n
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** PG's `unnest … WITH ORDINALITY` surface: the engine spells it
     * `LATERAL VIEW posexplode` (0-based pos re-based to the 1-based
@@ -2490,6 +2554,40 @@ object SparkEntry {
         |  round(avg(DISTINCT CAST(l_quantity AS BIGINT)), 6) AS avg_dq,
         |  count(*) AS n
         |FROM lineitem GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // q126: the same logical query with the parameters INLINED as
+    // literals — proves Spark's :param binding is semantically
+    // identical to literal substitution.
+    "q126_named_params" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  c_mktsegment AS seg
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |WHERE o_totalprice > 150000
+        |  AND o_orderdate < CAST('1996-01-01' AS DATE)
+        |  AND c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q128_bool_test" -> boolTestSql,
+    "q129_any_value" -> anyValueSql,
+
+    // q127: DuckDB replays the SAME exponential clocks — md5 prefix
+    // decoded via the '0x' hex cast (vs Spark's conv), ln, and its
+    // own window rank — so the oracle independently derives WHICH
+    // docs the Efraimidis–Spirakis draw selects.
+    "q127_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS wt,
+        |    CAST(('0x' || substring(
+        |      md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |      AS v
+        |  FROM documents WHERE n_chars > 0),
+        |kx AS (SELECT doc_id, lang, wt,
+        |    -ln((v + 1) / 4503599627370496.0) / wt AS key FROM b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY key, doc_id) AS rk FROM kx)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  CAST(wt AS BIGINT) AS w_chars, round(key, 9) AS key
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
     // q118: IGNORE NULLS window offsets — the engine side is the
     // DataFrame API (lag/lead/first/last with the ignoreNulls flag),

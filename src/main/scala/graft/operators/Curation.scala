@@ -211,6 +211,55 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Weighted sample without replacement (q127) — the
+    * Efraimidis–Spirakis / exponential-clocks scheme a mixture
+    * designer uses to draw k docs per stratum with probability
+    * proportional to size (here weight = n_chars): give every doc an
+    * Exp(w) arrival key −ln(u)/w and keep the k SMALLEST per
+    * stratum. The uniform u is NOT engine RNG (that would be
+    * q116-style ungateable): u = (52-bit md5 prefix + 1) / 2⁵²
+    * ∈ (0, 1], deterministic and identical in any engine, so the
+    * drawn set is exactly hash-gateable — the oracle replays the
+    * same clocks from DuckDB's own md5/hex/ln. Salted "ws:" to
+    * decorrelate from the split/mixture/stratified hashes. The rank
+    * plans through the TopKRows rewrite as a bounded per-(lang,
+    * partition) heap into the exchange — never a global sort, never
+    * a driver reservoir; the only FP-sensitive step is ln (engines
+    * may differ in the last ulp), which can flip the selection only
+    * if two clocks collide within ~1 ulp — probability ~n²·2⁻⁵² per
+    * stratum, and the emitted key is rounded at 9 digits, 10 orders
+    * above ulp noise. Zero-weight docs never sample (Exp(0) never
+    * rings): filtered explicitly.
+    */
+  /** The q127 exponential clock −ln(u)/w as a reusable Column —
+    * shared verbatim by the batch draw and the streaming reservoir
+    * ([[graft.streaming.DocumentStreams.weightedReservoir]]) so both
+    * paths select the identical set. u = (52-bit md5 prefix + 1)/2⁵²
+    * ∈ (0, 1], deterministic in any engine.
+    */
+  def clockCol(docId: Column, wt: Column): Column =
+    -log((conv(substring(
+      md5(concat(lit("ws:"), docId.cast("string"))), 1, 13),
+      16, 10).cast("long") + 1).cast("double")
+      / lit(4503599627370496.0)) / wt // 2^52
+
+  def weightedSample(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("key"), col("doc_id"))
+    Corpus.read(spark, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("double").as("wt"))
+      .withColumn("key", clockCol(col("doc_id"), col("wt")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("wt").cast("long").as("w_chars"),
+        round(col("key"), 9).as("key"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** [[sampleGate]]'s sampling rate in integer percent and its fixed
     * seed — PG `TABLESAMPLE BERNOULLI (20) REPEATABLE (42)`, run
     * through Spark's OWN `TABLESAMPLE (20 PERCENT) REPEATABLE (42)`

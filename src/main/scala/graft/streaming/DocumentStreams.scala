@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.operators.{Curation, TextAnalysis}
@@ -94,4 +95,47 @@ object DocumentStreams {
       graft.functions.MinHashFunctions
         .minhash_signature(TextAnalysis.tokens(col("text")))))
       .select(col("doc_id"), col("lang"), col("source"), col("sig_key"))
+
+  /** One reservoir entry: the clock orders, (doc_id) tiebreaks. */
+  final case class ReservoirEntry(key: Double, doc_id: Long, w: Long)
+
+  final case class ReservoirRow(lang: String, rk: Long, doc_id: Long,
+      w_chars: Long, key: Double)
+
+  /** Streaming twin of [[Curation.weightedSample]] (q127): an online
+    * weighted reservoir. Efraimidis–Spirakis is one-pass by
+    * construction — a doc belongs to the sample iff its clock is
+    * among the k smallest seen so far — so the streaming form is
+    * just "keep the k smallest clocks per stratum": state is a
+    * sorted vector of ≤ k entries (O(k) per language, never grows),
+    * merged with each micro-batch and re-emitted in Update mode.
+    * The clocks are [[Curation.clockCol]] — deterministic md5
+    * uniforms, NOT engine RNG — so the reservoir CONVERGES to
+    * exactly the batch draw over the same data regardless of
+    * arrival order or batch boundaries (DocumentStreamsSpec pins
+    * stream-final == batch, entry for entry). An RNG reservoir
+    * cannot promise replay-stability on a stream; this one can.
+    */
+  def weightedReservoir(docs: DataFrame, k: Int = 20): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars").as("w"),
+        Curation.clockCol(col("doc_id"), col("n_chars").cast("double"))
+          .as("key"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[ReservoirEntry], ReservoirRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (lang, rows, state: GroupState[Seq[ReservoirEntry]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(r => ReservoirEntry(r._4, r._2, r._3)))
+            .sortBy(e => (e.key, e.doc_id)).take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case (e, i) =>
+            ReservoirRow(lang, (i + 1).toLong, e.doc_id, e.w, e.key)
+          }
+      }
+      .toDF()
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.operators.Curation
 import graft.sources.Corpus
 
 /** Stream-vs-batch parity for the document cleaning pipeline: the
@@ -98,5 +99,40 @@ class DocumentStreamsSpec extends AnyFunSuite {
         assert(allSigs(id) === sig, s"doc $id signature drift")
       }
     } finally spark.sql("drop view if exists neardup_docs")
+  }
+
+  test("streaming weighted reservoir converges to the batch draw") {
+    // maxFilesPerTrigger=1 forces one micro-batch per fixture file, so
+    // the reservoir genuinely merges state across batches instead of
+    // seeing everything at once.
+    val src = spark.readStream
+      .schema(DocumentStreams.documentSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$streamDir/documents.parquet")
+    val streamed = DocumentStreams.weightedReservoir(src, k = 20)
+    EventStreams.runToMemory(streamed, "wres_docs", OutputMode.Update())
+    try {
+      val emitted = spark.table("wres_docs").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(4)))
+      // More than one batch ran: some stratum was re-emitted at the
+      // same rank with different docs as better clocks arrived.
+      assert(emitted.length > emitted.map(e => (e._1, e._3)).distinct.length
+        || emitted.groupBy(e => (e._1, e._2)).exists(_._2.length > 1),
+        "reservoir never updated across batches")
+      // Update mode re-emits each stratum's current draw every batch;
+      // clocks only ever improve, so the final draw per lang is the k
+      // smallest distinct clocks across all emissions.
+      val finalDraw = emitted.groupBy(_._1).view.mapValues { g =>
+        g.map(e => (e._4, e._3)).distinct.sorted.take(20).map(_._2).toSet
+      }.toMap
+      val want = Curation.weightedSample(spark, TestSpark.sf, 20).collect()
+        .map(r => (r.getString(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(finalDraw.keySet === want.keySet)
+      finalDraw.foreach { case (lang, ids) =>
+        assert(ids === want(lang), s"stratum $lang diverged from batch")
+      }
+    } finally spark.sql("drop view if exists wres_docs")
   }
 }
