@@ -189,7 +189,9 @@ object SparkEntry {
     "q128_bool_test" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, boolTestSql)),
     "q129_any_value" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, anyValueSql))
+      Flaco.sql(s, d, anyValueSql)),
+    "q130_ranked_search" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.rankedSearch(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -2570,6 +2572,39 @@ object SparkEntry {
 
     "q128_bool_test" -> boolTestSql,
     "q129_any_value" -> anyValueSql,
+
+    // q130: DuckDB replays the retrieval from its own list/regexp
+    // primitives — list_filter term counters, conditional df sums,
+    // and the SAME fixed-order score expression (an unordered SUM of
+    // double contributions would be association-order-nondeterministic
+    // for equal-profile docs); selection by raw score, rounded only
+    // in the output.
+    "q130_ranked_search" -> {
+      val Seq(t1, t2, t3) = TextAnalysis.SearchTerms
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x = '$t1')) AS BIGINT) AS tf_a,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x = '$t2')) AS BIGINT) AS tf_b,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x = '$t3')) AS BIGINT) AS tf_c
+         |  FROM documents),
+         |s AS (SELECT
+         |    CAST(sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_a,
+         |    CAST(sum(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_b,
+         |    CAST(sum(CASE WHEN tf_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_c,
+         |    count(*) AS n_docs FROM c),
+         |r AS (SELECT doc_id, tf_a, tf_b, tf_c,
+         |    tf_a * ln(CAST(n_docs AS DOUBLE) / df_a)
+         |      + tf_b * ln(CAST(n_docs AS DOUBLE) / df_b)
+         |      + tf_c * ln(CAST(n_docs AS DOUBLE) / df_c) AS raw
+         |  FROM c, s WHERE tf_a + tf_b + tf_c > 0)
+         |SELECT doc_id, tf_a, tf_b, tf_c, round(raw, 6) AS score
+         |FROM r ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // q127: DuckDB replays the SAME exponential clocks — md5 prefix
     // decoded via the '0x' hex cast (vs Spark's conv), ln, and its

@@ -502,6 +502,61 @@ object TextAnalysis {
     *    injected rank-limit rewrite — no corpus-wide Window sort.
     * N (corpus size) is a 1-row broadcast.
     */
+  /** q130's query terms — mixed document frequencies on the fixture
+    * vocabulary ("dup" is ~35× rarer than the others), so idf
+    * genuinely reorders raw term counts. Shared with the oracle by
+    * name.
+    */
+  val SearchTerms: Seq[String] = Seq("hash", "scan", "dup")
+
+  /** Ranked retrieval (q130): tf-idf top-k document search for a
+    * fixed term query — the retrieval primitive a training-data
+    * pipeline runs for eval-set contamination mining, quality probes
+    * and near-dup triage. score(d) = Σ_t tf(t,d)·ln(N/df(t)) over
+    * the QUERY terms only: per-doc state is |query| integer
+    * counters computed in one projection over the token array (no
+    * explode, no per-term shuffle), the df/N normalizer is a
+    * single-row aggregate broadcast back, and the top-k is a global
+    * `TakeOrderedAndProject` (per-partition heaps, k rows to the
+    * driver — never a full sort). Two corpus scans total (df pass +
+    * score pass); the indexed alternative at interactive latency is
+    * the q99 inverted index. FP discipline: the score is ONE
+    * fixed-order expression a·ln+b·ln+c·ln, not an unordered SUM of
+    * per-term rows — docs with identical tf profiles get
+    * bit-identical scores on both engines, so the (score DESC,
+    * doc_id) order is total and the selected set is deterministic;
+    * a selection flip would need two distinct profiles within ~1 ulp
+    * (ln is the only cross-engine difference), and the emitted score
+    * is rounded at 6 digits regardless.
+    */
+  def rankedSearch(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val Seq(t1, t2, t3) = SearchTerms
+    def tf(t: String) =
+      size(filter(tokens(col("text")), x => x === lit(t))).cast("long")
+    val counted = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tf(t1).as("tf_a"), tf(t2).as("tf_b"),
+        tf(t3).as("tf_c"))
+    val norms = counted.agg(
+      sum((col("tf_a") > 0).cast("long")).as("df_a"),
+      sum((col("tf_b") > 0).cast("long")).as("df_b"),
+      sum((col("tf_c") > 0).cast("long")).as("df_c"),
+      count(lit(1)).as("n_docs"))
+    def idf(dfc: Column) =
+      log(col("n_docs").cast("double") / dfc.cast("double"))
+    counted.crossJoin(broadcast(norms))
+      .filter(col("tf_a") + col("tf_b") + col("tf_c") > 0)
+      .withColumn("raw",
+        col("tf_a").cast("double") * idf(col("df_a"))
+          + col("tf_b").cast("double") * idf(col("df_b"))
+          + col("tf_c").cast("double") * idf(col("df_c")))
+      .orderBy(col("raw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("tf_a"), col("tf_b"), col("tf_c"),
+        round(col("raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))

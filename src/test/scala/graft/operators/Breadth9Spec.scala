@@ -158,6 +158,37 @@ class Breadth9Spec extends AnyFunSuite {
     got.foreach { case (lang, ids) => assert(ids === want(lang), lang) }
   }
 
+  test("ranked search reproduces the brute-force tf-idf top-k") {
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val terms = TextAnalysis.SearchTerms
+    val tfs = docs.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      (id, terms.map(t => toks.count(_ == t).toLong))
+    }
+    val n = docs.length.toDouble
+    val dfv = terms.indices.map(i => tfs.count(_._2(i) > 0).toDouble)
+    val scored = tfs.filter(_._2.sum > 0).map { case (id, tf) =>
+      // Same fixed evaluation order as both engine encodings.
+      val raw = tf(0) * math.log(n / dfv(0)) +
+        tf(1) * math.log(n / dfv(1)) + tf(2) * math.log(n / dfv(2))
+      (id, raw)
+    }
+    val want = scored.sortBy { case (id, raw) => (-raw, id) }.take(10)
+      .map(_._1).toSeq
+    val got = TextAnalysis.rankedSearch(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got.sorted === want.sorted)
+  }
+
+  test("ranked search plans a global top-k heap, not a full sort") {
+    val physical = TextAnalysis.rankedSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"top-k should plan as TakeOrderedAndProject:\n$physical")
+  }
+
   test("multi-distinct aggregate plans one Expand, not self-joins") {
     val plan = Relational.distinctAggs(spark, sf)
       .queryExecution.optimizedPlan
