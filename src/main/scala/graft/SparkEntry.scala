@@ -191,7 +191,10 @@ object SparkEntry {
     "q129_any_value" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, anyValueSql)),
     "q130_ranked_search" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.rankedSearch(s, d))
+      TextAnalysis.rankedSearch(s, d)),
+    "q131_range_predicates" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, rangePredicatesSql)),
+    "q132_date_bin" -> (Events.dateBin _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -553,6 +556,45 @@ object SparkEntry {
       |JOIN w ON w.q = quarter(s.d)
       |LEFT JOIN daily dl ON dl.d = s.d
       |ORDER BY s.d""".stripMargin
+
+  /** Range predicates (q131): the SQL-standard `OVERLAPS` and PG's
+    * `BETWEEN SYMMETRIC`, both absent from Spark's parser (and from
+    * this DuckDB), EMULATED from their definitions — OVERLAPS via
+    * endpoint normalization (least/greatest on BOTH sides, the
+    * standard's "earlier endpoint first" rule, exercised by a
+    * parity-swapped probe range) + strict half-open intersection
+    * s1 < e2 AND s2 < e1; BETWEEN SYMMETRIC via bound normalization
+    * then plain BETWEEN, with a %13 null injection flowing 3VL
+    * through to a nullable BIGINT. The oracle derives both from
+    * DIFFERENT algebra: non-overlap negation NOT(e1 <= s2 OR
+    * e2 <= s1) and explicit CASE bound-swapping — independent
+    * encodings of the same definitions. Ranges are constructed
+    * non-degenerate (length 30 days) so the half-open vs closed
+    * edge-case dialects coincide and the gate pins the portable
+    * core of the semantics.
+    */
+  private val rangePredicatesSql: String =
+    """WITH b AS (SELECT o_orderkey,
+      |    CAST(o_orderdate AS DATE) AS s1,
+      |    date_add(CAST(o_orderdate AS DATE), 30) AS e1,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN DATE '1995-06-30'
+      |         ELSE DATE '1995-04-01' END AS p1,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN DATE '1995-04-01'
+      |         ELSE DATE '1995-06-30' END AS p2,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN CAST(NULL AS BIGINT)
+      |         ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+      |         END AS cents,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 20000000 ELSE 5000000
+      |         END AS n1,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 5000000 ELSE 20000000
+      |         END AS n2
+      |  FROM orders)
+      |SELECT o_orderkey, cents,
+      |  CAST(least(s1, e1) < greatest(p1, p2)
+      |    AND least(p1, p2) < greatest(s1, e1) AS BIGINT) AS ovl,
+      |  CAST(cents BETWEEN least(n1, n2) AND greatest(n1, n2)
+      |    AS BIGINT) AS sym
+      |FROM b ORDER BY o_orderkey""".stripMargin
 
   /** Named-parameter SQL (q126): Spark's `:param` marker binding via
     * `Flaco.sqlParams` — the prepared-statement surface every PG
@@ -2572,6 +2614,38 @@ object SparkEntry {
 
     "q128_bool_test" -> boolTestSql,
     "q129_any_value" -> anyValueSql,
+
+    // q131: the oracle derives OVERLAPS from non-overlap negation and
+    // BETWEEN SYMMETRIC from explicit CASE bound-swapping — different
+    // algebra than the engine's least/greatest normalization.
+    // The engine's parity-swapped probe endpoints and n1/n2 bounds
+    // normalize to the SAME constants every row — so the oracle
+    // hardcodes the normalized [1995-04-01, 1995-06-30) probe and
+    // [5000000, 20000000] bounds, proving the engine's least/greatest
+    // normalization did its job on the swapped rows.
+    "q131_range_predicates" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS s1,
+        |    CAST(o_orderdate AS DATE) + 30 AS e1,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN CAST(NULL AS BIGINT)
+        |         ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+        |         END AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, cents,
+        |  CAST(NOT (e1 <= DATE '1995-04-01' OR DATE '1995-06-30' <= s1)
+        |    AS BIGINT) AS ovl,
+        |  CAST(cents >= 5000000 AND cents <= 20000000 AS BIGINT) AS sym
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+
+    // q132: DuckDB's NATIVE time_bucket(stride, ts, origin) vs the
+    // engine's exact integer-micros bin arithmetic — independent
+    // encodings of PG 14's date_bin.
+    "q132_date_bin" ->
+      """SELECT event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  epoch_us(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP),
+        |    TIMESTAMP '1970-01-01 00:05:00')) AS bin_us
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // q130: DuckDB replays the retrieval from its own list/regexp
     // primitives — list_filter term counters, conditional df sums,

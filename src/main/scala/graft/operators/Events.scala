@@ -291,6 +291,31 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** PG 14's `date_bin(stride, ts, origin)` (q132) — arbitrary-stride
+    * time bucketing anchored at an arbitrary origin, the surface
+    * behind downsampling to "every 15 minutes starting at :05".
+    * Spark has window()/date_trunc but no origin-anchored bin, so
+    * the engine computes it EXACTLY in integer micros:
+    * origin + ((us − origin) div stride) · stride — one codegen'd
+    * projection, no shuffle (the `div` idiom, never double division:
+    * IEEE rounding mis-buckets near boundaries). The oracle is
+    * DuckDB's NATIVE `time_bucket(INTERVAL, ts, origin)` —
+    * independent encodings. The :05 origin and 15-minute stride make
+    * a wrong origin shift every bucket boundary, value-visible on
+    * every row.
+    */
+  def dateBin(spark: SparkSession, dir: String): DataFrame = {
+    val strideUs = 15L * 60 * 1000 * 1000
+    val originUs = 5L * 60 * 1000 * 1000 // 1970-01-01 00:05:00 UTC
+    Corpus.read(spark, dir, "events")
+      .select(col("event_id"), micros.as("us"))
+      .withColumn("bin_us",
+        lit(originUs) +
+          expr(s"((us - ${originUs}L) div ${strideUs}L) * ${strideUs}L"))
+      .select(col("event_id"), col("us"), col("bin_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** PG's `array_agg(x ORDER BY …)` ordered-aggregate surface
     * (q121): Spark's collect_list has NO order contract, so the
     * engine encodes the ordering deterministically — collect structs
