@@ -194,7 +194,9 @@ object SparkEntry {
       TextAnalysis.rankedSearch(s, d)),
     "q131_range_predicates" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, rangePredicatesSql)),
-    "q132_date_bin" -> (Events.dateBin _)
+    "q132_date_bin" -> (Events.dateBin _),
+    "q133_filtered_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.filteredIvfTopK(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1383,6 +1385,46 @@ object SparkEntry {
          |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
          |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin,
+
+    // q133: the q31b first-principles IVF replay with the metadata
+    // predicate (candidate label = query label) applied between
+    // candidate generation and ranking — hybrid filtered search.
+    "q133_filtered_ann" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM embeddings v CROSS JOIN c),
+         |asum AS (SELECT vec_id, cid,
+         |    $cosinePairSql
+         |  FROM ax GROUP BY vec_id, cid),
+         |ascore AS (SELECT vec_id, cid, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s FROM asum),
+         |ar AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM ascore),
+         |cells AS (SELECT vec_id, cid FROM ar WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM ar WHERE vec_id < 20 AND rn <= 2),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 20),
+         |cand AS (SELECT p.qid, cells.vec_id AS vb FROM probes p
+         |  JOIN cells USING (cid) WHERE cells.vec_id <> p.qid),
+         |fcand AS (SELECT cand.qid, cand.vb, e.label FROM cand
+         |  JOIN q USING (qid) JOIN embeddings e ON e.vec_id = cand.vb
+         |  WHERE e.label = q.qlabel),
+         |x AS (SELECT fcand.qid, fcand.vb, q.qe AS ea, e.embedding AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM fcand JOIN q USING (qid) JOIN embeddings e ON e.vec_id = fcand.vb),
+         |s AS (SELECT qid, vb,
+         |    $cosinePairSql
+         |  FROM x GROUP BY qid, vb),
+         |sim AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
+         |r AS (SELECT qid, vb, sim, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
+         |SELECT r.qid, r.rk, r.vb AS neighbor,
+         |  CAST(e.label AS BIGINT) AS label, r.sim
+         |FROM r JOIN embeddings e ON e.vec_id = r.vb WHERE r.rk <= 3
+         |ORDER BY r.qid, r.rk""".stripMargin,
 
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

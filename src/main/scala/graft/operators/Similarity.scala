@@ -113,6 +113,56 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Hybrid filtered ANN (q133) — vector search under a metadata
+    * predicate ("nearest neighbors WITH THE SAME LABEL"), the shape
+    * every production vector store serves: same IVF cells, same
+    * nprobe probes, with the predicate applied to CANDIDATES before
+    * ranking (post-filtering). On a cid-partitioned layout the label
+    * predicate reaches the candidate scan alongside the partition
+    * prune, so the filter costs selectivity, not a new plan. The
+    * trade is recall: a highly selective predicate empties the
+    * probed cells (a query's top-filtered rows can be < k — visible
+    * here as short groups, not wrong rows), and the documented
+    * remedy is the selectivity crossover every vector store
+    * implements — below ~1% matching, pre-filter the corpus and
+    * brute-force the survivors (the q30 shape, corpus already
+    * 100× smaller). The oracle replays cells, probes, filter and
+    * ranking from first principles in DuckDB.
+    */
+  def filteredIvfTopK(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 2, ncells: Int = 16): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < ncells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("s", round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
+    val cells = cellAssignments(spark, dir, ncells)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s").desc, col("cid"))
+    val probes = scored.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val qe = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes
+      .join(cells, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qe), Seq("qid"))
+      .filter(col("label") === col("qlabel")) // the metadata predicate
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        col("label").cast("long").as("label"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** The IVF cell id of every vector — the ONE assignment relation
     * shared by [[ivfTopK]]'s search and the stored layout
     * (`Layout.writePartitioned(cid)`), so index build and search can
