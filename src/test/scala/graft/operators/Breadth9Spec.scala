@@ -189,6 +189,48 @@ class Breadth9Spec extends AnyFunSuite {
       s"top-k should plan as TakeOrderedAndProject:\n$physical")
   }
 
+  test("date_bin replays exactly in JVM integer arithmetic") {
+    val strideUs = 15L * 60 * 1000 * 1000
+    val originUs = 5L * 60 * 1000 * 1000
+    val got = Events.dateBin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, us, bin) =>
+      val want = originUs + ((us - originUs) / strideUs) * strideUs
+      assert(bin === want, s"event $id")
+      assert(bin <= us && us - bin < strideUs, s"event $id outside bin")
+      // The :05 origin must be visible: bins are NOT quarter-hour
+      // aligned to the epoch.
+      assert(bin % strideUs === originUs % strideUs)
+    }
+  }
+
+  test("range predicates replay the definitional truth table") {
+    val rows = graft.SparkEntry.queries("q131_range_predicates")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val dates = graft.sources.Corpus.read(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (key, cents, ovl, sym) =>
+      val s1 = java.time.LocalDate.parse(dates(key))
+      val e1 = s1.plusDays(30)
+      val pLo = java.time.LocalDate.parse("1995-04-01")
+      val pHi = java.time.LocalDate.parse("1995-06-30")
+      assert(ovl === Some(if (s1.isBefore(pHi) && pLo.isBefore(e1)) 1L else 0L),
+        s"order $key overlap")
+      // NULL operand (key % 13 == 0) must give NULL sym (3VL), else
+      // the normalized [5e6, 2e7] band.
+      if (key % 13 == 0) { assert(cents === None); assert(sym === None) }
+      else assert(sym === Some(
+        if (cents.get >= 5000000L && cents.get <= 20000000L) 1L else 0L))
+    }
+  }
+
   test("multi-distinct aggregate plans one Expand, not self-joins") {
     val plan = Relational.distinctAggs(spark, sf)
       .queryExecution.optimizedPlan
