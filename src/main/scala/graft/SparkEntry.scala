@@ -196,7 +196,9 @@ object SparkEntry {
       Flaco.sql(s, d, rangePredicatesSql)),
     "q132_date_bin" -> (Events.dateBin _),
     "q133_filtered_ann" -> ((s: SparkSession, d: String) =>
-      Similarity.filteredIvfTopK(s, d))
+      Similarity.filteredIvfTopK(s, d)),
+    "q134_std_strings" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, stdStringsSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -558,6 +560,32 @@ object SparkEntry {
       |JOIN w ON w.q = quarter(s.d)
       |LEFT JOIN daily dl ON dl.d = s.d
       |ORDER BY s.d""".stripMargin
+
+  /** SQL-standard string syntax (q134): the spellings PG clients
+    * write — `SUBSTRING(x FROM n FOR m)`, `TRIM(LEADING/TRAILING/
+    * BOTH set FROM x)` (set semantics: every char in the set trims),
+    * `POSITION(y IN x)`, `LIKE … ESCAPE`, and `OVERLAY(x PLACING y
+    * FROM n [FOR l])`. All but OVERLAY run as ONE text through both
+    * parsers; this DuckDB lacks OVERLAY, so the oracle EMULATES those
+    * two columns from substr‖concat — independent encodings of the
+    * standard's definition (result = prefix ‖ placing ‖ suffix with
+    * the FOR-length gap). The ESCAPE predicate is made
+    * row-discriminating by a parity-dependent suffix containing a
+    * literal underscore.
+    */
+  private val stdStringsSql: String =
+    """SELECT c_custkey,
+      |  substring(c_name FROM 3 FOR 8) AS sub,
+      |  TRIM(LEADING 'C' FROM c_name) AS ltrim_c,
+      |  TRIM(TRAILING '01' FROM c_name) AS rtrim_01,
+      |  TRIM(BOTH ' ' FROM concat(' ', c_name, ' ')) AS btrim_sp,
+      |  CAST(POSITION('#' IN c_name) AS BIGINT) AS pos_hash,
+      |  OVERLAY(c_name PLACING '***' FROM 10) AS ovl,
+      |  OVERLAY(c_name PLACING '**' FROM 4 FOR 6) AS ovl_for,
+      |  CAST(concat(c_name,
+      |      CASE WHEN c_custkey % 2 = 0 THEN '_x' ELSE 'yx' END)
+      |    LIKE '%!_x' ESCAPE '!' AS BIGINT) AS like_esc
+      |FROM customer ORDER BY c_custkey""".stripMargin
 
   /** Range predicates (q131): the SQL-standard `OVERLAPS` and PG's
     * `BETWEEN SYMMETRIC`, both absent from Spark's parser (and from
@@ -2656,6 +2684,26 @@ object SparkEntry {
 
     "q128_bool_test" -> boolTestSql,
     "q129_any_value" -> anyValueSql,
+
+    // q134: same standard spellings where this DuckDB has them;
+    // OVERLAY emulated from the standard's definition
+    // prefix || placing || suffix (substr arithmetic) — independent
+    // encoding for exactly the columns the engine runs natively.
+    "q134_std_strings" ->
+      """SELECT c_custkey,
+        |  substring(c_name FROM 3 FOR 8) AS sub,
+        |  TRIM(LEADING 'C' FROM c_name) AS ltrim_c,
+        |  TRIM(TRAILING '01' FROM c_name) AS rtrim_01,
+        |  TRIM(BOTH ' ' FROM concat(' ', c_name, ' ')) AS btrim_sp,
+        |  CAST(POSITION('#' IN c_name) AS BIGINT) AS pos_hash,
+        |  concat(substring(c_name, 1, 9), '***',
+        |    substring(c_name, 13)) AS ovl,
+        |  concat(substring(c_name, 1, 3), '**',
+        |    substring(c_name, 10)) AS ovl_for,
+        |  CAST(concat(c_name,
+        |      CASE WHEN c_custkey % 2 = 0 THEN '_x' ELSE 'yx' END)
+        |    LIKE '%!_x' ESCAPE '!' AS BIGINT) AS like_esc
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // q131: the oracle derives OVERLAPS from non-overlap negation and
     // BETWEEN SYMMETRIC from explicit CASE bound-swapping — different
