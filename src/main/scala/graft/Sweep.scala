@@ -127,7 +127,12 @@ object Sweep {
 
   private val SkewQueries = Seq("q75_gap_fill", "q79_interpolate",
     "q85_rolling_zscore", "q87_attribution", "q93_twa",
-    "q10_window_running", "q59_range_window")
+    "q10_window_running", "q59_range_window",
+    // round 9: the per-user collector — the one new shape whose
+    // state is the GROUP, not O(1): a hot user materializes its
+    // whole event list in one task (q121's scaladoc bounds the
+    // contract to bounded keys; this measures the hot-key cost).
+    "q121_array_agg_order")
 
   private val SweepQueries = Seq("q58_curated_pipeline",
     "q52_training_pipeline", "q73_tfidf", "q79_interpolate",

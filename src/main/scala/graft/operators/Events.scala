@@ -302,7 +302,11 @@ object Events {
     * DuckDB's NATIVE `time_bucket(INTERVAL, ts, origin)` —
     * independent encodings. The :05 origin and 15-minute stride make
     * a wrong origin shift every bucket boundary, value-visible on
-    * every row.
+    * every row. Caveat the gate corpus never hits: integer `div`
+    * truncates toward zero, so timestamps BEFORE the origin would
+    * bin one stride high vs PG/time_bucket's floor — binning a
+    * pre-origin corpus needs `floor_div` (subtract (stride−1) from
+    * negative deltas first).
     */
   def dateBin(spark: SparkSession, dir: String): DataFrame = {
     val strideUs = 15L * 60 * 1000 * 1000
