@@ -135,4 +135,51 @@ class DocumentStreamsSpec extends AnyFunSuite {
       }
     } finally spark.sql("drop view if exists wres_docs")
   }
+
+  test("weighted reservoir state survives a checkpointed restart") {
+    val base = java.nio.file.Files.createTempDirectory("wresume").toString
+    val srcDir = s"$base/src/documents.parquet"
+    val chkDir = s"$base/chk"
+    val raw = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val Array(first, second) = raw.randomSplit(Array(0.5, 0.5), seed = 11)
+    val buf =
+      new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      Long) => Unit = (df, id) => {
+      val rows = df.collect().map(r => (id, r.getString(0), r.getLong(2)))
+      buf.synchronized { buf ++= rows: Unit }
+    }
+    def runOnce(): Unit = {
+      val q = DocumentStreams.weightedReservoir(
+          DocumentStreams.readDocumentStream(spark, s"$base/src"), 20)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+    }
+    first.write.mode("overwrite").parquet(srcDir)
+    runOnce()
+    buf.synchronized(buf.clear())
+    // New files arrive; the RESTARTED query must merge them into the
+    // checkpointed reservoir state, not start a fresh draw.
+    second.write.mode("append").parquet(srcDir)
+    runOnce()
+    val run2 = buf.synchronized(buf.toVector)
+    assert(run2.nonEmpty, "resumed run emitted nothing")
+    val lastBatch = run2.map(_._1).max
+    val got = run2.filter(_._1 == lastBatch)
+      .groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    // first ∪ second = the full corpus, so a surviving reservoir must
+    // equal the batch draw over it; a reset one would have drawn from
+    // the second half only.
+    val want = Curation.weightedSample(spark, TestSpark.sf, 20).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (lang, ids) =>
+      assert(ids === want(lang), s"stratum $lang lost state across restart")
+    }
+  }
 }
