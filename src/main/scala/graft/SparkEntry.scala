@@ -198,7 +198,8 @@ object SparkEntry {
     "q133_filtered_ann" -> ((s: SparkSession, d: String) =>
       Similarity.filteredIvfTopK(s, d)),
     "q134_std_strings" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, stdStringsSql))
+      Flaco.sql(s, d, stdStringsSql)),
+    "q135_cluster_canon" -> (Dedup.clusterCanonical _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1155,6 +1156,28 @@ object SparkEntry {
          |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a)
          |SELECT n AS doc_id, least(n, min(m)) AS cluster_rep
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    // q135: the q43 closure composed with canonical-survivor
+    // selection — oracle picks the keep-longest survivor via its own
+    // window rank (vs the engine's TopKRows k=1 heap).
+    "q135_cluster_canon" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT a, b FROM j WHERE jaccard >= 0.2),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (SELECT a AS n, b AS m FROM edges
+         |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a),
+         |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_rep
+         |  FROM reach GROUP BY n),
+         |mem AS (SELECT cl.cluster_rep, cl.doc_id, d.n_chars
+         |  FROM cl JOIN documents d USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_rep
+         |    ORDER BY n_chars DESC, doc_id) AS rk FROM mem),
+         |sz AS (SELECT cluster_rep, count(*) AS n_members FROM mem
+         |  GROUP BY cluster_rep)
+         |SELECT r.cluster_rep, sz.n_members, r.doc_id AS canon_doc,
+         |  r.n_chars AS canon_chars
+         |FROM r JOIN sz USING (cluster_rep) WHERE r.rk = 1
+         |ORDER BY r.cluster_rep""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH $embedNearDupCtes

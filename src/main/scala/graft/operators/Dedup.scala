@@ -330,6 +330,38 @@ object Dedup {
       .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
       .orderBy(col("doc_id"))
 
+  /** Canonical-survivor selection (q135) — the policy step after
+    * clustering that actually DEDUPES: per near-dup cluster keep one
+    * document, here by the standard keep-the-longest rule with
+    * doc_id as the total tiebreak. The rank-over-cluster plans
+    * through the injected rewrite as a k=1 TopKRows heap per
+    * (cluster, partition) — the q76 DISTINCT ON shape — and the
+    * member count rides the same shuffle as a sibling aggregate, so
+    * canonicalization adds ONE map-side-combinable pass over the
+    * cluster table (clusters ≪ corpus). Output: one row per
+    * cluster, its size, the surviving doc and the chars kept.
+    */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    val members = dedupClusters(spark, dir)
+      .join(graft.sources.Corpus.read(spark0, dir, "documents")
+        .select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val canon = members
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("canon_doc"),
+        col("n_chars").as("canon_chars"))
+    val sizes = members.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+    canon.join(sizes, Seq("cluster_rep"))
+      .select(col("cluster_rep"), col("n_members"), col("canon_doc"),
+        col("canon_chars"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** Min-label + pointer-jumping connected components over an
     * undirected pair set `(a, b)` — the reusable core of
     * [[dedupClusters]], also applicable to any near-dup pair source
