@@ -199,7 +199,8 @@ object SparkEntry {
       Similarity.filteredIvfTopK(s, d)),
     "q134_std_strings" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, stdStringsSql)),
-    "q135_cluster_canon" -> (Dedup.clusterCanonical _)
+    "q135_cluster_canon" -> (Dedup.clusterCanonical _),
+    "q136_json_agg" -> (Events.orderedJsonAgg _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -2616,6 +2617,18 @@ object SparkEntry {
         |  md5(array_to_string(
         |    (array_agg(CAST(x AS VARCHAR) ORDER BY us, event_id))[1:5],
         |    ' ')) AS first5_fp
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q136: DuckDB's native ordered array_agg sliced THEN serialized
+    // by its own JSON writer — the hash covers the exact JSON bytes
+    // both engines print for the ordered payload.
+    "q136_json_agg" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  to_json((array_agg(struct_pack(u := us, x := x)
+        |    ORDER BY us, event_id))[1:3])::VARCHAR AS first3_json
         |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q122: the DEFINITIONAL encoding of FETCH FIRST 48 WITH TIES —

@@ -352,6 +352,34 @@ object Events {
             e => e.getField("x").cast("string")), " ")).as("first5_fp"))
       .orderBy(col("user_id"))
 
+  /** PG's `json_agg(x ORDER BY …)` export surface (q136): aggregate
+    * rows into a JSON ARRAY document — the "ship a grouped payload
+    * to an API/doc store" ELT step. Ordering is ENCODED exactly as
+    * q121 (collect structs keyed by the unique (us, event_id)
+    * prefix, array_sort, slice) and the serialized text is Spark's
+    * `to_json` over the sliced array — compact `[{"u":…,"x":…}]`
+    * with struct-declaration key order, which DuckDB's
+    * `to_json(array_agg(struct_pack(…) ORDER BY …)[1:3])` prints
+    * byte-identically, so the gate hash covers the exact JSON BYTES
+    * both engines emit. Integer-only payload fields keep number
+    * formatting trivially identical (doubles would re-open the
+    * engine-formatting question and belong behind an explicit
+    * round/CAST).
+    */
+  def orderedJsonAgg(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), micros.as("us"),
+        cents.as("x"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        collect_list(struct(col("us"), col("event_id"), col("x")))
+          .as("obs"))
+      .select(col("user_id"), col("n_events"),
+        to_json(transform(slice(array_sort(col("obs")), 1, 3),
+          e => struct(e.getField("us").as("u"), e.getField("x").as("x"))))
+          .as("first3_json"))
+      .orderBy(col("user_id"))
+
   /** Ordered conversion funnel view → click → purchase: a user
     * reaches stage 2 only with a click STRICTLY AFTER their first
     * view, stage 3 only with a purchase strictly after that first
