@@ -231,6 +231,26 @@ class Breadth9Spec extends AnyFunSuite {
     }
   }
 
+  test("json_agg emits the exact bytes of the ordered payload") {
+    val events = graft.sources.Corpus.read(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = events.groupBy(_._1).view.mapValues { g =>
+      g.sortBy(e => (e._3, e._2)).take(3)
+        .map(e => s"""{"u":${e._3},"x":${e._4}}""")
+        .mkString("[", ",", "]")
+    }.toMap
+    val got = Events.orderedJsonAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (uid, json) =>
+      assert(json === want(uid), s"user $uid JSON bytes")
+    }
+  }
+
   test("multi-distinct aggregate plans one Expand, not self-joins") {
     val plan = Relational.distinctAggs(spark, sf)
       .queryExecution.optimizedPlan
