@@ -378,7 +378,7 @@ object Dedup {
     * no-op here: it only evicts CacheManager entries, and checkpoint
     * blocks live as persisted RDD blocks).
     */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+  private[graft] def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.logical.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }

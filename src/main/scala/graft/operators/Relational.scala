@@ -869,6 +869,14 @@ object Relational {
     // rounds-deep union.
     var reached = base
     var frontier = base
+    // Checkpoint-block handles for EAGER release (the
+    // [[Dedup.connectedComponents]] pattern): each round supersedes
+    // the previous round's `reached` and `frontier` blocks, and
+    // without an explicit `RDD.unpersist` they sit in the block
+    // manager until session end — O(depth × output) storage for a
+    // loop whose live state is O(output).
+    var reachedRdd = Dedup.checkpointRdd(reached)
+    var frontierRdd = reachedRdd
     var newRows = 1L
     var rounds = 0
     // Depth ≤ log₂(max key); 64 is an infinite-loop guard, not a
@@ -888,10 +896,26 @@ object Relational {
       newRows = Option(obs.get("n_new")).map(_.asInstanceOf[Long]).getOrElse(0L)
       if (newRows > 0) {
         reached = reached.union(next).localCheckpoint(true)
+        // The new accumulated table is materialized; the old one and
+        // the old frontier (round 0: the same base RDD — unpersist
+        // once) are no longer referenced by anything downstream.
+        val nextRdd = Dedup.checkpointRdd(next)
+        reachedRdd.foreach(_.unpersist(false))
+        frontierRdd.filterNot(r => reachedRdd.exists(_ eq r))
+          .foreach(_.unpersist(false))
+        reachedRdd = Dedup.checkpointRdd(reached)
+        frontierRdd = nextRdd
         frontier = next
+      } else {
+        // Converged: the empty delta's checkpoint is dead on arrival.
+        Dedup.checkpointRdd(next).foreach(_.unpersist(false))
       }
       rounds += 1
     }
+    // The last frontier's rows are a subset of `reached` (already
+    // unioned in); only the final accumulated table stays persisted.
+    frontierRdd.filterNot(r => reachedRdd.exists(_ eq r))
+      .foreach(_.unpersist(false))
     if (newRows > 0)
       System.err.println(s"[ancestorClosureDistinct] round cap hit at $rounds")
     reached.orderBy(col("node"), col("anc"))
