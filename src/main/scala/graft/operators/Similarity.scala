@@ -79,14 +79,21 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3,
       nprobe: Int = 2, ncells: Int = 16): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")
-    val cents = e.filter(col("vec_id") < ncells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    ivfSearch(e, firstNCentroids(e, ncells), k, nprobe)
+  }
+
+  /** IVF search against an explicit centroid relation — the shared
+    * core of [[ivfTopK]] (deterministic first-`ncells` centroids) and
+    * [[trainedIvfTopK]] (k-means-fitted centroids). Search-time cells
+    * come from the SAME assignment relation the stored layout uses
+    * ([[cellAssignmentsFor]]), so index build and search can never
+    * disagree on a vector's cell.
+    */
+  private def ivfSearch(e: DataFrame, cents: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     val scored = e.crossJoin(broadcast(cents))
       .withColumn("s", round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
-    // Search-time cells come from the SAME assignment relation the
-    // stored layout uses — one definition, so index build and search
-    // can never disagree on a vector's cell.
-    val cells = cellAssignments(spark, dir, ncells)
+    val cells = cellAssignmentsFor(e, cents)
     // nprobe cells per QUERY: the rank runs over queries only (the
     // filter prunes the crossJoin to the query rows before ranking),
     // and the rank-limit rewrite plans it as a bounded top-k.
@@ -111,6 +118,75 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"), col("sim"))
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The deterministic centroid stand-in (first `ncells` vectors) —
+    * q31b's fit-free baseline, and the INIT of the k-means fit.
+    */
+  private def firstNCentroids(e: DataFrame, ncells: Int): DataFrame =
+    e.filter(col("vec_id") < ncells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** K-means-trained IVF centroids: `iters` distributed Lloyd rounds
+    * from the deterministic init (first `ncells` vectors). Each round
+    * is two map-side-combinable aggregates — no driver-side data:
+    *
+    *   - ASSIGN: per-vector argmax of cosine against the broadcast
+    *     centroids (the [[cellAssignmentsFor]] `max_by` shape — one
+    *     partial aggregate per scan partition, one row per vector
+    *     into the exchange);
+    *   - UPDATE: per-(cell, dimension) mean via posexplode + partial
+    *     avg — each scan partition emits at most ncells × dim partial
+    *     (sum, count) rows — reassembled into centroid vectors by an
+    *     ordered collect over the ncells × dim mean rows.
+    *
+    * Determinism for the q31c oracle (DuckDB unrolls the SAME rounds
+    * from the same init): sims are rounded at 1e-6 before the argmax
+    * and means at 1e-6 before the float cast, so double summation
+    * ORDER — Spark merges partials in partition order, DuckDB sums
+    * sequentially — sits 7+ orders below anything that could flip an
+    * assignment. Centroids stay `array<float>` so every downstream
+    * cosine takes the one [[graft.functions.CosineSimilarity]] input
+    * type; the float rounding is replayed in the oracle (CAST AS
+    * REAL). A cell that loses all members simply drops out of the
+    * relation on both sides.
+    *
+    * Cosine assignment + unnormalized mean update is spherical
+    * k-means' standard relaxation (cosine is scale-invariant in the
+    * centroid, so skipping the normalize step changes nothing).
+    * Lloyd's guarantee is on the QUANTIZER objective (mean assigned
+    * cosine, non-decreasing per round — SimilaritySpec measures
+    * 0.245 → 0.311 → 0.324 on the fixture); recall at fixed nprobe
+    * follows on clustered data, while on a uniform-random corpus it
+    * is flat by construction (no cluster structure to recover —
+    * the spec pins trained ≥ init at nprobe 4 plus the objective
+    * trajectory).
+    */
+  def trainedCentroids(spark: SparkSession, dir: String,
+      ncells: Int = 16, iters: Int = 2): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    var cents = firstNCentroids(e, ncells)
+    for (_ <- 1 to iters) {
+      val assign = cellAssignmentsFor(e, cents)
+      cents = assign.join(e, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("cid"), col("i"))
+        .agg(round(avg(col("v").cast("double")), 6).as("mv"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, mv)))," +
+          " x -> CAST(x.mv AS FLOAT))").as("ce"))
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with k-means-trained centroids (q31c). nprobe
+    * defaults to 4: the fixture's recall crossover (SimilaritySpec) —
+    * at scale nprobe is the recall/cost dial either way.
+    */
+  def trainedIvfTopK(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 4, ncells: Int = 16, iters: Int = 2): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    ivfSearch(e, trainedCentroids(spark, dir, ncells, iters), k, nprobe)
   }
 
   /** Hybrid filtered ANN (q133) — vector search under a metadata
@@ -177,13 +253,19 @@ object Similarity {
   def cellAssignments(spark: SparkSession, dir: String,
       ncells: Int = 16): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")
-    val cents = e.filter(col("vec_id") < ncells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    cellAssignmentsFor(e, firstNCentroids(e, ncells))
+  }
+
+  /** The argmax assignment against an explicit centroid relation —
+    * shared by [[cellAssignments]], [[ivfSearch]] and the k-means
+    * ASSIGN step, so layout, search and training all agree on every
+    * vector's cell by construction.
+    */
+  def cellAssignmentsFor(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("s", round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("s"), -col("cid"))).as("cid"))
-  }
 
   /** LSH-bucketed approximate top-k with multi-probe: each query
     * probes its own bucket plus every bucket at Hamming distance 1

@@ -228,6 +228,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means IVF: Lloyd objective strictly improves per round, " +
+      "recall at nprobe 4 >= the arbitrary-centroid baseline") {
+    // The Lloyd guarantee is on the QUANTIZER objective — mean cosine
+    // of every vector to its assigned centroid — which must improve
+    // strictly on this fixture (0.245 -> 0.311 -> 0.324). Recall at
+    // fixed nprobe is the derived benefit; on a uniform-random corpus
+    // it is flat by construction, so the pin is >= (it crosses over
+    // at nprobe 4 here, strictly better on clustered data).
+    import org.apache.spark.sql.DataFrame
+    def objective(cents: DataFrame): Double =
+      graft.sources.Corpus.read(spark, sf, "embeddings")
+        .crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+        .withColumn("s", org.apache.spark.sql.functions.round(
+          graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
+        .groupBy(col("vec_id"))
+        .agg(org.apache.spark.sql.functions.max(col("s")).as("best"))
+        .agg(org.apache.spark.sql.functions.avg(col("best")))
+        .head().getDouble(0)
+    // iters = 0 is the un-trained init (first-ncells centroids).
+    val obj = (0 to 2).map(it =>
+      objective(Similarity.trainedCentroids(spark, sf, 16, it)))
+    assert(obj(1) > obj(0) + 1e-3,
+      s"Lloyd round 1 did not improve the objective: $obj")
+    assert(obj(2) > obj(1) + 1e-3,
+      s"Lloyd round 2 did not improve the objective: $obj")
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = pairs(Similarity.bruteTopK(spark, sf, k = 3))
+    val base = pairs(Similarity.ivfTopK(spark, sf, k = 3, nprobe = 4))
+    val trained = pairs(Similarity.trainedIvfTopK(spark, sf, k = 3, nprobe = 4))
+    val recallBase = (base & truth).size.toDouble / truth.size
+    val recallTrained = (trained & truth).size.toDouble / truth.size
+    assert(recallTrained >= recallBase,
+      s"trained recall $recallTrained < baseline $recallBase")
+    assert(recallTrained > 0.5, s"implausibly low recall $recallTrained")
+  }
+
   test("approx_percentile tracks the exact percentiles") {
     val exact = Events.valuePercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
