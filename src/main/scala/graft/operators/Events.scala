@@ -149,6 +149,41 @@ object Events {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** PG's MULTI-percentile ordered-set form (q115b) —
+    * `percentile_cont(ARRAY[0.25,0.5,0.75,0.9]) WITHIN GROUP
+    * (ORDER BY x)`: ONE sort per group serving many cut points,
+    * the shape a reporting user reaches for immediately after the
+    * scalar q115. Spark's array-fraction `percentile(x, array(…))`
+    * is the same contract (single sort-based aggregate, one output
+    * slot per fraction); the oracle runs DuckDB's native
+    * `percentile_cont(ARRAY…) WITHIN GROUP`. Raw array columns
+    * don't hash-compare stably cross-engine (the q121 finding), so
+    * both sides extract the slots to scalar columns from the ONE
+    * array-valued aggregate — the plan still computes a single
+    * multi-cut sort, which is the surface under test. Integer-cent
+    * inputs, rounded at 6 like q115 (interpolation-form ulp only).
+    *
+    * Scale: exact multi-percentile is a per-group sort — fine when
+    * groups are many and modest (here); for corpus-scale groups the
+    * sketch twin is `approx_percentile(x, array(…))` (q96's detail
+    * shape), one mergeable pass, no sort.
+    */
+  def multiPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(x, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        round(col("ps")(0), 6).as("p25"),
+        round(col("ps")(1), 6).as("p50"),
+        round(col("ps")(2), 6).as("p75"),
+        round(col("ps")(3), 6).as("p90"),
+        col("n"))
+      .orderBy(col("event_type"))
+
   /** Statistical aggregate battery per event type: sample
     * stddev/variance, exact median (sort + midpoint interpolation in
     * both engines), Pearson correlation and sample covariance against
