@@ -63,6 +63,8 @@ object SparkEntry {
     "q38_topk_agg" -> (Relational.topkAgg _),
     "q39_token_classes" -> (TextAnalysis.tokenClasses _),
     "q31b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q31c_ann_ivf_trained" -> ((s: SparkSession, d: String) =>
+      Similarity.trainedIvfTopK(s, d)),
     "q40_range_join" -> ((s: SparkSession, d: String) => Temporal.eventBurstCounts(s, d)),
     "q43_dedup_clusters" -> (Dedup.dedupClusters _),
     "q41_percentiles" -> (Events.valuePercentiles _),
@@ -167,6 +169,7 @@ object SparkEntry {
       Flaco.sql(s, d, ordinalitySparkSql)),
     "q115_percentile_cont" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, percentileContSql)),
+    "q115b_percentile_array" -> (Events.multiPercentiles _),
     "q117_named_window" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, namedWindowSql)),
     "q118_ignore_nulls" -> (Events.ignoreNullsWindows _),
@@ -854,6 +857,35 @@ object SparkEntry {
       |    sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
       |    sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb""".stripMargin
 
+  /** One DuckDB k-means scoring block: rounded cosine of every vector
+    * against centroid relation `c` → `sc$tag(vec_id, cid, s)`. The
+    * q31c oracle unrolls the engine's Lloyd rounds with these.
+    */
+  private def kmeansScoreCtes(c: String, tag: String): String =
+    s"""ax$tag AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
+       |    unnest(range(1, 65)) AS i
+       |  FROM embeddings v CROSS JOIN $c c),
+       |su$tag AS (SELECT vec_id, cid,
+       |    $cosinePairSql
+       |  FROM ax$tag GROUP BY vec_id, cid),
+       |sc$tag AS (SELECT vec_id, cid, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s FROM su$tag)""".stripMargin
+
+  /** One DuckDB Lloyd UPDATE block over `sc$tag` scores: argmax cell
+    * per vector, per-(cell, dim) mean rounded at 6 then cast to REAL
+    * (the engine's float centroids), reassembled into `$out(cid, ce)`.
+    */
+  private def kmeansUpdateCtes(tag: String, out: String): String =
+    s"""cell$tag AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |  FROM sc$tag) WHERE rn = 1),
+       |mx$tag AS (SELECT a.cid, v.embedding AS ea, unnest(range(1, 65)) AS i
+       |  FROM cell$tag a JOIN embeddings v USING (vec_id)),
+       |m$tag AS (SELECT cid, i,
+       |    CAST(round(avg(CAST(ea[i] AS DOUBLE)), 6) AS REAL) AS mv
+       |  FROM mx$tag GROUP BY cid, i),
+       |$out AS (SELECT cid, array_agg(mv ORDER BY i) AS ce FROM m$tag GROUP BY cid)""".stripMargin
+
   /** Sign-LSH bucketed embedding near-dup pipeline as CTEs ending in
     * `sim` (vec pairs with cosine) — shared by q29 and q50.
     */
@@ -1422,6 +1454,42 @@ object SparkEntry {
          |  FROM ascore),
          |cells AS (SELECT vec_id, cid FROM ar WHERE rn = 1),
          |probes AS (SELECT vec_id AS qid, cid FROM ar WHERE vec_id < 20 AND rn <= 2),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |cand AS (SELECT p.qid, cells.vec_id AS vb FROM probes p
+         |  JOIN cells USING (cid) WHERE cells.vec_id <> p.qid),
+         |x AS (SELECT cand.qid, cand.vb, q.qe AS ea, e.embedding AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM cand JOIN q USING (qid) JOIN embeddings e ON e.vec_id = cand.vb),
+         |s AS (SELECT qid, vb,
+         |    $cosinePairSql
+         |  FROM x GROUP BY qid, vb),
+         |sim AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
+         |r AS (SELECT qid, vb, sim, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
+         |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin,
+
+    // q31c: the q31b replay with k-means-TRAINED centroids — two
+    // Lloyd rounds unrolled from the same deterministic init (first
+    // 16 vectors), each round = argmax assignment over 1e-6-rounded
+    // cosines + per-(cell, dim) means rounded at 1e-6 and cast to
+    // REAL (the engine's float centroid arrays), then the IVF search
+    // against the fitted centroids at nprobe 4.
+    "q31c_ann_ivf_trained" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce
+         |    FROM embeddings WHERE vec_id < 16),
+         |${kmeansScoreCtes("c0", "0")},
+         |${kmeansUpdateCtes("0", "c1")},
+         |${kmeansScoreCtes("c1", "1")},
+         |${kmeansUpdateCtes("1", "c2")},
+         |${kmeansScoreCtes("c2", "2")},
+         |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc2) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc2) WHERE vec_id < 20 AND rn <= 4),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
          |cand AS (SELECT p.qid, cells.vec_id AS vb FROM probes p
          |  JOIN cells USING (cid) WHERE cells.vec_id <> p.qid),
@@ -2588,6 +2656,25 @@ object SparkEntry {
     "q112_null_safe" -> nullSafeSql,
     "q113_bool_agg" -> boolAggSql,
     "q115_percentile_cont" -> percentileContSql,
+
+    // q115b: PG's multi-percentile ordered-set form, DuckDB-native —
+    // percentile_cont(ARRAY[…]) WITHIN GROUP, ONE sort per group
+    // serving four cut points, slots extracted to scalars because raw
+    // array columns don't hash-compare stably cross-engine (q121
+    // finding). Engine side: Spark's array-fraction `percentile`.
+    "q115b_percentile_array" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |p AS (SELECT event_type,
+        |    percentile_cont(ARRAY[0.25, 0.5, 0.75, 0.9])
+        |      WITHIN GROUP (ORDER BY x) AS ps,
+        |    count(*) AS n
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type,
+        |  round(ps[1], 6) AS p25, round(ps[2], 6) AS p50,
+        |  round(ps[3], 6) AS p75, round(ps[4], 6) AS p90, n
+        |FROM p ORDER BY event_type""".stripMargin,
+
     "q117_named_window" -> namedWindowSql,
     "q119_limit_offset" -> limitOffsetSql,
 
