@@ -82,6 +82,48 @@ object ScaleFixtures {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** customer at `factor`× rows for the q108b recursion sweep: keys
+    * offset per copy by factor·(max+1) so they stay unique. NOTE the
+    * closure's round count grows with log₂(max key), so a 10× twin
+    * runs both ~10× the per-round volume AND ~log₁₀(10·maxKey)/
+    * log₁₀(maxKey) more rounds — SCALING.md's fit separates the two.
+    */
+  def replicatedCustomer(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): Unit = {
+    val c = Corpus.read(spark, srcDir, "customer")
+    val maxCk = c.agg(max(col("c_custkey"))).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      c.withColumn("c_custkey", col("c_custkey") + lit(k * maxCk))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+  }
+
+  /** documents twin with a HOT NEAR-DUP CLUSTER: every doc_id ≡ 0
+    * (mod denom) keeps its identity but takes the corpus's first
+    * document's text plus a tiny per-doc suffix — ~1/denom of the
+    * corpus becomes ONE near-duplicate cluster (high pairwise
+    * Jaccard, shared LSH buckets, shared shingles). This is the
+    * adversarial shape the LSH hot-bucket caps and the containment
+    * df-caps exist for: without them, candidate pairs inside the
+    * cluster grow quadratically (C(n/denom, 2)). The suffix keeps
+    * texts distinct so exact-hash dedup can't collapse them first.
+    * Returns the cluster size.
+    */
+  def skewedDocuments(spark: SparkSession, srcDir: String,
+      outDir: String, denom: Int = 10): Long = {
+    val docs = Corpus.read(spark, srcDir, "documents")
+    val baseText = docs.orderBy(col("doc_id")).select(col("text"))
+      .head().getString(0)
+    val out = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(denom.toLong)) === 0,
+          concat(lit(baseText), lit(" v"), col("doc_id")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    out.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    Corpus.read(spark, outDir, "documents")
+      .filter(pmod(col("doc_id"), lit(denom.toLong)) === 0).count()
+  }
+
   /** lineitem at `factor`× rows for the skew×scale sweep: order and
     * supplier keys offset per copy (so per-supplier window-partition
     * sizes stay the sf-level baseline until [[skewedLineitem]]
@@ -120,6 +162,14 @@ object ScaleFixtures {
   *     reporting the observed scaling exponent log_k(t_k / t_1)
   *     per query.
   *
+  *   runMain graft.Sweep skewdocs <srcDir> <workDir> [factor]
+  *     dedup/similarity under skew × scale: replicates documents
+  *     factor× FIRST, then concentrates ~10% of the replicated
+  *     corpus into ONE near-dup cluster — the hot-bucket/df-cap
+  *     stress (candidate pairs inside the cluster would otherwise
+  *     grow quadratically). Times the LSH/containment/CC family on
+  *     uniform-k× vs hot-k× and reports ratios.
+  *
   * Timing mirrors Bench: min-of-2 fully-materialized (noop write)
   * runs, caches cleared between queries.
   */
@@ -133,6 +183,9 @@ object Sweep {
     // whole event list in one task (q121's scaladoc bounds the
     // contract to bounded keys; this measures the hot-key cost).
     "q121_array_agg_order")
+
+  private val DocSkewQueries = Seq("q27_ngram_jaccard",
+    "q28_minhash_lsh", "q43_dedup_clusters", "q89_containment")
 
   private val SweepQueries = Seq("q58_curated_pipeline",
     "q52_training_pipeline", "q73_tfidf", "q79_interpolate",
@@ -207,11 +260,29 @@ object Sweep {
         // output-linear trio at a deeper factor).
         val names = if (args.length > 4) args.drop(4).toSeq else SweepQueries
         ScaleFixtures.replicated(spark, srcDir, workDir, factor)
+        // The q108b closure walks customer keys — replicate them too
+        // (cheap; only sweeps that list q108b read the table).
+        ScaleFixtures.replicatedCustomer(spark, srcDir, workDir, factor)
         val lines = names.map { q =>
           val t1 = minOf2(q, srcDir)
           val tk = minOf2(q, workDir)
           val exp = math.log(tk / t1) / math.log(factor.toDouble)
           f""""$q": {"t1": $t1%.3f, "t$factor": $tk%.3f, "exponent": $exp%.2f}"""
+        }
+        println(lines.mkString("SWEEP_RESULT {", ", ", "}"))
+      case "skewdocs" =>
+        val factor = if (args.length > 3) args(3).toInt else 10
+        val baseDir = s"$workDir/base"
+        val hotDir = s"$workDir/hot"
+        ScaleFixtures.replicated(spark, srcDir, baseDir, factor)
+        val clusterSize = ScaleFixtures.skewedDocuments(spark, baseDir, hotDir)
+        val total = Corpus.read(spark, hotDir, "documents").count()
+        println(f"[skewdocs] hot near-dup cluster: $clusterSize/$total docs " +
+          f"(${100.0 * clusterSize / total}%.1f%%)")
+        val lines = DocSkewQueries.map { q =>
+          val tu = minOf2(q, baseDir)
+          val ts = minOf2(q, hotDir)
+          f""""$q": {"uniform": $tu%.3f, "hot": $ts%.3f, "ratio": ${ts / tu}%.2f}"""
         }
         println(lines.mkString("SWEEP_RESULT {", ", ", "}"))
       case other => sys.error(s"unknown mode $other")
