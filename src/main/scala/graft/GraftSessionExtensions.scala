@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleJaccard, SimHash32, SortedShingles, TopGramCount}
+import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleJaccard, SimHash32, SortedShingles, TopGramCount, WidthBucket}
 import graft.plans.RankLimitToTopK
 
 /** Arity-validating function builders — ONE definition shared by the
@@ -89,6 +89,12 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       case es => throw new FlacoSparkException(
         "chunk_tokens expects chunk and stride to be literal positive " +
           s"integers; got chunk=${es(1).sql}, stride=${es(2).sql}")
+    })
+    // width_bucket(operand, b1, b2, count) — PG's histogram bucketing.
+    inject(ext, "width_bucket", classOf[WidthBucket], {
+      case Seq(a, b, c, d) => WidthBucket(a, b, c, d)
+      case es => throw new FlacoSparkException(
+        s"width_bucket expects exactly 4 arguments, got ${es.length}")
     })
     ext.injectOptimizerRule(_ => RankLimitToTopK)
   }

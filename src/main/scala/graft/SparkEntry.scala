@@ -203,7 +203,13 @@ object SparkEntry {
     "q134_std_strings" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, stdStringsSql)),
     "q135_cluster_canon" -> (Dedup.clusterCanonical _),
-    "q136_json_agg" -> (Events.orderedJsonAgg _)
+    "q136_json_agg" -> (Events.orderedJsonAgg _),
+    "q137_semdedup" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedup(s, d)),
+    "q138_width_bucket" -> (Events.widthBucketHistogram _),
+    "q139_date_format" -> (Relational.dateFormatBattery _),
+    "q140_bit_aggs" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, bitAggSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -389,6 +395,24 @@ object SparkEntry {
       |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** One SQL text, two planners: PG's bitwise AGGREGATES — bit_and /
+    * bit_or / bit_xor over grouped keys ([[Relational.bitBattery]]'s
+    * q98 covers the scalar operators; this covers the aggregate
+    * forms, which reduce with one map-side-combinable pass). The
+    * names and BIGINT-in/BIGINT-out types agree across Spark and
+    * DuckDB, so one text runs on both planners. XOR over the
+    * odd-count l_linenumber groups makes the fold order-insensitive
+    * but content-sensitive (any dropped/duplicated row flips bits).
+    */
+  private val bitAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  bit_and(l_orderkey) AS k_and,
+      |  bit_or(l_orderkey) AS k_or,
+      |  bit_xor(l_orderkey * 31 + l_linenumber) AS k_xor,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** One SQL text, two planners: the SQL-standard ordered-set
     * spelling `percentile_cont(f) WITHIN GROUP (ORDER BY …)` — q41
@@ -1505,6 +1529,36 @@ object SparkEntry {
          |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
          |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin,
+
+    // q137: SemDedup replay — the SAME two unrolled Lloyd rounds as
+    // q31c (shared CTE builders) to reproduce the engine's k-means
+    // cells, then within-cell pairs only (va < vb), rounded cosine
+    // >= 0.3, dropped = has any lower-id in-cell near-dup.
+    "q137_semdedup" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce
+         |    FROM embeddings WHERE vec_id < 16),
+         |${kmeansScoreCtes("c0", "0")},
+         |${kmeansUpdateCtes("0", "c1")},
+         |${kmeansScoreCtes("c1", "1")},
+         |${kmeansUpdateCtes("1", "c2")},
+         |${kmeansScoreCtes("c2", "2")},
+         |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc2) WHERE rn = 1),
+         |wc AS (SELECT c.vec_id, c.cid, e.embedding
+         |  FROM cells c JOIN embeddings e USING (vec_id)),
+         |px AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    a.embedding AS ea, b.embedding AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |ps AS (SELECT va, vb,
+         |    $cosinePairSql
+         |  FROM px GROUP BY va, vb),
+         |f AS (SELECT va, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s FROM ps)
+         |SELECT vb AS dropped_vec, min(va) AS dup_of, max(s) AS max_sim,
+         |  count(*) AS n_dups
+         |FROM f WHERE s >= 0.3 GROUP BY vb ORDER BY dropped_vec""".stripMargin,
 
     // q133: the q31b first-principles IVF replay with the metadata
     // predicate (candidate label = query label) applied between
@@ -2677,6 +2731,48 @@ object SparkEntry {
 
     "q117_named_window" -> namedWindowSql,
     "q119_limit_offset" -> limitOffsetSql,
+    "q140_bit_aggs" -> bitAggSql,
+
+    // q138: the published width_bucket contract restated from FIRST
+    // PRINCIPLES (this DuckDB predates native width_bucket) — CASE
+    // branches for the underflow/overflow buckets, multiply-before-
+    // divide floor arithmetic in the engine kernel's association so
+    // the IEEE doubles agree bit-for-bit. Both the ascending and the
+    // descending-bounds mirror, exact-cent min/max per cell.
+    "q138_width_bucket" ->
+      """WITH b AS (SELECT event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN value < 50.0 THEN 0
+        |         WHEN value >= 450.0 THEN 9
+        |         ELSE CAST(floor(8.0 * (value - 50.0) / 400.0) AS BIGINT) + 1
+        |    END AS b_asc,
+        |    CASE WHEN value > 450.0 THEN 0
+        |         WHEN value <= 50.0 THEN 9
+        |         ELSE CAST(floor(8.0 * (450.0 - value) / 400.0) AS BIGINT) + 1
+        |    END AS b_desc
+        |  FROM events)
+        |SELECT event_type, b_asc, b_desc, count(*) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM b GROUP BY event_type, b_asc, b_desc
+        |ORDER BY event_type, b_asc, b_desc""".stripMargin,
+
+    // q139: C-style strftime vs the engine's Java DateTimeFormatter
+    // patterns — two unrelated pattern languages rendering the same
+    // English names (DuckDB strftime is C-locale; Spark formats
+    // under Locale.US) and zero-padded numerics.
+    "q139_date_format" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  strftime(d, '%Y-%m') AS ym,
+        |  strftime(d, '%Y%m%d') AS ymd_compact,
+        |  strftime(d, '%a') AS dow_abbrev,
+        |  strftime(d, '%A') AS dow_full,
+        |  strftime(d, '%b') AS mon_abbrev,
+        |  strftime(d, '%B') AS mon_full,
+        |  strftime(d, '%j') AS doy_padded,
+        |  strftime(d, '%a, %d %b %Y') AS report_label
+        |FROM b ORDER BY o_orderkey""".stripMargin,
 
     // q120: DuckDB's NATIVE correlated quantified comparisons vs the
     // engine's aggregate+CASE three-valued emulation (Spark has no

@@ -184,6 +184,40 @@ object Events {
         col("n"))
       .orderBy(col("event_type"))
 
+  /** PG `width_bucket` equi-width histogram (q137) over event values
+    * — the reporting primitive behind every value-distribution chart.
+    * Both the ascending form (underflow bucket 0, overflow n+1) and
+    * PG's DESCENDING-bounds mirror are exercised on the same rows;
+    * the bounds (50, 450, 8 buckets) land real events in all of
+    * underflow/interior/overflow at both gate SFs, and the boundary
+    * rows discriminate the two forms (ascending assigns v = lo to
+    * bucket 1 via `>= lo`, descending assigns v = b2 to overflow via
+    * `<= b2` — not a pure mirror). Exact-cent min/max per cell make
+    * every edge assignment value-visible. The engine side is the
+    * codegen'd [[graft.functions.WidthBucket]] kernel; the oracle
+    * restates the published contract as CASE + floor arithmetic
+    * (this DuckDB predates native width_bucket) — independent
+    * encodings of PG's documented semantics.
+    *
+    * Scale: per-row projection fused into the scan + one map-side-
+    * combinable count/min/max aggregate on a (5 × ~11)-key space —
+    * the cheapest shape an aggregation can take.
+    */
+  def widthBucketHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WidthBucketFunctions.width_bucket
+    Corpus.read(spark, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        width_bucket(col("value"), lit(50.0), lit(450.0), lit(8))
+          .as("b_asc"),
+        width_bucket(col("value"), lit(450.0), lit(50.0), lit(8))
+          .as("b_desc"))
+      .groupBy(col("event_type"), col("b_asc"), col("b_desc"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("event_type"), col("b_asc"), col("b_desc"))
+  }
+
   /** Statistical aggregate battery per event type: sample
     * stddev/variance, exact median (sort + midpoint interpolation in
     * both engines), Pearson correlation and sample covariance against

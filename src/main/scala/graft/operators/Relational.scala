@@ -825,6 +825,34 @@ object Relational {
         next_day(col("d"), "Mon").as("next_monday"))
       .orderBy(col("o_orderkey"))
 
+  /** Date-to-string formatting battery (q139) — the `to_char` /
+    * report-label surface ([[dateBattery]] covers the arithmetic
+    * side; this covers FORMATTING, which it deliberately left out).
+    * Independent encodings by construction: Spark's `date_format`
+    * speaks Java DateTimeFormatter patterns (`yyyy-MM`, `EEE`,
+    * `DDD`), the oracle speaks C-style `strftime` (`%Y-%m`, `%a`,
+    * `%j`) — two unrelated pattern languages that must render the
+    * same English day/month names (Spark formats under Locale.US;
+    * DuckDB's strftime is C-locale English) and the same zero-padded
+    * numerics. A composite report label exercises literal-text
+    * passthrough inside both pattern languages. Per-row projection,
+    * fused into the scan.
+    */
+  def dateFormatBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("d", col("o_orderdate").cast("date"))
+      .select(
+        col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM").as("ym"),
+        date_format(col("d"), "yyyyMMdd").as("ymd_compact"),
+        date_format(col("d"), "EEE").as("dow_abbrev"),
+        date_format(col("d"), "EEEE").as("dow_full"),
+        date_format(col("d"), "MMM").as("mon_abbrev"),
+        date_format(col("d"), "MMMM").as("mon_full"),
+        date_format(col("d"), "DDD").as("doy_padded"),
+        date_format(col("d"), "EEE, dd MMM yyyy").as("report_label"))
+      .orderBy(col("o_orderkey"))
+
   /** PG's `WITH RECURSIVE … UNION` (DISTINCT) semantics, emulated
     * (q108b) — q108 gates Spark's native recursive-CTE execution,
     * but Spark recursion is UNION ALL-only

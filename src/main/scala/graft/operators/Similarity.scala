@@ -189,6 +189,53 @@ object Similarity {
     ivfSearch(e, trainedCentroids(spark, dir, ncells, iters), k, nprobe)
   }
 
+  /** SemDedup (q137) — SEMANTIC deduplication over the embedding
+    * space (Abbas et al. 2023, "SemDedup: Data-efficient learning at
+    * web-scale through semantic deduplication" — published method):
+    * cluster the corpus with k-means, then find near-duplicate pairs
+    * ONLY within each cluster — the cells bound the candidate set the
+    * way LSH bands do for text, so the all-pairs O(n²) never exists.
+    * Composes round-10's [[trainedCentroids]]: training, layout and
+    * search share one assignment relation ([[cellAssignmentsFor]]).
+    *
+    * Drop policy (deterministic, oracle-replayable): a vector is
+    * dropped iff some LOWER-id vector in its cell has rounded cosine
+    * ≥ τ — the greedy keep-first-seen rule stated set-wise, so it
+    * needs one self-join and one aggregate, no sequential scan.
+    * Output per dropped vector: the minimum such neighbor (its
+    * attributed duplicate-of), its strongest similarity, and the
+    * in-cell duplicate count. τ = 0.3 on this corpus (embeddings are
+    * near-uniform — max pairwise cosine ≈ 0.51 — so a production-ish
+    * 0.9x threshold would be vacuously empty; 0.3 yields a real drop
+    * set at both gate SFs). Chain semantics (a~b, b~c, a≁c) follow
+    * q135's CC+survivor composition when transitive grouping is
+    * wanted; SemDedup's published form is per-pair greedy.
+    *
+    * Scale: the per-cell self-join shuffles on cid; cell sizes are
+    * balanced by the k-means fit (and ncells grows with the corpus),
+    * so per-cell pair volume is bounded — the exact argument
+    * SCALING.md's skewdocs sweep validates for the LSH family. The
+    * cosine runs in the codegen'd kernel inside the join projection.
+    */
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.3,
+      ncells: Int = 16, iters: Int = 2): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val cells = cellAssignmentsFor(e, trainedCentroids(spark, dir, ncells, iters))
+    val withCell = e.join(cells, Seq("vec_id"))
+    val a = withCell.select(col("cid"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = withCell.select(col("cid"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+      .withColumn("s",
+        round(VectorFunctions.cosine_sim(col("ea"), col("eb")), 6))
+      .filter(col("s") >= lit(tau))
+      .groupBy(col("vb").as("dropped_vec"))
+      .agg(min(col("va")).as("dup_of"), max(col("s")).as("max_sim"),
+        count(lit(1)).as("n_dups"))
+      .orderBy(col("dropped_vec"))
+  }
+
   /** Hybrid filtered ANN (q133) — vector search under a metadata
     * predicate ("nearest neighbors WITH THE SAME LABEL"), the shape
     * every production vector store serves: same IVF cells, same

@@ -266,6 +266,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recallTrained > 0.5, s"implausibly low recall $recallTrained")
   }
 
+  test("semdedup: drops are cell-local near-dups, subset of the " +
+      "all-pairs threshold set, attributed to a lower id") {
+    val dropped = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(dropped.nonEmpty, "tau=0.3 should drop something at sf0.01")
+    dropped.foreach { case (vec, dupOf, sim) =>
+      assert(dupOf < vec, s"dup_of $dupOf not a lower id than $vec")
+      assert(sim >= 0.3, s"max_sim $sim below threshold for $vec")
+    }
+    // Cell-local candidates are a SUBSET of all pairs >= tau: every
+    // (dup_of, dropped) edge must appear in the brute-force set.
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val e = graft.sources.Corpus.read(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val all = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("s", round(graft.functions.VectorFunctions
+        .cosine_sim(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("s") >= 0.3)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    dropped.foreach { case (vec, dupOf, _) =>
+      assert(all.contains((dupOf, vec)),
+        s"($dupOf, $vec) not in the brute-force threshold set")
+    }
+  }
+
   test("approx_percentile tracks the exact percentiles") {
     val exact = Events.valuePercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
