@@ -209,7 +209,8 @@ object SparkEntry {
     "q138_width_bucket" -> (Events.widthBucketHistogram _),
     "q139_date_format" -> (Relational.dateFormatBattery _),
     "q140_bit_aggs" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, bitAggSql))
+      Flaco.sql(s, d, bitAggSql)),
+    "q141_filter_cascade" -> (TextAnalysis.filterCascade _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1559,6 +1560,43 @@ object SparkEntry {
          |SELECT vb AS dropped_vec, min(va) AS dup_of, max(s) AS max_sim,
          |  count(*) AS n_dups
          |FROM f WHERE s >= 0.3 GROUP BY vb ORDER BY dropped_vec""".stripMargin,
+
+    // q141: the same ordered cascade from first principles — booleans
+    // per doc (top-unigram share via unnest + double aggregate, vs
+    // the engine's TopGramCount kernel), cumulative-survival products
+    // in one aggregate, funnel rows via UNION ALL.
+    "q141_filter_cascade" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, lang, n_chars, len(toks) AS n_tok,
+        |    (SELECT max(c) FROM (SELECT count(*) AS c
+        |       FROM unnest(toks) AS u(tk) GROUP BY tk)) AS top1
+        |  FROM d),
+        |b AS (SELECT
+        |    CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS b1,
+        |    CASE WHEN n_chars <= 500 THEN 1 ELSE 0 END AS b2,
+        |    CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END AS b3,
+        |    CASE WHEN n_tok >= 40 THEN 1 ELSE 0 END AS b4,
+        |    CASE WHEN n_tok > 0 AND CAST(top1 AS DOUBLE) / n_tok <= 0.15
+        |      THEN 1 ELSE 0 END AS b5
+        |  FROM t),
+        |s AS (SELECT count(*) AS s0, sum(b1) AS s1, sum(b1*b2) AS s2,
+        |    sum(b1*b2*b3) AS s3, sum(b1*b2*b3*b4) AS s4,
+        |    sum(b1*b2*b3*b4*b5) AS s5 FROM b),
+        |f AS (
+        |  SELECT 1 AS stage, 'len_min_100' AS rule, s0 AS n_in, s1 AS n_out FROM s
+        |  UNION ALL SELECT 2, 'len_max_500', s1, s2 FROM s
+        |  UNION ALL SELECT 3, 'lang_supported', s2, s3 FROM s
+        |  UNION ALL SELECT 4, 'tokens_min_40', s3, s4 FROM s
+        |  UNION ALL SELECT 5, 'repetition_max_15pct', s4, s5 FROM s)
+        |SELECT CAST(stage AS BIGINT) AS stage, rule,
+        |  CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(n_in - n_out AS BIGINT) AS n_dropped,
+        |  CAST(n_out AS BIGINT) AS n_out,
+        |  round(CAST(n_in - n_out AS DOUBLE) / greatest(n_in, 1), 6)
+        |    AS drop_rate
+        |FROM f ORDER BY stage""".stripMargin,
 
     // q133: the q31b first-principles IVF replay with the metadata
     // predicate (candidate label = query label) applied between

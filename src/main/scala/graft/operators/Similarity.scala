@@ -175,6 +175,14 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(i, mv)))," +
           " x -> CAST(x.mv AS FLOAT))").as("ce"))
+        // MATERIALIZE each round (ncells rows — pennies): downstream
+        // consumers reference the fitted centroids more than once
+        // (ivfSearch scores AND assigns against them; SemDedup joins
+        // through them), and without truncation every reference
+        // re-executes the whole training chain — at corpus scale
+        // that is iters extra full scans per reference. Same move as
+        // connectedComponents' per-round checkpoint.
+        .localCheckpoint(true)
     }
     cents
   }

@@ -312,6 +312,60 @@ object TextAnalysis {
         round(col("max_rep").cast("double") / col("n_grams"), 6))
       .orderBy(col("doc_id"))
 
+  /** Quality-filter CASCADE with per-rule attrition accounting
+    * (q141) — the survival-funnel report every production corpus
+    * pipeline publishes (C4 and Gopher both document per-rule drop
+    * counts): an ORDERED rule chain where each rule sees only the
+    * previous rules' survivors, reported as one row per rule with
+    * n_in / n_dropped / n_out / drop_rate. Rules: length floor and
+    * ceiling, supported-language allowlist, token-count floor, and
+    * the Gopher-style top-unigram repetition cap (share from the
+    * one-pass [[graft.functions.TopGramCount]] kernel; the oracle
+    * re-derives it from an unnest + double aggregate).
+    *
+    * Shape: ONE scan computes every rule's boolean; ONE map-side-
+    * combinable aggregate folds the cumulative-survival products
+    * (sum(b1), sum(b1·b2), …); the 5-row funnel is a constant-size
+    * `stack` over that single aggregate row. No shuffle of document
+    * data at any width — the cascade costs the same scan the
+    * cheapest single filter would.
+    */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val d = Corpus.read(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("top1", graft.functions.MinHashFunctions
+        .top_gram_count(col("toks"), 1))
+      .select(
+        (col("n_chars") >= 100).cast("long").as("b1"),
+        (col("n_chars") <= 500).cast("long").as("b2"),
+        (col("lang") =!= "zh").cast("long").as("b3"),
+        (col("n_tok") >= 40).cast("long").as("b4"),
+        coalesce((col("top1").cast("double") / col("n_tok")) <= 0.15,
+          lit(false)).cast("long").as("b5"))
+    d.agg(
+        count(lit(1)).as("s0"),
+        sum(col("b1")).as("s1"),
+        sum(col("b1") * col("b2")).as("s2"),
+        sum(col("b1") * col("b2") * col("b3")).as("s3"),
+        sum(col("b1") * col("b2") * col("b3") * col("b4")).as("s4"),
+        sum(col("b1") * col("b2") * col("b3") * col("b4") * col("b5"))
+          .as("s5"))
+      .select(expr("""stack(5,
+        |  1L, 'len_min_100', s0, s1,
+        |  2L, 'len_max_500', s1, s2,
+        |  3L, 'lang_supported', s2, s3,
+        |  4L, 'tokens_min_40', s3, s4,
+        |  5L, 'repetition_max_15pct', s4, s5)
+        |  AS (stage, rule, n_in, n_out)""".stripMargin))
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .withColumn("drop_rate", round(
+        col("n_dropped").cast("double") / greatest(col("n_in"), lit(1L)), 6))
+      .select(col("stage"), col("rule"), col("n_in"), col("n_dropped"),
+        col("n_out"), col("drop_rate"))
+      .orderBy(col("stage"))
+  }
+
   /** The whole training-data preparation pipeline as ONE declarative
     * plan — the end-to-end story every individual operator serves:
     * quality-score and filter, drop exact duplicates (keep lowest
