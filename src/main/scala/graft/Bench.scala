@@ -232,9 +232,12 @@ object Bench {
       * CPU (GC, shuffle disk write, shuffle fetch wait). The margin
       * above 1x covers local-mode structural overlap (32 task threads
       * + driver + GC threads oversubscribe the cores slightly, and
-      * parquet/page-cache reads block briefly); measured clean-host
-      * ratios sit at 1.0-2.0 even for the checkpoint-heavy iterative
-      * queries, while the r9 steal bursts measured 4-10x. The 2 s
+      * parquet/page-cache reads block briefly); measured idle-host
+      * ratios sit at 1.0-2.0 for most queries but reach ~2.8-2.9 for
+      * the multi-stage pipelines (q52/q58 — block-manager and
+      * scheduling blocking the subtracted metrics don't cover, which
+      * is why a trip is CONFIRMED before it convicts, see
+      * [[suspect]]), while the r9 steal bursts measured 4-10x. The 2 s
       * task-volume floor keeps broadcast-wait-dominated small queries
       * (a few sub-second tasks, mostly driver time) out — a query too
       * small to accumulate 2 s of task run time cannot meaningfully
