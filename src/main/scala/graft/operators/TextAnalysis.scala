@@ -330,8 +330,15 @@ object TextAnalysis {
     * data at any width — the cascade costs the same scan the
     * cheapest single filter would.
     */
-  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
-    val d = Corpus.read(spark, dir, "documents")
+  def filterCascade(spark: SparkSession, dir: String): DataFrame =
+    cascadeFunnel(cascadeCountsOf(Corpus.read(spark, dir, "documents")))
+
+  /** The per-document rule booleans — a stateless projection, so the
+    * same column set runs over an unbounded ingest stream
+    * ([[graft.streaming.DocumentStreams.cascadeAttrition]]).
+    */
+  def cascadeFlagsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("top1", graft.functions.MinHashFunctions
@@ -343,14 +350,26 @@ object TextAnalysis {
         (col("n_tok") >= 40).cast("long").as("b4"),
         coalesce((col("top1").cast("double") / col("n_tok")) <= 0.15,
           lit(false)).cast("long").as("b5"))
-    d.agg(
-        count(lit(1)).as("s0"),
-        sum(col("b1")).as("s1"),
-        sum(col("b1") * col("b2")).as("s2"),
-        sum(col("b1") * col("b2") * col("b3")).as("s3"),
-        sum(col("b1") * col("b2") * col("b3") * col("b4")).as("s4"),
-        sum(col("b1") * col("b2") * col("b3") * col("b4") * col("b5"))
-          .as("s5"))
+
+  /** The one-row cumulative-survival aggregate (s0 = corpus size,
+    * sk = survivors of rules 1..k) — a global map-side-combinable
+    * aggregate, legal in batch AND as a streaming running aggregate
+    * (complete/update mode: the funnel-so-far over everything
+    * ingested).
+    */
+  def cascadeCountsOf(docs: DataFrame): DataFrame =
+    cascadeFlagsOf(docs).agg(
+      count(lit(1)).as("s0"),
+      sum(col("b1")).as("s1"),
+      sum(col("b1") * col("b2")).as("s2"),
+      sum(col("b1") * col("b2") * col("b3")).as("s3"),
+      sum(col("b1") * col("b2") * col("b3") * col("b4")).as("s4"),
+      sum(col("b1") * col("b2") * col("b3") * col("b4") * col("b5"))
+        .as("s5"))
+
+  /** Reshape the one-row counts into the 5-row funnel report. */
+  def cascadeFunnel(counts: DataFrame): DataFrame =
+    counts
       .select(expr("""stack(5,
         |  1L, 'len_min_100', s0, s1,
         |  2L, 'len_max_500', s1, s2,
@@ -364,7 +383,6 @@ object TextAnalysis {
       .select(col("stage"), col("rule"), col("n_in"), col("n_dropped"),
         col("n_out"), col("drop_rate"))
       .orderBy(col("stage"))
-  }
 
   /** The whole training-data preparation pipeline as ONE declarative
     * plan — the end-to-end story every individual operator serves:

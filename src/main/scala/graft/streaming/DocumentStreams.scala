@@ -96,6 +96,21 @@ object DocumentStreams {
         .minhash_signature(TextAnalysis.tokens(col("text")))))
       .select(col("doc_id"), col("lang"), col("source"), col("sig_key"))
 
+  /** Streaming twin of the q141 filter cascade: the per-rule
+    * survival funnel maintained as a RUNNING report over everything
+    * ingested so far. The rule booleans are the same stateless
+    * projection as batch ([[TextAnalysis.cascadeFlagsOf]]); the
+    * funnel is the same global cumulative-survival aggregate
+    * ([[TextAnalysis.cascadeCountsOf]]), which under streaming
+    * becomes a running aggregate in Complete mode — state is ONE row
+    * of six counters regardless of ingest volume, the cheapest
+    * stateful shape Structured Streaming has. Emitted as the same
+    * 5-row funnel the batch gate hashes, so stream-final == batch
+    * report row for row (DocumentStreamsSpec).
+    */
+  def cascadeAttrition(docs: DataFrame): DataFrame =
+    TextAnalysis.cascadeFunnel(TextAnalysis.cascadeCountsOf(docs))
+
   /** One reservoir entry: the clock orders, (doc_id) tiebreaks. */
   final case class ReservoirEntry(key: Double, doc_id: Long, w: Long)
 

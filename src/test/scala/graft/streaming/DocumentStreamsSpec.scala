@@ -182,4 +182,27 @@ class DocumentStreamsSpec extends AnyFunSuite {
       assert(ids === want(lang), s"stratum $lang lost state across restart")
     }
   }
+
+  test("streaming cascade attrition converges to the batch funnel") {
+    val streamed = DocumentStreams.cascadeAttrition(
+      DocumentStreams.readDocumentStream(spark, streamDir))
+    val q = EventStreams.runToMemory(streamed, "cascade_funnel",
+      OutputMode.Complete())
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(_._1)
+      val got = rows(spark.table("cascade_funnel"))
+      val want = rows(graft.operators.TextAnalysis.filterCascade(
+        spark, TestSpark.sf))
+      assert(got.length === 5)
+      // Complete mode re-emits the whole funnel each batch; after the
+      // final micro-batch the running report equals the batch report.
+      assert(got.toSeq === want.toSeq)
+      // The funnel itself is internally consistent: n_out chains.
+      got.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 === b._3, s"funnel broken between ${a._2} and ${b._2}")
+      }
+    } finally spark.sql("drop view if exists cascade_funnel")
+  }
 }
