@@ -210,7 +210,9 @@ object SparkEntry {
     "q139_date_format" -> (Relational.dateFormatBattery _),
     "q140_bit_aggs" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, bitAggSql)),
-    "q141_filter_cascade" -> (TextAnalysis.filterCascade _)
+    "q141_filter_cascade" -> (TextAnalysis.filterCascade _),
+    "q142_approx_topk" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.approxTopTokens(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1597,6 +1599,21 @@ object SparkEntry {
         |  round(CAST(n_in - n_out AS DOUBLE) / greatest(n_in, 1), 6)
         |    AS drop_rate
         |FROM f ORDER BY stage""".stripMargin,
+
+    // q142: exact heavy hitters from first principles; the engine's
+    // sketch estimates must EQUAL these (maxItemsTracked >> distinct
+    // tokens => no eviction) and in_band is pinned to literal 1 —
+    // the q20/q96 sketch-twin pattern. Top-5 counts are strictly
+    // distinct at both gate SFs, so rk is tie-free.
+    "q142_approx_topk" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS exact_cnt FROM t GROUP BY token),
+        |r AS (SELECT token, exact_cnt, CAST(row_number() OVER
+        |    (ORDER BY exact_cnt DESC, token) AS BIGINT) AS rk FROM c)
+        |SELECT rk, token, exact_cnt AS est_cnt, exact_cnt,
+        |  CAST(1 AS BIGINT) AS in_band
+        |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin,
 
     // q133: the q31b first-principles IVF replay with the metadata
     // predicate (candidate label = query label) applied between

@@ -265,6 +265,45 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Sketch-twin heavy hitters (q142) — Spark 4's `approx_top_k`
+    * frequency sketch against the exact corpus-wide token counts, the
+    * q20/q96 exact-twin pattern applied to top-k items: with
+    * maxItemsTracked (1024) far above the corpus's distinct-token
+    * count the sketch tracks every item exactly, so the gate pins
+    * `in_band` (estimate == exact) to literal 1 and hash-compares the
+    * estimates themselves; the oracle recomputes the exact counts
+    * from first principles. The corpus's top-5 counts are strictly
+    * distinct at both gate SFs, so the ranking is tie-free.
+    *
+    * Scale: BOTH sides are one explode into a map-side partial
+    * aggregate — the explode never materializes or shuffles (the q55
+    * objection is to shuffling tokens, not scanning them); the sketch
+    * side shuffles ONE mergeable sketch per partition regardless of
+    * corpus size (the point of the operator — heavy hitters at 100 TB
+    * without a distinct-key aggregate), the exact side one row per
+    * distinct token. At a real corpus's vocabulary the exact twin is
+    * the one that stops scaling and the sketch's maxItemsTracked
+    * bounds state; here the twin is what makes the sketch oracleable.
+    */
+  def approxTopTokens(spark: SparkSession, dir: String, k: Int = 5)
+      : DataFrame = {
+    val toks = Corpus.read(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tk"))
+    val sketch = toks
+      .agg(expr("approx_top_k(tk, 5, 1024)").as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "s")))
+      .select((col("i") + 1).cast("long").as("rk"),
+        col("s.item").as("token"), col("s.count").as("est_cnt"))
+    val exact = toks.groupBy(col("tk").as("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    sketch.join(exact, Seq("token"))
+      .withColumn("in_band",
+        (col("est_cnt") === col("exact_cnt")).cast("long"))
+      .select(col("rk"), col("token"), col("est_cnt"), col("exact_cnt"),
+        col("in_band"))
+      .orderBy(col("rk"))
+  }
+
   /** Deterministic train/val/test split by content-independent hash:
     * bucket = first two hex digits of md5(doc_id) (0..255), train
     * below 204 (~80%), val below 230 (~10%), test above — the
