@@ -212,7 +212,8 @@ object SparkEntry {
       Flaco.sql(s, d, bitAggSql)),
     "q141_filter_cascade" -> (TextAnalysis.filterCascade _),
     "q142_approx_topk" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.approxTopTokens(s, d))
+      TextAnalysis.approxTopTokens(s, d)),
+    "q143_multi_unnest" -> (Relational.multiUnnest _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1614,6 +1615,22 @@ object SparkEntry {
         |SELECT rk, token, exact_cnt AS est_cnt, exact_cnt,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin,
+
+    // q143: PG's multi-array unnest zip from FIRST PRINCIPLES —
+    // explicit index range to the longest length, out-of-range
+    // subscripts NULL (vs the engine's arrays_zip + posexplode):
+    // independent encodings of the NULL-padding contract.
+    "q143_multi_unnest" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    (['alpha','beta','gamma','delta'])[1:(o_orderkey % 5)] AS a,
+        |    ([10,20,30])[1:(o_orderkey % 4)] AS b
+        |  FROM orders),
+        |x AS (SELECT o_orderkey, a, b,
+        |    unnest(range(1, greatest(len(a), len(b)) + 1)) AS i
+        |  FROM b)
+        |SELECT o_orderkey, CAST(i AS BIGINT) AS ord, a[i] AS s,
+        |  CAST(b[i] AS BIGINT) AS v
+        |FROM x ORDER BY o_orderkey, ord""".stripMargin,
 
     // q133: the q31b first-principles IVF replay with the metadata
     // predicate (candidate label = query label) applied between

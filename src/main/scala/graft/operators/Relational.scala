@@ -853,6 +853,32 @@ object Relational {
         date_format(col("d"), "EEE, dd MMM yyyy").as("report_label"))
       .orderBy(col("o_orderkey"))
 
+  /** PG's MULTI-array `unnest(a, b) WITH ORDINALITY` (q143) — zip
+    * semantics: arrays of unequal length expand together, the
+    * shorter NULL-padded to the longest, positions preserved (q114
+    * gates the single-array form). Spark expresses the same contract
+    * as `arrays_zip` (documented to pad with NULL) + `posexplode`;
+    * the oracle derives it from FIRST PRINCIPLES — explicit index
+    * range over greatest(len(a), len(b)) with out-of-range
+    * subscripts yielding NULL — independent encodings. The fixture
+    * arrays cycle through lengths 0–4 × 0–3 off the order key, so
+    * empty-array elision, one-sided padding and full zips are all
+    * value-visible at every SF. Per-row generate, fused into the
+    * scan: no shuffle, output bounded at 4 rows per order.
+    */
+  def multiUnnest(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        slice(array(lit("alpha"), lit("beta"), lit("gamma"), lit("delta")),
+          lit(1), pmod(col("o_orderkey"), lit(5)).cast("int")).as("a"),
+        slice(array(lit(10L), lit(20L), lit(30L)),
+          lit(1), pmod(col("o_orderkey"), lit(4)).cast("int")).as("b"))
+      .select(col("o_orderkey"),
+        posexplode(arrays_zip(col("a"), col("b"))).as(Seq("i", "z")))
+      .select(col("o_orderkey"), (col("i") + 1).cast("long").as("ord"),
+        col("z.a").as("s"), col("z.b").as("v"))
+      .orderBy(col("o_orderkey"), col("ord"))
+
   /** PG's `WITH RECURSIVE … UNION` (DISTINCT) semantics, emulated
     * (q108b) — q108 gates Spark's native recursive-CTE execution,
     * but Spark recursion is UNION ALL-only
