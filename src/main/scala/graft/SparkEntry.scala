@@ -213,7 +213,8 @@ object SparkEntry {
     "q141_filter_cascade" -> (TextAnalysis.filterCascade _),
     "q142_approx_topk" -> ((s: SparkSession, d: String) =>
       TextAnalysis.approxTopTokens(s, d)),
-    "q143_multi_unnest" -> (Relational.multiUnnest _)
+    "q143_multi_unnest" -> (Relational.multiUnnest _),
+    "q144_source_overlap" -> (Dedup.sourceOverlap _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1631,6 +1632,31 @@ object SparkEntry {
         |SELECT o_orderkey, CAST(i AS BIGINT) AS ord, a[i] AS s,
         |  CAST(b[i] AS BIGINT) AS v
         |FROM x ORDER BY o_orderkey, ord""".stripMargin,
+
+    // q144: the same matrix from the explode side — distinct
+    // (source, shingle) via unnest (vs the engine's per-doc
+    // sorted_shingles kernel), self-join on shingle, exact counts.
+    "q144_source_overlap" ->
+      """WITH d AS (SELECT source, regexp_extract_all(text, '\S+') AS l
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |  FROM (SELECT source, l,
+        |      unnest(range(1, greatest(len(l) - 1, 1))) AS i FROM d)),
+        |per AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.source_a, p.source_b, p.n_shared,
+        |  pa.n_sh AS n_a, pb.n_sh AS n_b,
+        |  round(CAST(p.n_shared AS DOUBLE) /
+        |    (pa.n_sh + pb.n_sh - p.n_shared), 6) AS jaccard
+        |FROM p
+        |JOIN per pa ON pa.source = p.source_a
+        |JOIN per pb ON pb.source = p.source_b
+        |ORDER BY p.source_a, p.source_b""".stripMargin,
 
     // q133: the q31b first-principles IVF replay with the metadata
     // predicate (candidate label = query label) applied between

@@ -558,4 +558,44 @@ object Dedup {
       .filter(col("cont_ppm") >= ContainMinPpm)
       .orderBy(col("contained"), col("container"))
   }
+
+  /** Cross-SOURCE shingle-overlap matrix (q144) — the train–train
+    * contamination audit: for every pair of ingest sources, how much
+    * content do they share? The per-source distinct shingle sets
+    * ([[graft.functions.MinHashFunctions.sorted_shingles]] kernel —
+    * per-doc distinct set in one pass, then source-level distinct)
+    * meet in a shingle-keyed equi-join whose fan-out is bounded by
+    * the number of SOURCES holding a shingle (≤ n_sources, vs
+    * [[containmentPairs]]' df-cap for the doc-level analogue);
+    * counts and the pairwise Jaccard fall out of map-side-combinable
+    * aggregates. The fixture's tiny shared vocabulary makes every
+    * pair overlap heavily (Jaccards near 1) — the degenerate-worst
+    * case for the join fan-out, which the source-count bound absorbs
+    * by construction. At production scale the same df-cap idiom as
+    * containment applies before the join (a shingle in EVERY source
+    * attributes nothing); n_sources² output rows is the report's own
+    * size, not a blow-up.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ss = Corpus.read(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.MinHashFunctions.sorted_shingles(
+          TextAnalysis.tokens(col("text")))).as("shingle"))
+      .distinct()
+    val per = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    ss.as("a")
+      .join(ss.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(per.select(col("source").as("source_a"), col("n_sh").as("n_a")),
+        Seq("source_a"))
+      .join(per.select(col("source").as("source_b"), col("n_sh").as("n_b")),
+        Seq("source_b"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }
