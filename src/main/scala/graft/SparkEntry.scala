@@ -214,7 +214,8 @@ object SparkEntry {
     "q142_approx_topk" -> ((s: SparkSession, d: String) =>
       TextAnalysis.approxTopTokens(s, d)),
     "q143_multi_unnest" -> (Relational.multiUnnest _),
-    "q144_source_overlap" -> (Dedup.sourceOverlap _)
+    "q144_source_overlap" -> (Dedup.sourceOverlap _),
+    "q145_collation" -> (Relational.collationGate _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1657,6 +1658,22 @@ object SparkEntry {
         |JOIN per pa ON pa.source = p.source_a
         |JOIN per pb ON pb.source = p.source_b
         |ORDER BY p.source_a, p.source_b""".stripMargin,
+
+    // q145: case-insensitivity stated as explicit lower()
+    // normalization (vs the engine's UTF8_LCASE collated type) —
+    // independent encodings; collated group keys are not emitted
+    // (representative variant is engine-arbitrary).
+    "q145_collation" ->
+      """WITH b AS (SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 2 = 1 THEN upper(c_mktsegment)
+        |         ELSE lower(c_mktsegment) END AS mixed
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  count(DISTINCT mixed) AS n_cs,
+        |  count(DISTINCT lower(mixed)) AS n_ci,
+        |  count_if(mixed = lower(c_mktsegment)) AS eq_cs,
+        |  count_if(lower(mixed) = lower(c_mktsegment)) AS eq_ci
+        |FROM b GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // q133: the q31b first-principles IVF replay with the metadata
     // predicate (candidate label = query label) applied between

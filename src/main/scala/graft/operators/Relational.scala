@@ -879,6 +879,41 @@ object Relational {
         col("z.a").as("s"), col("z.b").as("v"))
       .orderBy(col("o_orderkey"), col("ord"))
 
+  /** Case-insensitive collation (q145) — PG's `COLLATE`/citext
+    * surface through Spark 4's collated string type: equality and
+    * DISTINCT under `UTF8_LCASE` treat case variants as one value
+    * while the binary default keeps them apart. The fixture
+    * manufactures the collisions (upper-case the segment name on odd
+    * customer keys, lower it on even), so every aggregate output
+    * moves if collation semantics break: case-sensitive distinct
+    * sees 2 variants per segment and equality matches only the even
+    * half, collated distinct sees 1 and collated equality matches
+    * every row. The oracle encodes the same contract as explicit
+    * `lower()` normalization (this DuckDB's NOCASE collation through
+    * the python API aside, lower() IS the first-principles statement
+    * of case-insensitivity for ASCII segment names) — independent
+    * encodings. Collated group KEYS are deliberately not emitted:
+    * which case variant represents an equivalence class is
+    * engine-arbitrary (the q92 mode() lesson); counts and matched
+    * rows are the value-visible contract. Per-row projection + one
+    * map-side-combinable aggregate.
+    */
+  def collationGate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment"),
+        when(pmod(col("c_custkey"), lit(2)) === 1,
+          upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))).as("mixed"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("mixed")).as("n_cs"),
+        countDistinct(expr("collate(mixed, 'UTF8_LCASE')")).as("n_ci"),
+        expr("count_if(mixed = lower(c_mktsegment))").as("eq_cs"),
+        expr("count_if(collate(mixed, 'UTF8_LCASE') = " +
+          "collate(lower(c_mktsegment), 'UTF8_LCASE'))").as("eq_ci"))
+      .orderBy(col("c_mktsegment"))
+
   /** PG's `WITH RECURSIVE … UNION` (DISTINCT) semantics, emulated
     * (q108b) — q108 gates Spark's native recursive-CTE execution,
     * but Spark recursion is UNION ALL-only
