@@ -215,7 +215,8 @@ object SparkEntry {
       TextAnalysis.approxTopTokens(s, d)),
     "q143_multi_unnest" -> (Relational.multiUnnest _),
     "q144_source_overlap" -> (Dedup.sourceOverlap _),
-    "q145_collation" -> (Relational.collationGate _)
+    "q145_collation" -> (Relational.collationGate _),
+    "q146_cyclic_closure" -> (Relational.cyclicClosureDistinct _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1674,6 +1675,18 @@ object SparkEntry {
         |  count_if(mixed = lower(c_mktsegment)) AS eq_cs,
         |  count_if(lower(mixed) = lower(c_mktsegment)) AS eq_ci
         |FROM b GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q146: DuckDB's NATIVE recursive UNION on the cyclic affine
+    // step — terminates by the same per-step dedup the engine loop
+    // emulates; UNION ALL recursion would diverge on this fixture.
+    "q146_cyclic_closure" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT DISTINCT c_custkey % 101 AS node FROM customer),
+        |r AS (
+        |  SELECT node, node AS anc FROM nodes
+        |  UNION
+        |  SELECT node, (anc * 5 + 3) % 101 AS anc FROM r)
+        |SELECT node, anc FROM r ORDER BY node, anc""".stripMargin,
 
     // q133: the q31b first-principles IVF replay with the metadata
     // predicate (candidate label = query label) applied between

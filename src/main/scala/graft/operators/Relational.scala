@@ -943,11 +943,52 @@ object Relational {
     * O(output) the result itself costs; the frontier anti-join and
     * dedup shuffle on (node, anc) — co-partitioned round to round.
     */
-  def ancestorClosureDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val base = Corpus.read(spark, dir, "customer")
-      .select(col("c_custkey").cast("long").as("node"))
-      .select(col("node"), col("node").as("anc"))
-      .localCheckpoint(true)
+  def ancestorClosureDistinct(spark: SparkSession, dir: String): DataFrame =
+    closureDistinctLoop(
+      Corpus.read(spark, dir, "customer")
+        .select(col("c_custkey").cast("long").as("node"))
+        .select(col("node"), col("node").as("anc"))
+        .localCheckpoint(true),
+      frontier => frontier
+        .select(col("node"), col("anc"),
+          explode(array(lit(2L), lit(3L))).as("d"))
+        .select(col("node"), expr("anc div d").as("anc2"), col("anc"))
+        .filter(col("anc2") >= 1 && col("anc2") < col("anc"))
+        .select(col("node"), col("anc2").as("anc")))
+
+  /** The q108b loop over a graph WITH CYCLES (q146) — the case that
+    * motivates UNION-distinct recursion semantics in the first
+    * place: Spark's UNION ALL-only recursion DIVERGES on any cycle
+    * (every lap re-derives every fact via a longer path), while PG's
+    * per-step dedup-against-everything terminates as soon as a lap
+    * adds nothing new. Fixture: the affine step anc → (5·anc + 3)
+    * mod 101 over the customer-key residues — a permutation of
+    * Z₁₀₁ (gcd(5, 101) = 1) with one fixed point (75) and four
+    * 25-cycles, so every walk RETURNS TO ITS START and the closure
+    * exists only because repeats are recognized: 25 frontier rounds,
+    * 100·25 + 1 facts. The oracle is DuckDB's native
+    * `WITH RECURSIVE … UNION` on the same step, which terminates by
+    * the same working-table dedup. (PG's CYCLE clause tracks paths;
+    * plain UNION recursion — gated here — is what makes cyclic
+    * closures terminate at all.)
+    */
+  def cyclicClosureDistinct(spark: SparkSession, dir: String): DataFrame =
+    closureDistinctLoop(
+      Corpus.read(spark, dir, "customer")
+        .select(pmod(col("c_custkey"), lit(101L)).as("node")).distinct()
+        .select(col("node"), col("node").as("anc"))
+        .localCheckpoint(true),
+      frontier => frontier
+        .select(col("node"), pmod(col("anc") * 5 + 3, lit(101L)).as("anc")))
+
+  /** The shared UNION-distinct frontier loop: expand the frontier,
+    * drop in-round duplicates, anti-join against everything already
+    * reached, stop on an empty delta — PG's "append only rows not
+    * already present" contract. `expand` maps a (node, anc) frontier
+    * to candidate facts.
+    */
+  private def closureDistinctLoop(base: DataFrame,
+      expand: DataFrame => DataFrame): DataFrame = {
     // The accumulated result is RE-MATERIALIZED (union + checkpoint)
     // each round rather than kept as a lazy union over the per-round
     // deltas: both shapes are O(depth × output) total I/O (write
@@ -968,16 +1009,12 @@ object Relational {
     var frontierRdd = reachedRdd
     var newRows = 1L
     var rounds = 0
-    // Depth ≤ log₂(max key); 64 is an infinite-loop guard, not a
-    // correctness bound.
+    // Rounds = closure depth (log₂(max key) for the ancestor DAG,
+    // the cycle length for the modular fixture); 64 is an
+    // infinite-loop guard, not a correctness bound.
     while (newRows > 0 && rounds < 64) {
       val obs = org.apache.spark.sql.Observation(s"closure_round_$rounds")
-      val next = frontier
-        .select(col("node"), col("anc"),
-          explode(array(lit(2L), lit(3L))).as("d"))
-        .select(col("node"), expr("anc div d").as("anc2"), col("anc"))
-        .filter(col("anc2") >= 1 && col("anc2") < col("anc"))
-        .select(col("node"), col("anc2").as("anc"))
+      val next = expand(frontier)
         .dropDuplicates("node", "anc")
         .join(reached, Seq("node", "anc"), "left_anti")
         .observe(obs, count(lit(1)).as("n_new"))
@@ -1006,7 +1043,7 @@ object Relational {
     frontierRdd.filterNot(r => reachedRdd.exists(_ eq r))
       .foreach(_.unpersist(false))
     if (newRows > 0)
-      System.err.println(s"[ancestorClosureDistinct] round cap hit at $rounds")
+      System.err.println(s"[closureDistinctLoop] round cap hit at $rounds")
     reached.orderBy(col("node"), col("anc"))
   }
 }
