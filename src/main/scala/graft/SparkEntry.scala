@@ -216,7 +216,20 @@ object SparkEntry {
     "q143_multi_unnest" -> (Relational.multiUnnest _),
     "q144_source_overlap" -> (Dedup.sourceOverlap _),
     "q145_collation" -> (Relational.collationGate _),
-    "q146_cyclic_closure" -> (Relational.cyclicClosureDistinct _)
+    "q146_cyclic_closure" -> (Relational.cyclicClosureDistinct _),
+    "q147_join_using" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, joinUsingSql)),
+    "q148_group_by_all" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, groupByAllSql)),
+    "q149_qualify" -> (Relational.qualifyAboveAvg _),
+    "q150_keyset_page" -> (Relational.keysetPage _),
+    "q151_streaks" -> (Events.longestStreak _),
+    "q152_age_breakdown" -> (Temporal.ageBreakdown _),
+    "q153_temperature_mix" -> (Curation.temperatureMixture _),
+    "q154_knn_join" -> ((s: SparkSession, d: String) =>
+      Similarity.knnJoin(s, d)),
+    "q155_number_format" -> (Relational.numberFormatBattery _),
+    "q156_phrase_search" -> (TextAnalysis.phraseSearch _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -716,6 +729,63 @@ object SparkEntry {
       |  count(*) AS n
       |FROM orders JOIN customer ON c_custkey = o_custkey
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** One SQL text, two planners (q147): the SQL-standard `JOIN …
+    * USING`, `NATURAL JOIN`, and `FULL JOIN … USING` surface —
+    * PG-idiomatic join spellings q03-q07/q65 (ON-condition joins)
+    * leave ungated. The semantics under test are structural: USING
+    * merges the join column (it appears ONCE, unqualified), NATURAL
+    * infers the key from the one shared column name, and a bare
+    * `pri` after FULL JOIN USING must COALESCE the two sides — the
+    * left-only and right-only rows make a wrong merge value-visible.
+    * The TPC-H-ish corpus shares no column names across tables, so
+    * CTEs rename keys to a common name first (which is also how PG
+    * users actually reach USING). The synthetic right side of the
+    * full join carries a key absent from orders ('9-SYNTH') and
+    * omits three real priorities, so both null sides are populated
+    * at every SF. All values exact integers.
+    */
+  private val joinUsingSql: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey AS nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |n AS (SELECT n_nationkey AS nationkey, n_name,
+      |    n_regionkey AS regionkey FROM nation),
+      |r AS (SELECT r_regionkey AS regionkey, r_name FROM region),
+      |iu AS (SELECT r_name AS k, count(*) AS v1,
+      |    CAST(sum(cents) AS BIGINT) AS v2
+      |  FROM c JOIN n USING (nationkey) JOIN r USING (regionkey)
+      |  GROUP BY r_name),
+      |nj AS (SELECT n_name AS k, count(*) AS v1,
+      |    CAST(sum(cents) AS BIGINT) AS v2
+      |  FROM c NATURAL JOIN n GROUP BY n_name),
+      |a AS (SELECT o_orderpriority AS pri, count(*) AS cnt FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_orderpriority < '4' GROUP BY o_orderpriority),
+      |b AS (SELECT '1-URGENT' AS pri, CAST(10 AS BIGINT) AS cnt
+      |  UNION ALL SELECT '9-SYNTH', CAST(5 AS BIGINT)),
+      |fj AS (SELECT pri AS k, a.cnt AS v1, b.cnt AS v2
+      |  FROM a FULL JOIN b USING (pri))
+      |SELECT 'inner_using' AS section, k, v1, v2 FROM iu
+      |UNION ALL SELECT 'natural' AS section, k, v1, v2 FROM nj
+      |UNION ALL SELECT 'full_using' AS section, k, v1, v2 FROM fj
+      |ORDER BY section, k""".stripMargin
+
+  /** One SQL text, two planners (q148): `GROUP BY ALL` (DuckDB-
+    * originated, adopted by Spark 3.4+ — the "group by every
+    * non-aggregate select item" ergonomic PG users meet in every
+    * modern warehouse dialect). The gate proves both planners infer
+    * the SAME grouping key (segment × status): a planner that
+    * groups differently changes every row. Exact integer cents; the
+    * DISTINCT customer count rides along so the inferred key is
+    * visible through a second aggregate kind.
+    */
+  private val groupByAllSql: String =
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  count(DISTINCT o_custkey) AS n_cust
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY ALL
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
 
   /** PG's `unnest … WITH ORDINALITY` surface: the engine spells it
     * `LATERAL VIEW posexplode` (0-based pos re-based to the 1-based
@@ -1687,6 +1757,202 @@ object SparkEntry {
         |  UNION
         |  SELECT node, (anc * 5 + 3) % 101 AS anc FROM r)
         |SELECT node, anc FROM r ORDER BY node, anc""".stripMargin,
+
+    // q147 / q148: one SQL text, two planners — the USING/NATURAL/
+    // FULL-USING spellings and GROUP BY ALL parse identically on
+    // both engines; the oracle IS the engine text.
+    "q147_join_using" -> joinUsingSql,
+    "q148_group_by_all" -> groupByAllSql,
+
+    // q149: DuckDB's NATIVE QUALIFY (the engine emulates it as the
+    // post-window filter QUALIFY is defined as) — independent
+    // encodings; the predicate is exact Long arithmetic (cents·n >
+    // sum_cents), no float mean to disagree on.
+    "q149_qualify" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  count(*) OVER w AS n_cust_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+        |    AS BIGINT) AS cust_sum_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey)
+        |QUALIFY cents * n_cust_orders > cust_sum_cents
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // q150: DuckDB's native ROW-VALUE comparison states the keyset
+    // cursor directly; the engine spells the same total-order
+    // predicate as the explicit disjunction — independent encodings.
+    "q150_keyset_page" ->
+      s"""SELECT o_orderkey, o_orderdate,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |FROM orders
+         |WHERE (o_orderdate, o_orderkey) >
+         |  (TIMESTAMP '${graft.operators.Relational.KeysetDate}',
+         |   ${graft.operators.Relational.KeysetKey})
+         |ORDER BY o_orderdate, o_orderkey
+         |LIMIT ${graft.operators.Relational.KeysetPageSize}""".stripMargin,
+
+    // q151: the same gaps-and-islands idiom independently spelled —
+    // DuckDB's 3-arg date_diff vs the engine's 2-arg datediff, its
+    // own row_number run ids, and a rank-window argmax in place of
+    // the engine's max_by.
+    "q151_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |r AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS run
+        |  FROM d),
+        |g AS (SELECT user_id, run, count(*) AS len, min(day) AS start_day
+        |  FROM r GROUP BY user_id, run),
+        |x AS (SELECT user_id, count(*) AS n_streaks,
+        |    CAST(sum(len) AS BIGINT) AS n_active_days, max(len) AS best_len
+        |  FROM g GROUP BY user_id),
+        |b AS (SELECT user_id, start_day,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_day) AS rn
+        |  FROM g)
+        |SELECT x.user_id, x.n_streaks, x.n_active_days, x.best_len,
+        |  CAST(b.start_day AS BIGINT) AS best_start_day
+        |FROM x JOIN b ON b.user_id = x.user_id AND b.rn = 1
+        |ORDER BY x.user_id""".stripMargin,
+
+    // q152: DuckDB's NATIVE PG-compatible age() read back through
+    // date_part vs the engine's explicit subtract-then-borrow
+    // calendar arithmetic — independent encodings; total_days
+    // cross-checks the symbolic and absolute views.
+    "q152_age_breakdown" ->
+      """WITH m AS (SELECT o_custkey,
+        |    CAST(min(o_orderdate) AS DATE) AS t1,
+        |    CAST(max(o_orderdate) AS DATE) AS t2, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders, t1, t2,
+        |  CAST(date_part('year',
+        |    age(CAST(t2 AS TIMESTAMP), CAST(t1 AS TIMESTAMP)))
+        |    AS BIGINT) AS age_years,
+        |  CAST(date_part('month',
+        |    age(CAST(t2 AS TIMESTAMP), CAST(t1 AS TIMESTAMP)))
+        |    AS BIGINT) AS age_months,
+        |  CAST(date_part('day',
+        |    age(CAST(t2 AS TIMESTAMP), CAST(t1 AS TIMESTAMP)))
+        |    AS BIGINT) AS age_days,
+        |  date_diff('day', t1, t2) AS total_days
+        |FROM m ORDER BY o_custkey""".stripMargin,
+
+    // q153: DuckDB replays the temperature math (sqrt/divide/max/
+    // floor in the same fixed order — correctly-rounded IEEE ops,
+    // bit-identical) and the 20-bit md5 bucket via the '0x' hex
+    // cast vs the engine's conv — the q127 determinism argument
+    // without the ln caveat.
+    "q153_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |r0 AS (SELECT lang, c,
+        |    sqrt(CAST(c AS DOUBLE)) / c AS ratio FROM c),
+        |r AS (SELECT lang, ratio / (SELECT max(ratio) FROM r0) AS rate
+        |  FROM r0),
+        |k AS (SELECT d.doc_id, d.lang, d.text, r.rate,
+        |    CAST(('0x' || substring(
+        |      md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 5)) AS BIGINT)
+        |      AS b
+        |  FROM documents d JOIN r ON r.lang = d.lang)
+        |SELECT lang, count(*) AS n_in,
+        |  CAST(floor(max(rate) * 1e6) AS BIGINT) AS rate_ppm,
+        |  CAST(count(*) FILTER (WHERE b < floor(rate * 1048576.0))
+        |    AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(doc_id)
+        |    FILTER (WHERE b < floor(rate * 1048576.0)), 0) AS BIGINT)
+        |    AS docid_sum,
+        |  CAST(coalesce(sum(len(regexp_extract_all(text, '\S+')))
+        |    FILTER (WHERE b < floor(rate * 1048576.0)), 0) AS BIGINT)
+        |    AS tokens_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q154: the q31b/q133 first-principles IVF replay with probes
+    // for EVERY vector (the kNN-join shape) — cells, nprobe=2
+    // probes, candidate join, rounded cosine, per-query top-3.
+    "q154_knn_join" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
+         |  FROM embeddings WHERE vec_id < 16),
+         |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM embeddings v CROSS JOIN c),
+         |asum AS (SELECT vec_id, cid,
+         |    $cosinePairSql
+         |  FROM ax GROUP BY vec_id, cid),
+         |ascore AS (SELECT vec_id, cid,
+         |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |      ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s FROM asum),
+         |ar AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cid) AS rn
+         |  FROM ascore),
+         |cells AS (SELECT vec_id, cid FROM ar WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM ar WHERE rn <= 2),
+         |cand AS (SELECT p.qid, cells.vec_id AS vb FROM probes p
+         |  JOIN cells USING (cid) WHERE cells.vec_id <> p.qid),
+         |x AS (SELECT cand.qid, cand.vb, qe.embedding AS ea,
+         |    e.embedding AS eb, unnest(range(1, 65)) AS i
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.qid
+         |  JOIN embeddings e ON e.vec_id = cand.vb),
+         |s AS (SELECT qid, vb,
+         |    $cosinePairSql
+         |  FROM x GROUP BY qid, vb),
+         |sim AS (SELECT qid, vb,
+         |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |      ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
+         |r AS (SELECT qid, vb, sim, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, vb) AS BIGINT) AS rk
+         |  FROM sim)
+         |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin,
+
+    // q155: the same strings from FIRST PRINCIPLES — fmt-style
+    // '{:,}' grouping on the integer dollars, lpad'd cents digits,
+    // and explicit space-padding to the template width (Spark's
+    // to_char pads 9-positions with spaces; S adds one sign
+    // position) — independent encodings of grouped / signed /
+    // currency / zero-padded rendering. Corpus prices are all
+    // ≥ $900, so no sub-dollar digit-suppression edge exists.
+    "q155_number_format" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_orderkey, cents,
+        |    format('{:,}', cents // 100) || '.' ||
+        |      lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS s
+        |  FROM b)
+        |SELECT o_orderkey, cents,
+        |  lpad(s, 14, ' ') AS grouped,
+        |  '$' || lpad(s, 14, ' ') AS currency,
+        |  lpad('+' || s, 15, ' ') AS signed,
+        |  lpad(CAST(cents AS VARCHAR), 12, '0') AS zero_padded
+        |FROM f ORDER BY o_orderkey""".stripMargin,
+
+    // q156: adjacency from FIRST PRINCIPLES — explicit 1-based list
+    // subscripts l[i], l[i+1] over an unnested index range (the
+    // q143 idiom) vs the engine's zip-with-successor fold —
+    // independent encodings of "immediately followed by".
+    "q156_phrase_search" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_extract_all(text, '\S+') AS l FROM documents),
+        |x AS (SELECT doc_id, l,
+        |    unnest(range(1, greatest(len(l), 1))) AS i FROM d),
+        |h AS (SELECT doc_id, i,
+        |    CASE WHEN l[i] = 'table' AND l[i+1] = 'value'
+        |      THEN 1 ELSE 0 END AS ha,
+        |    CASE WHEN l[i] = 'fast' AND l[i+1] = 'sort'
+        |      THEN 1 ELSE 0 END AS hb
+        |  FROM x),
+        |a AS (SELECT doc_id, CAST(sum(ha) AS BIGINT) AS n_a,
+        |    CAST(sum(hb) AS BIGINT) AS n_b,
+        |    CAST(coalesce(min(CASE WHEN ha = 1 THEN i END), 0) AS BIGINT)
+        |      AS first_a
+        |  FROM h GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.l) AS BIGINT) AS n_toks,
+        |  a.n_a, a.n_b, a.first_a
+        |FROM a JOIN d ON d.doc_id = a.doc_id
+        |WHERE a.n_a + a.n_b > 0 ORDER BY d.doc_id""".stripMargin,
 
     // q133: the q31b first-principles IVF replay with the metadata
     // predicate (candidate label = query label) applied between

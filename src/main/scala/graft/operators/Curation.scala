@@ -270,6 +270,60 @@ object Curation {
   val SamplePct = 20
   val SampleSeed = 42
 
+  /** q153's temperature — α = 1/2 is hard-wired as an explicit sqrt
+    * (not `pow(c, α)`) so both engines evaluate ONE correctly-rounded
+    * IEEE primitive; named for the docs, interpolated nowhere.
+    */
+  val TemperatureAlphaNum = 1
+  val TemperatureAlphaDen = 2
+
+  /** Temperature-scaled mixture sampling (q153) — the multilingual
+    * rebalance every large-scale training mix uses (sampling
+    * probability ∝ countᵅ, α < 1 upweights small languages; α = 1/2
+    * here): the per-language keep-RATE falls out of the corpus's own
+    * counts instead of a hand-set table (q53's [[mixtureRates]] is
+    * the hand-set cousin). rate_l = (c_l^α / c_l) normalized so the
+    * most-upweighted language keeps everything:
+    * rate_l = (c_l)^{α−1} / max_m (c_m)^{α−1} — a sampled corpus
+    * distributed ∝ c^α at maximal retained volume. The keep decision
+    * is the q47/q53 deterministic-hash idiom at 20-bit granularity:
+    * bucket("temp:" ‖ doc_id) < floor(rate · 2²⁰) — reproducible,
+    * monotone in the rate, oracle-replayable. FP determinism: sqrt /
+    * divide / max / multiply / floor in one fixed order are each
+    * correctly-rounded IEEE ops, bit-identical in any engine — the
+    * q127 clock argument without even the ln caveat.
+    *
+    * Scale: pass 1 is one map-side-combinable count to ≤ langs rows;
+    * the rate table broadcast-joins back to the corpus (pass 2), the
+    * keep test is a per-row projection, and the audit aggregate is
+    * map-side-combinable — no shuffle wider than langs rows anywhere.
+    * The gate emits per-language rate_ppm, kept counts/tokens and a
+    * doc_id-sum identity (WHICH docs survived, not just how many).
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("ratio", sqrt(col("c").cast("double")) / col("c"))
+    val rmax = counts.agg(max(col("ratio")).as("rmax"))
+    val rates = counts.crossJoin(broadcast(rmax))
+      .select(col("lang"), (col("ratio") / col("rmax")).as("rate"))
+    val bucket20 = conv(substring(
+      md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 5),
+      16, 10).cast("long")
+    docs
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("keep", bucket20 < floor(col("rate") * lit(1048576.0)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_in"),
+        floor(max(col("rate")) * 1e6).cast("long").as("rate_ppm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("docid_sum"),
+        sum(when(col("keep"), TextAnalysis.tokenCount(col("text")).cast("long"))
+          .otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** The engine-RNG sampling gate (q116): sampled output can never be
     * hash-compared cross-engine (each engine's RNG stream is its
     * own), so the gate materializes the PROPERTIES a correct sampler

@@ -765,4 +765,38 @@ object Events {
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"))
       .orderBy(col("event_type"), col("bucket"))
+
+  /** Longest consecutive-day activity streak per user (q151) — the
+    * gaps-and-islands idiom (day_number − row_number is constant
+    * within a consecutive run), the standard SQL shape for streaks /
+    * uptime runs / consecutive-login analytics that no single window
+    * function expresses directly. Stages, each map-side-combinable
+    * or one co-partitioned window: distinct (user, day) FIRST (event
+    * volume collapses to ≤ users × days rows before any window —
+    * the q102 discipline), the run-id projection over one per-user
+    * window, a per-(user, run) aggregate, and a per-user argmax
+    * (`max_by` on (len, −start): longest streak, earliest start on
+    * ties — deterministic). Day numbers are exact integer
+    * `datediff` from a fixed epoch; the oracle re-derives runs with
+    * its own date_diff/row_number — same idiom, independently
+    * spelled (3-arg date_diff, interval day arithmetic).
+    */
+  def longestStreak(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Corpus.read(spark, dir, "events")
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+      .withColumn("run", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("run"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"),
+        max(col("len")).as("best_len"),
+        max_by(col("start_day"), struct(col("len"), -col("start_day")))
+          .as("best_start_day"))
+      .orderBy(col("user_id"))
+  }
 }

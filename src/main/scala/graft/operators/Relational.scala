@@ -1046,4 +1046,92 @@ object Relational {
       System.err.println(s"[closureDistinctLoop] round cap hit at $rounds")
     reached.orderBy(col("node"), col("anc"))
   }
+
+  /** QUALIFY semantics (q149) — the post-window filter clause PG
+    * users reach via DuckDB/Snowflake/BigQuery dialects ("orders
+    * above their customer's average"). Spark's parser has no QUALIFY,
+    * so the engine states the same semantics the way QUALIFY is
+    * DEFINED: compute the window, then filter on it (a subquery in
+    * SQL, a plain `.filter` after `.over` here); the oracle uses
+    * DuckDB's NATIVE QUALIFY with the windows inline — independent
+    * encodings. Unlike q09/q76 (rank-limit QUALIFY shapes that plan
+    * as TopKRows heaps), this is the non-rank form: the predicate
+    * compares each row against its group's aggregate, so the
+    * group-wide window is genuinely required. Exactness: the test is
+    * `cents · n > sum_cents` — pure Long arithmetic, no float mean
+    * to disagree on. One shuffle on o_custkey, whole-partition frame,
+    * O(1) per-row state.
+    */
+  def qualifyAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("n_cust_orders", count(lit(1)).over(w))
+      .withColumn("cust_sum_cents", sum(col("cents")).over(w))
+      .filter(col("cents") * col("n_cust_orders") > col("cust_sum_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q150's cursor — the last row of the previous page, named so the
+    * oracle interpolates the same constants.
+    */
+  val KeysetDate = "1997-06-01 00:00:00"
+  val KeysetKey = 1000L
+  val KeysetPageSize = 25
+
+  /** Keyset (cursor) pagination (q150) — the deep-pagination path
+    * q119 documents: page n+1 starts strictly after the last row of
+    * page n in the total (o_orderdate, o_orderkey) order, stated as a
+    * predicate instead of OFFSET, so the engine plans a pushed-down
+    * filter + global top-k (`TakeOrderedAndProject`) and never scans
+    * the skipped prefix — OFFSET's cost grows with the page number,
+    * keyset's does not. The engine spells the row-value comparison
+    * `(d, k) > (d0, k0)` as the explicit disjunction (Spark's parser
+    * has no row-value comparison; the OR of range conjunctions is
+    * also the shape parquet row-group pruning understands); the
+    * oracle uses DuckDB's NATIVE `(o_orderdate, o_orderkey) >
+    * (TIMESTAMP …, …)` — independent encodings of the standard's
+    * row-value ordering.
+    */
+  def keysetPage(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") > tsn(KeysetDate) ||
+        (col("o_orderdate") === tsn(KeysetDate) &&
+          col("o_orderkey") > KeysetKey))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(KeysetPageSize)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  /** Numeric `to_char` formatting (q155) — PG's report-label surface
+    * for money/quantities (q139 covers dates; this covers numbers).
+    * The engine speaks Spark's PG-style to_char template language
+    * (`9`/`0` digit positions, `,` group separators, `.` decimal
+    * point, `S` anchored sign, `$` currency) over an EXACT
+    * DECIMAL(18,2) built from integer cents — formatting a double
+    * would gate float noise, not the formatter. Template semantics
+    * under gate (probed, and exactly what the oracle re-renders
+    * from first principles): unused 9-positions pad with SPACES to
+    * the template width, `S` adds one sign position, `0`-templates
+    * zero-pad. The oracle builds the same strings from fmt-style
+    * `{:,}` integer grouping + lpad arithmetic — independent
+    * encodings. Corpus prices are all ≥ $900, so the sub-dollar
+    * digit-suppression corner (PG renders 0.07 as '.07') stays out
+    * of the fixture domain. Per-row projection, fused into the scan.
+    */
+  def numberFormatBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_orderkey"), col("cents"),
+        expr("to_char(CAST(cents AS DECIMAL(18,2)) / 100, " +
+          "'999,999,999.00')").as("grouped"),
+        expr("to_char(CAST(cents AS DECIMAL(18,2)) / 100, " +
+          "'$999,999,999.00')").as("currency"),
+        expr("to_char(CAST(cents AS DECIMAL(18,2)) / 100, " +
+          "'S999,999,999.00')").as("signed"),
+        expr("to_char(CAST(cents AS DECIMAL(18,0)), " +
+          "'000000000000')").as("zero_padded"))
+      .orderBy(col("o_orderkey"))
 }

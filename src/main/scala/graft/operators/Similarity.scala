@@ -322,6 +322,64 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("s"), -col("cid"))).as("cid"))
 
+  /** Batch kNN JOIN (q154) — top-k neighbors for EVERY vector at
+    * once, the bulk shape behind SemDedup-style curation, retrieval-
+    * augmentation corpus builds, and embedding-graph construction
+    * (q30–q31c serve a small query set; this serves the corpus
+    * against itself). The per-query broadcast of the point-lookup
+    * paths cannot scale to n queries, so the join co-partitions BOTH
+    * sides on the IVF cell id instead:
+    *
+    *   - every vector's nprobe nearest cells (the same broadcast-
+    *     centroid scoring as [[ivfSearch]], ranked through the
+    *     rank-limit rewrite → bounded TopKRows heap, never a window
+    *     over the scored corpus) replicate the query side nprobe×;
+    *   - the corpus side carries each vector once, in its ONE home
+    *     cell ([[cellAssignmentsFor]] — the relation a cid-partitioned
+    *     layout materializes, making this side a partition-local
+    *     read);
+    *   - one equi-join on cid yields candidates (work =
+    *     Σ_cell probes(cell)·|cell|, bounded by cell balance — never
+    *     all-pairs), the codegen'd cosine kernel scores them in the
+    *     join projection, and the per-query top-k ranks through the
+    *     rewrite again (heap per (qid, partition), no global sort).
+    *
+    * A query's own row is excluded (self-distance 1.0 is noise).
+    * Like all IVF search, recall < 1: a true neighbor living outside
+    * the probed cells is missed — nprobe is the dial, and the oracle
+    * replays the SAME cells/probes from first principles so the gate
+    * pins the algorithm, not brute-force truth (q30 pins brute truth
+    * for the query-set case).
+    */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 2, ncells: Int = 16): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val cents = firstNCentroids(e, ncells)
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("s",
+        round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s").desc, col("cid"))
+    val probes = scored
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+    val corpus = cellAssignmentsFor(e, cents)
+      .join(e, Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("neighbor"),
+        col("embedding").as("ne"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    probes.join(corpus, Seq("cid"))
+      .filter(col("neighbor") =!= col("qid"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("neighbor"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe: each query
     * probes its own bucket plus every bucket at Hamming distance 1
     * (9 keys — the same probe scheme as

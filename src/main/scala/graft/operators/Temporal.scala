@@ -369,4 +369,46 @@ object Temporal {
         when(col("within"), lit(1L)).otherwise(lit(0L)).as("attributed"))
       .orderBy(col("event_id"))
   }
+
+  /** PG `age(t2, t1)` symbolic interval breakdown (q152) — the
+    * calendar-aware "2 years 3 mons 12 days" decomposition PG users
+    * read off customer tenure / account age, and the DECODED form of
+    * the reference's INTERVAL wire type (months, days, µs —
+    * `src/lib.rs:367-374`; q46 gates the byte decode, this gates the
+    * arithmetic that produces such values). Spark has no age(), so
+    * the engine states the algorithm explicitly, exactly PG's
+    * field-wise subtract-then-borrow (verified against this DuckDB's
+    * PG-compatible age() on month-end/leap cases): dd = day₂ − day₁;
+    * if dd < 0 borrow ONE month, adding days-in-month of t₁'s month
+    * (one borrow always suffices: dd ≥ 1 − 31 and every month has
+    * ≥ 28 days); months_total = 12·Δyear + Δmonth − borrow, split
+    * div/mod 12. Fixture: per-customer first/last order dates
+    * (max ≥ min by construction — PG mirrors negative ages
+    * sign-symmetrically, out of scope here; o_orderdate is
+    * day-granular so the time fields are zero). The oracle reads the
+    * same components off DuckDB's NATIVE age() via date_part —
+    * independent encodings. total_days (plain datediff) rides along
+    * as the cross-check that symbolic and absolute views agree. One
+    * map-side-combinable aggregate + per-row date arithmetic.
+    */
+  def ageBreakdown(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("t1"),
+        max(col("o_orderdate").cast("date")).as("t2"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("dd", dayofmonth(col("t2")) - dayofmonth(col("t1")))
+      .withColumn("borrow", (col("dd") < 0).cast("int"))
+      .withColumn("age_days",
+        (col("dd") + col("borrow") * dayofmonth(last_day(col("t1"))))
+          .cast("long"))
+      .withColumn("mtot",
+        (year(col("t2")) - year(col("t1"))) * 12 +
+          (month(col("t2")) - month(col("t1"))) - col("borrow"))
+      .select(col("o_custkey"), col("n_orders"), col("t1"), col("t2"),
+        expr("mtot div 12").cast("long").as("age_years"),
+        pmod(col("mtot"), lit(12)).cast("long").as("age_months"),
+        col("age_days"),
+        datediff(col("t2"), col("t1")).cast("long").as("total_days"))
+      .orderBy(col("o_custkey"))
 }

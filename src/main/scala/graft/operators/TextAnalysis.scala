@@ -1035,4 +1035,45 @@ object TextAnalysis {
         md5(array_join(col("content"), " ")).as("content_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** q156's query phrases — corpus-frequent bigrams so matches exist
+    * at every SF; named because the oracle interpolates the same
+    * tokens.
+    */
+  val PhraseA = ("table", "value")
+  val PhraseB = ("fast", "sort")
+
+  /** Token-phrase search (q156) — ORDERED-adjacency match ("term A
+    * immediately followed by term B"), the `tsquery A <-> B`
+    * followed-by / phrase-search primitive that tf-idf retrieval
+    * (q130, bag-of-words) cannot express: position matters. Engine
+    * encoding: one per-row pass — zip each token with its successor
+    * (`zip_with` over the array and itself shifted by one) and count
+    * pair hits with a higher-order aggregate; no explode, no
+    * (doc, position) blow-up, no shuffle before the final order.
+    * Also emits the position of the FIRST occurrence (1-based, 0 if
+    * absent — the standard's `position()` analogue) via
+    * array_position on the boolean hit mask. The oracle re-derives
+    * adjacency from FIRST PRINCIPLES: explicit 1-based list
+    * subscripts l[i], l[i+1] over an unnested index range (the q143
+    * idiom) — independent encodings of "adjacent". Docs with no hit
+    * on either phrase are filtered so the output is match-sized.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    def hits(a: String, b: String) =
+      expr("zip_with(toks, slice(concat(toks, array('')), 2, " +
+        s"size(toks)), (x, y) -> CASE WHEN x = '$a' AND y = '$b' " +
+        "THEN 1L ELSE 0L END)")
+    Corpus.read(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("ha", hits(PhraseA._1, PhraseA._2))
+      .withColumn("hb", hits(PhraseB._1, PhraseB._2))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("aggregate(ha, 0L, (acc, v) -> acc + v)").as("n_a"),
+        expr("aggregate(hb, 0L, (acc, v) -> acc + v)").as("n_b"),
+        coalesce(array_position(col("ha"), 1L), lit(0L)).as("first_a"))
+      .filter(col("n_a") + col("n_b") > 0)
+      .orderBy(col("doc_id"))
+  }
 }
