@@ -27,13 +27,29 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of the events table with event-time ts. */
+  /** File-source stream of the events table with event-time ts.
+    *
+    * Mirrors [[graft.sources.Corpus.events]]: the corpus has shipped
+    * `ts` both as TIMESTAMP(NANOS) (read as a raw long under the
+    * legacy conf, ÷1000 to micros) and as a plain microsecond
+    * timestamp. A streaming source needs its schema up front, so sniff
+    * the footer of the existing files once (driver-side metadata read)
+    * and pick the matching schema + conversion.
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = onDisk)
+      case f => f
+    })
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    onDisk match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour counts with a 2-hour watermark (late data beyond
