@@ -1742,8 +1742,8 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n,
         |  count(DISTINCT mixed) AS n_cs,
         |  count(DISTINCT lower(mixed)) AS n_ci,
-        |  count_if(mixed = lower(c_mktsegment)) AS eq_cs,
-        |  count_if(lower(mixed) = lower(c_mktsegment)) AS eq_ci
+        |  CAST(count_if(mixed = lower(c_mktsegment)) AS BIGINT) AS eq_cs,
+        |  CAST(count_if(lower(mixed) = lower(c_mktsegment)) AS BIGINT) AS eq_ci
         |FROM b GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // q146: DuckDB's NATIVE recursive UNION on the cyclic affine

@@ -38,17 +38,40 @@ object EventStreams {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Sniff the footer of files already present (driver-side metadata
+    // read). A stream source may legitimately start before any file
+    // arrives — fall back to the default schema (nanos long) instead
+    // of failing at stream construction.
     val onDisk =
-      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      try Some(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val tsType = onDisk.getOrElse(LongType)
     val schema = StructType(eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = onDisk)
+      case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
     })
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
-    onDisk match {
+    tsType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+        // A plain INT64 ts is ambiguous: nanos-since-epoch is ~1.7e18,
+        // micros ~1.7e15 — three orders apart, so one sampled value
+        // disambiguates (same sniff read; skipped when no files yet,
+        // where nanos — the corpus encoding — is assumed).
+        val looksMicros = onDisk.isDefined && {
+          val sample = spark.read.schema(schema).parquet(s"$dir/events.parquet")
+            .select(abs(col("ts"))).na.drop().head(1)
+          sample.nonEmpty && sample(0).getLong(0) < 100000000000000000L
+        }
+        val micros = if (looksMicros) expr("ts") else expr("ts div 1000")
+        raw.withColumn("ts", timestamp_micros(micros))
+      case _ =>
+        // TimestampType, not the NTZ Corpus.events uses: Spark 4.1
+        // watermarks reject TIMESTAMP_NTZ event-time columns
+        // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the stream keeps
+        // the instant type. Every session pins
+        // spark.sql.session.timeZone=UTC (SparkEntry/specs), making
+        // the wall-clock values identical to the batch NTZ twin.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
 

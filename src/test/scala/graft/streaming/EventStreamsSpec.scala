@@ -285,4 +285,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(w0.head._2 === 1L,
       s"late replay inflated the closed window: ${out.toSeq}")
   }
+
+  test("stream over an empty source directory starts cleanly") {
+    // A stream may be wired up before the producer writes its first
+    // file; the schema sniff must fall back to the default (nanos
+    // long) instead of failing at construction. (The file source
+    // itself still requires the directory to exist — that part is
+    // Spark's contract, not the sniff's.)
+    val dir = Files.createTempDirectory("evempty").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("a micros-encoded long ts column is detected, not divided again") {
+    // Same schema shape (plain INT64 ts) but micros-since-epoch
+    // magnitude (~1.7e15): the sampled-magnitude check must skip the
+    // nanos ÷1000 and land on the written instant exactly.
+    val dir = Files.createTempDirectory("evmicros").toString
+    val baseUs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      .getTime * 1000L
+    spark.range(1).select(
+      lit(1L).as("event_id"), lit(baseUs).as("ts"),
+      lit(7L).as("user_id"), lit("view").as("event_type"),
+      lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.runToMemory(
+      stream.select(col("ts").cast("string").as("s")),
+      "micros_mem", OutputMode.Append())
+    try {
+      val got = spark.table("micros_mem").collect().map(_.getString(0))
+      assert(got.toSeq === Seq("2024-02-01 00:00:00"))
+    } finally q.stop()
+  }
 }
