@@ -229,7 +229,8 @@ object SparkEntry {
     "q154_knn_join" -> ((s: SparkSession, d: String) =>
       Similarity.knnJoin(s, d)),
     "q155_number_format" -> (Relational.numberFormatBattery _),
-    "q156_phrase_search" -> (TextAnalysis.phraseSearch _)
+    "q156_phrase_search" -> (TextAnalysis.phraseSearch _),
+    "q157_leakage_split" -> (Dedup.leakageSafeSplit _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1312,6 +1313,39 @@ object SparkEntry {
          |  r.n_chars AS canon_chars
          |FROM r JOIN sz USING (cluster_rep) WHERE r.rk = 1
          |ORDER BY r.cluster_rep""".stripMargin,
+
+    // q157: the cluster-aware split — oracle re-derives the closure
+    // (q43's recursive reach), the singleton coalesce, the q47 md5
+    // bucket on the GROUP id, the bit_xor membership fingerprint via
+    // DuckDB's own '0x' hex cast (vs the engine's conv(...,16,10)),
+    // and the zero-leak proof from its own assignment.
+    "q157_leakage_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT a, b FROM j WHERE jaccard >= 0.2),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (SELECT a AS n, b AS m FROM edges
+         |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a),
+         |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_rep
+         |  FROM reach GROUP BY n),
+         |g AS (SELECT d.doc_id, d.n_chars,
+         |    coalesce(cl.cluster_rep, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |s AS (SELECT doc_id, n_chars, group_id,
+         |    CASE WHEN bkt < 204 THEN 'train' WHEN bkt < 230 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT *,
+         |    ${hexBucketSql("CAST(group_id AS VARCHAR)")} AS bkt FROM g)),
+         |leak AS (SELECT CAST(count_if(ns > 1) AS BIGINT) AS leaked_groups
+         |  FROM (SELECT group_id, count(DISTINCT split) AS ns
+         |        FROM s GROUP BY group_id))
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT group_id) AS n_groups,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  bit_xor(CAST(concat('0x',
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))
+         |    AS members_fp,
+         |  (SELECT leaked_groups FROM leak) AS leaked_groups
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH $embedNearDupCtes

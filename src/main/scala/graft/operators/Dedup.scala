@@ -362,6 +362,51 @@ object Dedup {
       .orderBy(col("cluster_rep"))
   }
 
+  /** Leakage-safe (cluster-aware) train/val/test split (q157) — the
+    * split policy a dedup-aware corpus pipeline must use instead of
+    * the per-document q47 hash split: near-duplicate documents
+    * leaking across train and eval silently inflate every benchmark
+    * score, so the assignment unit is the NEAR-DUP CLUSTER, not the
+    * document. Every doc inherits its q43 connected component
+    * (singletons form their own group), the q47 md5 bucket is taken
+    * on the GROUP id, and all members follow it into one split.
+    *
+    * Output is one row per split with doc/group/char tallies, an
+    * order-independent membership fingerprint (bit_xor of a 60-bit
+    * md5 prefix per doc — constant aggregation state, map-side
+    * combinable, exactly replayable cross-engine, unlike a
+    * collect-and-sort fingerprint which would buffer a split's
+    * worth of ids in one aggregation buffer), and the leakage proof
+    * itself: the count of groups spanning more than one split, which
+    * the per-document policy would leave visibly non-zero on this
+    * corpus and this policy pins to 0.
+    *
+    * Scale: the CC closure is q43's O(log n) loop; everything after
+    * it is two hash aggregates (group → split metrics) plus the
+    * broadcast of a 1-row leak tally — no sort, no window, no
+    * driver state.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val assigned = docs
+      .join(dedupClusters(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("group_id"))
+      .withColumn("split", TextAnalysis.splitCol(col("group_id")))
+    val leaks = assigned.groupBy(col("group_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(expr("cast(count_if(ns > 1) as bigint)").as("leaked_groups"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), " +
+          "1, 15), 16, 10) as bigint))").as("members_fp"))
+      .crossJoin(broadcast(leaks))
+      .orderBy(col("split"))
+  }
+
   /** Min-label + pointer-jumping connected components over an
     * undirected pair set `(a, b)` — the reusable core of
     * [[dedupClusters]], also applicable to any near-dup pair source
