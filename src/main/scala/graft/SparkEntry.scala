@@ -230,7 +230,9 @@ object SparkEntry {
       Similarity.knnJoin(s, d)),
     "q155_number_format" -> (Relational.numberFormatBattery _),
     "q156_phrase_search" -> (TextAnalysis.phraseSearch _),
-    "q157_leakage_split" -> (Dedup.leakageSafeSplit _)
+    "q157_leakage_split" -> (Dedup.leakageSafeSplit _),
+    "q158_diversity_sample" -> ((s: SparkSession, d: String) =>
+      Similarity.diversitySample(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1670,6 +1672,29 @@ object SparkEntry {
          |SELECT vb AS dropped_vec, min(va) AS dup_of, max(s) AS max_sim,
          |  count(*) AS n_dups
          |FROM f WHERE s >= 0.3 GROUP BY vb ORDER BY dropped_vec""".stripMargin,
+
+    // q158: cluster-balanced diversity sample — the q137 Lloyd
+    // unroll (same shared CTE builders) keeps the winning SCORE per
+    // vector, then per-cell rank (s DESC, vec_id) <= k with cell
+    // sizes joined back — the oracle's window rank vs the engine's
+    // TopKRows heap.
+    "q158_diversity_sample" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce
+         |    FROM embeddings WHERE vec_id < 16),
+         |${kmeansScoreCtes("c0", "0")},
+         |${kmeansUpdateCtes("0", "c1")},
+         |${kmeansScoreCtes("c1", "1")},
+         |${kmeansUpdateCtes("1", "c2")},
+         |${kmeansScoreCtes("c2", "2")},
+         |cells AS (SELECT vec_id, cid, s FROM (SELECT vec_id, cid, s,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc2) WHERE rn = 1),
+         |n AS (SELECT cid, count(*) AS cell_n FROM cells GROUP BY cid),
+         |r AS (SELECT cid, vec_id, s,
+         |    row_number() OVER (PARTITION BY cid ORDER BY s DESC, vec_id) AS rk
+         |  FROM cells)
+         |SELECT r.cid, CAST(r.rk AS BIGINT) AS rk, r.vec_id, r.s, n.cell_n
+         |FROM r JOIN n USING (cid) WHERE rk <= 5 ORDER BY r.cid, rk""".stripMargin,
 
     // q141: the same ordered cascade from first principles — booleans
     // per doc (top-unigram share via unnest + double aggregate, vs

@@ -244,6 +244,43 @@ object Similarity {
       .orderBy(col("dropped_vec"))
   }
 
+  /** Diversity (cluster-balanced) sampling (q158) — the coverage
+    * counterpart to SemDedup's redundancy removal: instead of
+    * dropping near-dups, SELECT a bounded, semantically spread
+    * subset by keeping the k most representative vectors of every
+    * k-means cell (highest rounded cosine to the fitted centroid,
+    * vec_id tiebreak). Web-corpus curation uses exactly this shape
+    * to flatten topic imbalance: a cell with 10⁶ members and a cell
+    * with 10² both contribute ≤ k, so the sample covers the
+    * embedding space instead of mirroring its density.
+    *
+    * Composes [[trainedCentroids]] (training/assignment shared with
+    * SemDedup and IVF search). The per-cell rank plans through the
+    * rank-limit rewrite as a bounded TopKRows heap per (cell,
+    * partition) — never a global sort — and cell sizes ride a
+    * second ncells-row aggregate broadcast back, so the whole
+    * operator is the assignment pass + one bounded-state shuffle.
+    */
+  def diversitySample(spark: SparkSession, dir: String, k: Int = 5,
+      ncells: Int = 16, iters: Int = 2): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val cents = trainedCentroids(spark, dir, ncells, iters)
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("s",
+        round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("s"), -col("cid"))).as("cid"),
+        max(col("s")).as("s"))
+    val sizes = cells.groupBy(col("cid")).agg(count(lit(1)).as("cell_n"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("s").desc, col("vec_id"))
+    cells.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .join(broadcast(sizes), Seq("cid"))
+      .select(col("cid"), col("rk"), col("vec_id"), col("s"), col("cell_n"))
+      .orderBy(col("cid"), col("rk"))
+  }
+
   /** Hybrid filtered ANN (q133) — vector search under a metadata
     * predicate ("nearest neighbors WITH THE SAME LABEL"), the shape
     * every production vector store serves: same IVF cells, same

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -60,5 +62,50 @@ class Breadth12Spec extends AnyFunSuite {
         .reduce(_ ^ _)
     }
     assert(assigned === want)
+  }
+
+  test("diversity sample keeps exactly the per-cell top-k, planned as a heap") {
+    val out = Similarity.diversitySample(spark, sf)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    // Every cell contributes at most k rows, ranks are 1..n dense.
+    rows.groupBy(_._1).foreach { case (cid, g) =>
+      assert(g.length <= 5, s"cell $cid over quota")
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length).toSeq)
+    }
+    // Brute-force replay: the kept set per cell is the lexicographic
+    // top-k of that cell's (s desc, vec_id) order, against the
+    // engine's own assignment relation (centroid fit is pinned by
+    // q31c/SimilaritySpec; this pins the SELECTION on top of it).
+    val cells = Similarity.cellAssignmentsFor(
+      graft.sources.Corpus.read(spark, sf, "embeddings"),
+      Similarity.trainedCentroids(spark, sf, 16, 2))
+    val cellOf = cells.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.groupBy(_._1).foreach { case (cid, g) =>
+      // cell_n matches the assignment relation
+      assert(g.head._5 === cellOf.count(_._2 == cid), s"cell_n of $cid")
+    }
+    val byCell = rows.groupBy(_._1).map { case (cid, g) =>
+      cid -> g.sortBy(_._2).map(_._3).toSeq
+    }
+    val scored = rows.map(r => r._3 -> r._4).toMap
+    byCell.foreach { case (_, kept) =>
+      // kept ids are ordered by (s desc, vec_id) — replay the order
+      val resorted = kept.sortBy(v => (-scored(v), v))
+      assert(resorted === kept)
+    }
+    // The rank must plan as a TopKRows heap, not a Window.
+    val plan = out.queryExecution.optimizedPlan
+    assert(!plan.exists(_.isInstanceOf[LWindow]),
+      "diversitySample rank should plan as TopKRows, not a Window")
+    assert(plan.exists {
+      case a: Aggregate => a.aggregateExpressions.exists(_.exists {
+        case ae: AggregateExpression =>
+          ae.aggregateFunction.isInstanceOf[graft.functions.TopKRows]
+        case _ => false
+      })
+      case _ => false
+    }, "TopKRows aggregate missing")
   }
 }
