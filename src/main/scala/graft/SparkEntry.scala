@@ -232,7 +232,8 @@ object SparkEntry {
     "q156_phrase_search" -> (TextAnalysis.phraseSearch _),
     "q157_leakage_split" -> (Dedup.leakageSafeSplit _),
     "q158_diversity_sample" -> ((s: SparkSession, d: String) =>
-      Similarity.diversitySample(s, d))
+      Similarity.diversitySample(s, d)),
+    "q159_contamination_report" -> (Dedup.contaminationReport _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -2182,6 +2183,29 @@ object SparkEntry {
         |FROM b GROUP BY split ORDER BY split""".stripMargin,
 
     "q48_decontaminate" -> decontaminateOracle,
+
+    // q159: the contamination-severity policy over q48's universe —
+    // the oracle re-derives per-doc shingle totals and eval hits by
+    // explode + join (vs the engine's two per-row kernels), then the
+    // same exact-integer ppm and verdict thresholds.
+    "q159_contamination_report" ->
+      s"""WITH $shinglesCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh
+         |  WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+         |hit AS (SELECT t.doc_id, count(*) AS n_hits
+         |  FROM sh t JOIN bench USING (shingle)
+         |  WHERE t.doc_id % 10 <> 0 GROUP BY t.doc_id)
+         |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) * 1000000 // t.n_sh AS BIGINT)
+         |    AS cont_ppm,
+         |  CASE WHEN coalesce(h.n_hits, 0) = 0 THEN 'clean'
+         |       WHEN coalesce(h.n_hits, 0) * 1000000 // t.n_sh >= 500000
+         |         THEN 'drop'
+         |       ELSE 'review' END AS verdict
+         |FROM tot t LEFT JOIN hit h USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     // The Bloom prefilter changes the PLAN, never the answer: same
     // oracle as q48 (false positives vanish at the exact join).

@@ -51,23 +51,68 @@ object Dedup {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
-    // Stream the DEDUPED relation into the set partition-by-partition
-    // (toLocalIterator), exactly as a BroadcastExchange materializes
-    // its build side: peak driver footprint is ~1x the distinct
-    // universe — never the sum of per-doc shingle sets (cross-doc
-    // overlap is the norm in an eval suite) and never a second full
-    // copy as an Array[Row].
-    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-    val it = shinglesOf(docs.filter(col("doc_id") % 10 === 0))
-      .select(col("shingle")).distinct().toLocalIterator()
-    while (it.hasNext) set.add(
-      org.apache.spark.unsafe.types.UTF8String.fromString(it.next().getString(0)))
-    val bench = spark.sparkContext.broadcast(set)
+    val bench = evalShingleSet(spark, docs)
     docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), graft.functions.MinHashFunctions
         .shingle_hits_in_set(TextAnalysis.tokens(col("text")), bench)
         .as("n_hits"))
       .filter(col("n_hits") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The eval-set distinct-shingle universe as a broadcast HashSet —
+    * [[decontaminate]]'s build side, shared with
+    * [[contaminationReport]]. Streams the DEDUPED relation into the
+    * set partition-by-partition (toLocalIterator), exactly as a
+    * BroadcastExchange materializes its build side: peak driver
+    * footprint is ~1x the distinct universe — never the sum of
+    * per-doc shingle sets (cross-doc overlap is the norm in an eval
+    * suite) and never a second full copy as an Array[Row].
+    */
+  private def evalShingleSet(spark: SparkSession, docs: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] = {
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val it = shinglesOf(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("shingle")).distinct().toLocalIterator()
+    while (it.hasNext) set.add(
+      org.apache.spark.unsafe.types.UTF8String.fromString(it.next().getString(0)))
+    spark.sparkContext.broadcast(set)
+  }
+
+  /** Contamination-severity report (q159) — the POLICY step on top
+    * of q48's flagging, the way q135's survivor selection is the
+    * policy step on q43's clustering: published decontamination
+    * procedures don't drop a document on one shared n-gram, they
+    * grade it by the FRACTION of its n-grams that collide with the
+    * eval suite and act on thresholds (GPT-3's appendix-C cleaning
+    * and the FineWeb/RefinedWeb audits both publish these ratios).
+    * Per training doc: its distinct-shingle count (the
+    * sorted_shingles kernel's set size — same one-pass per-row
+    * kernel q144 uses, no explode), its eval-colliding count (q48's
+    * membership kernel against the same broadcast universe), the
+    * exact integer contamination ppm, and the three-way verdict —
+    * `clean` (no hits) / `review` (below half) / `drop` (≥ half its
+    * shingles shared). Everything is one scan projection over the
+    * corpus plus the eval-sized broadcast — no shuffle at all until
+    * the gate's ORDER BY.
+    */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val bench = evalShingleSet(spark, docs)
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        size(graft.functions.MinHashFunctions.sorted_shingles(
+          TextAnalysis.tokens(col("text")))).cast("long").as("n_sh"),
+        graft.functions.MinHashFunctions
+          .shingle_hits_in_set(TextAnalysis.tokens(col("text")), bench)
+          .as("n_hits"))
+      .filter(col("n_sh") > 0)
+      .withColumn("cont_ppm", expr("n_hits * 1000000 div n_sh"))
+      .withColumn("verdict",
+        when(col("n_hits") === 0, "clean")
+          .when(col("cont_ppm") >= 500000, "drop")
+          .otherwise("review"))
       .orderBy(col("doc_id"))
   }
 

@@ -108,4 +108,25 @@ class Breadth12Spec extends AnyFunSuite {
       case _ => false
     }, "TopKRows aggregate missing")
   }
+
+  test("contamination report agrees with q48's flags and its own thresholds") {
+    val rep = Dedup.contaminationReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // Verdicts follow the stated thresholds exactly.
+    rep.foreach { case (id, nSh, nHits, ppm, v) =>
+      assert(ppm === nHits * 1000000L / nSh, s"doc $id ppm")
+      val want = if (nHits == 0) "clean"
+        else if (ppm >= 500000) "drop" else "review"
+      assert(v === want, s"doc $id verdict")
+      assert(nHits <= nSh, s"doc $id hits exceed shingles")
+    }
+    // q48 flags exactly the non-clean docs (same universe, same
+    // kernel — the report is a strict refinement).
+    val flagged = Dedup.decontaminate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(rep.filter(_._5 != "clean").map(_._1).toSet === flagged)
+    assert(rep.map(_._5).distinct.length === 3,
+      "fixture should populate all three verdicts")
+  }
 }
