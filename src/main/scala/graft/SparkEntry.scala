@@ -233,7 +233,8 @@ object SparkEntry {
     "q157_leakage_split" -> (Dedup.leakageSafeSplit _),
     "q158_diversity_sample" -> ((s: SparkSession, d: String) =>
       Similarity.diversitySample(s, d)),
-    "q159_contamination_report" -> (Dedup.contaminationReport _)
+    "q159_contamination_report" -> (Dedup.contaminationReport _),
+    "q160_timezone" -> (Temporal.timezoneBattery _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1147,6 +1148,26 @@ object SparkEntry {
         |        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |      FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q160: AT TIME ZONE both directions, session-tz-FREE on the
+    // oracle side — naive→instant is always spelled timezone('UTC'|
+    // zone, naive) and instant→naive timezone(zone, tstz), so no
+    // implicit session-zone cast anywhere; fixed-width strftime %f
+    // micros match Spark's SSSSSS bytes.
+    "q160_timezone" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT event_id,
+        |  strftime(t, '%Y-%m-%d %H:%M:%S.%f') AS ts_utc,
+        |  strftime(timezone('America/New_York', timezone('UTC', t)),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS ny_wall,
+        |  strftime(timezone('Asia/Tokyo', timezone('UTC', t)),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS tokyo_wall,
+        |  strftime(timezone('UTC', timezone('Asia/Kolkata', t)),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS kolkata_utc,
+        |  strftime(timezone('America/New_York',
+        |      timezone('UTC', t + INTERVAL 69 DAY)),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS ny_dst
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "q17_events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,

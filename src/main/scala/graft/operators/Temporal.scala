@@ -411,4 +411,48 @@ object Temporal {
         col("age_days"),
         datediff(col("t2"), col("t1")).cast("long").as("total_days"))
       .orderBy(col("o_custkey"))
+
+  /** AT TIME ZONE conversion battery (q160) — PG's two-direction
+    * `AT TIME ZONE` surface through Spark's `convert_timezone`
+    * (TIMESTAMP_NTZ in, TIMESTAMP_NTZ out — the wall-clock algebra
+    * PG defines, no session-zone dependence):
+    *
+    *   - instant→local (always total): the UTC event time rendered
+    *     on the New York and Tokyo wall clocks;
+    *   - local→instant on a no-DST zone (always unambiguous): the
+    *     naive ts REINTERPRETED as Asia/Kolkata wall time, back to
+    *     UTC (+05:30 — a half-hour offset, so a wrong-direction bug
+    *     shifts minutes, not just hours);
+    *   - instant→local ACROSS a DST boundary: the event time shifted
+    *     +69 days spans 2024-03-10, the US spring-forward, so the
+    *     ny_dst column carries BOTH offsets (−5 then −4) and a
+    *     fixed-offset shortcut is value-visible on thousands of
+    *     rows. (Local→instant near transitions is deliberately NOT
+    *     gated: the ambiguous/skipped hour is resolved differently
+    *     across engines and PG itself documents it as
+    *     implementation-chosen.)
+    *
+    * Values ship as fixed-width `yyyy-MM-dd HH:mm:ss.SSSSSS`
+    * strings: micros pass through conversion untouched and the
+    * format is byte-identical cross-engine (DuckDB strftime's %f is
+    * the same zero-padded micros). One codegen'd scan projection —
+    * zone rules evaluate per row with no shuffle, so the operator
+    * scales exactly as the scan does.
+    */
+  def timezoneBattery(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    def f(c: Column): Column = date_format(c, fmt)
+    Corpus.events(spark, dir)
+      .select(col("event_id"),
+        f(col("ts")).as("ts_utc"),
+        f(expr("convert_timezone('UTC', 'America/New_York', ts)"))
+          .as("ny_wall"),
+        f(expr("convert_timezone('UTC', 'Asia/Tokyo', ts)"))
+          .as("tokyo_wall"),
+        f(expr("convert_timezone('Asia/Kolkata', 'UTC', ts)"))
+          .as("kolkata_utc"),
+        f(expr("convert_timezone('UTC', 'America/New_York', " +
+          "ts + INTERVAL '69' DAY)")).as("ny_dst"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -129,4 +129,30 @@ class Breadth12Spec extends AnyFunSuite {
     assert(rep.map(_._5).distinct.length === 3,
       "fixture should populate all three verdicts")
   }
+
+  test("timezone battery: offsets are correct and the DST column carries both") {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val rows = Temporal.timezoneBattery(spark, sf).collect()
+    def parse(s: String) = java.time.LocalDateTime.parse(s, fmt)
+    val offsets = rows.map { r =>
+      val utc = parse(r.getString(1))
+      // java.time replays every conversion independently.
+      val zoned = utc.atZone(java.time.ZoneOffset.UTC)
+      assert(parse(r.getString(2)) === zoned.withZoneSameInstant(
+        java.time.ZoneId.of("America/New_York")).toLocalDateTime, "ny")
+      assert(parse(r.getString(3)) === zoned.withZoneSameInstant(
+        java.time.ZoneId.of("Asia/Tokyo")).toLocalDateTime, "tokyo")
+      assert(parse(r.getString(4)) === utc.atZone(
+        java.time.ZoneId.of("Asia/Kolkata")).withZoneSameInstant(
+        java.time.ZoneOffset.UTC).toLocalDateTime, "kolkata")
+      val dstUtc = utc.plusDays(69).atZone(java.time.ZoneOffset.UTC)
+      val dstLocal = parse(r.getString(5))
+      assert(dstLocal === dstUtc.withZoneSameInstant(
+        java.time.ZoneId.of("America/New_York")).toLocalDateTime, "ny_dst")
+      java.time.Duration.between(dstLocal, dstUtc.toLocalDateTime).toHours
+    }
+    assert(offsets.distinct.sorted.toSeq === Seq(4L, 5L),
+      "the +69d shift must straddle the spring-forward (-5 and -4 both live)")
+  }
 }
