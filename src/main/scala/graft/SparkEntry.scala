@@ -234,7 +234,9 @@ object SparkEntry {
     "q158_diversity_sample" -> ((s: SparkSession, d: String) =>
       Similarity.diversitySample(s, d)),
     "q159_contamination_report" -> (Dedup.contaminationReport _),
-    "q160_timezone" -> (Temporal.timezoneBattery _)
+    "q160_timezone" -> (Temporal.timezoneBattery _),
+    "q161_simhash_neardup" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.simhashNearDup(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1278,6 +1280,32 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(CASE WHEN vote > 0
         |    THEN CAST(power(2, 32 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q161: the q25 simhash CTE extended to the banded Hamming join —
+    // DuckDB re-derives the fingerprints by explode+vote (vs the
+    // engine's codegen kernel), then the same 4×8-bit pigeonhole
+    // blocking and exact bit_count(xor) verification.
+    "q161_simhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |             FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        |bits AS (SELECT doc_id, p,
+        |    CASE WHEN strpos('0123456789abcdef', substring(h, p, 1)) - 1 >= 8
+        |         THEN 1 ELSE -1 END AS bit
+        |  FROM (SELECT doc_id, h, unnest(range(1, 33)) AS p FROM h) t),
+        |votes AS (SELECT doc_id, p, sum(bit) AS vote FROM bits GROUP BY doc_id, p),
+        |sim AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+        |    THEN CAST(power(2, 32 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY doc_id),
+        |bands AS (SELECT doc_id, fp, k, (fp >> (8 * k)) & 255 AS band
+        |  FROM (SELECT doc_id, fp, unnest(range(0, 4)) AS k FROM sim)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.fp AS fa, b.fp AS fb
+        |  FROM bands a JOIN bands b
+        |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q26_exact_dedup" ->
       """SELECT lang, count(*) AS n_input, count(DISTINCT fp) AS n_unique FROM (

@@ -532,6 +532,56 @@ object TextAnalysis {
       .filter(col("simhash").isNotNull)
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup JOIN (q161) — the blocking step that turns
+    * q25's fingerprints into a dedup operator, completing the
+    * SimHash family the way q27/q28 complete MinHash: pairs within
+    * Hamming distance ≤ `maxHam` found by the standard band
+    * pigeonhole (4 × 8-bit bands of the 32-bit hash; distance ≤ 3
+    * leaves at least one band untouched, so banding misses nothing
+    * under the threshold), then exact `bit_count(xor)` verification
+    * on candidates only — never all-pairs.
+    *
+    * This is Google's crawl-dedup construction (Manku et al. 2007,
+    * "Detecting near-duplicates for web crawling"): there 64-bit
+    * fingerprints and tables of bit-permutations; band count and
+    * hash width are the recall/cost dial, and both GROW with the
+    * corpus — at 100 TB a 32-bit hash saturates (birthday collisions
+    * swamp every band), so the production setting is the 64-bit
+    * kernel twin with 16-bit bands, same plan shape. Unlike MinHash
+    * (which estimates shingle-set Jaccard), SimHash distance bounds
+    * the token-frequency-vector angle — robust to small edits,
+    * which is exactly what the fixture's edit-variant near-dups
+    * exercise (q161's pairs recover the q27 ground truth at ≤ 3).
+    *
+    * Scale: fingerprint in the scan projection (codegen kernel, no
+    * explode); the 4× band explode shuffles 4 narrow rows per doc;
+    * the band self-join is an equi-join on (k, band); dedup +
+    * verify are candidate-volume-bounded.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String,
+      maxHam: Int = 3): DataFrame = {
+    val fps = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.MinHashFunctions.simhash32(tokens(col("text")))
+          .as("fp"))
+      .filter(col("fp").isNotNull)
+    val banded = fps
+      .select(col("doc_id"), col("fp"),
+        explode(expr("array(0, 1, 2, 3)")).as("k"))
+      .withColumn("band", expr("shiftright(fp, 8 * k) & 255"))
+    val a = banded.select(col("k"), col("band"),
+      col("doc_id").as("doc_a"), col("fp").as("fa"))
+    val b = banded.select(col("k"), col("band"),
+      col("doc_id").as("doc_b"), col("fp").as("fb"))
+    a.join(b, Seq("k", "band")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fa"), col("fb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Higher-order array-function battery over the token arrays —
     * the collection surface (lambda filter/transform/aggregate,
     * sort/distinct) that complements q15's scalar battery; all

@@ -155,4 +155,21 @@ class Breadth12Spec extends AnyFunSuite {
     assert(offsets.distinct.sorted.toSeq === Seq(4L, 5L),
       "the +69d shift must straddle the spring-forward (-5 and -4 both live)")
   }
+
+  test("simhash near-dup join equals brute-force Hamming <= 3 (pigeonhole is lossless)") {
+    val fps = TextAnalysis.simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      d = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if d <= 3
+    } yield {
+      val (a, b) = (fps(i)._1 min fps(j)._1, fps(i)._1 max fps(j)._1)
+      (a, b, d.toLong)
+    }).toSet
+    val got = TextAnalysis.simhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture should contain simhash near-dups")
+  }
 }
