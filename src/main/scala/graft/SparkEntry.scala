@@ -236,7 +236,9 @@ object SparkEntry {
     "q159_contamination_report" -> (Dedup.contaminationReport _),
     "q160_timezone" -> (Temporal.timezoneBattery _),
     "q161_simhash_neardup" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.simhashNearDup(s, d))
+      TextAnalysis.simhashNearDup(s, d)),
+    "q162_search_order" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, searchOrderSparkSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -835,6 +837,46 @@ object SparkEntry {
       |  FROM anc WHERE anc > 1
       |)
       |SELECT node, anc, depth FROM anc ORDER BY node, depth""".stripMargin
+
+  /** PG 14 `SEARCH DEPTH FIRST BY … SET` / `SEARCH BREADTH FIRST`
+    * ordering of a recursive CTE (q162) — PG's clauses are sugar for
+    * an accumulated path column (depth-first) or a (depth, key) pair
+    * (breadth-first) that the outer query ORDERs BY; neither Spark
+    * nor this DuckDB parses the sugar, so BOTH engines are handed
+    * the desugared form PG's own docs define — independent encodings
+    * (Spark `concat(path, array(…))`/`array_join`, DuckDB
+    * `list_append`/`array_to_string`, and each engine's own
+    * lexicographic array ordering for the rank).
+    *
+    * The fixture walks customers as the binary tree rooted at 1
+    * (children of k are 2k, 2k+1 — every custkey's halving chain
+    * reaches 1, so the tree spans the table): a BRANCHING recursion,
+    * where depth-first (1,2,4,8,…) and breadth-first (1,2,3,4,…)
+    * orders genuinely diverge — on q108's per-node chains the two
+    * collapse together and the clause would be untestable. Both
+    * ranks ship, plus the path itself as a '/'-joined string (raw
+    * array columns don't hash cross-engine — the q121 finding).
+    *
+    * Scale: recursion depth = log₂(max key); each level is one
+    * co-partitioned join of the frontier against the table. The two
+    * global row_number ranks are the GATE's materialization of the
+    * order contract; production consumers ORDER BY the path/depth
+    * columns directly (a sort, not a single-partition rank).
+    */
+  private[graft] val searchOrderSparkSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth,
+      |    array(CAST(1 AS BIGINT)) AS path
+      |  UNION ALL
+      |  SELECT CAST(c.c_custkey AS BIGINT), t.depth + 1,
+      |    concat(t.path, array(CAST(c.c_custkey AS BIGINT)))
+      |  FROM t JOIN customer c ON c.c_custkey div 2 = t.node
+      |    AND c.c_custkey > 1
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY path) AS BIGINT) AS dfs_rank,
+      |  CAST(row_number() OVER (ORDER BY depth, node) AS BIGINT) AS bfs_rank,
+      |  node, depth, array_join(path, '/') AS path_str
+      |FROM t ORDER BY dfs_rank""".stripMargin
 
   /** LATERAL correlated TABLE subquery (q51 gates only the scalar
     * form): top-2 orders per customer via `, LATERAL (... ORDER BY
@@ -3202,6 +3244,25 @@ object SparkEntry {
         |  FROM anc WHERE anc > 1
         |)
         |SELECT node, anc, depth FROM anc ORDER BY node, depth""".stripMargin,
+
+    // q162: PG 14 SEARCH DEPTH/BREADTH FIRST desugared per PG's own
+    // definition — DuckDB builds the path with ITS list primitives
+    // (list_append, // division, array_to_string) and ranks with its
+    // own lexicographic list ordering; independent encodings.
+    "q162_search_order" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth,
+        |    [CAST(1 AS BIGINT)] AS path
+        |  UNION ALL
+        |  SELECT CAST(c.c_custkey AS BIGINT), t.depth + 1,
+        |    list_append(t.path, CAST(c.c_custkey AS BIGINT))
+        |  FROM t JOIN customer c ON c.c_custkey // 2 = t.node
+        |    AND c.c_custkey > 1
+        |)
+        |SELECT row_number() OVER (ORDER BY path) AS dfs_rank,
+        |  row_number() OVER (ORDER BY depth, node) AS bfs_rank,
+        |  node, depth, array_to_string(path, '/') AS path_str
+        |FROM t ORDER BY dfs_rank""".stripMargin,
 
     // q108b: DuckDB's NATIVE `WITH RECURSIVE … UNION` (per-iteration
     // dedup against everything already produced — the PG semantics

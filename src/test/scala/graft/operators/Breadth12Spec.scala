@@ -172,4 +172,36 @@ class Breadth12Spec extends AnyFunSuite {
     assert(got === brute)
     assert(got.nonEmpty, "fixture should contain simhash near-dups")
   }
+
+  test("SEARCH DEPTH FIRST rank is exactly recursive preorder; BFS differs") {
+    val rows = graft.Flaco.sql(spark, sf, graft.SparkEntry.searchOrderSparkSql)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val keys = graft.sources.Corpus.read(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    // In-JVM preorder walk of the same binary tree.
+    val pre = scala.collection.mutable.ArrayBuffer[Long]()
+    def walk(k: Long): Unit = if (keys(k)) {
+      pre += k
+      walk(2 * k); walk(2 * k + 1)
+    }
+    walk(1L)
+    assert(rows.sortBy(_._1).map(_._3).toSeq === pre.toSeq, "preorder")
+    // BFS rank orders by (depth, node) — and genuinely differs from DFS.
+    val byBfs = rows.sortBy(_._2).map(r => (r._4, r._3))
+    assert(byBfs.toSeq === byBfs.sorted.toSeq, "bfs order")
+    assert(rows.sortBy(_._1).map(_._3).toSeq !==
+      rows.sortBy(_._2).map(_._3).toSeq, "branching makes DFS != BFS")
+    // path_str really is the root walk of each node.
+    rows.foreach { case (_, _, node, depth, ps) =>
+      val path = ps.split('/').map(_.toLong)
+      assert(path.last === node && path.head === 1L &&
+        path.length === depth + 1)
+      path.sliding(2).foreach { case Array(p, c) =>
+        assert(c / 2 === p, s"$c not a child of $p")
+      case _ => ()
+      }
+    }
+  }
 }
