@@ -238,7 +238,10 @@ object SparkEntry {
     "q161_simhash_neardup" -> ((s: SparkSession, d: String) =>
       TextAnalysis.simhashNearDup(s, d)),
     "q162_search_order" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, searchOrderSparkSql))
+      Flaco.sql(s, d, searchOrderSparkSql)),
+    "q163_datetime_parse" -> (Relational.datetimeParseBattery _),
+    "q164_select_exists" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, selectExistsSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -709,6 +712,29 @@ object SparkEntry {
     * total (never-NULL) BIGINT by definition, which is exactly the
     * property the gate proves (vs `= TRUE`, which propagates NULL).
     */
+  /** SELECT-list EXISTS (q164) — the correlated existential as a
+    * PROJECTED boolean rather than a WHERE predicate (q68's gate):
+    * a different planner path entirely — the subquery must become a
+    * left-semi/existence JOIN whose match flag SURVIVES as a column
+    * (Spark plans an ExistenceJoin), not a filter. One SQL text,
+    * two planners. Both flags are never-NULL booleans (cast BIGINT
+    * for cross-engine hashing); `n_big` rides along to pin the
+    * interaction with an unrelated scalar subquery in the same
+    * projection. Customers without orders make both flags'
+    * false/true branches live at every SF.
+    */
+  private[graft] val selectExistsSql: String =
+    """SELECT c_custkey,
+      |  CAST(EXISTS(SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_totalprice > 200000) AS BIGINT) AS has_big,
+      |  CAST(NOT EXISTS(SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS no_orders,
+      |  (SELECT count(*) FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_totalprice > 200000) AS n_big
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
   private val boolTestSql: String =
     """WITH b AS (SELECT o_orderkey,
       |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
@@ -2993,6 +3019,28 @@ object SparkEntry {
     // (Spark's is re-based engine-side); next-Monday re-derived
     // arithmetically from dow — an independent encoding of
     // next_day's strictly-after contract.
+    // q164: one SQL text, two planners (projected EXISTS becomes an
+    // existence join, not a filter).
+    "q164_select_exists" -> selectExistsSql,
+
+    // q163: the PARSE direction — each engine builds the strings
+    // with its own formatter and parses with its own template
+    // dialect (Java patterns vs strptime %-codes); round-trip
+    // asymmetries on either side are value-visible.
+    "q163_datetime_parse" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    o_orderkey % 86400 AS secs FROM orders),
+        |t AS (SELECT o_orderkey, d,
+        |    CAST(d AS TIMESTAMP) + secs * INTERVAL 1 SECOND AS ts FROM b)
+        |SELECT o_orderkey,
+        |  strftime(d, '%d-%b-%Y') AS s_date,
+        |  CAST(strptime(strftime(d, '%d-%b-%Y'), '%d-%b-%Y') AS DATE)
+        |    AS d_parsed,
+        |  strftime(ts, '%m/%d/%Y %I:%M:%S %p') AS s_ts,
+        |  CAST(epoch_us(strptime(strftime(ts, '%m/%d/%Y %I:%M:%S %p'),
+        |    '%m/%d/%Y %I:%M:%S %p')) AS BIGINT) AS us_parsed
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
     "q91_date_battery" ->
       """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
         |  FROM orders)

@@ -853,6 +853,41 @@ object Relational {
         date_format(col("d"), "EEE, dd MMM yyyy").as("report_label"))
       .orderBy(col("o_orderkey"))
 
+  /** Datetime PARSE battery (q163) — the reverse direction of q139:
+    * PG's `to_date`/`to_timestamp` template parsing, which every
+    * ingest pipeline hits before the date functions ever run. Each
+    * engine BUILDS the strings with its own formatter and PARSES
+    * them back with its own template dialect (Spark Java patterns vs
+    * the oracle's strptime %-codes — independent encodings of both
+    * directions), so a formatter/parser asymmetry on either side
+    * breaks the round trip value-visibly:
+    *
+    *   - `dd-MMM-yyyy` (English month name) → DATE;
+    *   - `MM/dd/yyyy hh:mm:ss a` (12-hour clock with AM/PM, the
+    *     minute/second derived from the order key so both halves of
+    *     the meridian occur) → epoch micros.
+    *
+    * Parsed results ship as the parse's own DATE and the exact
+    * unix_micros BIGINT. One codegen'd projection per row.
+    */
+  def datetimeParseBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("d", col("o_orderdate").cast("date"))
+      .withColumn("secs", pmod(col("o_orderkey"), lit(86400L)))
+      .withColumn("ts",
+        expr("timestamp_micros(unix_micros(cast(d as timestamp)) " +
+          "+ secs * 1000000)"))
+      .select(
+        col("o_orderkey"),
+        date_format(col("d"), "dd-MMM-yyyy").as("s_date"),
+        to_date(date_format(col("d"), "dd-MMM-yyyy"), "dd-MMM-yyyy")
+          .as("d_parsed"),
+        date_format(col("ts"), "MM/dd/yyyy hh:mm:ss a").as("s_ts"),
+        expr("unix_micros(to_timestamp(" +
+          "date_format(ts, 'MM/dd/yyyy hh:mm:ss a'), " +
+          "'MM/dd/yyyy hh:mm:ss a'))").as("us_parsed"))
+      .orderBy(col("o_orderkey"))
+
   /** PG's MULTI-array `unnest(a, b) WITH ORDINALITY` (q143) — zip
     * semantics: arrays of unequal length expand together, the
     * shorter NULL-padded to the longest, positions preserved (q114

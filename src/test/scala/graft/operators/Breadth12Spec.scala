@@ -204,4 +204,42 @@ class Breadth12Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("projected EXISTS plans as an existence join and round-trips to dates") {
+    // q164: the EXISTS flags must survive as COLUMNS — the planner
+    // emits ExistenceJoin, not a semi-join filter.
+    val plan = graft.Flaco.sql(spark, sf, graft.SparkEntry.selectExistsSql)
+      .queryExecution.optimizedPlan
+    val hasExistence = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.ExistenceJoin] => j
+    }.nonEmpty
+    assert(hasExistence, s"expected ExistenceJoin in:\n$plan")
+    // Flags agree with a local replay off the orders table.
+    val big = graft.sources.Corpus.read(spark, sf, "orders")
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val any = graft.sources.Corpus.read(spark, sf, "orders")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    graft.Flaco.sql(spark, sf, graft.SparkEntry.selectExistsSql)
+      .collect().foreach { r =>
+        val c = r.getLong(0)
+        assert(r.getLong(1) === (if (big(c)) 1L else 0L), s"has_big $c")
+        assert(r.getLong(2) === (if (any(c)) 0L else 1L), s"no_orders $c")
+      }
+
+    // q163: every parsed value round-trips to its source exactly.
+    Relational.datetimeParseBattery(spark, sf).collect().foreach { r =>
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("dd-MMM-yyyy", java.util.Locale.ENGLISH)
+      assert(java.time.LocalDate.parse(r.getString(1), fmt).toString
+        === r.getDate(2).toString)
+      val tfmt = java.time.format.DateTimeFormatter
+        .ofPattern("MM/dd/yyyy hh:mm:ss a", java.util.Locale.ENGLISH)
+      val ldt = java.time.LocalDateTime.parse(r.getString(3), tfmt)
+      assert(ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        === r.getLong(4))
+    }
+  }
 }
