@@ -560,11 +560,16 @@ object TextAnalysis {
     */
   def simhashNearDup(spark: SparkSession, dir: String,
       maxHam: Int = 3): DataFrame = {
+    // Cached: both sides of the band self-join consume it, and the
+    // fingerprint kernel over the corpus is the dominant cost — two
+    // narrow longs per doc is the cheapest relation in the plan
+    // (the q27 cand-cache discipline).
     val fps = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.MinHashFunctions.simhash32(tokens(col("text")))
           .as("fp"))
       .filter(col("fp").isNotNull)
+      .cache()
     val banded = fps
       .select(col("doc_id"), col("fp"),
         explode(expr("array(0, 1, 2, 3)")).as("k"))
