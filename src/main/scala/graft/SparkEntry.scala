@@ -241,7 +241,8 @@ object SparkEntry {
       Flaco.sql(s, d, searchOrderSparkSql)),
     "q163_datetime_parse" -> (Relational.datetimeParseBattery _),
     "q164_select_exists" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, selectExistsSql))
+      Flaco.sql(s, d, selectExistsSql)),
+    "q165_array_ops" -> (Relational.arrayOpsBattery _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -3022,6 +3023,27 @@ object SparkEntry {
     // q164: one SQL text, two planners (projected EXISTS becomes an
     // existence join, not a filter).
     "q164_select_exists" -> selectExistsSql,
+
+    // q165: PG array operators via DuckDB's native list functions
+    // (vs the engine's defining-∀ spelling); the PG NULL-when-absent
+    // position contract stated as nullif on both sides.
+    "q165_array_ops" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE list_transform(range(1, 2 + o_orderkey % 4),
+        |                i -> (o_orderkey * i) % 7) END AS arr,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE list_transform(range(1, 2 + o_orderkey % 3),
+        |                i -> (o_orderkey + i) % 7) END AS probe
+        |  FROM orders)
+        |SELECT k AS o_orderkey,
+        |  CAST(list_has_all(arr, probe) AS BIGINT) AS contains_p,
+        |  CAST(list_has_all(probe, arr) AS BIGINT) AS contained_p,
+        |  CAST(list_has_any(arr, probe) AS BIGINT) AS overlap_p,
+        |  CAST(nullif(list_position(arr, 3), 0) AS BIGINT) AS pos3,
+        |  coalesce(array_to_string(list_filter(arr, x -> x != k % 7), '/'),
+        |           '') AS removed
+        |FROM b ORDER BY o_orderkey""".stripMargin,
 
     // q163: the PARSE direction — each engine builds the strings
     // with its own formatter and parses with its own template

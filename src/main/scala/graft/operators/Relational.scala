@@ -888,6 +888,43 @@ object Relational {
           "'MM/dd/yyyy hh:mm:ss a'))").as("us_parsed"))
       .orderBy(col("o_orderkey"))
 
+  /** PG array-operator battery (q165) — `@>` contains, `<@`
+    * contained-by, `&&` overlap, `array_position`, `array_remove`:
+    * the intarray-style surface PG users reach for tag filtering and
+    * membership tests. Independent encodings throughout: Spark
+    * spells containment as the defining ∀ (`forall(b, x ->
+    * array_contains(a, x))` — set semantics, duplicates ignored,
+    * vacuously true on the empty probe, exactly PG's contract) and
+    * the oracle uses DuckDB's native `list_has_all`/`list_has_any`.
+    * `array_position`'s not-found result differs PER ENGINE (Spark
+    * and DuckDB both return 0, PG returns NULL) — the gate states
+    * the PG contract explicitly as `nullif(pos, 0)` on BOTH sides,
+    * so the emitted column is the PG surface, not either engine's
+    * native quirk. Array fixtures cycle empty/short/long off the
+    * order key so vacuous-truth, empty-overlap and absent-element
+    * branches are all live at every SF; the removed array ships as
+    * a '/'-joined string (arrays don't hash cross-engine — q121).
+    * Per-row codegen'd lambdas in the scan projection, no shuffle.
+    */
+  def arrayOpsBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("arr", expr(
+        "CASE WHEN k % 5 = 0 THEN CAST(array() AS ARRAY<BIGINT>) " +
+          "ELSE transform(sequence(1L, 1L + k % 4), i -> (k * i) % 7) END"))
+      .withColumn("probe", expr(
+        "CASE WHEN k % 3 = 0 THEN CAST(array() AS ARRAY<BIGINT>) " +
+          "ELSE transform(sequence(1L, 1L + k % 3), i -> (k + i) % 7) END"))
+      .select(col("k").as("o_orderkey"),
+        expr("CAST(forall(probe, x -> array_contains(arr, x)) AS BIGINT)")
+          .as("contains_p"),
+        expr("CAST(forall(arr, x -> array_contains(probe, x)) AS BIGINT)")
+          .as("contained_p"),
+        expr("CAST(arrays_overlap(arr, probe) AS BIGINT)").as("overlap_p"),
+        expr("nullif(array_position(arr, 3L), 0)").as("pos3"),
+        expr("array_join(array_remove(arr, k % 7), '/')").as("removed"))
+      .orderBy(col("o_orderkey"))
+
   /** PG's MULTI-array `unnest(a, b) WITH ORDINALITY` (q143) — zip
     * semantics: arrays of unequal length expand together, the
     * shorter NULL-padded to the longest, positions preserved (q114
