@@ -99,7 +99,19 @@ object Dedup {
     */
   def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
-    val bench = evalShingleSet(spark, docs)
+    contaminationColumns(docs, evalShingleSet(spark, docs))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-doc contamination projection — STATELESS given the
+    * broadcast eval universe, which is why the streaming twin
+    * ([[graft.streaming.DocumentStreams.contaminationCounts]]) can
+    * reuse it verbatim on an unbounded ingest stream.
+    */
+  private[graft] def contaminationColumns(docs: DataFrame,
+      bench: org.apache.spark.broadcast.Broadcast[
+        java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]])
+      : DataFrame =
     docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"),
         size(graft.functions.MinHashFunctions.sorted_shingles(
@@ -113,8 +125,15 @@ object Dedup {
         when(col("n_hits") === 0, "clean")
           .when(col("cont_ppm") >= 500000, "drop")
           .otherwise("review"))
-      .orderBy(col("doc_id"))
-  }
+
+  /** [[evalShingleSet]] for callers outside the operator (the
+    * streaming twin builds the ingest-time guard from the static
+    * batch corpus — the eval suite is static by nature).
+    */
+  def evalShingleSetFor(spark: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+    evalShingleSet(spark, Corpus.read(spark, dir, "documents"))
 
   /** [[decontaminate]]'s scale path for when the eval-set shingle
     * universe outgrows an executor-resident exact HashSet: only a

@@ -111,6 +111,24 @@ object DocumentStreams {
   def cascadeAttrition(docs: DataFrame): DataFrame =
     TextAnalysis.cascadeFunnel(TextAnalysis.cascadeCountsOf(docs))
 
+  /** Streaming twin of q159's contamination-severity report: the
+    * per-doc projection is STATELESS given the broadcast eval
+    * universe (built once from the static eval suite —
+    * [[graft.operators.Dedup.evalShingleSetFor]]), so an ingest
+    * stream grades every arriving document in the scan projection
+    * and the running per-verdict tallies are a 3-row Complete-mode
+    * aggregate — O(1) state at any ingest volume, the cascade-
+    * attrition shape. Stream-final equals the batch report grouped
+    * the same way (DocumentStreamsSpec).
+    */
+  def contaminationCounts(docs: DataFrame,
+      bench: org.apache.spark.broadcast.Broadcast[
+        java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]])
+      : DataFrame =
+    graft.operators.Dedup.contaminationColumns(docs, bench)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("sum_hits"))
+
   /** One reservoir entry: the clock orders, (doc_id) tiebreaks. */
   final case class ReservoirEntry(key: Double, doc_id: Long, w: Long)
 

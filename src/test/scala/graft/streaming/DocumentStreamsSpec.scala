@@ -205,4 +205,25 @@ class DocumentStreamsSpec extends AnyFunSuite {
       }
     } finally spark.sql("drop view if exists cascade_funnel")
   }
+
+  test("streaming contamination tallies converge to the batch report") {
+    val bench = graft.operators.Dedup.evalShingleSetFor(spark, TestSpark.sf)
+    val streamed = DocumentStreams.contaminationCounts(
+      DocumentStreams.readDocumentStream(spark, streamDir), bench)
+    val q = EventStreams.runToMemory(streamed, "contam_counts",
+      OutputMode.Complete())
+    try {
+      val got = spark.table("contam_counts").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val want = graft.operators.Dedup.contaminationReport(spark, TestSpark.sf)
+        .groupBy("verdict")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum("n_hits").as("sum_hits"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(got.toSeq === want.toSeq)
+      assert(got.map(_._1).toSeq === Seq("clean", "drop", "review"))
+    } finally spark.sql("drop view if exists contam_counts")
+  }
 }
