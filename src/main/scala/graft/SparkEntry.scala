@@ -1350,23 +1350,28 @@ object SparkEntry {
         |    THEN CAST(power(2, 32 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // q161: the q25 simhash CTE extended to the banded Hamming join —
-    // DuckDB re-derives the fingerprints by explode+vote (vs the
-    // engine's codegen kernel), then the same 4×8-bit pigeonhole
-    // blocking and exact bit_count(xor) verification.
+    // q161: the 64-bit simhash re-derived by explode+vote over the
+    // first 64 md5 BITS (vs the engine's codegen kernel) — exact
+    // HUGEINT shifts assemble the unsigned value, wrapped to the
+    // signed BIGINT two's complement (bit 63 is live); then the same
+    // 4×16-bit pigeonhole blocking and bit_count(xor) verification.
     "q161_simhash_neardup" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
         |             FROM documents),
         |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
         |bits AS (SELECT doc_id, p,
-        |    CASE WHEN strpos('0123456789abcdef', substring(h, p, 1)) - 1 >= 8
-        |         THEN 1 ELSE -1 END AS bit
-        |  FROM (SELECT doc_id, h, unnest(range(1, 33)) AS p FROM h) t),
+        |    CASE WHEN ((strpos('0123456789abcdef',
+        |        substring(h, 1 + p // 4, 1)) - 1) >> (3 - p % 4)) & 1 = 1
+        |      THEN 1 ELSE -1 END AS bit
+        |  FROM (SELECT doc_id, h, unnest(range(0, 64)) AS p FROM h) t),
         |votes AS (SELECT doc_id, p, sum(bit) AS vote FROM bits GROUP BY doc_id, p),
-        |sim AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0
-        |    THEN CAST(power(2, 32 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+        |uf AS (SELECT doc_id, sum(CASE WHEN vote > 0
+        |    THEN CAST(1 AS HUGEINT) << (63 - p) ELSE CAST(0 AS HUGEINT) END) AS u
         |  FROM votes GROUP BY doc_id),
-        |bands AS (SELECT doc_id, fp, k, (fp >> (8 * k)) & 255 AS band
+        |sim AS (SELECT doc_id, CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+        |    THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS fp
+        |  FROM uf),
+        |bands AS (SELECT doc_id, fp, k, (fp >> (16 * k)) & 65535 AS band
         |  FROM (SELECT doc_id, fp, unnest(range(0, 4)) AS k FROM sim)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.fp AS fa, b.fp AS fb

@@ -542,16 +542,18 @@ object TextAnalysis {
     * on candidates only — never all-pairs.
     *
     * This is Google's crawl-dedup construction (Manku et al. 2007,
-    * "Detecting near-duplicates for web crawling"): there 64-bit
-    * fingerprints and tables of bit-permutations; band count and
-    * hash width are the recall/cost dial, and both GROW with the
-    * corpus — at 100 TB a 32-bit hash saturates (birthday collisions
-    * swamp every band), so the production setting is the 64-bit
-    * kernel twin with 16-bit bands, same plan shape. Unlike MinHash
-    * (which estimates shingle-set Jaccard), SimHash distance bounds
-    * the token-frequency-vector angle — robust to small edits,
-    * which is exactly what the fixture's edit-variant near-dups
-    * exercise (q161's pairs recover the q27 ground truth at ≤ 3).
+    * "Detecting near-duplicates for web crawling") at Manku's own
+    * width: the 64-bit [[graft.functions.SimHash64]] kernel with
+    * 16-bit bands. Width is the scale dial, and it is NOT optional —
+    * the 32-bit q25 fingerprint's 8-bit bands saturate by the
+    * birthday bound (only 256 values per band): measured exponent
+    * 1.79 / 413 s at 10×·sf0.1 vs near-linear at 64 bits, where a
+    * band takes 65536 values and buckets stay sparse past millions
+    * of docs. Unlike MinHash (which estimates shingle-set Jaccard),
+    * SimHash distance bounds the token-frequency-vector angle —
+    * robust to small edits, which is exactly what the fixture's
+    * edit-variant near-dups exercise (q161's ≤ 3 matches are all
+    * q27 ground-truth pairs).
     *
     * Scale: fingerprint in the scan projection (codegen kernel, no
     * explode); the 4× band explode shuffles 4 narrow rows per doc;
@@ -566,14 +568,14 @@ object TextAnalysis {
     // (the q27 cand-cache discipline).
     val fps = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.MinHashFunctions.simhash32(tokens(col("text")))
+        graft.functions.MinHashFunctions.simhash64(tokens(col("text")))
           .as("fp"))
       .filter(col("fp").isNotNull)
       .cache()
     val banded = fps
       .select(col("doc_id"), col("fp"),
         explode(expr("array(0, 1, 2, 3)")).as("k"))
-      .withColumn("band", expr("shiftright(fp, 8 * k) & 255"))
+      .withColumn("band", expr("shiftright(fp, 16 * k) & 65535"))
     val a = banded.select(col("k"), col("band"),
       col("doc_id").as("doc_a"), col("fp").as("fa"))
     val b = banded.select(col("k"), col("band"),

@@ -157,7 +157,12 @@ class Breadth12Spec extends AnyFunSuite {
   }
 
   test("simhash near-dup join equals brute-force Hamming <= 3 (pigeonhole is lossless)") {
-    val fps = TextAnalysis.simhash(spark, sf).collect()
+    val fps = graft.sources.Corpus.read(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.MinHashFunctions.simhash64(
+          TextAnalysis.tokens(col("text"))).as("fp"))
+      .filter(col("fp").isNotNull)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
       i <- fps.indices; j <- (i + 1) until fps.length
