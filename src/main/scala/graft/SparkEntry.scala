@@ -242,7 +242,8 @@ object SparkEntry {
     "q163_datetime_parse" -> (Relational.datetimeParseBattery _),
     "q164_select_exists" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, selectExistsSql)),
-    "q165_array_ops" -> (Relational.arrayOpsBattery _)
+    "q165_array_ops" -> (Relational.arrayOpsBattery _),
+    "q166_sketch_union" -> (Events.sketchUnionUsers _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1293,6 +1294,21 @@ object SparkEntry {
     "q20b_exact_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q166: the sketch-UNION rollup — oracle recomputes the exact
+    // distinct, the day count, and the same 5% integer band; the
+    // engine's unioned-HLL estimate is pinned inside it (in_band
+    // literal 1), the q20 idiom at the merge level.
+    "q166_sketch_union" ->
+      """WITH e AS (SELECT event_type,
+        |    count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |    count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n_days, exact_users,
+        |  exact_users - (exact_users * 5 // 100 + 1) AS lo_users,
+        |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
+        |  CAST(1 AS BIGINT) AS in_band
+        |FROM e ORDER BY event_type""".stripMargin,
 
     "q21_text_stats" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_char,

@@ -135,6 +135,44 @@ object Events {
       .agg(countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  /** RE-AGGREGATABLE distinct counting via HLL sketch UNION (q166) —
+    * the capability q20's `approx_count_distinct` does NOT have:
+    * daily distinct counts cannot be summed into a monthly one, but
+    * daily SKETCHES union losslessly. This is how a 100 TB warehouse
+    * serves distinct-count rollups — materialize one Datasketches
+    * HLL per (dimension, day) once, answer every coarser-grained
+    * question by `hll_union_agg` over the stored sketches, never
+    * re-scanning raw events. The gate materializes the per-(type,
+    * day) sketch relation, unions it per type, and pins the merged
+    * estimate inside the exact count's ±3·rsd integer band (lgK=12 →
+    * rsd ≈ 1.04/√4096 ≈ 1.6%; the band uses 3·rsd rounded up to 5%
+    * in exact integer arithmetic, the q20 idiom — the estimate
+    * itself is sketch-version-specific and stays out of the hash).
+    * Both aggregation levels are map-side-combinable mergeable
+    * binary states; no distinct-key shuffle at any scale.
+    */
+  def sketchUnionUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_days"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .withColumn("slack", expr("exact_users * 5 div 100 + 1"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (col("exact_users") - col("slack")).as("lo_users"),
+        (col("exact_users") + col("slack")).as("hi_users"),
+        (col("est") >= col("exact_users") - col("slack") &&
+          col("est") <= col("exact_users") + col("slack"))
+          .cast("long").as("in_band"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact interpolated percentiles of event value per type (Spark
     * `percentile` == DuckDB `quantile_cont`: sort + linear
     * interpolation). For sketched quantiles at scale, swap in

@@ -210,6 +210,32 @@ class Breadth12Spec extends AnyFunSuite {
     }
   }
 
+  test("sketch union is lossless: merged daily sketches = one-pass sketch") {
+    val ev = graft.sources.Corpus.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    // Union of per-day sketches vs one sketch over the raw rows —
+    // Datasketches HLL union is exact over its own state, so the two
+    // ESTIMATES must agree bit-for-bit, which is the property that
+    // makes materialized daily sketches answer monthly questions.
+    val merged = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val onePass = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === onePass)
+    // And the gate's band flag is genuinely earned, not vacuous.
+    val out = Events.sketchUnionUsers(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(5) === 1L, s"${r.getString(0)} estimate out of band")
+      assert(merged(r.getString(0)) >= r.getLong(3) &&
+        merged(r.getString(0)) <= r.getLong(4))
+    }
+  }
+
   test("projected EXISTS plans as an existence join and round-trips to dates") {
     // q164: the EXISTS flags must survive as COLUMNS — the planner
     // emits ExistenceJoin, not a semi-join filter.
