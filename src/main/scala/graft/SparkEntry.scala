@@ -243,7 +243,9 @@ object SparkEntry {
     "q164_select_exists" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, selectExistsSql)),
     "q165_array_ops" -> (Relational.arrayOpsBattery _),
-    "q166_sketch_union" -> (Events.sketchUnionUsers _)
+    "q166_sketch_union" -> (Events.sketchUnionUsers _),
+    "q167_source_drift" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceDrift(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1365,6 +1367,38 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(CASE WHEN vote > 0
         |    THEN CAST(power(2, 32 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q167: the KL drift replayed from first principles — DuckDB
+    // derives the same top-32 vocab (count DESC, tok tie-break),
+    // grid, add-one smoothing, and folds the double terms in the
+    // SAME sorted-token order via sum(term ORDER BY tok) (vs the
+    // engine's array_sort fold) so association order can't drift.
+    "q167_source_drift" ->
+      """WITH d AS (SELECT source, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS n FROM
+        |  (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+        |voc AS (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 32),
+        |occ AS (SELECT source, tok, count(*) AS c FROM
+        |  (SELECT source, unnest(toks) AS tok FROM d) u
+        |  JOIN voc USING (tok) GROUP BY source, tok),
+        |st AS (SELECT source, sum(c) AS tot_s FROM occ GROUP BY source),
+        |g AS (SELECT tok, sum(c) AS cg FROM occ GROUP BY tok),
+        |gt AS (SELECT sum(cg) AS tot_g FROM g),
+        |grid AS (SELECT s.source, g.tok, coalesce(o.c, 0) AS c,
+        |    s.tot_s, g.cg, gt.tot_g
+        |  FROM st s CROSS JOIN g CROSS JOIN gt
+        |  LEFT JOIN occ o ON o.source = s.source AND o.tok = g.tok),
+        |terms AS (SELECT source, tok, tot_s,
+        |    ((c + 1.0) / (tot_s + 32)) *
+        |      ln(((c + 1.0) / (tot_s + 32)) / ((cg + 1.0) / (tot_g + 32)))
+        |      AS term
+        |  FROM grid)
+        |SELECT source, CAST(max(tot_s) AS BIGINT) AS n_occ,
+        |  round(sum(term ORDER BY tok), 6) AS kl,
+        |  arg_max(tok, term) AS top_tok,
+        |  round(max(term), 6) AS top_term
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     // q161: the 64-bit simhash re-derived by explode+vote over the
     // first 64 md5 BITS (vs the engine's codegen kernel) — exact

@@ -265,6 +265,62 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Per-source distribution drift (q167) — KL(source ‖ corpus) over
+    * the global top-V token distribution: the mixture-monitoring
+    * operator a corpus pipeline runs per ingest source to catch a
+    * crawler gone off-distribution (language shift, boilerplate
+    * floods, template spam) BEFORE it trains. Add-one smoothing
+    * keeps absent tokens finite; each source also reports its
+    * biggest-contributor token — the "what changed" a drift alert
+    * needs.
+    *
+    * Cross-engine determinism (the q130 problem, solved the q130
+    * way): per-token KL terms are doubles, and an unordered SUM of
+    * doubles is association-order-nondeterministic — so BOTH engines
+    * fold the terms in sorted-token order (Spark: `aggregate` over
+    * `array_sort(collect_list(struct(tok, term)))`; oracle: DuckDB's
+    * `sum(term ORDER BY tok)`), rounding once at the end. ln
+    * bit-parity across engines is the q130/q67 precedent.
+    *
+    * Scale: the vocabulary is a global top-V `TakeOrderedAndProject`
+    * heap (constant size, the q84 broadcast idiom); occurrences
+    * filter to vocab INSIDE the per-row lambda before the explode,
+    * so only top-V hits ever become rows; everything after is
+    * aggregates over ≤ sources×V rows. V is the resolution dial —
+    * production uses 10³–10⁴, still broadcastable.
+    */
+  def sourceDrift(spark: SparkSession, dir: String, v: Int = 32): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+      .select(col("source"), tokens(col("text")).as("toks"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(v)
+      .collect().map(_.getString(0)).toSeq
+    val vlit = array(vocab.map(lit): _*)
+    val occ = docs
+      .select(col("source"),
+        explode(filter(col("toks"), t => array_contains(vlit, t))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val srcTot = occ.groupBy(col("source")).agg(sum(col("c")).as("tot_s"))
+    val glob = occ.groupBy(col("tok")).agg(sum(col("c")).as("cg"))
+    val globTot = glob.agg(sum(col("cg")).as("tot_g"))
+    val grid = srcTot.crossJoin(broadcast(glob))
+      .crossJoin(broadcast(globTot))
+      .join(occ, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("term", expr(
+        s"((c + 1.0) / (tot_s + $v)) * " +
+          s"ln(((c + 1.0) / (tot_s + $v)) / ((cg + 1.0) / (tot_g + $v)))"))
+    grid.groupBy(col("source"))
+      .agg(max(col("tot_s")).as("n_occ"),
+        round(expr("aggregate(array_sort(collect_list(struct(tok, term)))," +
+          " cast(0 as double), (a, x) -> a + x.term)"), 6).as("kl"),
+        max_by(col("tok"), struct(col("term"), col("tok"))).as("top_tok"),
+        round(max(struct(col("term"), col("tok"))).getField("term"), 6)
+          .as("top_term"))
+      .orderBy(col("source"))
+  }
+
   /** Sketch-twin heavy hitters (q142) — Spark 4's `approx_top_k`
     * frequency sketch against the exact corpus-wide token counts, the
     * q20/q96 exact-twin pattern applied to top-k items: with

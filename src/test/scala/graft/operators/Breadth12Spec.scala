@@ -236,6 +236,36 @@ class Breadth12Spec extends AnyFunSuite {
     }
   }
 
+  test("source drift KL replays in-JVM and is non-negative") {
+    val v = 32
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+    val allCounts = docs.flatMap(_._2).groupBy(identity).map { case (t, a) => (t, a.length) }
+    val vocab = allCounts.toSeq.sortBy { case (t, n) => (-n, t) }.take(v).map(_._1).toSet
+    val occ = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2).filter(vocab).groupBy(identity)
+        .map { case (t, a) => (t, a.length.toLong) }
+    }
+    val glob = occ.values.flatten.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val totG = glob.values.sum
+    val want = occ.map { case (s, cs) =>
+      val totS = cs.values.sum
+      val terms = glob.keys.toSeq.sorted.map { t =>
+        val p = (cs.getOrElse(t, 0L) + 1.0) / (totS + v)
+        val q = (glob(t) + 1.0) / (totG + v)
+        p * math.log(p / q)
+      }
+      s -> BigDecimal(terms.foldLeft(0.0)(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    TextAnalysis.sourceDrift(spark, sf).collect().foreach { r =>
+      val (s, kl) = (r.getString(0), r.getDouble(2))
+      assert(kl >= 0.0, s"KL must be non-negative for $s")
+      assert(math.abs(kl - want(s)) < 2e-6, s"$s: $kl vs ${want(s)}")
+    }
+  }
+
   test("projected EXISTS plans as an existence join and round-trips to dates") {
     // q164: the EXISTS flags must survive as COLUMNS — the planner
     // emits ExistenceJoin, not a semi-join filter.
