@@ -245,7 +245,8 @@ object SparkEntry {
     "q165_array_ops" -> (Relational.arrayOpsBattery _),
     "q166_sketch_union" -> (Events.sketchUnionUsers _),
     "q167_source_drift" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.sourceDrift(s, d))
+      TextAnalysis.sourceDrift(s, d)),
+    "q168_delta_neardup" -> (Dedup.deltaNearDup _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1522,6 +1523,17 @@ object SparkEntry {
          |    AS members_fp,
          |  (SELECT leaked_groups FROM leak) AS leaked_groups
          |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // q168: the incremental near-dup result IS the cross-side slice
+    // of the full pair relation (the cap is computed on the combined
+    // band table on both paths) — the oracle derives it by filtering
+    // the shared j CTE to cross-parity pairs and orienting base/delta.
+    "q168_delta_neardup" ->
+      s"""WITH $minhashCtes
+         |SELECT CASE WHEN a % 2 = 0 THEN a ELSE b END AS base_doc,
+         |  CASE WHEN a % 2 = 0 THEN b ELSE a END AS delta_doc, jaccard
+         |FROM j WHERE (a % 2) <> (b % 2) AND jaccard >= 0.2
+         |ORDER BY delta_doc, base_doc""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH $embedNearDupCtes

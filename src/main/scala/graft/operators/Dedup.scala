@@ -255,8 +255,14 @@ object Dedup {
     */
   val MaxBandDocs = 64
 
-  def candidatePairJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Corpus.read(spark, dir, "documents")
+  /** The capped LSH band table (doc_id, lang, band, bkey) — the
+    * blocking relation [[candidatePairJaccard]] self-joins and
+    * [[deltaNearDup]] cross-joins base-vs-delta. The hot-bucket cap
+    * is computed over the WHOLE table regardless of which side a doc
+    * later lands on, so the full and incremental paths see the same
+    * bucket universe.
+    */
+  private def cappedBands(docs: DataFrame): DataFrame = {
     val sigs = docs.select(col("doc_id"), col("lang"),
         graft.functions.MinHashFunctions
           .minhash_signature(TextAnalysis.tokens(col("text"))).as("sig"))
@@ -277,7 +283,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > MaxBandDocs)
       .select(col("lang"), col("band"), col("bkey"))
-    val bands = bands0.join(hot, Seq("lang", "band", "bkey"), "left_anti")
+    bands0.join(hot, Seq("lang", "band", "bkey"), "left_anti")
+  }
+
+  def candidatePairJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val bands = cappedBands(docs)
     val bl = bands.select(col("doc_id").as("a"), col("lang"), col("band"), col("bkey"))
     val br = bands.select(col("doc_id").as("b"), col("lang").as("lang_b"),
       col("band").as("band_b"), col("bkey").as("bkey_b"))
@@ -286,6 +297,16 @@ object Dedup {
         col("bkey") === col("bkey_b") && col("band") === col("band_b") &&
           col("lang") === col("lang_b") && col("a") < col("b"))
       .select(col("a"), col("b")).distinct().cache()
+    verifyCandidates(docs, cand)
+  }
+
+  /** Exact word-3-gram Jaccard verification of a cached candidate
+    * pair set `(a, b)` — shared by [[candidatePairJaccard]] and
+    * [[deltaNearDup]]. Returns the checkpointed `(doc_a, doc_b,
+    * jaccard)` relation and releases `cand` plus its own shingle
+    * cache.
+    */
+  private def verifyCandidates(docs: DataFrame, cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     // Sorted shingle arrays only for candidate docs — the semi-join
@@ -319,6 +340,42 @@ object Dedup {
     cand.unpersist(false)
     candShingles.unpersist(false)
     out
+  }
+
+  /** Incremental (delta) near-dup detection (q168) — the snapshot-
+    * ingest question: which NEW documents near-duplicate something
+    * already in the base corpus? Re-running the full q27 self-join
+    * per snapshot re-pays base×base forever; the incremental plan
+    * band-joins only base-side buckets against delta-side buckets,
+    * so candidate work is ∝ delta × bucket occupancy, base×base and
+    * delta×delta pairs never exist, and the base band table is
+    * exactly what a production pipeline keeps MATERIALIZED between
+    * snapshots (this operator recomputes it for the gate — the join
+    * shape is the thing under test). The hot-bucket cap is computed
+    * over the combined table ([[cappedBands]]), so full and
+    * incremental paths agree on the bucket universe and the oracle
+    * can derive this result by filtering the shared full-pair CTE to
+    * cross-side pairs. Fixture split: even doc_ids = base, odd =
+    * delta. Verification is the same exact-Jaccard kernel on
+    * candidates only; ≥ 0.2 is q27's near-dup bar.
+    */
+  def deltaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val bands = cappedBands(docs)
+    val bl = bands.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("a"), col("lang"), col("band"), col("bkey"))
+    val br = bands.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("b"), col("lang").as("lang_b"),
+        col("band").as("band_b"), col("bkey").as("bkey_b"))
+    val cand = bl.join(br,
+        col("bkey") === col("bkey_b") && col("band") === col("band_b") &&
+          col("lang") === col("lang_b"))
+      .select(col("a"), col("b")).distinct().cache()
+    verifyCandidates(docs, cand)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_a").as("base_doc"), col("doc_b").as("delta_doc"),
+        col("jaccard"))
+      .orderBy(col("delta_doc"), col("base_doc"))
   }
 
   /** For every document with at least one LSH band candidate, its best

@@ -236,6 +236,22 @@ class Breadth12Spec extends AnyFunSuite {
     }
   }
 
+  test("delta near-dup equals the cross-side slice of the full pair relation") {
+    val full = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val wantCross = full.filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) =>
+        if (a % 2 == 0) (a, b, j) else (b, a, j)
+      }.toSet
+    val got = Dedup.deltaNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet === wantCross)
+    assert(got.nonEmpty, "fixture should contain cross-side near-dups")
+    got.foreach { case (base, delta, _) =>
+      assert(base % 2 === 0L); assert(delta % 2 === 1L)
+    }
+  }
+
   test("source drift KL replays in-JVM and is non-negative") {
     val v = 32
     val docs = graft.sources.Corpus.read(spark, sf, "documents")
