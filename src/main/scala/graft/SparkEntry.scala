@@ -246,7 +246,8 @@ object SparkEntry {
     "q166_sketch_union" -> (Events.sketchUnionUsers _),
     "q167_source_drift" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceDrift(s, d)),
-    "q168_delta_neardup" -> (Dedup.deltaNearDup _)
+    "q168_delta_neardup" -> (Dedup.deltaNearDup _),
+    "q169_sketch_intersect" -> (Events.sketchIntersections _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1400,6 +1401,26 @@ object SparkEntry {
         |  arg_max(tok, term) AS top_tok,
         |  round(max(term), 6) AS top_term
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // q169: exact per-pair intersections + the same ±5%-of-exact-
+    // union integer band; the engine's inclusion–exclusion estimate
+    // is pinned inside it (in_band literal 1).
+    "q169_sketch_intersect" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |nd AS (SELECT event_type, count(*) AS nd FROM ut GROUP BY event_type),
+        |ix AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS exact_inter
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type),
+        |j AS (SELECT ix.type_a, ix.type_b, ix.exact_inter,
+        |    (na.nd + nb.nd - ix.exact_inter) * 5 // 100 + 1 AS slack
+        |  FROM ix JOIN nd na ON na.event_type = ix.type_a
+        |          JOIN nd nb ON nb.event_type = ix.type_b)
+        |SELECT type_a, type_b, exact_inter,
+        |  exact_inter - slack AS lo, exact_inter + slack AS hi,
+        |  CAST(1 AS BIGINT) AS in_band
+        |FROM j ORDER BY type_a, type_b""".stripMargin,
 
     // q161: the 64-bit simhash re-derived by explode+vote over the
     // first 64 md5 BITS (vs the engine's codegen kernel) — exact

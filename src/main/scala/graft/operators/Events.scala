@@ -173,6 +173,61 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Sketch set algebra (q169) — distinct-user INTERSECTION between
+    * event-type pairs from the SAME materialized HLL sketches q166
+    * unions: |A∩B| = |A| + |B| − |A∪B|, all three terms sketch
+    * estimates. This answers "how many users did BOTH click and
+    * purchase" from per-type sketches without re-scanning events —
+    * with the known inclusion–exclusion caveat, stated honestly: the
+    * absolute error scales with |A∪B|, not with the intersection, so
+    * a small overlap of two large sets is unrecoverable from HLL
+    * (production uses Theta sketches for set ops precisely because
+    * they intersect natively; Spark 4 ships only HLL, so this is the
+    * Spark-expressible form and the gate's band is ±3·rsd·|A∪B|).
+    * The fixture's overlaps are union-sized, so the band is tight in
+    * relative terms too. All sketches build in one pass over events
+    * (map-side-combinable); the pairing is a self-join of the
+    * per-type sketch relation (≤ types² rows).
+    */
+  def sketchIntersections(spark: SparkSession, dir: String): DataFrame = {
+    // Distinct (user, type) FIRST — the q102 discipline: event
+    // volume collapses before any self-join, so the exact-twin join
+    // fans out per user-type-pair, never per event-pair.
+    val ut = Corpus.read(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sk = ut.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+        countDistinct(col("user_id")).as("nd"))
+    val pairs = sk.as("x").join(sk.as("y"),
+        col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"),
+        col("x.nd").as("nd_a"), col("y.nd").as("nd_b"),
+        (expr("hll_sketch_estimate(x.sk)") +
+          expr("hll_sketch_estimate(y.sk)") -
+          expr("hll_sketch_estimate(hll_union(x.sk, y.sk))"))
+          .as("est_inter"))
+    val exact = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    pairs.join(exact, Seq("type_a", "type_b"))
+      // Integer band the oracle replays exactly: ±5% of the EXACT
+      // union (nd_a + nd_b − exact_inter) — the inclusion–exclusion
+      // error scale — never of a sketch estimate.
+      .withColumn("slack",
+        expr("(nd_a + nd_b - exact_inter) * 5 div 100 + 1"))
+      .select(col("type_a"), col("type_b"), col("exact_inter"),
+        (col("exact_inter") - col("slack")).as("lo"),
+        (col("exact_inter") + col("slack")).as("hi"),
+        (col("est_inter") >= col("exact_inter") - col("slack") &&
+          col("est_inter") <= col("exact_inter") + col("slack"))
+          .cast("long").as("in_band"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Exact interpolated percentiles of event value per type (Spark
     * `percentile` == DuckDB `quantile_cont`: sort + linear
     * interpolation). For sketched quantiles at scale, swap in
