@@ -186,8 +186,11 @@ object Events {
     * Spark-expressible form and the gate's band is ±3·rsd·|A∪B|).
     * The fixture's overlaps are union-sized, so the band is tight in
     * relative terms too. All sketches build in one pass over events
-    * (map-side-combinable); the pairing is a self-join of the
-    * per-type sketch relation (≤ types² rows).
+    * (map-side-combinable); the pairing is an INEQUALITY self-join
+    * of the per-type sketch relation and therefore plans as a
+    * broadcast nested-loop — over a dimension-cardinality side
+    * (≤ types rows, one sketch each), never the corpus, which is the
+    * one shape where an NLJ is the right plan at any scale.
     */
   def sketchIntersections(spark: SparkSession, dir: String): DataFrame = {
     // Distinct (user, type) FIRST — the q102 discipline: event
