@@ -247,7 +247,8 @@ object SparkEntry {
     "q167_source_drift" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceDrift(s, d)),
     "q168_delta_neardup" -> (Dedup.deltaNearDup _),
-    "q169_sketch_intersect" -> (Events.sketchIntersections _)
+    "q169_sketch_intersect" -> (Events.sketchIntersections _),
+    "q170_json_table" -> (Relational.jsonTableShred _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -3111,6 +3112,22 @@ object SparkEntry {
     // q164: one SQL text, two planners (projected EXISTS becomes an
     // existence join, not a filter).
     "q164_select_exists" -> selectExistsSql,
+
+    // q170: rows derived arithmetically (no parse) and the document
+    // bytes rendered by DuckDB's own string constructor — engine
+    // parse vs oracle derivation, bytes hash-pinned.
+    "q170_json_table" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    unnest(range(1, 2 + o_orderkey % 3)) AS i FROM orders),
+        |r AS (SELECT k, i, (k * i) % 97 AS id,
+        |    'it' || CAST((k + i) % 5 AS VARCHAR) AS tag FROM b),
+        |d AS (SELECT k, '[' || string_agg(
+        |    '{"id":' || CAST(id AS VARCHAR) || ',"tag":"' || tag || '"}',
+        |    ',' ORDER BY i) || ']' AS doc FROM r GROUP BY k)
+        |SELECT r.k AS o_orderkey, d.doc, CAST(r.i AS BIGINT) AS ord,
+        |  CAST(r.id AS BIGINT) AS id, r.tag
+        |FROM r JOIN d ON d.k = r.k
+        |ORDER BY o_orderkey, ord""".stripMargin,
 
     // q165: PG array operators via DuckDB's native list functions
     // (vs the engine's defining-∀ spelling); the PG NULL-when-absent

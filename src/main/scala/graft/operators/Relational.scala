@@ -888,6 +888,38 @@ object Relational {
           "'MM/dd/yyyy hh:mm:ss a'))").as("us_parsed"))
       .orderBy(col("o_orderkey"))
 
+  /** JSON_TABLE-style shredding (q170) — PG 17's `JSON_TABLE(doc,
+    * '$[*]' COLUMNS (ord FOR ORDINALITY, id int PATH '$.id', …))`:
+    * a JSON ARRAY column shredded into typed relational rows with
+    * ordinality. Spark's spelling is `from_json` with an
+    * array-of-struct schema + `posexplode` — schema-pinned parse,
+    * codegen'd, per-row fan-out with no shuffle. The fixture
+    * BUILDS the document from the order key (1–3 objects via
+    * `to_json(transform(sequence(…)))`), then parses it back, and
+    * ships the document bytes too: the oracle derives the rows
+    * arithmetically (never parsing) and renders the SAME bytes with
+    * its own string constructor — the q33 decode pattern, so the
+    * gate proves a genuine parse on one side against a genuine
+    * independent derivation on the other, and the JSON writer's
+    * exact bytes (field order, no spaces) are hash-pinned like
+    * q136's.
+    */
+  def jsonTableShred(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("doc", expr(
+        "to_json(transform(sequence(1L, 1L + k % 3), " +
+          "i -> struct((k * i) % 97 AS id, " +
+          "concat('it', (k + i) % 5) AS tag)))"))
+      .select(col("k").as("o_orderkey"), col("doc"),
+        posexplode(expr(
+          "from_json(doc, 'array<struct<id:bigint,tag:string>>')"))
+          .as(Seq("pos", "x")))
+      .select(col("o_orderkey"), col("doc"),
+        (col("pos") + 1).cast("long").as("ord"),
+        col("x.id").as("id"), col("x.tag").as("tag"))
+      .orderBy(col("o_orderkey"), col("ord"))
+
   /** PG array-operator battery (q165) — `@>` contains, `<@`
     * contained-by, `&&` overlap, `array_position`, `array_remove`:
     * the intarray-style surface PG users reach for tag filtering and
