@@ -248,7 +248,9 @@ object SparkEntry {
       TextAnalysis.sourceDrift(s, d)),
     "q168_delta_neardup" -> (Dedup.deltaNearDup _),
     "q169_sketch_intersect" -> (Events.sketchIntersections _),
-    "q170_json_table" -> (Relational.jsonTableShred _)
+    "q170_json_table" -> (Relational.jsonTableShred _),
+    "q171_bm25_search" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25Search(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -3748,6 +3750,57 @@ object SparkEntry {
          |      + tf_c * ln(CAST(n_docs AS DOUBLE) / df_c) AS raw
          |  FROM c, s WHERE tf_a + tf_b + tf_c > 0)
          |SELECT doc_id, tf_a, tf_b, tf_c, round(raw, 6) AS score
+         |FROM r ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    // q171: DuckDB replays BM25 from its own list primitives — the
+    // q130 counters plus non-empty-token doc length, the same
+    // fixed-order three-term score with identical decimal literals
+    // (k1 = 1.2, b = 0.75, k1+1 = 2.2, 1−b = 0.25 — both parsers bind
+    // them to the same doubles), selection by raw score.
+    "q171_bm25_search" -> {
+      val Seq(t1, t2, t3) = TextAnalysis.SearchTerms
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x = '$t1')) AS BIGINT) AS tf_a,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x = '$t2')) AS BIGINT) AS tf_b,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x = '$t3')) AS BIGINT) AS tf_c,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS dl
+         |  FROM documents),
+         |s AS (SELECT
+         |    CAST(sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_a,
+         |    CAST(sum(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_b,
+         |    CAST(sum(CASE WHEN tf_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_c,
+         |    count(*) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM c),
+         |r AS (SELECT doc_id, tf_a, tf_b, tf_c, dl,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_a AS DOUBLE)
+         |        + 0.5) / (CAST(df_a AS DOUBLE) + 0.5))
+         |      * (CAST(tf_a AS DOUBLE) * 2.2)
+         |      / (CAST(tf_a AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_b AS DOUBLE)
+         |        + 0.5) / (CAST(df_b AS DOUBLE) + 0.5))
+         |      * (CAST(tf_b AS DOUBLE) * 2.2)
+         |      / (CAST(tf_b AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_c AS DOUBLE)
+         |        + 0.5) / (CAST(df_c AS DOUBLE) + 0.5))
+         |      * (CAST(tf_c AS DOUBLE) * 2.2)
+         |      / (CAST(tf_c AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    AS raw
+         |  FROM c, s WHERE tf_a + tf_b + tf_c > 0)
+         |SELECT doc_id, tf_a, tf_b, tf_c, dl, round(raw, 6) AS score
          |FROM r ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin
     },
 

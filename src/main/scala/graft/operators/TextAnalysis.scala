@@ -781,6 +781,70 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** BM25 ranked retrieval (q171): the scoring function production
+    * search/retrieval actually runs (Lucene/Elasticsearch default;
+    * Robertson et al.'s Okapi BM25) — q130's tf-idf with saturating
+    * term frequency and document-length normalization:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * with k1 = 1.2, b = 0.75 (the Lucene defaults, spelled as the
+    * SAME decimal literals on both engines so they parse to the same
+    * doubles). Length normalization is the part tf-idf lacks: a term
+    * packed into a short doc outranks the same count diluted in a
+    * long one, and tf saturates at ~(k1+1)·idf instead of growing
+    * linearly — so the ranking genuinely reorders q130 on this
+    * corpus's mixed document lengths.
+    *
+    * Plan shape = q130's (the scale argument carries over verbatim):
+    * per-doc query-term counters + dl in ONE scan projection (no
+    * explode), a single-row df/N/Σdl normalizer broadcast back, score
+    * as ONE fixed-order a+b+c expression (bit-identical for
+    * equal-profile docs — an unordered SUM of per-term rows would
+    * not be), global top-k via `TakeOrderedAndProject`. Two corpus
+    * scans total; ln is the only cross-engine ulp risk and the
+    * emitted score is rounded at 6 digits.
+    */
+  def bm25Search(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val Seq(t1, t2, t3) = SearchTerms
+    def tf(t: String) =
+      size(filter(tokens(col("text")), x => x === lit(t))).cast("long")
+    val counted = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tf(t1).as("tf_a"), tf(t2).as("tf_b"),
+        tf(t3).as("tf_c"),
+        size(tokens(col("text"))).cast("long").as("dl"))
+    val norms = counted.agg(
+      sum((col("tf_a") > 0).cast("long")).as("df_a"),
+      sum((col("tf_b") > 0).cast("long")).as("df_b"),
+      sum((col("tf_c") > 0).cast("long")).as("df_c"),
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    def idf(dfc: Column) =
+      log(lit(1.0) + (col("n_docs").cast("double") - dfc.cast("double")
+        + lit(0.5)) / (dfc.cast("double") + lit(0.5)))
+    // norm shared across terms: k1·(1−b + b·dl/avgdl), avgdl = Σdl/N.
+    def part(tfc: Column, dfc: Column) =
+      idf(dfc) * (tfc.cast("double") * lit(2.2)) /
+        (tfc.cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+            col("avgdl"))))
+    counted.crossJoin(broadcast(norms))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .filter(col("tf_a") + col("tf_b") + col("tf_c") > 0)
+      .withColumn("raw",
+        part(col("tf_a"), col("df_a"))
+          + part(col("tf_b"), col("df_b"))
+          + part(col("tf_c"), col("df_c")))
+      .orderBy(col("raw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("tf_a"), col("tf_b"), col("tf_c"),
+        col("dl"), round(col("raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
