@@ -250,7 +250,9 @@ object SparkEntry {
     "q169_sketch_intersect" -> (Events.sketchIntersections _),
     "q170_json_table" -> (Relational.jsonTableShred _),
     "q171_bm25_search" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.bm25Search(s, d))
+      TextAnalysis.bm25Search(s, d)),
+    "q172_sq_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.sqTopK(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -3803,6 +3805,49 @@ object SparkEntry {
          |SELECT doc_id, tf_a, tf_b, tf_c, dl, round(raw, 6) AS score
          |FROM r ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin
     },
+
+    // q172: DuckDB replays the int8 quantization (scale = amax/127,
+    // floor(x/scale + 0.5) — floor, not round(): the engines' round()
+    // half-way rules differ while floor is IEEE-identical), the EXACT
+    // integer code dot (order-free), the scale-product approximate
+    // rank, and the full-precision cosine re-rank on candidates only.
+    "q172_sq_ann" ->
+      s"""WITH qn AS (SELECT vec_id, embedding,
+         |    CAST(list_aggregate(list_transform(embedding, x -> abs(x)),
+         |      'max') AS DOUBLE) / 127.0 AS scale
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id, embedding, scale,
+         |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+         |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)
+         |      END) AS qvec
+         |  FROM qn),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, scale AS qscale,
+         |    qvec AS qqv FROM qv WHERE vec_id < 20),
+         |p AS (SELECT qid, v.vec_id AS vb, qe, v.embedding AS eb, qscale,
+         |    v.scale AS dscale, qqv, v.qvec AS dqv
+         |  FROM qv v CROSS JOIN q WHERE v.vec_id <> qid),
+         |x AS (SELECT qid, vb, qqv, dqv, unnest(range(1, 65)) AS i FROM p),
+         |d AS (SELECT qid, vb, CAST(sum(qqv[i] * dqv[i]) AS BIGINT) AS qdot
+         |  FROM x GROUP BY qid, vb),
+         |a AS (SELECT p.qid, p.vb, p.qe, p.eb, d.qdot,
+         |    round(CAST(d.qdot AS DOUBLE) * p.qscale * p.dscale, 6) AS approx
+         |  FROM p JOIN d ON p.qid = d.qid AND p.vb = d.vb),
+         |c AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY approx DESC, vb) AS crk FROM a),
+         |cand AS (SELECT qid, vb, qe, eb, qdot, approx FROM c WHERE crk <= 20),
+         |x2 AS (SELECT qid, vb, qe AS ea, eb, unnest(range(1, 65)) AS i
+         |  FROM cand),
+         |s2 AS (SELECT qid, vb,
+         |    $cosinePairSql
+         |  FROM x2 GROUP BY qid, vb),
+         |sim2 AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s2),
+         |r AS (SELECT cand.qid, cand.vb, cand.qdot, cand.approx, sim2.sim,
+         |    CAST(row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY sim2.sim DESC, cand.vb) AS BIGINT) AS rk
+         |  FROM cand JOIN sim2 ON cand.qid = sim2.qid AND cand.vb = sim2.vb)
+         |SELECT qid, rk, vb AS neighbor, qdot, approx, sim FROM r
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // q127: DuckDB replays the SAME exponential clocks — md5 prefix
     // decoded via the '0x' hex cast (vs Spark's conv), ln, and its

@@ -445,4 +445,68 @@ object Similarity {
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"), col("sim"))
       .orderBy(col("qid"), col("rk"))
   }
+
+  /** Scalar-quantized (int8) ANN with exact re-rank (q172) — the
+    * memory-compression path every production vector store ships
+    * (FAISS SQ8, Milvus, pgvector): store each vector as int8 codes +
+    * one per-vector scale (4x smaller than float32, 8x than float64),
+    * scan the COMPRESSED codes for candidates, then re-rank only the
+    * candidates at full precision.
+    *
+    * Quantization (symmetric, per-vector): scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) ∈ [−127, 127] — floor(·+0.5)
+    * instead of round() because the two engines' round() differ on
+    * half-way cases while floor is IEEE-identical; q_i cannot escape
+    * ±127 (|x|/scale ≤ 127 exactly, and an ulp of division error
+    * moves 127 + 0.5 by far less than the 0.5 gap to 128). An
+    * all-zero vector gets scale 0 and all-zero codes.
+    *
+    * Approximate score: the EXACT integer dot of the code arrays
+    * (order-free — no float-summation ambiguity at all, unlike the
+    * float kernels) times scale_q·scale_d, approximating the raw
+    * float dot. Candidate top-C per query ranks on that (rounded at
+    * 1e-6, vec_id tiebreak), plans as a bounded TopKRows heap via the
+    * injected rewrite; the exact cosine kernel then runs on C×Q rows
+    * only, never the corpus.
+    *
+    * At 100 TB: the quantized relation (codes + scale) is what the
+    * store materializes and scans — 4x the scan throughput at equal
+    * IO — while the float originals are fetched only for the ≤ C×Q
+    * candidate rows; the integer dot is SIMD-friendly inside
+    * whole-stage codegen. Composes with IVF cells (q31b/c) the same
+    * way FAISS IVF+SQ does: quantize within each cell's scan.
+    */
+  def sqTopK(spark: SparkSession, dir: String, k: Int = 5,
+      cands: Int = 20): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val quant = e.select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x))).cast("double")
+          / lit(127.0)).as("scale"))
+      .withColumn("qv", transform(col("embedding"),
+        x => when(col("scale") === 0d, lit(0L))
+          .otherwise(floor(x.cast("double") / col("scale") + lit(0.5)))))
+    val q = quant.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("scale").as("qscale"), col("qv").as("qqv"))
+    val scored = quant.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("qqv"), col("qv"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("approx",
+        round(col("qdot").cast("double") * col("qscale") * col("scale"), 6))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= cands)
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        col("qdot"), col("approx"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
 }

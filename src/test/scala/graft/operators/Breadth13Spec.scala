@@ -57,4 +57,66 @@ class Breadth13Spec extends AnyFunSuite {
       "BM25 and tf-idf ranked identically — fixture does not " +
         "exercise length normalization")
   }
+
+  test("sq ann: full in-JVM replay of quantize/dot/rerank and " +
+    "candidate recall vs the exact brute force") {
+    val vecs = graft.sources.Corpus.read(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val quant = vecs.map { case (id, v) =>
+      val scale = v.map(x => math.abs(x)).max.toDouble / 127.0
+      val codes =
+        if (scale == 0) v.map(_ => 0L)
+        else v.map(x => math.floor(x.toDouble / scale + 0.5).toLong)
+      (id, v, scale, codes)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val queries = quant.filter(_._1 < 20)
+    val expected = queries.flatMap { case (qid, qv, qs, qc) =>
+      val cands = quant.filter(_._1 != qid).map { case (id, dv, ds, dc) =>
+        val qdot = qc.zip(dc).map { case (x, y) => x * y }.sum
+        (id, dv, qdot, r6(qdot.toDouble * qs * ds))
+      }.sortBy { case (id, _, _, ap) => (-ap, id) }.take(20)
+      cands.map { case (id, dv, qdot, ap) =>
+        (qid, id, qdot, ap, r6(cos(qv, dv)))
+      }.sortBy { case (_, id, _, _, sim) => (-sim, id) }.take(5)
+        .zipWithIndex
+        .map { case ((q, id, qdot, ap, sim), i) =>
+          (q, (i + 1).toLong, id, qdot, ap, sim) }
+    }.sortBy(t => (t._1, t._2))
+    val out = Similarity.sqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (got, exp) =>
+      assert(got._1 === exp._1); assert(got._2 === exp._2)
+      assert(got._3 === exp._3, s"neighbor mismatch at ${got._1}/${got._2}")
+      assert(got._4 === exp._4, "integer code dot mismatch")
+      assert(math.abs(got._5 - exp._5) < 2e-6)
+      assert(math.abs(got._6 - exp._6) < 2e-6)
+    }
+
+    // Quality claim: exact re-rank over int8-scanned candidates
+    // recovers (nearly) the float-exact top-5 — candidate loss is the
+    // only error source, and 20 candidates for k=5 absorb it.
+    val brute = Similarity.bruteTopK(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = brute.keys.toSeq.sorted.map { q =>
+      sq(q).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"SQ8 candidate recall fell to $mean")
+  }
 }
