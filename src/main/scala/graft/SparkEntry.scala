@@ -252,7 +252,8 @@ object SparkEntry {
     "q171_bm25_search" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25Search(s, d)),
     "q172_sq_ann" -> ((s: SparkSession, d: String) =>
-      Similarity.sqTopK(s, d))
+      Similarity.sqTopK(s, d)),
+    "q173_sliding_sketch" -> (Events.slidingSketchActives _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1318,6 +1319,24 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM e ORDER BY event_type""".stripMargin,
+
+    // q173: the EXACT trailing 7-day distinct per day — the sketch
+    // estimate stays engine-side, its accuracy contract rides the
+    // pinned in_band + the ±5% integer band (the q20/q166 idiom).
+    "q173_sliding_sketch" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |w AS (SELECT d.day AS day,
+        |    count(DISTINCT ud.day) AS n_days,
+        |    count(DISTINCT ud.user_id) AS exact_users
+        |  FROM d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT day, n_days, exact_users,
+        |  exact_users - (exact_users * 5 // 100 + 1) AS lo_users,
+        |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
+        |  CAST(1 AS BIGINT) AS in_band
+        |FROM w ORDER BY day""".stripMargin,
 
     "q21_text_stats" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_char,

@@ -173,6 +173,50 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Sliding-window distinct actives from daily sketches (q173) —
+    * the rolling-DAU/WAU dashboard shape, and the reason q166's
+    * re-aggregatable sketches exist: distinct counts do NOT sum
+    * across days, so a trailing 7-day distinct either re-scans raw
+    * events per window (7× the scan cost, unboundable at 100 TB) or
+    * unions the per-day sketches the warehouse already materialized.
+    * Here each output day unions ≤ 7 daily sketch rows: the
+    * window-to-day assignment is a range join of the ≤ days-sized
+    * grid against the ≤ days-sized sketch relation — a broadcast
+    * nested-loop over DIMENSION-sized inputs (the q169-sanctioned
+    * NLJ shape; raw events are touched exactly once, to build the
+    * daily sketches). The exact trailing twin (distinct (user, day)
+    * collapse first — the q102 discipline — then the same range
+    * join) is gate evidence: its ±5% integer band and the pinned
+    * `in_band` put the sketch accuracy contract in the row hash (the
+    * q20/q166 idiom); production keeps only the sketch path.
+    */
+  def slidingSketchActives(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val grid = daily.select(col("day").as("d"))
+    val win = grid.join(daily,
+        col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+      .groupBy(col("d"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_days"))
+    val ud = ev.distinct()
+    val exact = grid.join(ud,
+        col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    win.join(exact, Seq("d"))
+      .withColumn("slack", expr("exact_users * 5 div 100 + 1"))
+      .select(col("d").as("day"), col("n_days"), col("exact_users"),
+        (col("exact_users") - col("slack")).as("lo_users"),
+        (col("exact_users") + col("slack")).as("hi_users"),
+        (col("est") >= col("exact_users") - col("slack") &&
+          col("est") <= col("exact_users") + col("slack"))
+          .cast("long").as("in_band"))
+      .orderBy(col("day"))
+  }
+
   /** Sketch set algebra (q169) — distinct-user INTERSECTION between
     * event-type pairs from the SAME materialized HLL sketches q166
     * unions: |A∩B| = |A| + |B| − |A∪B|, all three terms sketch

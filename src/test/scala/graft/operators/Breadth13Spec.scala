@@ -119,4 +119,55 @@ class Breadth13Spec extends AnyFunSuite {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.9, s"SQ8 candidate recall fell to $mean")
   }
+
+  test("sliding sketch actives: exact twin replays in-JVM and the " +
+    "windowed union is lossless vs a one-pass window sketch") {
+    import java.sql.Date
+    val ev = graft.sources.Corpus.events(spark, sf)
+      .selectExpr("CAST(ts AS DATE) AS day", "user_id").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byDay = ev.toSet
+    val days = byDay.map(_._1).toSeq.sorted
+    val out = Events.slidingSketchActives(spark, sf).collect()
+    assert(out.map(_.getDate(0).toLocalDate).toSeq === days)
+    out.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val inWin = byDay.filter { case (dd, _) =>
+        !dd.isBefore(d.minusDays(6)) && !dd.isAfter(d) }
+      val exactUsers = inWin.map(_._2).toSet.size.toLong
+      assert(r.getLong(1) === inWin.map(_._1).toSet.size.toLong, s"n_days at $d")
+      assert(r.getLong(2) === exactUsers, s"exact_users at $d")
+      val slack = exactUsers * 5 / 100 + 1
+      assert(r.getLong(3) === exactUsers - slack)
+      assert(r.getLong(4) === exactUsers + slack)
+      assert(r.getLong(5) === 1L, s"sketch left the ±5% band at $d")
+    }
+
+    // Losslessness of re-aggregation on the WINDOWED path (the q166
+    // union≡one-pass pin, per trailing window): unioning the daily
+    // sketches of a window gives the bit-identical estimate to one
+    // sketch built directly over the window's raw events.
+    val s = spark
+    graft.sources.Corpus.events(s, sf)
+      .selectExpr("CAST(ts AS DATE) AS day", "user_id")
+      .createOrReplaceTempView("sk_ev")
+    val viaDaily = s.sql(
+      """SELECT d.d AS day,
+        |  hll_sketch_estimate(hll_union_agg(sk)) AS est
+        |FROM (SELECT day, hll_sketch_agg(user_id, 12) AS sk
+        |      FROM sk_ev GROUP BY day) daily
+        |JOIN (SELECT DISTINCT day AS d FROM sk_ev) d
+        |  ON daily.day BETWEEN d.d - 6 AND d.d
+        |GROUP BY d.d""".stripMargin).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val onePass = s.sql(
+      """SELECT d.d AS day,
+        |  hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS est
+        |FROM sk_ev JOIN (SELECT DISTINCT day AS d FROM sk_ev) d
+        |  ON sk_ev.day BETWEEN d.d - 6 AND d.d
+        |GROUP BY d.d""".stripMargin).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    assert(viaDaily === onePass,
+      "daily-sketch union diverged from the one-pass window sketch")
+  }
 }
