@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleJaccard, SimHash32, SortedShingles, TopGramCount, WidthBucket}
+import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, ShingleJaccard, SimHash32, SortedShingles, StripAccents, TopGramCount, WidthBucket}
 import graft.plans.RankLimitToTopK
 
 /** Arity-validating function builders — ONE definition shared by the
@@ -90,6 +90,10 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         "chunk_tokens expects chunk and stride to be literal positive " +
           s"integers; got chunk=${es(1).sql}, stride=${es(2).sql}")
     })
+    inject(ext, "nfc_normalize", classOf[NfcNormalize],
+      unary("nfc_normalize", NfcNormalize.apply))
+    inject(ext, "strip_accents", classOf[StripAccents],
+      unary("strip_accents", StripAccents.apply))
     // width_bucket(operand, b1, b2, count) — PG's histogram bucketing.
     inject(ext, "width_bucket", classOf[WidthBucket], {
       case Seq(a, b, c, d) => WidthBucket(a, b, c, d)

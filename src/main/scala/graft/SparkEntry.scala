@@ -253,7 +253,8 @@ object SparkEntry {
       TextAnalysis.bm25Search(s, d)),
     "q172_sq_ann" -> ((s: SparkSession, d: String) =>
       Similarity.sqTopK(s, d)),
-    "q173_sliding_sketch" -> (Events.slidingSketchActives _)
+    "q173_sliding_sketch" -> (Events.slidingSketchActives _),
+    "q174_unicode_norm" -> (Relational.unicodeBattery _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1337,6 +1338,29 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q174: DuckDB's utf8proc nfc_normalize/strip_accents vs the
+    // engine's java.text.Normalizer kernels — two independent Unicode
+    // implementations that must agree codepoint-for-codepoint (md5
+    // pins exact bytes); the decomposed/precomposed prefixes are the
+    // shared constants, so both engines see identical input
+    // codepoints.
+    "q174_unicode_norm" ->
+      s"""WITH b AS (SELECT c_custkey, c_name,
+         |    '${Relational.UniDecomposed}' || c_name AS d,
+         |    '${Relational.UniPrecomposed}' || c_name AS p
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  CAST(length(d) AS BIGINT) AS n_dec,
+         |  CAST(length(nfc_normalize(d)) AS BIGINT) AS n_nfc,
+         |  CAST(CASE WHEN nfc_normalize(d) = p THEN 1 ELSE 0 END
+         |    AS BIGINT) AS nfc_eq,
+         |  md5(nfc_normalize(d)) AS nfc_md5,
+         |  strip_accents(p) AS folded,
+         |  CAST(CASE WHEN strip_accents(p) =
+         |    '${Relational.UniFolded}' || c_name THEN 1 ELSE 0 END
+         |    AS BIGINT) AS fold_eq
+         |FROM b ORDER BY c_custkey""".stripMargin,
 
     "q21_text_stats" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_char,

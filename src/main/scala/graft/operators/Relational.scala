@@ -722,6 +722,50 @@ object Relational {
         ascii(col("p_name")).cast("long").as("first_ascii"))
       .orderBy(col("p_partkey"))
 
+  /** Prefixes for the q174 unicode battery — the SAME visible text in
+    * its decomposed (base + combining mark) and precomposed forms,
+    * plus its accent-folded ASCII; shared with the oracle by name so
+    * both engines operate on identical codepoint sequences.
+    */
+  val UniDecomposed = "Cafe\u0301 n\u0303o u\u0308ber " +
+    "A\u030Angstro\u0308m c\u0327a "
+  val UniPrecomposed = "Caf\u00e9 \u00f1o \u00fcber " +
+    "\u00c5ngstr\u00f6m \u00e7a "
+  val UniFolded = "Cafe no uber Angstrom ca "
+
+  /** Unicode normalization battery (q174) — the canonicalization
+    * every dedup/fingerprint pipeline needs before hashing: the same
+    * visible text arrives precomposed (é = U+00E9) or decomposed
+    * (e + U+0301) depending on the source encoder, and exact-dedup
+    * md5 / MinHash / SimHash see different bytes unless the corpus is
+    * NFC-normalized first. Spark has no normalization builtin, so the
+    * engine side is the codegen'd
+    * [[graft.functions.NfcNormalize]] / [[graft.functions.StripAccents]]
+    * scan kernels (java.text.Normalizer); the oracle is DuckDB's
+    * utf8proc-backed `nfc_normalize` / `strip_accents` — two
+    * independent Unicode implementations that must agree codepoint
+    * for codepoint (the md5 column pins exact bytes). Codepoint
+    * length before/after makes the composition itself value-visible
+    * (6 combining marks disappear); the accent fold lands on plain
+    * ASCII. Per-row projections, zero shuffles.
+    */
+  def unicodeBattery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UnicodeFunctions.{nfc_normalize, strip_accents}
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        concat(lit(UniDecomposed), col("c_name")).as("d"),
+        concat(lit(UniPrecomposed), col("c_name")).as("p"))
+      .select(col("c_custkey"),
+        length(col("d")).cast("long").as("n_dec"),
+        length(nfc_normalize(col("d"))).cast("long").as("n_nfc"),
+        (nfc_normalize(col("d")) === col("p")).cast("long").as("nfc_eq"),
+        md5(nfc_normalize(col("d")).cast("binary")).as("nfc_md5"),
+        strip_accents(col("p")).as("folded"),
+        (strip_accents(col("p")) ===
+          concat(lit(UniFolded), col("c_name"))).cast("long").as("fold_eq"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** MapType round-trip — the PG hstore/jsonb-object surface as
     * Spark's first-class MapType: build with `map_from_arrays`,
     * extend with `map_concat`, read back with `element_at`, inspect

@@ -170,4 +170,30 @@ class Breadth13Spec extends AnyFunSuite {
     assert(viaDaily === onePass,
       "daily-sketch union diverged from the one-pass window sketch")
   }
+
+  test("unicode battery: flags hold, kernels agree across eval/SQL " +
+    "paths, and non-decomposable letters pass through the fold") {
+    val out = Relational.unicodeBattery(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + 6,
+        "exactly the 6 combining marks must compose away")
+      assert(r.getLong(3) === 1L, "NFC(decomposed) != precomposed")
+      assert(r.getLong(6) === 1L, "accent fold missed")
+    }
+
+    // Kernel contracts via the SQL front door (the injected
+    // registrations), plus the java.text.Normalizer edge semantics:
+    // idempotence, and NON-decomposable letterforms passing through
+    // the fold unchanged (o-slash, l-stroke have no canonical
+    // decomposition — both engines keep them).
+    val row = spark.sql(
+      """SELECT nfc_normalize('Café') AS c,
+        |  nfc_normalize(nfc_normalize('Café')) AS c2,
+        |  strip_accents('ø ł Müller') AS f
+        |""".stripMargin).collect().head
+    assert(row.getString(0) === "Café")
+    assert(row.getString(1) === "Café")
+    assert(row.getString(2) === "ø ł Muller")
+  }
 }
