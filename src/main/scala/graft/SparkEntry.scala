@@ -254,7 +254,9 @@ object SparkEntry {
     "q172_sq_ann" -> ((s: SparkSession, d: String) =>
       Similarity.sqTopK(s, d)),
     "q173_sliding_sketch" -> (Events.slidingSketchActives _),
-    "q174_unicode_norm" -> (Relational.unicodeBattery _)
+    "q174_unicode_norm" -> (Relational.unicodeBattery _),
+    "q175_cluster_topics" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterTopicTerms(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1338,6 +1340,43 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q175: DuckDB unrolls the SAME two Lloyd rounds (the q31c
+    // machinery), then re-derives the per-cell distinctive terms from
+    // its own list primitives — integer-exact lift ppm, so the
+    // ranking cannot drift cross-engine.
+    "q175_cluster_topics" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce
+         |    FROM embeddings WHERE vec_id < 16),
+         |${kmeansScoreCtes("c0", "0")},
+         |${kmeansUpdateCtes("0", "c1")},
+         |${kmeansScoreCtes("c1", "1")},
+         |${kmeansUpdateCtes("1", "c2")},
+         |${kmeansScoreCtes("c2", "2")},
+         |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc2) WHERE rn = 1),
+         |dt AS (SELECT doc_id, unnest(list_distinct(
+         |    regexp_split_to_array(text, '\\s+'))) AS term
+         |  FROM documents),
+         |dtn AS (SELECT doc_id, term FROM dt WHERE term <> ''),
+         |ct AS (SELECT cid, term, count(*) AS c_cell
+         |  FROM dtn JOIN cells ON dtn.doc_id = cells.vec_id
+         |  GROUP BY cid, term),
+         |cc AS (SELECT term, count(*) AS c_corp FROM dtn GROUP BY term),
+         |nc AS (SELECT cid, count(*) AS n_cell FROM cells GROUP BY cid),
+         |nn AS (SELECT count(*) AS nd FROM documents),
+         |j AS (SELECT cid, term, c_cell, n_cell, c_corp,
+         |    (c_cell * nd * 1000000) // (n_cell * c_corp) AS lift_ppm
+         |  FROM ct JOIN cc USING (term) JOIN nc USING (cid) CROSS JOIN nn
+         |  WHERE c_cell >= ${Similarity.TopicMinSupport}),
+         |r AS (SELECT cid, term, c_cell, n_cell, c_corp,
+         |    CAST(lift_ppm AS BIGINT) AS lift_ppm,
+         |    CAST(row_number() OVER (PARTITION BY cid
+         |      ORDER BY lift_ppm DESC, term) AS BIGINT) AS rk
+         |  FROM j)
+         |SELECT cid, rk, term, c_cell, n_cell, c_corp, lift_ppm
+         |FROM r WHERE rk <= 3 ORDER BY cid, rk""".stripMargin,
 
     // q174: DuckDB's utf8proc nfc_normalize/strip_accents vs the
     // engine's java.text.Normalizer kernels — two independent Unicode

@@ -446,6 +446,63 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Minimum in-cell document frequency for a q175 topic term —
+    * shared with the oracle by name (singleton terms have unbounded
+    * lift and label nothing).
+    */
+  val TopicMinSupport = 2
+
+  /** Cluster topic labeling (q175) — the human-readable face of the
+    * embedding clusters: for each trained k-means cell, the terms
+    * most DISTINCTIVE of its documents (highest lift = in-cell
+    * document rate / corpus document rate — the c-TF-IDF idea
+    * BERTopic popularized; raw counts would label every cell with
+    * the same corpus-common words). This is how a curation pipeline
+    * audits what a cluster IS before acting on it (dedup, rebalance,
+    * drop) — composing q31c's trained centroids with the documents
+    * table through the doc_id = vec_id keying of the corpus.
+    *
+    * Shapes: (doc, distinct-term) rows appear once each (per-row
+    * array_distinct before the explode — the q73 discipline, no
+    * corpus-token aggregation); cell and corpus df are both
+    * map-side-combinable counts; the lift join broadcasts the
+    * vocabulary-sized df and ncells-sized cell-size relations; lift
+    * is the exact integer ppm (c_cell·N·10⁶) div (n_cell·c_corp) —
+    * PMI's argument, the q84 idiom — so ranking is integer-exact
+    * cross-engine; the per-cell top-k plans as a TopKRows heap via
+    * the injected rewrite.
+    */
+  def clusterTopicTerms(spark: SparkSession, dir: String, k: Int = 3,
+      ncells: Int = 16, iters: Int = 2): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val cells = cellAssignmentsFor(e, trainedCentroids(spark, dir, ncells, iters))
+    val docs = Corpus.read(spark, dir, "documents")
+    val docTerms = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+    val cellTerms = docTerms
+      .join(cells, docTerms("doc_id") === cells("vec_id"))
+      .groupBy(col("cid"), col("term"))
+      .agg(count(lit(1)).as("c_cell"))
+    val corpusTerms = docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("c_corp"))
+    val cellSizes = cells.groupBy(col("cid")).agg(count(lit(1)).as("n_cell"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("lift_ppm").desc, col("term"))
+    cellTerms
+      .filter(col("c_cell") >= TopicMinSupport)
+      .join(broadcast(corpusTerms), Seq("term"))
+      .join(broadcast(cellSizes), Seq("cid"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm",
+        expr("c_cell * nd * 1000000 div (n_cell * c_corp)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("cid"), col("rk"), col("term"), col("c_cell"),
+        col("n_cell"), col("c_corp"), col("lift_ppm"))
+      .orderBy(col("cid"), col("rk"))
+  }
+
   /** Scalar-quantized (int8) ANN with exact re-rank (q172) — the
     * memory-compression path every production vector store ships
     * (FAISS SQ8, Milvus, pgvector): store each vector as int8 codes +

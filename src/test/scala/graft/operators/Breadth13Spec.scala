@@ -196,4 +196,42 @@ class Breadth13Spec extends AnyFunSuite {
     assert(row.getString(1) === "Café")
     assert(row.getString(2) === "ø ł Muller")
   }
+
+  test("cluster topics: lift ranking replays in-JVM over the " +
+    "engine's own cell assignment") {
+    val e = graft.sources.Corpus.read(spark, sf, "embeddings")
+    val cells = Similarity.cellAssignmentsFor(e,
+      Similarity.trainedCentroids(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docTerms = docs.flatMap { case (id, text) =>
+      "\\S+".r.findAllIn(text).toSet[String].map(t => (id, t))
+    }
+    val nd = docs.length.toLong
+    val cCorp = docTerms.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nCell = cells.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val expected = docTerms
+      .flatMap { case (id, t) => cells.get(id).map(c => (c, t)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .collect { case ((c, t), cCell)
+          if cCell >= Similarity.TopicMinSupport =>
+        (c, t, cCell, nCell(c), cCorp(t),
+          cCell * nd * 1000000L / (nCell(c) * cCorp(t)))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (_, t, _, _, _, lift) => (-lift, t) }.take(3)
+          .zipWithIndex.map { case ((c, t, cc, ncl, ccp, lift), i) =>
+            (c, (i + 1).toLong, t, cc, ncl, ccp, lift) }
+      }.sortBy(t => (t._1, t._2))
+    val out = Similarity.clusterTopicTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out === expected)
+    // Real signal: at least one cell's top term is above corpus rate.
+    assert(out.exists(_._7 > 1000000L),
+      "no cell had a term above its corpus rate — labeling is vacuous")
+  }
 }
