@@ -256,7 +256,8 @@ object SparkEntry {
     "q173_sliding_sketch" -> (Events.slidingSketchActives _),
     "q174_unicode_norm" -> (Relational.unicodeBattery _),
     "q175_cluster_topics" -> ((s: SparkSession, d: String) =>
-      Similarity.clusterTopicTerms(s, d))
+      Similarity.clusterTopicTerms(s, d)),
+    "q176_similar_to" -> (Relational.similarToBattery _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1340,6 +1341,23 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q176: the engine translates each PG SIMILAR TO pattern
+    // generically (similarToRegex); the oracle hardcodes the
+    // hand-normalized regex per pattern via regexp_full_match —
+    // independent encodings of PG's desugaring (DuckDB's own SIMILAR
+    // TO is plain regex, '%' literal — not PG semantics).
+    "q176_similar_to" ->
+      """SELECT p_partkey,
+        |  CAST(regexp_full_match(p_type, '(STANDARD|SMALL|PROMO)')
+        |    AS BIGINT) AS m_grade,
+        |  CAST(regexp_full_match(p_name, '.*r.d.*') AS BIGINT) AS m_rxd,
+        |  CAST(regexp_full_match(p_brand, 'Brand#[0-9]{2}')
+        |    AS BIGINT) AS m_brand2,
+        |  CAST(regexp_full_match(p_name, '(red|blue) .*')
+        |    AS BIGINT) AS m_color,
+        |  CAST(regexp_full_match(p_name, 's.*') AS BIGINT) AS m_escape
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     // q175: DuckDB unrolls the SAME two Lloyd rounds (the q31c
     // machinery), then re-derives the per-cell distinctive terms from

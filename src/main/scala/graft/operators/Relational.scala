@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampNTZType
@@ -764,6 +764,64 @@ object Relational {
         (strip_accents(col("p")) ===
           concat(lit(UniFolded), col("c_name"))).cast("long").as("fold_eq"))
       .orderBy(col("c_custkey"))
+  }
+
+  /** PG `SIMILAR TO` pattern → Java regex translation: LIKE wildcards
+    * (% → .*, _ → .) merged into the SQL-regex syntax SIMILAR TO
+    * shares with POSIX (alternation, grouping, classes, quantifiers),
+    * the whole pattern implicitly anchored. Wildcards inside [...]
+    * character classes stay literal (PG does the same); a backslash
+    * escapes the next char (PG's default ESCAPE). This is the
+    * documented PG desugaring — `similar_to_escape` in PG itself
+    * rewrites SIMILAR TO into a ^(?:...)$ regex the same way.
+    */
+  def similarToRegex(pattern: String): String = {
+    val sb = new StringBuilder("^(?:")
+    var inClass = false
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      c match {
+        case '\\' if i + 1 < pattern.length =>
+          // PG escape = next char is LITERAL; \Q..\E quoting keeps
+          // that true even when the char is a Java regex class letter
+          // (\s would otherwise become whitespace-class, not 's').
+          sb.append("\\Q").append(pattern.charAt(i + 1)).append("\\E")
+          i += 1
+        case '[' => inClass = true; sb.append(c)
+        case ']' => inClass = false; sb.append(c)
+        case '%' if !inClass => sb.append(".*")
+        case '_' if !inClass => sb.append('.')
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append(")$").toString
+  }
+
+  /** SIMILAR TO battery (q176) — PG's third pattern language next to
+    * LIKE (q15 et al.) and POSIX regex (q97): LIKE wildcards plus
+    * regex alternation/classes/quantifiers, implicitly anchored.
+    * Spark's parser has no SIMILAR TO, so the engine EMULATES it via
+    * [[similarToRegex]] + `rlike`; DuckDB's own `SIMILAR TO` is plain
+    * full-string regex (NOT PG semantics — '%' is literal there), so
+    * the oracle hardcodes the hand-normalized regex of each pattern
+    * through `regexp_full_match` — independent encodings of the PG
+    * desugaring (the q131 pattern for surfaces both engines lack).
+    * Patterns chosen so every flag has both 0s and 1s on the corpus;
+    * per-row codegen'd projections, zero shuffles.
+    */
+  def similarToBattery(spark: SparkSession, dir: String): DataFrame = {
+    def sim(c: Column, pat: String): Column =
+      c.rlike(similarToRegex(pat)).cast("long")
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        sim(col("p_type"), "(STANDARD|SMALL|PROMO)").as("m_grade"),
+        sim(col("p_name"), "%r_d%").as("m_rxd"),
+        sim(col("p_brand"), "Brand#[0-9]{2}").as("m_brand2"),
+        sim(col("p_name"), "(red|blue) %").as("m_color"),
+        sim(col("p_name"), "\\s%").as("m_escape"))
+      .orderBy(col("p_partkey"))
   }
 
   /** MapType round-trip — the PG hstore/jsonb-object surface as

@@ -234,4 +234,32 @@ class Breadth13Spec extends AnyFunSuite {
     assert(out.exists(_._7 > 1000000L),
       "no cell had a term above its corpus rate — labeling is vacuous")
   }
+
+  test("similar-to: translation rules, escape literalness, and every " +
+    "flag discriminates on the corpus") {
+    assert(Relational.similarToRegex("a%b_c") === "^(?:a.*b.c)$")
+    assert(Relational.similarToRegex("x[%_]y") === "^(?:x[%_]y)$",
+      "wildcards inside a character class must stay literal")
+    assert(Relational.similarToRegex("\\s%") === "^(?:\\Qs\\E.*)$",
+      "escaped regex-class letters must be literal, not classes")
+    assert(Relational.similarToRegex("(a|b){2}%") === "^(?:(a|b){2}.*)$")
+    assert("sales".matches(Relational.similarToRegex("\\s%")))
+    assert(!" ales".matches(Relational.similarToRegex("\\s%")),
+      "\\s must mean literal 's', not whitespace")
+
+    // JVM truth replay of one pattern over the corpus + all flags live.
+    val out = Relational.similarToBattery(spark, sf).collect()
+    val names = graft.sources.Corpus.read(spark, sf, "part")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val re = Relational.similarToRegex("%r_d%")
+    out.foreach { r =>
+      assert(r.getLong(2) === (if (names(r.getLong(0)).matches(re)) 1L
+        else 0L))
+    }
+    (1 to 5).foreach { i =>
+      val vals = out.map(_.getLong(i)).toSet
+      assert(vals === Set(0L, 1L), s"flag $i not discriminating: $vals")
+    }
+  }
 }
