@@ -257,7 +257,8 @@ object SparkEntry {
     "q174_unicode_norm" -> (Relational.unicodeBattery _),
     "q175_cluster_topics" -> ((s: SparkSession, d: String) =>
       Similarity.clusterTopicTerms(s, d)),
-    "q176_similar_to" -> (Relational.similarToBattery _)
+    "q176_similar_to" -> (Relational.similarToBattery _),
+    "q177_char_quality" -> (TextAnalysis.charQuality _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1341,6 +1342,31 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q177: DuckDB re-derives the char counts from its own list
+    // primitives; Σc² and the top share are exact integers, so the
+    // single log2-of-a-rational is the only float op (rounded at 6).
+    "q177_char_quality" ->
+      """WITH b AS (SELECT doc_id,
+        |    list_filter(string_split(text, ''), c -> c <> '') AS cs
+        |  FROM documents),
+        |c AS (SELECT doc_id, cs,
+        |    list_transform(list_distinct(cs),
+        |      ch -> CAST(len(list_filter(cs, x -> x = ch)) AS BIGINT))
+        |      AS counts,
+        |    CAST(len(cs) AS BIGINT) AS n
+        |  FROM b),
+        |s AS (SELECT doc_id, n,
+        |    CAST(len(list_distinct(cs)) AS BIGINT) AS alphabet,
+        |    CAST(list_aggregate(counts, 'max') AS BIGINT) AS top_char_cnt,
+        |    CAST(list_aggregate(list_transform(counts, x -> x * x),
+        |      'sum') AS BIGINT) AS sum_sq
+        |  FROM c)
+        |SELECT doc_id, n AS n_chars_t, alphabet, top_char_cnt,
+        |  (top_char_cnt * 1000000) // n AS top_char_ppm, sum_sq,
+        |  round(log2(CAST(n * n AS DOUBLE) / CAST(sum_sq AS DOUBLE)), 6)
+        |    AS renyi2
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // q176: the engine translates each PG SIMILAR TO pattern
     // generically (similarToRegex); the oracle hardcodes the

@@ -37,6 +37,40 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1)), 6).as("avg_word_len"))
       .orderBy(col("doc_id"))
 
+  /** Character-level quality battery (q177) — the symbol-diversity
+    * signals C4/Gopher-class cleaning uses to catch keyboard-mash,
+    * base64 blobs and repeated-character padding that token-level
+    * stats (q21/q49) miss: alphabet size, most-frequent-character
+    * share, and collision (Rényi-2) entropy −log2(Σ(c_i/n)²).
+    * Rényi-2 instead of Shannon BY CONSTRUCTION of the oracle: Σc_i²
+    * is an EXACT integer, so the only float op is one log2 of an
+    * exact rational — no per-term float summation whose order could
+    * differ cross-engine (the q130 fixed-order discipline taken to
+    * its limit: one transcendental call, rounded at 6). All per-row
+    * codegen'd higher-order builtins (no explode — a char-level
+    * explode would blow up corpus×chars rows), zero shuffles.
+    */
+  def charQuality(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => c =!= lit(""))
+    Corpus.read(spark, dir, "documents")
+      .withColumn("cs", chars)
+      .withColumn("counts", transform(array_distinct(col("cs")),
+        c => size(filter(col("cs"), x => x === c)).cast("long")))
+      .withColumn("n", size(col("cs")).cast("long"))
+      .withColumn("sum_sq", aggregate(col("counts"), lit(0L),
+        (a, x) => a + x * x))
+      .select(col("doc_id"),
+        col("n").as("n_chars_t"),
+        size(array_distinct(col("cs"))).cast("long").as("alphabet"),
+        array_max(col("counts")).as("top_char_cnt"),
+        expr("array_max(counts) * 1000000 div n").as("top_char_ppm"),
+        col("sum_sq"),
+        round(log2(
+          (col("n") * col("n")).cast("double") /
+            col("sum_sq").cast("double")), 6).as("renyi2"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword lists for the n-gram-heuristic language identifier. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in"),

@@ -262,4 +262,38 @@ class Breadth13Spec extends AnyFunSuite {
       assert(vals === Set(0L, 1L), s"flag $i not discriminating: $vals")
     }
   }
+
+  test("char quality: full in-JVM replay; collision entropy flags " +
+    "padding and orders real text sensibly") {
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.map { case (id, text) =>
+      val counts = text.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = text.length.toLong
+      val sumSq = counts.values.map(c => c * c).sum
+      val top = counts.values.max
+      (id, n, counts.size.toLong, top, top * 1000000L / n, sumSq,
+        r6(math.log(n.toDouble * n / sumSq) / math.log(2.0)))
+    }.sortBy(_._1)
+    val out = TextAnalysis.charQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (got, exp) =>
+      assert(got._1 === exp._1)
+      assert(got._2 === exp._2, s"n_chars at doc ${got._1}")
+      assert(got._3 === exp._3, s"alphabet at doc ${got._1}")
+      assert(got._4 === exp._4); assert(got._5 === exp._5)
+      assert(got._6 === exp._6, s"sum_sq at doc ${got._1}")
+      assert(math.abs(got._7 - exp._7) < 1e-6)
+    }
+    // The signal does its job: single-character padding has zero
+    // collision entropy, real corpus text sits well above it.
+    assert(r6(math.log(1.0) / math.log(2.0)) === 0.0)
+    assert(out.forall(_._7 > 1.0),
+      "corpus text scored like padding — the filter would drop it")
+  }
 }
