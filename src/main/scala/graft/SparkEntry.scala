@@ -258,7 +258,9 @@ object SparkEntry {
     "q175_cluster_topics" -> ((s: SparkSession, d: String) =>
       Similarity.clusterTopicTerms(s, d)),
     "q176_similar_to" -> (Relational.similarToBattery _),
-    "q177_char_quality" -> (TextAnalysis.charQuality _)
+    "q177_char_quality" -> (TextAnalysis.charQuality _),
+    "q178_source_cap" -> ((s: SparkSession, d: String) =>
+      Curation.sourceCap(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1483,6 +1485,38 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN quality > 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
          |  round(avg(quality), 4) AS avg_quality
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // q178: DuckDB replays q23's quality formula, its own window
+    // rank, and the per-source attrition report — the kept doc_id sum
+    // pins WHICH documents survive the cap.
+    "q178_source_cap" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |    ' ' || text || ' ' AS padded,
+         |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+         |      AS n_punct
+         |  FROM documents),
+         |e AS (SELECT doc_id, source, text, n_tokens, n_punct,
+         |  (${scoreSql("en")}) AS n_stop FROM d),
+         |q AS (SELECT doc_id, source,
+         |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+         |    + (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 0.5
+         |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.25,
+         |    6) AS quality
+         |  FROM e),
+         |r AS (SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rk FROM q)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN rk <= ${Curation.SourceCapK} THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rk > ${Curation.SourceCapK} THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN rk <= ${Curation.SourceCapK} THEN doc_id
+         |    END) AS BIGINT) AS kept_id_sum,
+         |  min(CASE WHEN rk <= ${Curation.SourceCapK} THEN quality END)
+         |    AS kept_min_q
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q24_fingerprints" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

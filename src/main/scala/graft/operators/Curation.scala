@@ -349,6 +349,43 @@ object Curation {
     * The subset/determinism joins here are the GATE's evidence
     * queries (sample-sized shuffles), not the operator.
     */
+  /** Per-source keep cap for [[sourceCap]] — shared with the oracle
+    * by name. The fixture's 25-docs-per-source makes every source
+    * genuinely overflow the cap.
+    */
+  val SourceCapK = 10
+
+  /** Per-source document cap (q178) — the crawl-curation guard
+    * against any one domain dominating the mixture (Common-Crawl
+    * pipelines cap documents per registered domain; C4/RefinedWeb
+    * audit per-site mass): keep at most `cap` docs per source,
+    * HIGHEST-quality first (q23's scoring, deterministic (quality
+    * desc, doc_id) order), and report the attrition per source. The
+    * gate emits the per-source report with the kept doc_id SUM (the
+    * q54b identity idiom — proves WHICH documents survived without
+    * shipping the doc rows) and the kept-quality floor.
+    *
+    * Shape: ONE shuffle on source; the running rank and the summary
+    * aggregate share that partitioning (no second exchange), rank
+    * state is O(1). When only the kept rows are wanted (no drop
+    * report), the `rk <= cap` filter form plans as a bounded TopKRows
+    * heap via the injected rewrite — the q62/q158 shape.
+    */
+  def sourceCap(spark: SparkSession, dir: String,
+      cap: Int = SourceCapK): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    TextAnalysis.docQuality(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > cap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rk") <= cap, col("doc_id"))).as("kept_id_sum"),
+        min(when(col("rk") <= cap, col("quality"))).as("kept_min_q"))
+      .orderBy(col("source"))
+  }
+
   def sampleGate(spark: SparkSession, dir: String): DataFrame = {
     def sampled: DataFrame = graft.Flaco.sql(spark, dir,
       s"SELECT doc_id FROM documents TABLESAMPLE ($SamplePct PERCENT) " +

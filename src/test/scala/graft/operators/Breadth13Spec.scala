@@ -296,4 +296,29 @@ class Breadth13Spec extends AnyFunSuite {
     assert(out.forall(_._7 > 1.0),
       "corpus text scored like padding — the filter would drop it")
   }
+
+  test("source cap: report replays from the scored docs and the kept " +
+    "set dominates the dropped set in quality per source") {
+    val scored = TextAnalysis.docQuality(spark, sf)
+      .select("doc_id", "source", "quality").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val cap = Curation.SourceCapK
+    val bySource = scored.groupBy(_._2)
+    val out = Curation.sourceCap(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq === bySource.keys.toSeq.sorted)
+    out.foreach { r =>
+      val src = r.getString(0)
+      val docs = bySource(src).sortBy { case (id, _, q) => (-q, id) }
+      val (kept, dropped) = docs.splitAt(cap)
+      assert(r.getLong(1) === docs.length.toLong)
+      assert(r.getLong(2) === kept.length.toLong)
+      assert(r.getLong(3) === dropped.length.toLong)
+      assert(r.getLong(3) > 0L, s"$src did not overflow the cap — vacuous")
+      assert(r.getLong(4) === kept.map(_._1).sum, s"kept set at $src")
+      assert(r.getDouble(5) === kept.map(_._3).min)
+      // The policy invariant: no dropped doc outscores a kept one.
+      assert(dropped.forall(_._3 <= kept.map(_._3).min),
+        s"quality inversion at $src")
+    }
+  }
 }
