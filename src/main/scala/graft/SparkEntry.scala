@@ -260,7 +260,9 @@ object SparkEntry {
     "q176_similar_to" -> (Relational.similarToBattery _),
     "q177_char_quality" -> (TextAnalysis.charQuality _),
     "q178_source_cap" -> ((s: SparkSession, d: String) =>
-      Curation.sourceCap(s, d))
+      Curation.sourceCap(s, d)),
+    "q179_hybrid_rrf" -> ((s: SparkSession, d: String) =>
+      Similarity.hybridRrf(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1344,6 +1346,84 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q179: DuckDB replays BOTH ranked lists (q171's BM25 from list
+    // primitives, q30's cosine from the unnest formulation, each
+    // top-50 with its own window rank) and fuses with the same
+    // two-term 1/(60+rank) sum — integer ranks in, one fixed-order
+    // double sum out.
+    "q179_hybrid_rrf" -> {
+      val Seq(t1, t2, t3) = TextAnalysis.SearchTerms
+      val k = Similarity.RrfK
+      val depth = Similarity.RrfDepth
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x = '$t1')) AS BIGINT) AS tf_a,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x = '$t2')) AS BIGINT) AS tf_b,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x = '$t3')) AS BIGINT) AS tf_c,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS dl
+         |  FROM documents),
+         |st AS (SELECT
+         |    CAST(sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_a,
+         |    CAST(sum(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_b,
+         |    CAST(sum(CASE WHEN tf_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_c,
+         |    count(*) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM c),
+         |tr AS (SELECT doc_id,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_a AS DOUBLE)
+         |        + 0.5) / (CAST(df_a AS DOUBLE) + 0.5))
+         |      * (CAST(tf_a AS DOUBLE) * 2.2)
+         |      / (CAST(tf_a AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_b AS DOUBLE)
+         |        + 0.5) / (CAST(df_b AS DOUBLE) + 0.5))
+         |      * (CAST(tf_b AS DOUBLE) * 2.2)
+         |      / (CAST(tf_b AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_c AS DOUBLE)
+         |        + 0.5) / (CAST(df_c AS DOUBLE) + 0.5))
+         |      * (CAST(tf_c AS DOUBLE) * 2.2)
+         |      / (CAST(tf_c AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    AS raw
+         |  FROM c, st WHERE tf_a + tf_b + tf_c > 0),
+         |tl AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY raw DESC,
+         |    doc_id) AS BIGINT) AS rank_text
+         |  FROM tr ORDER BY raw DESC, doc_id LIMIT $depth),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |px AS (SELECT e.vec_id AS doc_id, qe AS ea, e.embedding AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+         |sv AS (SELECT doc_id,
+         |    $cosinePairSql
+         |  FROM px GROUP BY doc_id),
+         |simv AS (SELECT doc_id, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM sv),
+         |vl AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC,
+         |    doc_id) AS BIGINT) AS rank_vec
+         |  FROM simv ORDER BY sim DESC, doc_id LIMIT $depth),
+         |f AS (SELECT COALESCE(tl.doc_id, vl.doc_id) AS doc_id,
+         |    rank_text, rank_vec,
+         |    (CASE WHEN rank_text IS NOT NULL
+         |      THEN 1.0 / ($k + CAST(rank_text AS DOUBLE)) ELSE 0.0 END)
+         |    + (CASE WHEN rank_vec IS NOT NULL
+         |      THEN 1.0 / ($k + CAST(rank_vec AS DOUBLE)) ELSE 0.0 END)
+         |      AS rrf
+         |  FROM tl FULL JOIN vl ON tl.doc_id = vl.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+         |    AS BIGINT) AS rk,
+         |  doc_id, rank_text, rank_vec, round(rrf, 9) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // q177: DuckDB re-derives the char counts from its own list
     // primitives; Σc² and the top share are exact integers, so the

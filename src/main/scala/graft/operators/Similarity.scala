@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -501,6 +501,92 @@ object Similarity {
       .select(col("cid"), col("rk"), col("term"), col("c_cell"),
         col("n_cell"), col("c_corp"), col("lift_ppm"))
       .orderBy(col("cid"), col("rk"))
+  }
+
+  /** RRF constant (Cormack et al. 2009's k = 60, the
+    * Elasticsearch/OpenSearch default) and per-list depth for
+    * [[hybridRrf]] — shared with the oracle by name.
+    */
+  val RrfK = 60
+  val RrfDepth = 50
+
+  /** Hybrid retrieval via reciprocal-rank fusion (q179) — the
+    * production way to combine lexical and vector search
+    * (Elasticsearch/OpenSearch ship exactly this): rank the corpus by
+    * BM25 for the text query (q171's scoring) and by cosine against
+    * the query embedding (q30's kernel), then fuse with
+    * RRF(d) = Σ_lists 1/(k + rank_d) — rank-based, so the two
+    * incomparable score scales never meet, and a doc missing from one
+    * list simply contributes nothing (the standard convention).
+    *
+    * Determinism: ranks are integers, each 1/(k+r) is one IEEE
+    * division and the fusion is a TWO-term fixed-order sum — no
+    * association ambiguity at all (stronger than the q130 ln
+    * situation); ties broken by doc_id. Scale: each list is a global
+    * top-[[RrfDepth]] (`TakeOrderedAndProject` — per-partition heaps,
+    * depth rows to the driver side of the exchange), the fusion join
+    * touches ≤ 2·depth rows. The corpus is scanned once per modality;
+    * at interactive latency the lists come from the q99 inverted
+    * index and the q31b/c IVF cells instead — same fusion.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import graft.operators.TextAnalysis.{tokens, SearchTerms}
+    val Seq(t1, t2, t3) = SearchTerms
+    // Text list: q171's BM25 raw score, global top-RrfDepth, ranked.
+    def tf(t: String) =
+      size(filter(tokens(col("text")), x => x === lit(t))).cast("long")
+    val counted = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tf(t1).as("tf_a"), tf(t2).as("tf_b"),
+        tf(t3).as("tf_c"),
+        size(tokens(col("text"))).cast("long").as("dl"))
+    val norms = counted.agg(
+      sum((col("tf_a") > 0).cast("long")).as("df_a"),
+      sum((col("tf_b") > 0).cast("long")).as("df_b"),
+      sum((col("tf_c") > 0).cast("long")).as("df_c"),
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    def idf(dfc: Column) =
+      log(lit(1.0) + (col("n_docs").cast("double") - dfc.cast("double")
+        + lit(0.5)) / (dfc.cast("double") + lit(0.5)))
+    def part(tfc: Column, dfc: Column) =
+      idf(dfc) * (tfc.cast("double") * lit(2.2)) /
+        (tfc.cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+            col("avgdl"))))
+    val wText = Window.orderBy(col("raw").desc, col("doc_id"))
+    val textList = counted.crossJoin(broadcast(norms))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .filter(col("tf_a") + col("tf_b") + col("tf_c") > 0)
+      .withColumn("raw",
+        part(col("tf_a"), col("df_a")) + part(col("tf_b"), col("df_b"))
+          + part(col("tf_c"), col("df_c")))
+      .orderBy(col("raw").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("rank_text", row_number().over(wText).cast("long"))
+      .select(col("doc_id"), col("rank_text"))
+    // Vector list: cosine against THE query embedding (vec_id 0),
+    // global top-RrfDepth, ranked. doc_id = vec_id keys the corpus.
+    val e = Corpus.read(spark, dir, "embeddings")
+    val qe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val wVec = Window.orderBy(col("sim").desc, col("vec_id"))
+    val vecList = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qe))
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 6))
+      .orderBy(col("sim").desc, col("vec_id")).limit(RrfDepth)
+      .withColumn("rank_vec", row_number().over(wVec).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_vec"))
+    def contrib(rank: Column) =
+      when(rank.isNotNull, lit(1.0) / (lit(RrfK).cast("double")
+        + rank.cast("double"))).otherwise(lit(0.0))
+    val wFuse = Window.orderBy(col("rrf").desc, col("doc_id"))
+    textList.join(vecList, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        contrib(col("rank_text")) + contrib(col("rank_vec")))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(wFuse).cast("long"))
+      .select(col("rk"), col("doc_id"), col("rank_text"), col("rank_vec"),
+        round(col("rrf"), 9).as("rrf"))
+      .orderBy(col("rk"))
   }
 
   /** Scalar-quantized (int8) ANN with exact re-rank (q172) — the

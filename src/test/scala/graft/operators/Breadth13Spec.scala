@@ -321,4 +321,70 @@ class Breadth13Spec extends AnyFunSuite {
         s"quality inversion at $src")
     }
   }
+
+  test("hybrid rrf: full in-JVM replay of both lists and the fusion; " +
+    "fusion genuinely reorders both inputs") {
+    // Text list replay (the BM25 spec's machinery, ranked to depth).
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val terms = TextAnalysis.SearchTerms
+    val profile = docs.map { case (id, text) =>
+      val t = "\\S+".r.findAllIn(text).toArray
+      (id, terms.map(q => t.count(_ == q).toLong), t.length.toLong)
+    }
+    val n = profile.length.toDouble
+    val dfv = terms.indices.map(i => profile.count(_._2(i) > 0).toDouble)
+    val avgdl = profile.map(_._3).sum.toDouble / n
+    def bm25(tfs: Seq[Long], dl: Long): Double =
+      terms.indices.map { i =>
+        val tf = tfs(i).toDouble
+        math.log(1.0 + (n - dfv(i) + 0.5) / (dfv(i) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      }.sum
+    val textRanks = profile.filter(_._2.sum > 0)
+      .map { case (id, tfs, dl) => (id, bm25(tfs, dl)) }
+      .sortBy { case (id, s) => (-s, id) }.take(Similarity.RrfDepth)
+      .zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong) }.toMap
+    // Vector list replay: cosine vs vec 0, rounded at 6 like the engine.
+    val vecs = graft.sources.Corpus.read(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q0 = vecs.find(_._1 == 0L).get._2
+    val vecRanks = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r6(cos(q0, v))) }
+      .sortBy { case (id, s) => (-s, id) }.take(Similarity.RrfDepth)
+      .zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong) }.toMap
+    val expected = (textRanks.keySet ++ vecRanks.keySet).toSeq
+      .map { id =>
+        val rrf = textRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          vecRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (id, rrf)
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), i) =>
+        (i + 1L, id, textRanks.get(id), vecRanks.get(id)) }
+    val out = Similarity.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq === expected)
+    // Fusion does real work: the fused order equals neither input's
+    // own top-10 (both modalities contribute).
+    val textTop = textRanks.toSeq.sortBy(_._2).take(10).map(_._1)
+    val vecTop = vecRanks.toSeq.sortBy(_._2).take(10).map(_._1)
+    val fused = out.map(_._2).toSeq
+    assert(fused !== textTop, "fusion degenerate: equals the text list")
+    assert(fused !== vecTop, "fusion degenerate: equals the vector list")
+  }
 }
