@@ -262,7 +262,9 @@ object SparkEntry {
     "q178_source_cap" -> ((s: SparkSession, d: String) =>
       Curation.sourceCap(s, d)),
     "q179_hybrid_rrf" -> ((s: SparkSession, d: String) =>
-      Similarity.hybridRrf(s, d))
+      Similarity.hybridRrf(s, d)),
+    "q180_binary_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.binaryTopK(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1346,6 +1348,40 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q180: the oracle never packs bits — Hamming distance is counted
+    // directly as sign-mismatched dimensions from the float arrays,
+    // vs the engine's packed-long xor+popcount: independent encodings
+    // (the q46 pattern); then candidate rank + exact cosine re-rank.
+    "q180_binary_ann" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |    FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT qid, e.vec_id AS vb, qe, e.embedding AS eb
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
+         |hx AS (SELECT qid, vb, qe, eb, unnest(range(1, 65)) AS i FROM p),
+         |h AS (SELECT qid, vb,
+         |    CAST(sum(CASE WHEN (qe[i] > 0) <> (eb[i] > 0) THEN 1 ELSE 0
+         |      END) AS BIGINT) AS ham
+         |  FROM hx GROUP BY qid, vb),
+         |c AS (SELECT p.qid, p.vb, p.qe, p.eb, h.ham,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY h.ham ASC, p.vb) AS crk
+         |  FROM p JOIN h ON p.qid = h.qid AND p.vb = h.vb),
+         |cand AS (SELECT qid, vb, qe, eb, ham FROM c
+         |  WHERE crk <= ${Similarity.BqCandidates}),
+         |x2 AS (SELECT qid, vb, qe AS ea, eb, unnest(range(1, 65)) AS i
+         |  FROM cand),
+         |s2 AS (SELECT qid, vb,
+         |    $cosinePairSql
+         |  FROM x2 GROUP BY qid, vb),
+         |sim2 AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s2),
+         |r AS (SELECT cand.qid, cand.vb, cand.ham, sim2.sim,
+         |    CAST(row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY sim2.sim DESC, cand.vb) AS BIGINT) AS rk
+         |  FROM cand JOIN sim2 ON cand.qid = sim2.qid AND cand.vb = sim2.vb)
+         |SELECT qid, rk, vb AS neighbor, ham, sim FROM r
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // q179: DuckDB replays BOTH ranked lists (q171's BM25 from list
     // primitives, q30's cosine from the unnest formulation, each

@@ -503,6 +503,60 @@ object Similarity {
       .orderBy(col("cid"), col("rk"))
   }
 
+  /** Candidate depth for [[binaryTopK]] — shared with the oracle. */
+  val BqCandidates = 30
+
+  /** Binary (1-bit) quantized ANN (q180) — the extreme end of the
+    * quantization spectrum next to SQ8 (q172): one SIGN BIT per
+    * dimension, 32× smaller than float32, candidates ranked by
+    * Hamming distance (one xor + popcount per pair — the cheapest
+    * possible scan), then the exact cosine kernel on candidates only.
+    * This is pgvector's `bit(n)`/Milvus BQ and the re-rank pattern
+    * every binary-quantization deployment uses, and the 64-bit
+    * completion of the 8-bit sign-LSH bucketing q29/q31 block with:
+    * same sign signal, here scanned exhaustively as a distance rather
+    * than bucketed.
+    *
+    * The engine packs the 64 sign bits into ONE long in the scan
+    * projection (codegen'd 64-term bitwise-OR) and ranks by
+    * `bit_count(xor)`; the ORACLE never packs — it counts
+    * sign-mismatched dimensions directly from the float arrays —
+    * independent encodings of the Hamming distance (the q46
+    * pattern). Candidate rank (ham asc, vec_id) plans as a bounded
+    * TopKRows heap; exact cosine touches ≤ C×Q rows. At 100 TB the
+    * packed-signature relation is 8 bytes/vector — small enough to
+    * broadcast corpus-scale shards or SIMD-scan at memory bandwidth.
+    */
+  def binaryTopK(spark: SparkSession, dir: String, k: Int = 5,
+      cands: Int = BqCandidates): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val sigCol = (0 until 64).map { i =>
+      when(element_at(col("embedding"), i + 1) > 0f,
+        lit(1L << (63 - i))).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sigs = e.select(col("vec_id"), col("embedding"), sigCol.as("sig"))
+    val q = sigs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("sig").as("qsig"))
+    val scored = sigs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ham",
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("vec_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= cands)
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        col("ham"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** RRF constant (Cormack et al. 2009's k = 60, the
     * Elasticsearch/OpenSearch default) and per-list depth for
     * [[hybridRrf]] — shared with the oracle by name.

@@ -387,4 +387,58 @@ class Breadth13Spec extends AnyFunSuite {
     assert(fused !== textTop, "fusion degenerate: equals the text list")
     assert(fused !== vecTop, "fusion degenerate: equals the vector list")
   }
+
+  test("binary ann: packed-long hamming replays in-JVM and candidate " +
+    "recall beats the random floor") {
+    val vecs = graft.sources.Corpus.read(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def ham(a: Array[Float], b: Array[Float]): Long =
+      a.indices.count(i => (a(i) > 0) != (b(i) > 0)).toLong
+    val queries = vecs.filter(_._1 < 20)
+    val expected = queries.flatMap { case (qid, qv) =>
+      val cand = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, v, ham(qv, v)) }
+        .sortBy { case (id, _, h) => (h, id) }.take(Similarity.BqCandidates)
+      cand.map { case (id, v, h) => (id, h, r6(cos(qv, v))) }
+        .sortBy { case (id, _, s) => (-s, id) }.take(5)
+        .zipWithIndex.map { case ((id, h, s), i) =>
+          (qid, (i + 1).toLong, id, h, s) }
+    }.sortBy(t => (t._1, t._2))
+    val out = Similarity.binaryTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (got, exp) =>
+      assert(got._1 === exp._1); assert(got._2 === exp._2)
+      assert(got._3 === exp._3,
+        s"neighbor mismatch at ${got._1}/${got._2}")
+      assert(got._4 === exp._4, "hamming mismatch — bit packing broken")
+      assert(math.abs(got._5 - exp._5) < 2e-6)
+    }
+
+    // Quality: sign-bit Hamming must carry real angular signal —
+    // candidate recall of the exact top-5 well above the random
+    // baseline (30 random candidates of ~n would catch ~30/n ≈ 6%).
+    val brute = Similarity.bruteTopK(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = brute.keys.toSeq.sorted.map { q =>
+      got(q).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.3, s"binary candidate recall fell to $mean")
+  }
 }
