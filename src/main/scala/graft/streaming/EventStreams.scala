@@ -100,6 +100,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"))
 
+  /** Streaming daily distinct-active sketches — the INGEST half of
+    * the q166/q173 warehouse pattern: the stream maintains one HLL
+    * sketch per day as mergeable aggregation state (each micro-batch
+    * merges into it — never a per-user distinct state), so the
+    * materialized dailies that q173's rolling union consumes are
+    * produced incrementally at ingest time instead of by a batch
+    * re-scan. State: one constant-size sketch per day inside the
+    * watermark horizon, evicted as the watermark passes — O(open
+    * days), independent of user cardinality (an exact streaming
+    * distinct would hold every user id). Parity contract
+    * (EventStreamsSpec): stream-final estimates equal the batch
+    * dailies bit-for-bit — same aggregate, same lgk.
+    */
+  def dailyActiveSketches(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+        .as("est_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day"), col("est_users"), col("n_events"))
+
   /** Stream-static enrichment: the event stream joined to a static
     * dimension (broadcast — no stream state, each micro-batch probes
     * the built side), then a watermarked windowed aggregate on the

@@ -50,6 +50,28 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming daily sketches equal the batch dailies bit-for-bit") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.dailyActiveSketches(stream), "dailysk_mem",
+      OutputMode.Complete())
+    try {
+      val streamed = spark.table("dailysk_mem")
+        .select(col("day").cast("string"), col("est_users"),
+          col("n_events"))
+        .collect().map(_.toSeq).toSet
+      val batch = graft.sources.Corpus.events(spark, TestSpark.sf)
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+          .as("est_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("w.start").cast("string"), col("est_users"),
+          col("n_events"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming writes to a parquet file sink with checkpointing") {
     val out = Files.createTempDirectory("evsink").toString
     val stream = EventStreams.readEventStream(spark, streamDir)
