@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, ShingleJaccard, SimHash32, SortedShingles, StripAccents, TopGramCount, WidthBucket}
+import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, ShingleJaccard, SignBits64, SimHash32, SortedShingles, StripAccents, TopGramCount, WidthBucket}
 import graft.plans.RankLimitToTopK
 
 /** Arity-validating function builders — ONE definition shared by the
@@ -90,6 +90,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         "chunk_tokens expects chunk and stride to be literal positive " +
           s"integers; got chunk=${es(1).sql}, stride=${es(2).sql}")
     })
+    inject(ext, "sign_bits64", classOf[SignBits64],
+      unary("sign_bits64", SignBits64.apply))
     inject(ext, "nfc_normalize", classOf[NfcNormalize],
       unary("nfc_normalize", NfcNormalize.apply))
     inject(ext, "strip_accents", classOf[StripAccents],

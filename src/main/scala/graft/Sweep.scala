@@ -80,6 +80,20 @@ object ScaleFixtures {
         col("ts"), col("event_type"), col("value"))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // embeddings at factor× for the ANN/cluster sweeps: vec_id offset
+    // per copy (keeps the doc_id = vec_id keying aligned with the
+    // replicated documents); vectors stay byte-identical — candidate
+    // ties are broken by vec_id everywhere, and identical copies are
+    // the WORST case for candidate-bounded search (every copy of a
+    // near neighbor is an equally-near candidate).
+    val em = Corpus.read(spark, srcDir, "embeddings")
+    val maxVid = em.agg(max(col("vec_id"))).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      em.select((col("vec_id") + lit(k * maxVid)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   /** customer at `factor`× rows for the q108b recursion sweep: keys

@@ -530,11 +530,8 @@ object Similarity {
   def binaryTopK(spark: SparkSession, dir: String, k: Int = 5,
       cands: Int = BqCandidates): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")
-    val sigCol = (0 until 64).map { i =>
-      when(element_at(col("embedding"), i + 1) > 0f,
-        lit(1L << (63 - i))).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    val sigs = e.select(col("vec_id"), col("embedding"), sigCol.as("sig"))
+    val sigs = e.select(col("vec_id"), col("embedding"),
+      VectorFunctions.sign_bits64(col("embedding")).as("sig"))
     val q = sigs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("sig").as("qsig"))
