@@ -264,7 +264,9 @@ object SparkEntry {
     "q179_hybrid_rrf" -> ((s: SparkSession, d: String) =>
       Similarity.hybridRrf(s, d)),
     "q180_binary_ann" -> ((s: SparkSession, d: String) =>
-      Similarity.binaryTopK(s, d))
+      Similarity.binaryTopK(s, d)),
+    "q181_phash_neardup" -> ((s: SparkSession, d: String) =>
+      Multimodal.phashNearDup(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1348,6 +1350,53 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q181: the oracle re-derives the aHash as a SET-BIT TABLE from
+    // per-character code sums (content bytes are the ASCII text
+    // bytes, so unicode(ch) IS the byte), matches bands as small
+    // integers, and counts Hamming as |A|+|B|-2|A∩B| — independent
+    // encodings of fingerprint AND distance vs the engine's packed
+    // long + xor/popcount.
+    "q181_phash_neardup" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    list_transform(string_split(text, ''), c -> unicode(c))
+         |      AS codes
+         |  FROM documents),
+         |x AS (SELECT doc_id, unnest(codes) AS v,
+         |    generate_subscripts(codes, 1) AS i, len(codes) AS n FROM b),
+         |cl AS (SELECT doc_id, ((i - 1) * 64) // n AS cell,
+         |    CAST(sum(v) AS BIGINT) AS cv
+         |  FROM x GROUP BY doc_id, ((i - 1) * 64) // n),
+         |tot AS (SELECT doc_id, CAST(sum(cv) AS BIGINT) AS total
+         |  FROM cl GROUP BY doc_id),
+         |bits AS (SELECT cl.doc_id, cell FROM cl JOIN tot USING (doc_id)
+         |  WHERE cv * 64 > total),
+         |spine AS (SELECT doc_id, unnest(range(0, 4)) AS band FROM b),
+         |bv AS (SELECT spine.doc_id, spine.band,
+         |    CAST(COALESCE(sum(1 << (15 - (bits.cell % 16))), 0) AS BIGINT)
+         |      AS bv
+         |  FROM spine LEFT JOIN bits ON bits.doc_id = spine.doc_id
+         |    AND bits.cell // 16 = spine.band
+         |  GROUP BY spine.doc_id, spine.band),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bv a JOIN bv b ON a.band = b.band AND a.bv = b.bv
+         |    AND a.doc_id < b.doc_id),
+         |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS k FROM bits
+         |  GROUP BY doc_id),
+         |iv AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT)
+         |      AS both
+         |  FROM cand JOIN bits ba ON ba.doc_id = cand.doc_a
+         |    JOIN bits bb ON bb.doc_id = cand.doc_b AND bb.cell = ba.cell
+         |  GROUP BY cand.doc_a, cand.doc_b),
+         |h AS (SELECT cand.doc_a, cand.doc_b,
+         |    COALESCE(na.k, 0) + COALESCE(nbb.k, 0)
+         |      - 2 * COALESCE(iv.both, 0) AS ham
+         |  FROM cand LEFT JOIN nb na ON na.doc_id = cand.doc_a
+         |    LEFT JOIN nb nbb ON nbb.doc_id = cand.doc_b
+         |    LEFT JOIN iv ON iv.doc_a = cand.doc_a AND iv.doc_b = cand.doc_b)
+         |SELECT doc_a, doc_b, CAST(ham AS BIGINT) AS ham FROM h
+         |WHERE ham <= ${Multimodal.PHashMaxHam}
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q180: the oracle never packs bits — Hamming distance is counted
     // directly as sign-mismatched dimensions from the float arrays,

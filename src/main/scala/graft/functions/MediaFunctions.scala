@@ -149,9 +149,61 @@ case class MediaWrap(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** `avg_hash64(content)` → the 64-bit average-hash (aHash) perceptual
+  * fingerprint of a byte buffer: the buffer is divided into 64
+  * contiguous cells (the byte-stream analogue of downscaling an image
+  * to 8×8), bit (63−i) is set iff cell i's byte sum is above the
+  * global mean — stated as the EXACT integer compare
+  * `cell_sum · 64 > total` so no float mean exists. Small content
+  * edits perturb few cells, so near-duplicate media land within a
+  * small Hamming distance — the property perceptual dedup exploits.
+  * One tight loop per payload ([[SignBits64]]'s lesson: per-row loops
+  * belong in kernel expressions, not wide expression trees).
+  */
+object AvgHashKernel {
+  def avgHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val cells = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      cells(((i.toLong * 64) / n).toInt) += (bytes(i) & 0xff).toLong
+      i += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < 64) { total += cells(j); j += 1 }
+    var acc = 0L
+    j = 0
+    while (j < 64) {
+      if (cells(j) * 64 > total) acc |= 1L << (63 - j)
+      j += 1
+    }
+    acc
+  }
+}
+
+case class AvgHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    AvgHashKernel.avgHash64(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AvgHashKernel.avgHash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object MediaFunctions {
   import GraftSqlBridge.{column, expression}
 
   def media_wrap(docId: Column, content: Column): Column =
     column(MediaWrap(expression(docId), expression(content)))
+
+  def avg_hash64(content: Column): Column =
+    column(AvgHash64(expression(content)))
 }

@@ -178,4 +178,58 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         countDistinct(md5(col("content"))).as("n_distinct"))
       .orderBy(col("source"))
+
+  /** Max Hamming distance for a q181 perceptual near-dup pair —
+    * lossless under 4×16-bit banding (ham ≤ 3 over 4 bands forces at
+    * least one identical band, the q161 pigeonhole). Shared with the
+    * oracle by name.
+    */
+  val PHashMaxHam = 3
+
+  /** Perceptual-hash media near-dup join (q181) — image dedup the way
+    * crawl pipelines actually do it (pHash/aHash over decoded pixels;
+    * exact md5 catches only byte-identical files): fingerprint every
+    * payload's content bytes with the 64-bit average hash
+    * ([[graft.functions.AvgHash64]], one codegen'd scan kernel),
+    * block candidates by 16-bit band equality (identical-band
+    * pigeonhole — NO all-pairs join ever exists, the q28/q161
+    * argument), verify candidates with one xor+popcount. Near-dup
+    * media differ in few cells, so they meet in a band; unrelated
+    * media share a 16-bit band with probability ~2⁻¹⁶ × occupancy.
+    *
+    * The ORACLE never packs a 64-bit word (DuckDB BIGINT shifts at
+    * bit 63 are UB-adjacent): it re-derives the SET-BIT TABLE from
+    * per-character code sums, matches bands as small integers, and
+    * counts Hamming as |A|+|B|−2|A∩B| over the bit tables —
+    * independent encodings of both the fingerprint and the distance
+    * (the q46/q180 pattern). At 100 TB the fingerprint relation is 8
+    * bytes/item and the band join shuffles fingerprint rows only;
+    * the hot-bucket cap idiom (q28) applies unchanged if a band
+    * value saturates.
+    */
+  def phashNearDup(spark: SparkSession, dir: String,
+      maxHam: Int = PHashMaxHam): DataFrame = {
+    val ph = payloads(spark, dir).select(col("doc_id"),
+      MediaFunctions.avg_hash64(col("content")).as("ph"))
+    val banded = ph.select(col("doc_id"), col("ph"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("band"),
+          shiftrightunsigned(col("ph"), 48 - 16 * j)
+            .bitwiseAND(lit(0xffffL)).as("bv"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("ph"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ph").as("pa"), col("b.ph").as("pb"))
+      .distinct()
+    cands
+      .withColumn("ham",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .filter(col("ham") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("ham"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -441,4 +441,25 @@ class Breadth13Spec extends AnyFunSuite {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.3, s"binary candidate recall fell to $mean")
   }
+
+  test("phash near-dup: kernel replays in-JVM and banding is lossless " +
+    "vs the brute-force threshold set") {
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hashes = docs.map { case (id, text) =>
+      (id, graft.functions.AvgHashKernel.avgHash64(text.getBytes("UTF-8")))
+    }
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb)
+      if ham <= Multimodal.PHashMaxHam
+    } yield (a, b, ham.toLong)).sortBy(t => (t._1, t._2)).toSeq
+    val out = Multimodal.phashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === brute,
+      "banded join diverged from the brute-force pHash threshold set")
+    assert(out.nonEmpty, "no perceptual near-dups on a corpus with " +
+      "known near-dup families — fingerprint is not doing its job")
+  }
 }
