@@ -266,7 +266,10 @@ object SparkEntry {
     "q180_binary_ann" -> ((s: SparkSession, d: String) =>
       Similarity.binaryTopK(s, d)),
     "q181_phash_neardup" -> ((s: SparkSession, d: String) =>
-      Multimodal.phashNearDup(s, d))
+      Multimodal.phashNearDup(s, d)),
+    "q182_like_quantified" -> (Relational.likeQuantified _),
+    "q183_having_subquery" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, havingSubquerySql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -759,6 +762,29 @@ object SparkEntry {
       |    WHERE o.o_custkey = c.c_custkey
       |      AND o.o_totalprice > 200000) AS n_big
       |FROM customer c ORDER BY c_custkey""".stripMargin
+
+  /** One SQL text, two planners (q183): a correlated SCALAR SUBQUERY
+    * inside HAVING — the reporting idiom "groups above the
+    * all-groups average" (PG planner: one extra uncorrelated
+    * aggregate, then a post-aggregation filter; Catalyst plans the
+    * same shape). Money flows as exact per-row cents BEFORE any sum
+    * (the suite-wide discipline: double sums are
+    * association-order-nondeterministic); the avg compare is stated
+    * multiplicatively — sum·nsegs > total — so no division exists;
+    * emitted sums are CAST BIGINT on both sides (the HUGEINT
+    * lesson).
+    */
+  private val havingSubquerySql: String =
+    """SELECT c_mktsegment AS seg,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    * (SELECT count(DISTINCT c_mktsegment) FROM customer)
+      |  > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |     FROM orders)
+      |ORDER BY seg""".stripMargin
 
   private val boolTestSql: String =
     """WITH b AS (SELECT o_orderkey,
@@ -1350,6 +1376,26 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q182: the oracle counts matching patterns with a list lambda
+    // (len(list_filter) vs 0 / vs len) — an independent encoding of
+    // the ANY/ALL quantifier vs the engine's OR/AND fold.
+    "q182_like_quantified" -> {
+      def arr(ps: Seq[String]) = ps.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""SELECT p_partkey,
+         |  CAST(len(list_filter(${arr(Relational.LikeAnyPatterns)},
+         |    p -> p_name LIKE p)) > 0 AS BIGINT) AS m_any,
+         |  CAST(len(list_filter(${arr(Relational.LikeAllPatterns)},
+         |    p -> p_name LIKE p)) = ${Relational.LikeAllPatterns.length}
+         |    AS BIGINT) AS m_all,
+         |  CAST(len(list_filter(${arr(Relational.NotLikeAllPatterns)},
+         |    p -> p_name LIKE p)) = 0 AS BIGINT) AS m_none
+         |FROM part ORDER BY p_partkey""".stripMargin
+    },
+
+    // q183: one SQL text, two planners — correlated scalar subquery
+    // in HAVING (see havingSubquerySql's scaladoc).
+    "q183_having_subquery" -> havingSubquerySql,
 
     // q181: the oracle re-derives the aHash as a SET-BIT TABLE from
     // per-character code sums (content bytes are the ASCII text

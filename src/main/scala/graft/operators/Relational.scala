@@ -824,6 +824,39 @@ object Relational {
       .orderBy(col("p_partkey"))
   }
 
+  /** Pattern lists for the q182 LIKE ANY/ALL battery — shared with
+    * the oracle by name.
+    */
+  val LikeAnyPatterns = Seq("%red%", "%blue%")
+  val LikeAllPatterns = Seq("%e%", "% %")
+  val NotLikeAllPatterns = Seq("%red%", "%gear%")
+
+  /** Quantified LIKE battery (q182) — PG's `LIKE ANY(ARRAY[…])` /
+    * `LIKE ALL(…)` / `NOT LIKE ALL(…)`, the idiomatic multi-pattern
+    * filter (blocklists, category routing). Spark's parser has no
+    * quantified LIKE, so the engine desugars per the definition — a
+    * fold of `like` over the pattern list under OR (ANY) or AND
+    * (ALL); the oracle re-derives each flag by COUNTING matching
+    * patterns with a DuckDB list lambda (`len(list_filter(pats,
+    * p -> x LIKE p))` vs 0 / vs len) — independent encodings of the
+    * quantifier. Per-row codegen'd projections; every flag
+    * discriminates on the corpus (spec-pinned).
+    */
+  def likeQuantified(spark: SparkSession, dir: String): DataFrame = {
+    def anyOf(c: Column, pats: Seq[String]) =
+      pats.map(c.like(_)).reduce(_ || _).cast("long")
+    def allOf(c: Column, pats: Seq[String]) =
+      pats.map(c.like(_)).reduce(_ && _).cast("long")
+    def noneOf(c: Column, pats: Seq[String]) =
+      pats.map(!c.like(_)).reduce(_ && _).cast("long")
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        anyOf(col("p_name"), LikeAnyPatterns).as("m_any"),
+        allOf(col("p_name"), LikeAllPatterns).as("m_all"),
+        noneOf(col("p_name"), NotLikeAllPatterns).as("m_none"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** MapType round-trip — the PG hstore/jsonb-object surface as
     * Spark's first-class MapType: build with `map_from_arrays`,
     * extend with `map_concat`, read back with `element_at`, inspect

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, expr, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -461,5 +462,59 @@ class Breadth13Spec extends AnyFunSuite {
       "banded join diverged from the brute-force pHash threshold set")
     assert(out.nonEmpty, "no perceptual near-dups on a corpus with " +
       "known near-dup families — fingerprint is not doing its job")
+  }
+
+  test("like-quantified flags replay in-JVM and discriminate; " +
+    "having-subquery keeps exactly the above-average groups") {
+    val names = graft.sources.Corpus.read(spark, sf, "part")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def likeToRegex(p: String) =
+      ("\\Q" + p.replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "\\E").r
+    val out = Relational.likeQuantified(spark, sf).collect()
+    out.foreach { r =>
+      val nm = names(r.getLong(0))
+      val any = Relational.LikeAnyPatterns
+        .exists(p => likeToRegex(p).matches(nm))
+      val all = Relational.LikeAllPatterns
+        .forall(p => likeToRegex(p).matches(nm))
+      val none = Relational.NotLikeAllPatterns
+        .forall(p => !likeToRegex(p).matches(nm))
+      assert(r.getLong(1) === (if (any) 1L else 0L))
+      assert(r.getLong(2) === (if (all) 1L else 0L))
+      assert(r.getLong(3) === (if (none) 1L else 0L))
+    }
+    (1 to 3).foreach { i =>
+      assert(out.map(_.getLong(i)).toSet === Set(0L, 1L),
+        s"quantified flag $i vacuous")
+    }
+
+    // q183: exactly the segments whose cents exceed the all-segment
+    // mean survive HAVING.
+    val segs = graft.sources.Corpus.read(spark, sf, "customer")
+      .join(graft.sources.Corpus.read(spark, sf, "orders"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = segs.map(_._2).sum
+    val expected = segs
+      .filter { case (_, c) => c * segs.length > total }
+      .map(_._1).sorted.toSeq
+    val got = graft.Flaco.sql(spark, sf,
+      """SELECT c_mktsegment AS seg,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    * (SELECT count(DISTINCT c_mktsegment) FROM customer)
+        |  > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     FROM orders)
+        |ORDER BY seg""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.length < segs.length,
+      "HAVING filter vacuous — every or no segment survived")
   }
 }
