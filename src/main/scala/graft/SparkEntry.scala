@@ -1424,8 +1424,13 @@ object SparkEntry {
          |  FROM spine LEFT JOIN bits ON bits.doc_id = spine.doc_id
          |    AND bits.cell // 16 = spine.band
          |  GROUP BY spine.doc_id, spine.band),
+         |hotb AS (SELECT band, bv FROM bv GROUP BY band, bv
+         |  HAVING count(*) > ${Multimodal.PHashMaxBandDocs}),
+         |bvc AS (SELECT bv.* FROM bv LEFT JOIN hotb
+         |    ON bv.band = hotb.band AND bv.bv = hotb.bv
+         |  WHERE hotb.band IS NULL),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bv a JOIN bv b ON a.band = b.band AND a.bv = b.bv
+         |  FROM bvc a JOIN bvc b ON a.band = b.band AND a.bv = b.bv
          |    AND a.doc_id < b.doc_id),
          |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS k FROM bits
          |  GROUP BY doc_id),

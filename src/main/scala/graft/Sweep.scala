@@ -293,7 +293,9 @@ object Sweep {
         val total = Corpus.read(spark, hotDir, "documents").count()
         println(f"[skewdocs] hot near-dup cluster: $clusterSize/$total docs " +
           f"(${100.0 * clusterSize / total}%.1f%%)")
-        val lines = DocSkewQueries.map { q =>
+        // Optional trailing query names override the default list.
+        val docQs = if (args.length > 4) args.drop(4).toSeq else DocSkewQueries
+        val lines = docQs.map { q =>
           val tu = minOf2(q, baseDir)
           val ts = minOf2(q, hotDir)
           f""""$q": {"uniform": $tu%.3f, "hot": $ts%.3f, "ratio": ${ts / tu}%.2f}"""

@@ -186,6 +186,19 @@ object Multimodal {
     */
   val PHashMaxHam = 3
 
+  /** Hot-band cap for [[phashNearDup]] (the q28 `MaxBandDocs`
+    * argument at the pHash band level): a viral image family puts
+    * thousands of near-identical fingerprints into the same band
+    * buckets, and the candidate join would fan out quadratically in
+    * the family size (measured: ratio 4.4 under the skewdocs hot
+    * cluster before the cap). Buckets over the cap are dropped from
+    * candidate generation — what a saturated bucket loses is
+    * mass-duplicated media, which the exact md5 dedup (mediaStats'
+    * n_distinct side) removes without any perceptual pass. Shared
+    * with the oracle by name.
+    */
+  val PHashMaxBandDocs = 64
+
   /** Perceptual-hash media near-dup join (q181) — image dedup the way
     * crawl pipelines actually do it (pHash/aHash over decoded pixels;
     * exact md5 catches only byte-identical files): fingerprint every
@@ -211,7 +224,7 @@ object Multimodal {
       maxHam: Int = PHashMaxHam): DataFrame = {
     val ph = payloads(spark, dir).select(col("doc_id"),
       MediaFunctions.avg_hash64(col("content")).as("ph"))
-    val banded = ph.select(col("doc_id"), col("ph"),
+    val banded0 = ph.select(col("doc_id"), col("ph"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band"),
           shiftrightunsigned(col("ph"), 48 - 16 * j)
@@ -219,6 +232,13 @@ object Multimodal {
       }: _*)).as("e"))
       .select(col("doc_id"), col("ph"),
         col("e.band").as("band"), col("e.bv").as("bv"))
+    // Hot-band cap (see PHashMaxBandDocs): bound any bucket's pair
+    // fanout at cap² regardless of family size.
+    val hot = banded0.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > PHashMaxBandDocs)
+      .select(col("band"), col("bv"))
+    val banded = banded0.join(hot, Seq("band", "bv"), "left_anti")
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

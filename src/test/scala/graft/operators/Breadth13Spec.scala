@@ -451,15 +451,24 @@ class Breadth13Spec extends AnyFunSuite {
     val hashes = docs.map { case (id, text) =>
       (id, graft.functions.AvgHashKernel.avgHash64(text.getBytes("UTF-8")))
     }
+    // Replay the hot-band cap: band values of each hash, bucket
+    // census, saturated buckets dropped from candidate generation.
+    def bands(h: Long): Seq[(Int, Long)] =
+      (0 until 4).map(j => (j, (h >>> (48 - 16 * j)) & 0xffffL))
+    val census = hashes.flatMap { case (_, h) => bands(h) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    def liveBands(h: Long): Set[(Int, Long)] =
+      bands(h).filter(b => census(b) <= Multimodal.PHashMaxBandDocs).toSet
     val brute = (for {
       (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if liveBands(ha).intersect(liveBands(hb)).nonEmpty
       ham = java.lang.Long.bitCount(ha ^ hb)
       if ham <= Multimodal.PHashMaxHam
     } yield (a, b, ham.toLong)).sortBy(t => (t._1, t._2)).toSeq
     val out = Multimodal.phashNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out === brute,
-      "banded join diverged from the brute-force pHash threshold set")
+      "banded join diverged from the capped-band pHash threshold set")
     assert(out.nonEmpty, "no perceptual near-dups on a corpus with " +
       "known near-dup families — fingerprint is not doing its job")
   }
