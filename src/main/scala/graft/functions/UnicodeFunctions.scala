@@ -81,8 +81,63 @@ case class StripAccents(child: Expression)
     copy(child = c)
 }
 
+/** One-pass per-document character census for q177 — counts by
+  * CODEPOINT (matching DuckDB's `string_split(text, '')` units):
+  * total chars, alphabet size, top-character count, Σcount². The
+  * declarative higher-order formulation (array_distinct + a count
+  * lambda per distinct char) is O(alphabet × chars) per row and
+  * materializes the char array; this is O(chars) with a single
+  * hash-map (the [[graft.functions.SignBits64]] lesson applied
+  * pre-emptively — measured 5.7 s → sub-second at sf0.1).
+  */
+object CharStatsKernel {
+  def census(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(Integer.valueOf(cp), 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var top = 0L
+    var sumSq = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      sumSq += c * c
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, counts.size.toLong,
+      top, sumSq)
+  }
+}
+
+/** `char_census(str)` → struct(n_chars, alphabet, top_cnt, sum_sq). */
+case class CharCensus(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("alphabet", LongType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    CharStatsKernel.census(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharStatsKernel.census($c);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object UnicodeFunctions {
   import GraftSqlBridge.{column, expression}
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
   def strip_accents(c: Column): Column = column(StripAccents(expression(c)))
+  def char_census(c: Column): Column = column(CharCensus(expression(c)))
 }

@@ -46,30 +46,27 @@ object TextAnalysis {
     * is an EXACT integer, so the only float op is one log2 of an
     * exact rational — no per-term float summation whose order could
     * differ cross-engine (the q130 fixed-order discipline taken to
-    * its limit: one transcendental call, rounded at 6). All per-row
-    * codegen'd higher-order builtins (no explode — a char-level
-    * explode would blow up corpus×chars rows), zero shuffles.
+    * its limit: one transcendental call, rounded at 6). The census
+    * is ONE codegen'd kernel pass per row
+    * ([[graft.functions.CharCensus]], O(chars) hash-map — the
+    * higher-order array_distinct+count-lambda formulation is
+    * O(alphabet × chars) and cost 5.7 s at sf0.1); no char-level
+    * explode ever exists, zero shuffles.
     */
-  def charQuality(spark: SparkSession, dir: String): DataFrame = {
-    val chars = filter(split(col("text"), ""), c => c =!= lit(""))
+  def charQuality(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "documents")
-      .withColumn("cs", chars)
-      .withColumn("counts", transform(array_distinct(col("cs")),
-        c => size(filter(col("cs"), x => x === c)).cast("long")))
-      .withColumn("n", size(col("cs")).cast("long"))
-      .withColumn("sum_sq", aggregate(col("counts"), lit(0L),
-        (a, x) => a + x * x))
+      .withColumn("cc",
+        graft.functions.UnicodeFunctions.char_census(col("text")))
       .select(col("doc_id"),
-        col("n").as("n_chars_t"),
-        size(array_distinct(col("cs"))).cast("long").as("alphabet"),
-        array_max(col("counts")).as("top_char_cnt"),
-        expr("array_max(counts) * 1000000 div n").as("top_char_ppm"),
-        col("sum_sq"),
+        col("cc.n_chars").as("n_chars_t"),
+        col("cc.alphabet").as("alphabet"),
+        col("cc.top_cnt").as("top_char_cnt"),
+        expr("cc.top_cnt * 1000000 div cc.n_chars").as("top_char_ppm"),
+        col("cc.sum_sq").as("sum_sq"),
         round(log2(
-          (col("n") * col("n")).cast("double") /
-            col("sum_sq").cast("double")), 6).as("renyi2"))
+          (col("cc.n_chars") * col("cc.n_chars")).cast("double") /
+            col("cc.sum_sq").cast("double")), 6).as("renyi2"))
       .orderBy(col("doc_id"))
-  }
 
   /** Stopword lists for the n-gram-heuristic language identifier. */
   val stopwords: Map[String, Seq[String]] = Map(

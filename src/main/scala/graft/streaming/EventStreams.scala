@@ -248,6 +248,69 @@ object EventStreams {
       }
   }
 
+  case class AnomalyRow(event_id: Long, user_id: Long, us: Long,
+    x: Long, n_w: Long, anom: Long)
+
+  /** Watermark-buffer state for [[anomaliesWithState]]: not-yet-final
+    * events plus the ≤ 23 most recent FINALIZED cents (the trailing
+    * frame seed for the next event).
+    */
+  case class AnomState(buffered: Seq[(Long, Long, Long)],
+    window: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.Events.rollingAnomalies]] —
+    * the alerting shape monitoring actually deploys (batch z-scores
+    * arrive hours late): per-user trailing-24-row anomaly flags with
+    * the SAME all-Long 2σ inequality `(n·x−S1)² > 4·(n·S2−S1²)` (no
+    * float σ exists to disagree on), emitted as events finalize at
+    * the watermark. Out-of-order arrivals are handled by the
+    * sessionizer's watermark-buffer pattern: events buffer until the
+    * watermark passes them, then finalize in exact (us, event_id)
+    * order — so the flags are bit-identical to the batch window, not
+    * approximately ordered. State per user: the buffer (bounded by
+    * the watermark horizon) + 23 longs of trailing frame — O(1)
+    * beyond the horizon, independent of stream length.
+    * EventStreamsSpec pins stream rows ≡ the batch operator's rows
+    * for every finalized event.
+    */
+  def anomaliesWithState(events: DataFrame): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        graft.operators.Exact.cents(col("value")).as("x"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, AnomalyRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+         state: GroupState[AnomState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(AnomState(Nil, Nil))
+          val merged = (prev.buffered ++
+            evs.map(e => (tsToMicros(e._3), e._2, e._4)))
+            .sortBy { case (us, eid, _) => (us, eid) }
+          val (ready, pending) = merged.partition(_._1 <= wmUs)
+          var win = prev.window
+          val out = ready.map { case (us, eid, x) =>
+            val frame = (win :+ x).takeRight(24)
+            val n = frame.length.toLong
+            val s1 = frame.sum
+            val s2 = frame.map(v => v * v).sum
+            val d = n * x - s1
+            val anom = if (d * d > 4L * (n * s2 - s1 * s1)) 1L else 0L
+            win = (win :+ x).takeRight(23)
+            AnomalyRow(eid, uid, us, x, n, anom)
+          }
+          state.update(AnomState(pending, win))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.head._1 / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   /** Run a streaming aggregation to a named in-memory table until the
     * (finite) file source drains — the spec's harness.
     */

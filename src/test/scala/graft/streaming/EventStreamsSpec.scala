@@ -72,6 +72,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags equal the batch window for every " +
+    "finalized event") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.anomaliesWithState(stream).toDF(), "anom_mem",
+      OutputMode.Append())
+    try {
+      val streamed = spark.table("anom_mem")
+        .select("event_id", "user_id", "x", "n_w", "anom")
+        .collect().map(_.toSeq).toSet
+      // Final watermark after AvailableNow = max event time − 2h;
+      // only events at/below it finalize (the sessionizer contract).
+      val ev = graft.sources.Corpus.events(spark, TestSpark.sf)
+      val wmUs = ev.agg(expr("max(unix_micros(cast(ts as timestamp)))"))
+        .head().getLong(0) - 2L * 3600L * 1000000L
+      val batch = Events.rollingAnomalies(spark, TestSpark.sf)
+        .filter(col("us") <= wmUs)
+        .select("event_id", "user_id", "x", "n_w", "anom")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      assert(streamed.exists(_.last == 1L),
+        "no anomaly fired — the 2σ flag is vacuous on this fixture")
+    } finally q.stop()
+  }
+
   test("streaming writes to a parquet file sink with checkpointing") {
     val out = Files.createTempDirectory("evsink").toString
     val stream = EventStreams.readEventStream(spark, streamDir)
