@@ -270,7 +270,8 @@ object SparkEntry {
     "q182_like_quantified" -> (Relational.likeQuantified _),
     "q183_having_subquery" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, havingSubquerySql)),
-    "q184_asof_tolerance" -> (Temporal.asofTolerance _)
+    "q184_asof_tolerance" -> (Temporal.asofTolerance _),
+    "q185_effective_size" -> (TextAnalysis.effectiveSize _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1377,6 +1378,49 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q185: the oracle replays all three stages — q24's fingerprint
+    // min-id dedup, q43's recursive closure, q135's keep-longest
+    // policy re-ranked by tokens over the exact survivors — and the
+    // per-lang tallies with integer ppm saving.
+    "q185_effective_size" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT a, b FROM j WHERE jaccard >= 0.2),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (SELECT a AS n, b AS m FROM edges
+         |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a),
+         |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_rep
+         |  FROM reach GROUP BY n),
+         |dt AS (SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+         |      AS n_toks,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM documents),
+         |ex AS (SELECT dt.* FROM dt
+         |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM dt GROUP BY fp) k
+         |    ON dt.fp = k.fp AND dt.doc_id = k.doc_id),
+         |mem AS (SELECT cl.cluster_rep, ex.doc_id, ex.n_toks
+         |  FROM cl JOIN ex USING (doc_id)),
+         |keep AS (SELECT doc_id FROM (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY cluster_rep
+         |      ORDER BY n_toks DESC, doc_id) AS rk FROM mem)
+         |  WHERE rk = 1),
+         |nd AS (SELECT ex.* FROM ex LEFT JOIN cl USING (doc_id)
+         |    WHERE cl.cluster_rep IS NULL
+         |  UNION ALL SELECT ex.* FROM ex JOIN keep USING (doc_id)),
+         |ra AS (SELECT lang, count(*) AS docs_raw,
+         |    CAST(sum(n_toks) AS BIGINT) AS toks_raw FROM dt GROUP BY lang),
+         |ea AS (SELECT lang, count(*) AS docs_exact,
+         |    CAST(sum(n_toks) AS BIGINT) AS toks_exact FROM ex
+         |  GROUP BY lang),
+         |na AS (SELECT lang, count(*) AS docs_effective,
+         |    CAST(sum(n_toks) AS BIGINT) AS toks_effective FROM nd
+         |  GROUP BY lang)
+         |SELECT ra.lang, docs_raw, toks_raw, docs_exact, toks_exact,
+         |  docs_effective, toks_effective,
+         |  (toks_raw - toks_effective) * 1000000 // toks_raw AS saved_ppm
+         |FROM ra JOIN ea USING (lang) JOIN na USING (lang)
+         |ORDER BY ra.lang""".stripMargin,
 
     // q184: the oracle runs the DEFINITIONAL correlated LATERAL
     // top-1 with the tolerance predicate — an independent encoding of

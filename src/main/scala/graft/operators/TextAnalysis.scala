@@ -903,6 +903,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Effective dataset size report (q185) — the dataset-card number
+    * every corpus release publishes (and the honest denominator for
+    * epoch math): per language, documents and TOKENS surviving each
+    * dedup stage — raw → exact-fingerprint dedup (q26's keep-min-id)
+    * → near-dup canonical selection (q43's clusters, q135's
+    * keep-longest policy applied to the exact survivors, re-ranked by
+    * n_toks among them) — with the total token saving as exact
+    * integer ppm. "10 T tokens crawled" vs "6.1 T effective" is this
+    * report; compositions stay one declarative plan (fingerprint
+    * aggregate + the CC relation + two semi/anti joins + three
+    * map-side-combinable per-lang aggregates).
+    */
+  def effectiveSize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_toks"),
+        fingerprintCol(col("text")).as("fp"))
+    val exact = keepFirstByFingerprint(docs)
+    val cl = Dedup.dedupClusters(spark, dir)
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("n_toks").desc, col("doc_id"))
+    val keep = cl.join(exact, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"))
+    val nd = exact.join(cl, Seq("doc_id"), "left_anti")
+      .unionByName(exact.join(keep, Seq("doc_id"), "left_semi"))
+    def tally(df: DataFrame, docsName: String, toksName: String) =
+      df.groupBy(col("lang")).agg(count(lit(1)).as(docsName),
+        sum(col("n_toks")).as(toksName))
+    tally(docs, "docs_raw", "toks_raw")
+      .join(tally(exact, "docs_exact", "toks_exact"), Seq("lang"))
+      .join(tally(nd, "docs_effective", "toks_effective"), Seq("lang"))
+      .withColumn("saved_ppm",
+        expr("(toks_raw - toks_effective) * 1000000 div toks_raw"))
+      .orderBy(col("lang"))
+  }
+
   /** Tokens per "line" for [[lineDedup]]: the corpus text carries no
     * newlines, so lines are consecutive fixed-width token segments —
     * the splitter is the only corpus-specific piece; a newline corpus

@@ -563,4 +563,27 @@ class Breadth13Spec extends AnyFunSuite {
     assert(matched > 0 && horizonNulled > 0 && never > 0,
       s"contract populations degenerate: $matched/$horizonNulled/$never")
   }
+
+  test("effective size: stage monotonicity, both stages bite, and " +
+    "ppm arithmetic is exact") {
+    val out = TextAnalysis.effectiveSize(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (dr, tr) = (r.getLong(1), r.getLong(2))
+      val (de, te) = (r.getLong(3), r.getLong(4))
+      val (dn, tn) = (r.getLong(5), r.getLong(6))
+      assert(dr >= de && de >= dn, s"doc counts not monotone at ${r.get(0)}")
+      assert(tr >= te && te >= tn, s"token counts not monotone")
+      assert(r.getLong(7) === (tr - tn) * 1000000L / tr)
+    }
+    val totalRaw = out.map(_.getLong(1)).sum
+    val totalExact = out.map(_.getLong(3)).sum
+    val totalEff = out.map(_.getLong(5)).sum
+    // The fixture has no byte-identical texts (its duplication is all
+    // NEAR-dup), so the exact stage passes through — its semantics
+    // are gated by q26 on its own fixture; here the near-dup stage
+    // must do the real work.
+    assert(totalExact <= totalRaw)
+    assert(totalEff < totalExact, "near-dup stage removed nothing")
+  }
 }
