@@ -271,7 +271,8 @@ object SparkEntry {
     "q183_having_subquery" -> ((s: SparkSession, d: String) =>
       Flaco.sql(s, d, havingSubquerySql)),
     "q184_asof_tolerance" -> (Temporal.asofTolerance _),
-    "q185_effective_size" -> (TextAnalysis.effectiveSize _)
+    "q185_effective_size" -> (TextAnalysis.effectiveSize _),
+    "q186_range_algebra" -> (Relational.rangeBattery _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1378,6 +1379,36 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q186: the oracle restates each predicate in complement form
+    // where one exists — overlap as NOT (b_hi <= a_lo OR a_hi <=
+    // b_lo), range containment as "no element escapes" via bound
+    // arithmetic, intersection emptiness via the merge width — the
+    // q131 discipline.
+    "q186_range_algebra" ->
+      """WITH r AS (SELECT o_orderkey,
+        |    o_orderkey % 97 AS a_lo,
+        |    o_orderkey % 97 + 1 + o_orderkey % 13 AS a_hi,
+        |    o_orderkey % 89 AS b_lo,
+        |    o_orderkey % 89 + 1 + o_orderkey % 17 AS b_hi,
+        |    o_orderkey % 100 AS x
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(a_lo AS BIGINT) AS a_lo, CAST(a_hi AS BIGINT) AS a_hi,
+        |  CAST(b_lo AS BIGINT) AS b_lo, CAST(b_hi AS BIGINT) AS b_hi,
+        |  CAST(NOT (b_lo < a_lo OR a_hi < b_hi) AS BIGINT) AS contains_r,
+        |  CAST(NOT (x < a_lo OR x >= a_hi) AS BIGINT) AS contains_e,
+        |  CAST(NOT (b_hi <= a_lo OR a_hi <= b_lo) AS BIGINT) AS overlaps,
+        |  CAST(a_hi = b_lo OR b_hi = a_lo AS BIGINT) AS adjacent,
+        |  CASE WHEN greatest(a_lo, b_lo) < least(a_hi, b_hi)
+        |    THEN CAST(greatest(a_lo, b_lo) AS BIGINT) END AS inter_lo,
+        |  CASE WHEN greatest(a_lo, b_lo) < least(a_hi, b_hi)
+        |    THEN CAST(least(a_hi, b_hi) AS BIGINT) END AS inter_hi,
+        |  CASE WHEN NOT (b_hi < a_lo OR a_hi < b_lo)
+        |    THEN CAST(least(a_lo, b_lo) AS BIGINT) END AS merge_lo,
+        |  CASE WHEN NOT (b_hi < a_lo OR a_hi < b_lo)
+        |    THEN CAST(greatest(a_hi, b_hi) AS BIGINT) END AS merge_hi
+        |FROM r ORDER BY o_orderkey""".stripMargin,
 
     // q185: the oracle replays all three stages — q24's fingerprint
     // min-id dedup, q43's recursive closure, q135's keep-longest

@@ -857,6 +857,44 @@ object Relational {
       .orderBy(col("p_partkey"))
   }
 
+  /** Range-type algebra (q186) — PG's int8range surface (one of the
+    * type families the reference hard-aborts on,
+    * `src/lib.rs:382-385`), expressed as half-open [lo, hi) integer
+    * pairs the way a Spark schema carries them: containment `@>`
+    * (range and element), overlap `&&`, adjacency `-|-`,
+    * intersection `*` (NULL pair when empty), and the merge `+`
+    * (defined, as in PG, only when the inputs touch — else NULL).
+    * All pure integer predicate algebra, stated from the half-open
+    * definitions on the engine side and re-stated by the ORACLE in
+    * negation/complement form where one exists (overlap as NOT
+    * disjoint, containment via no-escape) — the q131 discipline for
+    * surfaces neither engine ships. Per-row codegen'd projections;
+    * every flag discriminates (spec-pinned).
+    */
+  def rangeBattery(spark: SparkSession, dir: String): DataFrame = {
+    val aLo = col("o_orderkey") % 97
+    val aHi = aLo + lit(1) + col("o_orderkey") % 13
+    val bLo = col("o_orderkey") % 89
+    val bHi = bLo + lit(1) + col("o_orderkey") % 17
+    val x = col("o_orderkey") % 100
+    val overlaps = aLo < bHi && bLo < aHi
+    val adjacent = aHi === bLo || bHi === aLo
+    val iLo = greatest(aLo, bLo)
+    val iHi = least(aHi, bHi)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        aLo.as("a_lo"), aHi.as("a_hi"), bLo.as("b_lo"), bHi.as("b_hi"),
+        (aLo <= bLo && bHi <= aHi).cast("long").as("contains_r"),
+        (aLo <= x && x < aHi).cast("long").as("contains_e"),
+        overlaps.cast("long").as("overlaps"),
+        adjacent.cast("long").as("adjacent"),
+        when(iLo < iHi, iLo).as("inter_lo"),
+        when(iLo < iHi, iHi).as("inter_hi"),
+        when(overlaps || adjacent, least(aLo, bLo)).as("merge_lo"),
+        when(overlaps || adjacent, greatest(aHi, bHi)).as("merge_hi"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** MapType round-trip — the PG hstore/jsonb-object surface as
     * Spark's first-class MapType: build with `map_from_arrays`,
     * extend with `map_concat`, read back with `element_at`, inspect

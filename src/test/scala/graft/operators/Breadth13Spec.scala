@@ -586,4 +586,40 @@ class Breadth13Spec extends AnyFunSuite {
     assert(totalExact <= totalRaw)
     assert(totalEff < totalExact, "near-dup stage removed nothing")
   }
+
+  test("range algebra: JVM replay of the half-open definitions and " +
+    "the PG merge/intersection contracts") {
+    val out = Relational.rangeBattery(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = r.getLong(0)
+      val (aLo, aHi) = (k % 97, k % 97 + 1 + k % 13)
+      val (bLo, bHi) = (k % 89, k % 89 + 1 + k % 17)
+      val x = k % 100
+      assert(r.getLong(1) === aLo && r.getLong(2) === aHi)
+      assert(r.getLong(3) === bLo && r.getLong(4) === bHi)
+      val overlaps = aLo < bHi && bLo < aHi
+      val adjacent = aHi == bLo || bHi == aLo
+      assert(r.getLong(5) === (if (aLo <= bLo && bHi <= aHi) 1L else 0L))
+      assert(r.getLong(6) === (if (aLo <= x && x < aHi) 1L else 0L))
+      assert(r.getLong(7) === (if (overlaps) 1L else 0L))
+      assert(r.getLong(8) === (if (adjacent) 1L else 0L))
+      // PG contracts: intersection non-empty iff overlap; merge
+      // defined iff the ranges touch (overlap or adjacency).
+      assert(!r.isNullAt(9) === overlaps, s"intersection vs overlap at $k")
+      assert(!r.isNullAt(11) === (overlaps || adjacent), s"merge at $k")
+      if (overlaps) {
+        assert(r.getLong(9) === math.max(aLo, bLo))
+        assert(r.getLong(10) === math.min(aHi, bHi))
+      }
+      if (overlaps || adjacent) {
+        assert(r.getLong(11) === math.min(aLo, bLo))
+        assert(r.getLong(12) === math.max(aHi, bHi))
+      }
+    }
+    (5 to 8).foreach { i =>
+      assert(out.map(_.getLong(i)).toSet === Set(0L, 1L),
+        s"range flag $i vacuous")
+    }
+  }
 }
