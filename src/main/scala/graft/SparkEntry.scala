@@ -272,7 +272,8 @@ object SparkEntry {
       Flaco.sql(s, d, havingSubquerySql)),
     "q184_asof_tolerance" -> (Temporal.asofTolerance _),
     "q185_effective_size" -> (TextAnalysis.effectiveSize _),
-    "q186_range_algebra" -> (Relational.rangeBattery _)
+    "q186_range_algebra" -> (Relational.rangeBattery _),
+    "q187_oov_report" -> (TextAnalysis.oovReport _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1379,6 +1380,41 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q187: DuckDB rebuilds the vocabulary and the OOV tallies from
+    // its own list primitives (zipped double-unnest for the per-doc
+    // (term, tf) rows) — integer masses and ppm throughout.
+    "q187_oov_report" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         |      AS arr
+         |  FROM documents),
+         |d AS (SELECT doc_id, lang, list_distinct(arr) AS terms, arr FROM b),
+         |t AS (SELECT lang, unnest(terms) AS term,
+         |    unnest(list_transform(terms,
+         |      t -> CAST(len(list_filter(arr, x -> x = t)) AS BIGINT)))
+         |      AS tf
+         |  FROM d),
+         |lt AS (SELECT lang, term, CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM t GROUP BY lang, term),
+         |g AS (SELECT term, sum(cnt) AS gcnt FROM lt GROUP BY term),
+         |v AS (SELECT term FROM g ORDER BY gcnt DESC, term
+         |  LIMIT ${TextAnalysis.OovVocabV}),
+         |oov AS (SELECT lt.* FROM lt LEFT JOIN v USING (term)
+         |  WHERE v.term IS NULL),
+         |topo AS (SELECT lang, term AS top_oov, cnt AS top_oov_cnt
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |      ORDER BY cnt DESC, term) AS rn FROM oov)
+         |  WHERE rn = 1),
+         |tot AS (SELECT lang, CAST(sum(len(arr)) AS BIGINT) AS toks_total
+         |  FROM b GROUP BY lang),
+         |oa AS (SELECT lang, count(*) AS oov_types,
+         |    CAST(sum(cnt) AS BIGINT) AS oov_mass FROM oov GROUP BY lang)
+         |SELECT tot.lang, toks_total, oov_types, oov_mass,
+         |  (oov_mass * 1000000) // toks_total AS oov_ppm,
+         |  top_oov, top_oov_cnt
+         |FROM tot JOIN oa USING (lang) JOIN topo USING (lang)
+         |ORDER BY tot.lang""".stripMargin,
 
     // q186: the oracle restates each predicate in complement form
     // where one exists — overlap as NOT (b_hi <= a_lo OR a_hi <=

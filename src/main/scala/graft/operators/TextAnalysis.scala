@@ -941,6 +941,58 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Vocabulary size for the q187 OOV report — shared with the
+    * oracle by name.
+    */
+  val OovVocabV = 10
+
+  /** Vocabulary coverage / OOV report (q187) — the tokenizer-fit
+    * diagnostic run before committing a vocab (and the
+    * mixture-monitoring cousin of q167): against the corpus's own
+    * top-[[OovVocabV]] global vocabulary (the fixture has 31 distinct tokens, so a third of the types are OOV) (q55's construction — a
+    * `TakeOrderedAndProject` heap, broadcast back), report per
+    * language the total token mass, the OOV mass as exact integer
+    * ppm, the distinct OOV type count, and the highest-frequency OOV
+    * term (the next vocab candidate; deterministic (count desc, term
+    * asc) argmax via the rank-limit heap). Shapes: per-doc (term, tf)
+    * rows appear once each (q73 discipline, no corpus-token
+    * aggregation), the per-(lang, term) aggregate is
+    * map-side-combinable, the vocab anti-join is broadcast.
+    */
+  def oovReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+    val terms = docs.select(col("lang"), explode(expr(
+      """transform(array_distinct(toks),
+        |  t -> struct(t AS term,
+        |    CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS tf))"""
+        .stripMargin)).as("e"))
+      .select(col("lang"), col("e.term").as("term"), col("e.tf").as("tf"))
+    val langTerm = terms.groupBy(col("lang"), col("term"))
+      .agg(sum(col("tf")).as("cnt"))
+    val vocab = langTerm.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("term")).limit(OovVocabV)
+      .select(col("term"))
+    val oov = langTerm.join(broadcast(vocab), Seq("term"), "left_anti")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("term"))
+    val top = oov.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("term").as("top_oov"),
+        col("cnt").as("top_oov_cnt"))
+    val tot = docs.groupBy(col("lang"))
+      .agg(sum(size(col("toks")).cast("long")).as("toks_total"))
+    val oa = oov.groupBy(col("lang"))
+      .agg(count(lit(1)).as("oov_types"), sum(col("cnt")).as("oov_mass"))
+    tot.join(oa, Seq("lang")).join(top, Seq("lang"))
+      .withColumn("oov_ppm", expr("oov_mass * 1000000 div toks_total"))
+      .select(col("lang"), col("toks_total"), col("oov_types"),
+        col("oov_mass"), col("oov_ppm"), col("top_oov"),
+        col("top_oov_cnt"))
+      .orderBy(col("lang"))
+  }
+
   /** Tokens per "line" for [[lineDedup]]: the corpus text carries no
     * newlines, so lines are consecutive fixed-width token segments —
     * the splitter is the only corpus-specific piece; a newline corpus

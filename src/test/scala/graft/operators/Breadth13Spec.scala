@@ -622,4 +622,34 @@ class Breadth13Spec extends AnyFunSuite {
         s"range flag $i vacuous")
     }
   }
+
+  test("oov report: full in-JVM replay against the corpus vocabulary") {
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def toks(s: String) = "\\S+".r.findAllIn(s).toSeq
+    val langTerm = docs.flatMap { case (lang, text) =>
+      toks(text).groupBy(identity).map { case (t, xs) =>
+        ((lang, t), xs.length.toLong) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val global = langTerm.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2).sum).toMap
+    val vocab = global.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(TextAnalysis.OovVocabV)
+      .map(_._1).toSet
+    val oov = langTerm.filter { case ((_, t), _) => !vocab.contains(t) }
+    val out = TextAnalysis.oovReport(spark, sf).collect()
+    assert(out.nonEmpty, "vocab swallowed the corpus — OOV vacuous")
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val mine = oov.collect { case ((l, t), c) if l == lang => (t, c) }
+      val total = docs.filter(_._1 == lang).map(d => toks(d._2).length).sum
+      assert(r.getLong(1) === total.toLong)
+      assert(r.getLong(2) === mine.size.toLong, s"oov types at $lang")
+      assert(r.getLong(3) === mine.values.sum, s"oov mass at $lang")
+      assert(r.getLong(4) === mine.values.sum * 1000000L / total)
+      val top = mine.toSeq.sortBy { case (t, c) => (-c, t) }.head
+      assert(r.getString(5) === top._1 && r.getLong(6) === top._2)
+    }
+  }
 }
