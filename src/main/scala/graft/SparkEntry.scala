@@ -273,7 +273,8 @@ object SparkEntry {
     "q184_asof_tolerance" -> (Temporal.asofTolerance _),
     "q185_effective_size" -> (TextAnalysis.effectiveSize _),
     "q186_range_algebra" -> (Relational.rangeBattery _),
-    "q187_oov_report" -> (TextAnalysis.oovReport _)
+    "q187_oov_report" -> (TextAnalysis.oovReport _),
+    "q188_textrank" -> (TextAnalysis.textRank _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1380,6 +1381,44 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q188: DuckDB rebuilds q84's co-occurrence graph and unrolls the
+    // SAME three all-integer power-iteration rounds — integer
+    // division per contribution, exact integer inflow sums
+    // (order-free), identical truncation — so the term centralities
+    // hash-match exactly.
+    "q188_textrank" -> {
+      def prIter(i: Int): String =
+        s"""pr$i AS (SELECT d.src AS term, d.deg, d.wsum,
+           |    (SELECT (${Dedup.PrScale} * 15 // 100) // n FROM nn)
+           |      + CAST(sum((p.pr * ed.w) // p.wsum) AS BIGINT)
+           |        * 85 // 100 AS pr
+           |  FROM ed JOIN pr${i - 1} p ON p.term = ed.src
+           |    JOIN dg d ON d.src = ed.dst
+           |  GROUP BY d.src, d.deg, d.wsum)""".stripMargin
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS term
+         |  FROM documents),
+         |vocab AS (SELECT term, count(*) AS dfreq FROM tok GROUP BY term
+         |  ORDER BY dfreq DESC, term LIMIT 16),
+         |f AS (SELECT t.doc_id, t.term FROM tok t
+         |  JOIN vocab v ON t.term = v.term),
+         |pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY a.term, b.term HAVING count(*) >= 5),
+         |ed AS (SELECT term_a AS src, term_b AS dst, w FROM pairs
+         |  UNION ALL SELECT term_b, term_a, w FROM pairs),
+         |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg,
+         |    CAST(sum(w) AS BIGINT) AS wsum FROM ed GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
+         |pr0 AS (SELECT src AS term, deg, wsum,
+         |    (SELECT ${Dedup.PrScale} // n FROM nn) AS pr FROM dg),
+         |${(1 to Dedup.PrIters).map(prIter).mkString(",\n")}
+         |SELECT term, deg, CAST(pr AS BIGINT) AS pr
+         |FROM pr${Dedup.PrIters}
+         |ORDER BY pr DESC, term""".stripMargin
+    },
 
     // q187: DuckDB rebuilds the vocabulary and the OOV tallies from
     // its own list primitives (zipped double-unnest for the per-doc

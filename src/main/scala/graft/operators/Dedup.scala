@@ -445,6 +445,68 @@ object Dedup {
     * rounds and reads one convergence count; all data work is
     * distributed — the same shape GraphX/Pregel use.
     */
+  /** q188 constants — integer PageRank mass scale, damping as the
+    * exact rational 85/100, iteration count. Shared with the oracle
+    * by name.
+    */
+  val PrScale = 1000000000000L
+  val PrIters = 3
+
+  /** All-integer distributed WEIGHTED PageRank core — [[PrIters]]
+    * power-iteration rounds over an undirected weighted pair
+    * relation `(a, b, w)` (any key type; both directions are
+    * materialized, so every node has degree ≥ 1; pass w = 1 for the
+    * unweighted form). Used by [[graft.operators.TextAnalysis
+    * .textRank]] (q188); plug any pair graph (the q28 near-dup
+    * pairs with jaccard-ppm weights, the q89 containment edges) for
+    * other centralities.
+    *
+    * Determinism discipline (the q31c Lloyd pattern taken further):
+    * the ENTIRE computation is integer arithmetic — mass lives in
+    * [[PrScale]] units, each neighbor contributes
+    * `(pr · w) div W(u)` (integer ops only; weights must keep
+    * PrScale · w inside a long — w < ~9·10⁶), inflows SUM exactly
+    * (order-free, unlike float PageRank where per-node summation
+    * order is engine-dependent), damping is `· 85 div 100`.
+    * Truncation leaks ≤ deg units of mass per node per round —
+    * identically on both engines, so an oracle can unroll the same
+    * rounds and hash-match exactly.
+    *
+    * Scale: per round = one co-partitioned join (pr ⋈ edges on the
+    * node key) + one map-side-combinable sum — the CC shape with a
+    * value instead of a min-label; rounds are fixed, state one long
+    * per node, localCheckpoint truncates lineage per round (the
+    * trainedCentroids move). Output: (node, deg, pr).
+    */
+  def integerPageRank(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("a", "b", "w")
+    val edges = p.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(
+        p.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"), sum(col("w")).as("wsum"))
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.select(col("src").as("node"), col("deg"), col("wsum"))
+      .crossJoin(broadcast(nRow))
+      .select(col("node"), col("deg"), col("wsum"), col("n"),
+        expr(s"$PrScale div n").as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      val contrib = pr
+        .join(edges, pr("node") === edges("src"))
+        .select(col("dst"), expr("(pr * w) div wsum").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      pr = pr.select(col("node"), col("deg"), col("wsum"), col("n"))
+        .join(contrib, pr("node") === contrib("dst"))
+        .select(col("node"), col("deg"), col("wsum"), col("n"),
+          expr(s"($PrScale * 15 div 100) div n + inflow * 85 div 100")
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), col("deg"), col("pr"))
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashLshPairs(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b")))

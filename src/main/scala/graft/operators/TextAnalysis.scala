@@ -1199,7 +1199,12 @@ object TextAnalysis {
     * corpus scale); N arrives as a broadcast one-row cross join, not
     * a driver-side collect.
     */
-  def cooccurLift(spark: SparkSession, dir: String): DataFrame = {
+  /** The top-[[CooccurVocab]] vocabulary and its supported distinct
+    * co-occurring term pairs — shared by [[cooccurLift]] (q84) and
+    * [[textRank]] (q188).
+    */
+  private[graft] def cooccurPairs(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docTerms = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
         .as("term"))
@@ -1214,6 +1219,35 @@ object TextAnalysis {
       .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= CooccurMinSupport)
+    (vocab, pairs)
+  }
+
+  /** TextRank keyword centrality (q188) — Mihalcea & Tarau 2004's
+    * published keyword-extraction method in its WEIGHTED form:
+    * PageRank over the term co-occurrence graph (q84's
+    * vocabulary-bounded pair relation as undirected edges, the
+    * co-occurrence counts as edge weights), so a term that co-occurs
+    * STRONGLY with well-connected terms outranks a merely frequent
+    * one — the graph-aware upgrade to raw-count vocabularies (q55).
+    * On this corpus the vocab clique is degree-uniform, so the
+    * weights carry the entire signal (all 16 centralities distinct —
+    * unweighted PR would be uniform).
+    * The iteration core is [[Dedup.integerPageRank]]: ALL-integer
+    * power iteration (mass in PrScale units, per-neighbor integer
+    * division, exact order-free inflow sums, damping · 85 div 100),
+    * so the oracle unrolls the same three rounds and hash-matches
+    * exactly — no float PageRank summation-order ambiguity exists.
+    */
+  def textRank(spark: SparkSession, dir: String): DataFrame = {
+    val (_, pairs) = cooccurPairs(spark, dir)
+    Dedup.integerPageRank(pairs.select(col("term_a").as("a"),
+      col("term_b").as("b"), col("c_ab").as("w")))
+      .select(col("node").as("term"), col("deg"), col("pr"))
+      .orderBy(col("pr").desc, col("term"))
+  }
+
+  def cooccurLift(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, pairs) = cooccurPairs(spark, dir)
     val n = Corpus.read(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
     pairs

@@ -652,4 +652,35 @@ class Breadth13Spec extends AnyFunSuite {
       assert(r.getString(5) === top._1 && r.getLong(6) === top._2)
     }
   }
+
+  test("textrank: integer power iteration replays in-JVM and " +
+    "centrality separates hub terms from peripheral ones") {
+    val (_, pairsDf) = TextAnalysis.cooccurPairs(spark, sf)
+    val pairs = pairsDf.select("term_a", "term_b", "c_ab").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val edges = pairs.flatMap { case (a, b, w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val wsum = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n = deg.size.toLong
+    val s = Dedup.PrScale
+    var pr: Map[String, Long] = deg.keys.map(v => v -> s / n).toMap
+    for (_ <- 1 to Dedup.PrIters) {
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => pr(u) * w / wsum(u) }.sum).toMap
+      pr = pr.keys.map(v =>
+        v -> ((s * 15 / 100) / n + inflow(v) * 85 / 100)).toMap
+    }
+    val expected = pr.toSeq.map { case (v, p) => (v, deg(v), p) }
+      .sortBy { case (v, _, p) => (-p, v) }
+    val out = TextAnalysis.textRank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === expected)
+    // Centrality must do real work: on this corpus the vocab clique
+    // is degree-uniform, so WEIGHTS are the whole signal — unequal
+    // masses prove the weighted contributions flow (unweighted PR
+    // would return uniform mass here).
+    assert(out.map(_._3).distinct.length > 1,
+      "weighted ranks all equal — weights are not flowing")
+  }
 }
