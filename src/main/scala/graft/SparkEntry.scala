@@ -274,7 +274,8 @@ object SparkEntry {
     "q185_effective_size" -> (TextAnalysis.effectiveSize _),
     "q186_range_algebra" -> (Relational.rangeBattery _),
     "q187_oov_report" -> (TextAnalysis.oovReport _),
-    "q188_textrank" -> (TextAnalysis.textRank _)
+    "q188_textrank" -> (TextAnalysis.textRank _),
+    "q189_cohort_matrix" -> (Events.cohortMatrix _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1381,6 +1382,24 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q189: the oracle derives the same matrix WITHOUT pivoting —
+    // CASE sums per offset column (independent encodings of the
+    // transpose, the q82 pattern); exact integer week arithmetic.
+    "q189_cohort_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
+        |o AS (SELECT c.cw, uw.wk - c.cw AS off
+        |  FROM uw JOIN c USING (user_id))
+        |SELECT cw AS cohort_week,
+        |  CAST(sum(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS BIGINT) AS wk0,
+        |  CAST(sum(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wk1,
+        |  CAST(sum(CASE WHEN off = 2 THEN 1 ELSE 0 END) AS BIGINT) AS wk2,
+        |  CAST(sum(CASE WHEN off = 3 THEN 1 ELSE 0 END) AS BIGINT) AS wk3,
+        |  CAST(sum(CASE WHEN off = 4 THEN 1 ELSE 0 END) AS BIGINT) AS wk4
+        |FROM o GROUP BY cw ORDER BY cw""".stripMargin,
 
     // q188: DuckDB rebuilds q84's co-occurrence graph and unrolls the
     // SAME three all-integer power-iteration rounds — integer

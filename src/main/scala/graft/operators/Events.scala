@@ -173,6 +173,42 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Weekly cohort-retention matrix (q189) — THE retention table
+    * every analytics tool renders: users grouped by first-active
+    * epoch-week (cohort), counted per week offset, PIVOTED to one
+    * row per cohort with wk0..wk4 columns (wk0 = cohort size).
+    * Composes q102's discipline — distinct (user, week) FIRST so
+    * event volume collapses before anything else, per-user min week,
+    * offset histogram — with q37's pivot as the presentation shape;
+    * the offset domain is bounded (5 columns), so the pivot is a
+    * constant-width conditional aggregation, map-side-combinable.
+    * The ORACLE never pivots: it derives the same matrix as CASE
+    * sums — independent encodings of the transpose (the q82
+    * pattern). All exact integer week arithmetic (epoch-µs div
+    * 7-day-µs — the microsDiv discipline).
+    */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    // Purchase activity only: the all-events cohort is degenerate on
+    // this fixture (every user active every week — one 100%-retention
+    // row); first-PURCHASE cohorts genuinely spread and decay.
+    val uw = Corpus.read(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), Exact.microsDiv(weekUs).as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    val off = uw.join(cohort, Seq("user_id"))
+      .select(col("cw"), (col("wk") - col("cw")).as("off"))
+    off.groupBy(col("cw"))
+      .pivot("off", Seq(0, 1, 2, 3, 4))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("cw").as("cohort_week"),
+        col("0").as("wk0"), col("1").as("wk1"), col("2").as("wk2"),
+        col("3").as("wk3"), col("4").as("wk4"))
+      .orderBy(col("cohort_week"))
+  }
+
   /** Sliding-window distinct actives from daily sketches (q173) —
     * the rolling-DAU/WAU dashboard shape, and the reason q166's
     * re-aggregatable sketches exist: distinct counts do NOT sum

@@ -683,4 +683,30 @@ class Breadth13Spec extends AnyFunSuite {
     assert(out.map(_._3).distinct.length > 1,
       "weighted ranks all equal — weights are not flowing")
   }
+
+  test("cohort matrix: JVM replay; triangle structure and decay are " +
+    "value-visible") {
+    val uw = graft.sources.Corpus.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id",
+        "unix_micros(cast(ts as timestamp)) div 604800000000 AS wk")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = uw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = uw.map { case (u, w) => (cohort(u), w - cohort(u)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = cohort.values.toSeq.distinct.sorted.map { cw =>
+      (cw, (0 to 4).map(o => cells.getOrElse((cw, o.toLong), 0L)))
+    }
+    val out = Events.cohortMatrix(spark, sf).collect()
+      .map(r => (r.getLong(0), (1 to 5).map(r.getLong(_))))
+    assert(out.toSeq === expected)
+    // Later cohorts cannot reach offsets past the observation window
+    // (the triangle), and somewhere retention genuinely dips below
+    // the cohort size — otherwise the matrix says nothing.
+    assert(out.exists { case (_, row) => row.exists(v => v > 0 &&
+      v < row.head) }, "no cohort decays — matrix vacuous")
+    assert(out.last._2.last === 0L,
+      "latest cohort reached the full offset range — no triangle")
+  }
 }
