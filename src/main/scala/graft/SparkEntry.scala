@@ -275,7 +275,8 @@ object SparkEntry {
     "q186_range_algebra" -> (Relational.rangeBattery _),
     "q187_oov_report" -> (TextAnalysis.oovReport _),
     "q188_textrank" -> (TextAnalysis.textRank _),
-    "q189_cohort_matrix" -> (Events.cohortMatrix _)
+    "q189_cohort_matrix" -> (Events.cohortMatrix _),
+    "q190_dup_spans" -> (Dedup.dupSpans _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1382,6 +1383,35 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q190: the oracle takes the POSITIONAL route the engine's
+    // one-pass kernel avoids — explode shingles with their positions,
+    // join the df>=2 shared set, expand each hit to its three covered
+    // positions, count distinct — independent encodings of span
+    // coverage.
+    "q190_dup_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, i,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1,
+        |      greatest(len(toks) - 1, 1))) AS i
+        |    FROM t WHERE len(toks) >= 3)),
+        |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g),
+        |shared AS (SELECT g FROM df WHERE df >= 2),
+        |hits AS (SELECT sh.doc_id, sh.i FROM sh JOIN shared USING (g)),
+        |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT)
+        |      AS covered
+        |  FROM (SELECT doc_id, unnest([i, i + 1, i + 2]) AS p FROM hits)
+        |  GROUP BY doc_id),
+        |n AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT n.doc_id, n.n_toks,
+        |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_toks,
+        |  CAST(COALESCE(cov.covered, 0) * 1000000
+        |    // greatest(n_toks, 1) AS BIGINT) AS dup_ppm
+        |FROM n LEFT JOIN cov USING (doc_id) ORDER BY n.doc_id""".stripMargin,
 
     // q189: the oracle derives the same matrix WITHOUT pivoting —
     // CASE sums per offset column (independent encodings of the

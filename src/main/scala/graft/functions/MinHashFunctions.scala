@@ -242,6 +242,33 @@ object MinHashKernel {
     if (set.isEmpty) 0L
     else countMatchingShingles(tokens, set.contains)
 
+  /** Count of token POSITIONS covered by any word-3-gram present in
+    * `set` — the duplicated-span mass kernel (q190): a hit at
+    * position i covers i, i+1, i+2; overlapping hits count each
+    * position once. One pass + a boolean array per document — the
+    * positional sibling of [[shingleHits]] (which counts distinct
+    * matching shingles, not covered text).
+    */
+  def coveredTokens(tokens: ArrayData,
+      set: java.util.HashSet[UTF8String]): Long = {
+    val n = tokens.numElements()
+    if (n < 3 || set.isEmpty) return 0L
+    val covered = new Array[Boolean](n)
+    var i = 0
+    while (i <= n - 3) {
+      val sh = UTF8String.concat(tokens.getUTF8String(i), SpaceUtf8,
+        tokens.getUTF8String(i + 1), SpaceUtf8, tokens.getUTF8String(i + 2))
+      if (set.contains(sh)) {
+        covered(i) = true; covered(i + 1) = true; covered(i + 2) = true
+      }
+      i += 1
+    }
+    var c = 0L
+    var j = 0
+    while (j < n) { if (covered(j)) c += 1; j += 1 }
+    c
+  }
+
   /** Exact Jaccard similarity of two SORTED DISTINCT shingle arrays
     * (as produced by [[sortedShingles]]): one merge pass, no per-pair
     * set construction. Unrounded — callers apply the engine's round
@@ -439,6 +466,34 @@ case class ShingleHitsInSet(child: Expression,
     copy(child = c)
 }
 
+/** `shingle_coverage(tokensArray)` → token positions covered by any
+  * broadcast-set 3-gram ([[MinHashKernel.coveredTokens]]); the same
+  * broadcast plumbing as [[ShingleHitsInSet]].
+  */
+case class ShingleCoverage(child: Expression,
+    shared: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.coveredTokens(input.asInstanceOf[ArrayData], shared.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("sharedShingles", shared,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val setVar = ctx.addMutableState("java.util.HashSet", "sharedSet",
+      v => s"$v = (java.util.HashSet) $bcRef.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.coveredTokens($c, $setVar)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `minhash_signature(tokensArray)` → array of 8 hex-window strings
   * (null for docs with no shingles). Codegen'd via a static kernel
   * call so the projection stays inside whole-stage codegen.
@@ -490,4 +545,9 @@ object MinHashFunctions {
 
   def top_gram_count(tokens: Column, n: Int): Column =
     column(TopGramCount(expression(tokens), n))
+
+  def shingle_coverage(tokens: Column,
+      shared: org.apache.spark.broadcast.Broadcast[java.util.HashSet[
+        org.apache.spark.unsafe.types.UTF8String]]): Column =
+    column(ShingleCoverage(expression(tokens), shared))
 }

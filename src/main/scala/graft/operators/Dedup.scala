@@ -452,6 +452,50 @@ object Dedup {
   val PrScale = 1000000000000L
   val PrIters = 3
 
+  /** Duplicated-span mass per document (q190) — the exact-substring
+    * dedup SIGNAL of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better": their suffix-array pass removes
+    * verbatim spans repeated across documents): for every document,
+    * how many of its token positions sit inside a word-3-gram that
+    * also appears in ANOTHER document. dup_ppm ≈ 0 means unique
+    * prose; ≈ 10⁶ means the doc is assembled from shared text — the
+    * triage report run before paying for span excision.
+    *
+    * Shapes: the cross-doc-shared shingle table is distinct (doc,
+    * shingle) rows → df ≥ 2 filter (bounded by REPEATED shingles
+    * only — the q66 boilerplate bound); it broadcasts into the
+    * [[graft.functions.ShingleCoverage]] scan kernel, which marks
+    * covered positions in ONE pass per doc (no positional explode —
+    * the oracle does the positional explode precisely because it is
+    * the independent formulation). At corpus scale the shared-set
+    * broadcast follows q48's ladder: exact set while it fits, the
+    * q48b Bloom prefilter + exact verification join beyond.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val shared = {
+      val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      val it = shinglesOf(docs)
+        .select(col("doc_id"), col("shingle")).distinct()
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("shingle")).toLocalIterator()
+      while (it.hasNext) set.add(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          it.next().getString(0)))
+      spark.sparkContext.broadcast(set)
+    }
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        graft.functions.MinHashFunctions
+          .shingle_coverage(col("toks"), shared).as("covered_toks"))
+      .withColumn("dup_ppm",
+        expr("covered_toks * 1000000 div greatest(n_toks, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All-integer distributed WEIGHTED PageRank core — [[PrIters]]
     * power-iteration rounds over an undirected weighted pair
     * relation `(a, b, w)` (any key type; both directions are

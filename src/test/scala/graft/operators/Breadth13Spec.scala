@@ -709,4 +709,32 @@ class Breadth13Spec extends AnyFunSuite {
     assert(out.last._2.last === 0L,
       "latest cohort reached the full offset range — no triangle")
   }
+
+  test("dup spans: positional coverage replays in-JVM and the mass " +
+    "measure discriminates documents") {
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), "\\S+".r.findAllIn(r.getString(1)).toArray))
+    def grams(t: Array[String]): Seq[(String, Int)] =
+      (0 to t.length - 3).map(i =>
+        (s"${t(i)} ${t(i + 1)} ${t(i + 2)}", i))
+    val df = docs.flatMap { case (id, t) =>
+      grams(t).map(_._1).distinct.map(g => (g, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet.size).toMap
+    val shared = df.filter(_._2 >= 2).keySet
+    val expected = docs.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      grams(t).foreach { case (g, i) =>
+        if (shared(g)) { covered(i) = true; covered(i + 1) = true
+          covered(i + 2) = true } }
+      val c = covered.count(identity).toLong
+      (id, t.length.toLong, c, c * 1000000L / math.max(t.length, 1))
+    }.sortBy(_._1).toSeq
+    val out = Dedup.dupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out === expected)
+    assert(out.map(_._4).distinct.length > 10,
+      "duplicated-span mass near-constant — measure not discriminating")
+  }
 }
