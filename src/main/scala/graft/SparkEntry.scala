@@ -276,7 +276,10 @@ object SparkEntry {
     "q187_oov_report" -> (TextAnalysis.oovReport _),
     "q188_textrank" -> (TextAnalysis.textRank _),
     "q189_cohort_matrix" -> (Events.cohortMatrix _),
-    "q190_dup_spans" -> (Dedup.dupSpans _)
+    "q190_dup_spans" -> (Dedup.dupSpans _),
+    "q191_top_paths" -> ((s: SparkSession, d: String) =>
+      Events.topPaths(s, d)),
+    "q192_ks_distance" -> (Events.ksDistance _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1383,6 +1386,58 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q192: DuckDB replays the exact integer KS statistic — per-pair
+    // merged value axis, cumulative counts, cleared denominators
+    // (|cum_a·n_b − cum_b·n_a|), ppm of n_a·n_b — no float CDF on
+    // either side.
+    "q192_ks_distance" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x, count(*) AS n
+        |  FROM events GROUP BY event_type, x),
+        |tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM (SELECT DISTINCT event_type FROM c) a
+        |  JOIN (SELECT DISTINCT event_type FROM c) b
+        |    ON a.event_type < b.event_type),
+        |m AS (SELECT tp.ta, tp.tb, c.x,
+        |    CAST(sum(CASE WHEN c.event_type = tp.ta THEN n ELSE 0 END)
+        |      AS BIGINT) AS nax,
+        |    CAST(sum(CASE WHEN c.event_type = tp.tb THEN n ELSE 0 END)
+        |      AS BIGINT) AS nbx
+        |  FROM tp JOIN c ON c.event_type IN (tp.ta, tp.tb)
+        |  GROUP BY tp.ta, tp.tb, c.x),
+        |cc AS (SELECT ta, tb, x,
+        |    sum(nax) OVER (PARTITION BY ta, tb ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS ca,
+        |    sum(nbx) OVER (PARTITION BY ta, tb ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM m),
+        |tt AS (SELECT ta, tb, CAST(sum(nax) AS BIGINT) AS n_a,
+        |    CAST(sum(nbx) AS BIGINT) AS n_b
+        |  FROM m GROUP BY ta, tb),
+        |d AS (SELECT cc.ta, cc.tb, tt.n_a, tt.n_b,
+        |    CAST(max(abs(cc.ca * tt.n_b - cc.cb * tt.n_a)) AS BIGINT)
+        |      AS d_scaled
+        |  FROM cc JOIN tt ON cc.ta = tt.ta AND cc.tb = tt.tb
+        |  GROUP BY cc.ta, cc.tb, tt.n_a, tt.n_b)
+        |SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+        |  (d_scaled * 1000000) // (n_a * n_b) AS ks_ppm
+        |FROM d ORDER BY ta, tb""".stripMargin,
+
+    // q191: DuckDB replays the two lead() windows over the same
+    // explicit (epoch-µs, event_id) order and its own path count.
+    "q191_top_paths" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |s AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,
 
     // q190: the oracle takes the POSITIONAL route the engine's
     // one-pass kernel avoids — explode shingles with their positions,

@@ -173,6 +173,85 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between event
+    * types' value distributions (q192) — the numeric-drift test next
+    * to q167's token-distribution KL: D = max_x |F_a(x) − F_b(x)|,
+    * computed EXACTLY as integers by clearing denominators —
+    * D_scaled = max |cum_a(x)·n_b − cum_b(x)·n_a| over the merged
+    * observed-value axis, emitted as ppm of n_a·n_b — so no float
+    * CDF exists and the oracle replays bit-for-bit (the Rényi/q177
+    * construction applied to a distribution test).
+    *
+    * Shapes: one (type, cents) count aggregate (map-side-combinable,
+    * collapses event volume to ≤ types × distinct-values rows); per
+    * type pair, cumulative sums over the merged value axis — a
+    * single-partition window over VALUE-cardinality rows, which is
+    * the gate shape; at 100 TB the axis is pre-bucketed to a fixed
+    * grid first (the q86 width_bucket move), making the window
+    * constant-size. Type pairs are dimension-cardinality (the q169
+    * argument).
+    */
+  def ksDistance(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Corpus.read(spark, dir, "events")
+      .select(col("event_type"), cents.as("x"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val types = cnt.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs.map { case (a, b) =>
+      val m = cnt.filter(col("event_type").isin(a, b))
+        .groupBy(col("x"))
+        .agg(sum(when(col("event_type") === a, col("n"))
+          .otherwise(0L)).as("nax"),
+          sum(when(col("event_type") === b, col("n"))
+            .otherwise(0L)).as("nbx"))
+      val tot = m.agg(sum(col("nax")).as("n_a"),
+        sum(col("nbx")).as("n_b"))
+      m.withColumn("ca", sum(col("nax")).over(w))
+        .withColumn("cb", sum(col("nbx")).over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+          .as("d_scaled"))
+        .select(lit(a).as("type_a"), lit(b).as("type_b"),
+          col("n_a"), col("n_b"),
+          expr("d_scaled * 1000000 div (n_a * n_b)").as("ks_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Top behavior paths (q191) — product analytics' path/sequence
+    * report ("what do users do in three steps"): each event paired
+    * with its user's next two events via lead() over the total
+    * (us, event_id) order — the n-gram-over-sequences idiom with NO
+    * per-user collect (state is two carried values per row), then
+    * one map-side-combinable path count and a global
+    * `TakeOrderedAndProject` top-k. Path strings are exact; counts
+    * integers. The oracle replays with its own lead() windows over
+    * the same explicit integer ordering (ns-vs-µs timestamp ties
+    * are why both sides order by epoch-µs + event_id, not raw ts).
+    */
+  def topPaths(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), Exact.micros.as("us"),
+        col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** Weekly cohort-retention matrix (q189) — THE retention table
     * every analytics tool renders: users grouped by first-active
     * epoch-week (cohort), counted per week offset, PIVOTED to one

@@ -737,4 +737,43 @@ class Breadth13Spec extends AnyFunSuite {
     assert(out.map(_._4).distinct.length > 10,
       "duplicated-span mass near-constant — measure not discriminating")
   }
+
+  test("top paths and ks distance replay in-JVM") {
+    // q191: path trigram counts from a local sequential replay.
+    val ev = graft.sources.Corpus.events(spark, sf)
+      .selectExpr("user_id", "event_id",
+        "unix_micros(cast(ts as timestamp)) AS us", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expectedPaths = ev.groupBy(_._1).values.flatMap { es =>
+      val seq = es.sortBy(e => (e._3, e._2)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(15)
+    val gotPaths = Events.topPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotPaths === expectedPaths)
+
+    // q192: the exact KS statistic for one pair, denominators cleared.
+    val out = Events.ksDistance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val types = ev.map(_._4).distinct
+    assert(out.length === types.length * (types.length - 1) / 2)
+    val (ta, tb) = (out.head._1, out.head._2)
+    def cents(v: Double) = math.round(v * 100)
+    val vals = graft.sources.Corpus.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1))))
+    val xa = vals.filter(_._1 == ta).map(_._2).sorted
+    val xb = vals.filter(_._1 == tb).map(_._2).sorted
+    val axis = (xa ++ xb).distinct.sorted
+    val (na, nb) = (xa.length.toLong, xb.length.toLong)
+    val d = axis.map { x =>
+      math.abs(xa.count(_ <= x) * nb - xb.count(_ <= x) * na)
+    }.max
+    assert(out.head._3 === na && out.head._4 === nb)
+    assert(out.head._5 === d * 1000000L / (na * nb))
+    assert(out.map(_._5).forall(p => p > 0 && p < 1000000L))
+  }
 }
