@@ -279,7 +279,8 @@ object SparkEntry {
     "q190_dup_spans" -> (Dedup.dupSpans _),
     "q191_top_paths" -> ((s: SparkSession, d: String) =>
       Events.topPaths(s, d)),
-    "q192_ks_distance" -> (Events.ksDistance _)
+    "q192_ks_distance" -> (Events.ksDistance _),
+    "q193_lsh_diagnostics" -> (Dedup.lshBandDiagnostics _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1386,6 +1387,24 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q193: the oracle re-derives the per-band candidate sets from
+    // the minhash CTEs' capped band table and attributes its own
+    // verified pairs back to every generating band.
+    "q193_lsh_diagnostics" ->
+      s"""WITH $minhashCtes,
+         |bc AS (SELECT x.band, x.doc_id AS a, y.doc_id AS b
+         |  FROM bk x JOIN bk y ON x.bkey = y.bkey AND x.band = y.band
+         |    AND x.lang = y.lang AND x.doc_id < y.doc_id),
+         |nc AS (SELECT band, CAST(count(*) AS BIGINT) AS n_cands
+         |  FROM bc GROUP BY band),
+         |nv AS (SELECT band, CAST(count(*) AS BIGINT) AS n_verified
+         |  FROM bc JOIN j ON j.a = bc.a AND j.b = bc.b
+         |  WHERE j.jaccard >= 0.2 GROUP BY band)
+         |SELECT CAST(nc.band AS BIGINT) AS band, n_cands,
+         |  COALESCE(n_verified, 0) AS n_verified,
+         |  COALESCE(n_verified, 0) * 1000000 // n_cands AS precision_ppm
+         |FROM nc LEFT JOIN nv USING (band) ORDER BY nc.band""".stripMargin,
 
     // q192: DuckDB replays the exact integer KS statistic — per-pair
     // merged value axis, cumulative counts, cleared denominators

@@ -452,6 +452,45 @@ object Dedup {
   val PrScale = 1000000000000L
   val PrIters = 3
 
+  /** LSH band diagnostics (q193) — the tuning report for the whole
+    * near-dup stack: per band, how many candidate pairs it generates
+    * and how many survive exact-Jaccard verification at the 0.2
+    * dedup bar. Precision per band is THE dial for band count/width
+    * (Datasketches' LSH tuning tables are exactly this measurement):
+    * a band whose precision collapses is burning verification budget,
+    * one at ~10⁶ ppm could be widened. A pair found by several bands
+    * counts in EACH — that is the attribution band tuning needs.
+    * Shapes: the capped band table self-joins per band (the q28
+    * candidate machinery), verification runs ONCE over the distinct
+    * pair set and joins back band-attributed — verification cost is
+    * identical to q28's, the diagnostics add two map-side counts.
+    */
+  def lshBandDiagnostics(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val bands = cappedBands(docs)
+    val bc = bands.select(col("doc_id").as("a"), col("lang"),
+        col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("b"), col("lang").as("l2"),
+        col("band").as("band2"), col("bkey").as("bkey2")),
+        col("bkey") === col("bkey2") && col("band") === col("band2") &&
+          col("lang") === col("l2") && col("a") < col("b"))
+      .select(col("band"), col("a"), col("b"))
+      .cache()
+    val cand = bc.select(col("a"), col("b")).distinct().cache()
+    val jac = verifyCandidates(docs, cand)
+      .filter(col("jaccard") >= 0.2)
+    val nc = bc.groupBy(col("band")).agg(count(lit(1)).as("n_cands"))
+    val nv = bc.join(jac, bc("a") === jac("doc_a") &&
+        bc("b") === jac("doc_b"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_verified"))
+    nc.join(nv, Seq("band"), "left_outer")
+      .select(col("band").cast("long").as("band"), col("n_cands"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        expr("coalesce(n_verified, 0) * 1000000 div n_cands")
+          .as("precision_ppm"))
+      .orderBy(col("band"))
+  }
+
   /** Duplicated-span mass per document (q190) — the exact-substring
     * dedup SIGNAL of Lee et al. 2022 ("Deduplicating Training Data
     * Makes Language Models Better": their suffix-array pass removes

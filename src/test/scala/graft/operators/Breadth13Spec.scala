@@ -776,4 +776,26 @@ class Breadth13Spec extends AnyFunSuite {
     assert(out.head._5 === d * 1000000L / (na * nb))
     assert(out.map(_._5).forall(p => p > 0 && p < 1000000L))
   }
+
+  test("lsh diagnostics: bounds hold and the report agrees with the " +
+    "q28 pair relation it tunes") {
+    val out = Dedup.lshBandDiagnostics(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    out.foreach { case (b, nc, nv, ppm) =>
+      assert(nv <= nc, s"band $b verified more than its candidates")
+      assert(ppm === nv * 1000000L / nc)
+    }
+    // Every q28 near-dup pair must be reachable through at least one
+    // band (that is WHY banding works), so per-band verified counts
+    // are each bounded by the full pair-relation size, and at least
+    // one band attains it only if that band alone found everything —
+    // the cross-check: max per-band verified <= total pairs, and the
+    // SUM over bands >= total pairs (each pair counted once per
+    // generating band).
+    val total = Dedup.minhashLshPairs(spark, sf).count()
+    assert(out.map(_._3).max <= total)
+    assert(out.map(_._3).sum >= total,
+      "bands together attribute fewer pairs than q28 verifies")
+  }
 }
