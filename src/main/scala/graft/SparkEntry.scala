@@ -280,7 +280,8 @@ object SparkEntry {
     "q191_top_paths" -> ((s: SparkSession, d: String) =>
       Events.topPaths(s, d)),
     "q192_ks_distance" -> (Events.ksDistance _),
-    "q193_lsh_diagnostics" -> (Dedup.lshBandDiagnostics _)
+    "q193_lsh_diagnostics" -> (Dedup.lshBandDiagnostics _),
+    "q194_growth_accounting" -> (Events.growthAccounting _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1387,6 +1388,33 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q194: DuckDB replays the decomposition with its own lag/lead
+    // windows over the same distinct (user, epoch-day) relation.
+    "q194_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |b AS (SELECT user_id, day,
+        |    lag(day) OVER w AS prev, lead(day) OVER w AS nxt
+        |  FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |pd AS (SELECT day, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM b GROUP BY day),
+        |mx AS (SELECT max(day) AS max_day FROM ud),
+        |ch AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT)
+        |      AS n_churned
+        |  FROM b CROSS JOIN mx
+        |  WHERE (nxt IS NULL OR nxt > day + 1) AND day + 1 <= max_day
+        |  GROUP BY day + 1)
+        |SELECT pd.day, n_active, n_new, n_retained, n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM pd LEFT JOIN ch USING (day) ORDER BY pd.day""".stripMargin,
 
     // q193: the oracle re-derives the per-band candidate sets from
     // the minhash CTEs' capped band table and attributes its own

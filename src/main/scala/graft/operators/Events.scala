@@ -173,6 +173,50 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Growth accounting (q194) — the standard DAU decomposition every
+    * growth team reports (new / retained / resurrected / churned,
+    * the "growth accounting identity"): per epoch-day, actives split
+    * by their previous active day (none → new; yesterday → retained;
+    * earlier → resurrected), churn attributed to the day AFTER a
+    * user's active day when the next active day isn't adjacent
+    * (bounded to the observed range — the identity
+    * active(d) − active(d−1) = new + resurrected − churned then
+    * holds by construction, spec-pinned). One distinct (user, day)
+    * collapse first (the q102 discipline), one lag/lead window per
+    * user, two map-side-combinable day aggregates — event volume
+    * never reaches any window. All exact integer day arithmetic.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = Corpus.read(spark, dir, "events")
+      .select(col("user_id"), Exact.microsDiv(dayUs).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val base = ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+      .cache()
+    val perDay = base.groupBy(col("day")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    val churn = base
+      .filter(col("nxt").isNull || col("nxt") > col("day") + 1)
+      .select((col("day") + 1).as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    perDay.join(churn, Seq("day"), "left_outer")
+      .select(col("day"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between event
     * types' value distributions (q192) — the numeric-drift test next
     * to q167's token-distribution KL: D = max_x |F_a(x) − F_b(x)|,

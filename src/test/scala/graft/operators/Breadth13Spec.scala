@@ -798,4 +798,26 @@ class Breadth13Spec extends AnyFunSuite {
     assert(out.map(_._3).sum >= total,
       "bands together attribute fewer pairs than q28 verifies")
   }
+
+  test("growth accounting: the decomposition and delta identities " +
+    "hold on every day, and all four classes are live") {
+    val out = Events.growthAccounting(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (d, active, nw, ret, res, _) =>
+      assert(active === nw + ret + res,
+        s"active decomposition broken on day $d")
+    }
+    out.sliding(2).foreach {
+      case Array((d0, a0, _, _, _, _), (d1, a1, nw, _, res, ch))
+          if d1 == d0 + 1 =>
+        assert(a1 - a0 === nw + res - ch,
+          s"growth identity broken at day $d1")
+      case _ =>
+    }
+    assert(out.map(_._3).sum > 0 && out.map(_._4).sum > 0 &&
+      out.map(_._5).sum > 0 && out.map(_._6).sum > 0,
+      "a growth class is vacuous on this fixture")
+  }
 }
