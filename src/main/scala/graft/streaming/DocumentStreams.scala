@@ -111,6 +111,25 @@ object DocumentStreams {
   def cascadeAttrition(docs: DataFrame): DataFrame =
     TextAnalysis.cascadeFunnel(TextAnalysis.cascadeCountsOf(docs))
 
+  /** Streaming twin of q142's heavy hitters: the running top-k token
+    * sketch over everything ingested so far — `approx_top_k` is a
+    * mergeable frequency sketch (the q166 argument applied to
+    * frequencies, not cardinalities), so streaming maintains ONE
+    * constant-size sketch state in Complete mode and each
+    * micro-batch merges into it; an exact streaming top-k would hold
+    * a counter per distinct token. maxItemsTracked ≫ the fixture's
+    * distinct tokens makes the sketch exact there, so
+    * DocumentStreamsSpec pins stream-final ≡ the batch q142 sketch
+    * row for row.
+    */
+  def runningTopTokens(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tk"))
+      .agg(expr(s"approx_top_k(tk, $k, 1024)").as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "s")))
+      .select((col("i") + 1).cast("long").as("rk"),
+        col("s.item").as("token"), col("s.count").as("est_cnt"))
+
   /** Streaming twin of q159's contamination-severity report: the
     * per-doc projection is STATELESS given the broadcast eval
     * universe (built once from the static eval suite —

@@ -206,6 +206,23 @@ class DocumentStreamsSpec extends AnyFunSuite {
     } finally spark.sql("drop view if exists cascade_funnel")
   }
 
+  test("streaming running top tokens equal the batch sketch") {
+    val streamed = DocumentStreams.runningTopTokens(
+      DocumentStreams.readDocumentStream(spark, streamDir))
+    val q = EventStreams.runToMemory(streamed, "top_toks",
+      OutputMode.Complete())
+    try {
+      val got = spark.table("top_toks").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      val want = graft.operators.TextAnalysis
+        .approxTopTokens(spark, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      assert(got.length === 5)
+      assert(got.toSeq === want.toSeq,
+        "stream-final heavy hitters diverged from the batch sketch")
+    } finally spark.sql("drop view if exists top_toks")
+  }
+
   test("streaming contamination tallies converge to the batch report") {
     val bench = graft.operators.Dedup.evalShingleSetFor(spark, TestSpark.sf)
     val streamed = DocumentStreams.contaminationCounts(
