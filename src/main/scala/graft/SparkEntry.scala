@@ -281,7 +281,9 @@ object SparkEntry {
       Events.topPaths(s, d)),
     "q192_ks_distance" -> (Events.ksDistance _),
     "q193_lsh_diagnostics" -> (Dedup.lshBandDiagnostics _),
-    "q194_growth_accounting" -> (Events.growthAccounting _)
+    "q194_growth_accounting" -> (Events.growthAccounting _),
+    "q195_stored_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.storedIvfTopK(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1004,6 +1006,41 @@ object SparkEntry {
     * the 8-hex-char window i%4 of md5(shingle) (i<4) or
     * md5('x'+shingle) (i≥4); band key is the plain lo|hi concat.
     */
+  /** Shared q31b/q195 oracle — identical search semantics: the
+    * stored-layout gate (q195) must produce byte-identical results
+    * to the in-memory IVF search (q31b); only I/O may differ.
+    */
+  private lazy val ivfOracleSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM embeddings v CROSS JOIN c),
+         |asum AS (SELECT vec_id, cid,
+         |    $cosinePairSql
+         |  FROM ax GROUP BY vec_id, cid),
+         |ascore AS (SELECT vec_id, cid, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s FROM asum),
+         |ar AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM ascore),
+         |cells AS (SELECT vec_id, cid FROM ar WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM ar WHERE vec_id < 20 AND rn <= 2),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |cand AS (SELECT p.qid, cells.vec_id AS vb FROM probes p
+         |  JOIN cells USING (cid) WHERE cells.vec_id <> p.qid),
+         |x AS (SELECT cand.qid, cand.vb, q.qe AS ea, e.embedding AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM cand JOIN q USING (qid) JOIN embeddings e ON e.vec_id = cand.vb),
+         |s AS (SELECT qid, vb,
+         |    $cosinePairSql
+         |  FROM x GROUP BY qid, vb),
+         |sim AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
+         |r AS (SELECT qid, vb, sim, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
+         |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin
+
   private val minhashCtes: String =
     s"""$shinglesCte,
        |mh AS (SELECT doc_id, lang, i,
@@ -2488,36 +2525,12 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_mark
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q31b_ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-         |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
-         |    unnest(range(1, 65)) AS i
-         |  FROM embeddings v CROSS JOIN c),
-         |asum AS (SELECT vec_id, cid,
-         |    $cosinePairSql
-         |  FROM ax GROUP BY vec_id, cid),
-         |ascore AS (SELECT vec_id, cid, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s FROM asum),
-         |ar AS (SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |  FROM ascore),
-         |cells AS (SELECT vec_id, cid FROM ar WHERE rn = 1),
-         |probes AS (SELECT vec_id AS qid, cid FROM ar WHERE vec_id < 20 AND rn <= 2),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
-         |cand AS (SELECT p.qid, cells.vec_id AS vb FROM probes p
-         |  JOIN cells USING (cid) WHERE cells.vec_id <> p.qid),
-         |x AS (SELECT cand.qid, cand.vb, q.qe AS ea, e.embedding AS eb,
-         |    unnest(range(1, 65)) AS i
-         |  FROM cand JOIN q USING (qid) JOIN embeddings e ON e.vec_id = cand.vb),
-         |s AS (SELECT qid, vb,
-         |    $cosinePairSql
-         |  FROM x GROUP BY qid, vb),
-         |sim AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-         |    ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
-         |r AS (SELECT qid, vb, sim, CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY sim DESC, vb) AS BIGINT) AS rk FROM sim)
-         |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
-         |ORDER BY qid, rk""".stripMargin,
+    "q31b_ann_ivf" -> ivfOracleSql,
+
+    // q195: IDENTICAL search semantics through the STORED cell-
+    // partitioned index — same oracle replay; the layout changes
+    // I/O, never results (the plan pin lives in SimilaritySpec).
+    "q195_stored_ivf" -> ivfOracleSql,
 
     // q31c: the q31b replay with k-means-TRAINED centroids — two
     // Lloyd rounds unrolled from the same deterministic init (first

@@ -503,6 +503,69 @@ object Similarity {
       .orderBy(col("cid"), col("rk"))
   }
 
+  /** Scratch dir for the q195 stored index — one per (JVM, purpose),
+    * overwritten per invocation (the Layout.jvmScratchDir argument:
+    * a fresh temp dir per call would leak a copy per bench sample).
+    */
+  private lazy val indexScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString
+  }
+
+  /** Stored IVF index with partition-pruned probes (q195) — the
+    * MATERIALIZED form of the q31b story, which until now lived in
+    * Scaladoc: the index build writes every vector into its cell's
+    * PARTITION (`partitionBy("cid")` parquet — exactly how a
+    * lakehouse vector index is laid out), and the search reads ONLY
+    * the probed cells: the `cid IN (…)` predicate is a static
+    * partition filter, so non-probed cells' files are never opened
+    * (plan-pinned in SimilaritySpec via PartitionFilters + input-file
+    * count). Same cells, probes and ranking as q31b — the oracle is
+    * the identical replay — so the gate proves the stored layout
+    * changes I/O, never results. cid is written as INT so the
+    * partition-column type survives directory-name inference and the
+    * prune compares un-cast attributes.
+    */
+  def storedIvfTopK(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 2, ncells: Int = 16): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val cents = firstNCentroids(e, ncells)
+    val cells = cellAssignmentsFor(e, cents)
+      .withColumn("cid", col("cid").cast("int"))
+    cells.join(e, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$indexScratch/ivf")
+    val stored = spark.read.parquet(s"$indexScratch/ivf")
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("s",
+        round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 6))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s").desc, col("cid"))
+    val probes = scored.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").cast("int").as("cid"))
+    val probedCells = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val qe = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    stored.where(col("cid").isin(probedCells.map(Integer.valueOf): _*))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qe), Seq("qid"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Candidate depth for [[binaryTopK]] — shared with the oracle. */
   val BqCandidates = 30
 

@@ -820,4 +820,22 @@ class Breadth13Spec extends AnyFunSuite {
       out.map(_._5).sum > 0 && out.map(_._6).sum > 0,
       "a growth class is vacuous on this fixture")
   }
+
+  test("stored ivf: results identical to the in-memory search and " +
+    "the probe predicate prunes partitions in the plan") {
+    val stored = Similarity.storedIvfTopK(spark, sf)
+    val mem = Similarity.ivfTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(stored.collect().map(_.toSeq).toSeq === mem,
+      "stored layout changed search RESULTS — it may only change I/O")
+    // Plan pin: the probed-cell IN-list must reach the stored scan as
+    // a PARTITION filter (pruned directories), not a post-scan filter.
+    val plan = stored.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cid"))
+    assert(scanLine.isDefined,
+      "no PartitionFilters on cid — probes are scanning every cell")
+    assert(scanLine.get.contains("cid#") || scanLine.get.contains("cid IN")
+      || scanLine.get.toLowerCase.contains("in(cid"),
+      s"unexpected partition filter shape: ${scanLine.get.take(200)}")
+  }
 }
