@@ -283,7 +283,8 @@ object SparkEntry {
     "q193_lsh_diagnostics" -> (Dedup.lshBandDiagnostics _),
     "q194_growth_accounting" -> (Events.growthAccounting _),
     "q195_stored_ivf" -> ((s: SparkSession, d: String) =>
-      Similarity.storedIvfTopK(s, d))
+      Similarity.storedIvfTopK(s, d)),
+    "q196_embedding_health" -> (Similarity.embeddingHealth _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1425,6 +1426,21 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q196: DuckDB re-derives the per-dimension census from its own
+    // zipped unnest; min/max stay exact floats cast to double, the
+    // moment aggregates round per the q69 convention.
+    "q196_embedding_health" ->
+      """WITH x AS (SELECT unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS dim FROM embeddings)
+        |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        |  round(avg(CAST(v AS DOUBLE)), 6) AS mean,
+        |  round(stddev_samp(CAST(v AS DOUBLE)), 4) AS sd,
+        |  CAST(min(v) AS DOUBLE) AS vmin,
+        |  CAST(max(v) AS DOUBLE) AS vmax,
+        |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     // q194: DuckDB replays the decomposition with its own lag/lead
     // windows over the same distinct (user, epoch-day) relation.

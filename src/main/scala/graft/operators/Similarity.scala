@@ -566,6 +566,31 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Embedding-space health report (q196) — the pre-indexing check a
+    * vector pipeline runs before trusting ANN recall (and the
+    * embedding-side sibling of q69's moment aggregates): per
+    * dimension, count / mean / sample-stddev / min / max / exact
+    * zero count. Dead dimensions (sd ≈ 0, all-zero) break IVF cell
+    * balance and waste quantization bits; off-center dimensions
+    * break the symmetric-int8 assumption q172 documents. One
+    * posexplode (row count × 64 — dimension-bounded, not
+    * corpus-token-like) into one map-side-combinable aggregate;
+    * rounding per the q69 convention (mean at 6, sd at 4 — the
+    * moment sums' association-order delta sits ~7 orders below).
+    */
+  def embeddingHealth(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .select((col("i") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v")), 6).as("mean"),
+        round(stddev_samp(col("v")), 4).as("sd"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        sum(when(col("v") === 0d, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("dim"))
+
   /** Candidate depth for [[binaryTopK]] — shared with the oracle. */
   val BqCandidates = 30
 

@@ -838,4 +838,28 @@ class Breadth13Spec extends AnyFunSuite {
       || scanLine.get.toLowerCase.contains("in(cid"),
       s"unexpected partition filter shape: ${scanLine.get.take(200)}")
   }
+
+  test("embedding health: JVM replay per dimension and the report " +
+    "would catch a dead dimension") {
+    val vecs = graft.sources.Corpus.read(spark, sf, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Similarity.embeddingHealth(spark, sf).collect()
+    assert(out.length === 64)
+    out.foreach { row =>
+      val d = row.getLong(0).toInt - 1
+      val xs = vecs.map(_(d).toDouble)
+      assert(row.getLong(1) === xs.length.toLong)
+      val mean = xs.sum / xs.length
+      assert(math.abs(row.getDouble(2) - r(mean, 6)) <= 1e-6)
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum /
+        (xs.length - 1))
+      assert(math.abs(row.getDouble(3) - r(sd, 4)) <= 1e-4)
+      assert(row.getDouble(4) === xs.min && row.getDouble(5) === xs.max)
+      assert(row.getLong(6) === xs.count(_ == 0.0).toLong)
+      // Live dimensions on this fixture — sd = 0 would flag dead.
+      assert(row.getDouble(3) > 0.0)
+    }
+  }
 }
