@@ -284,7 +284,9 @@ object SparkEntry {
     "q194_growth_accounting" -> (Events.growthAccounting _),
     "q195_stored_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.storedIvfTopK(s, d)),
-    "q196_embedding_health" -> (Similarity.embeddingHealth _)
+    "q196_embedding_health" -> (Similarity.embeddingHealth _),
+    "q197_transition_matrix" -> (Events.transitionMatrix _),
+    "q198_lang_confusion" -> (TextAnalysis.langConfusion _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1426,6 +1428,50 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q197: DuckDB replays the lead() pairing over the same explicit
+    // (epoch-µs, event_id) order and its own row-normalized ppm.
+    "q197_transition_matrix" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |s AS (SELECT event_type AS t_from,
+        |    lead(event_type, 1) OVER w AS t_to
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |p AS (SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE t_to IS NOT NULL GROUP BY t_from, t_to),
+        |t AS (SELECT t_from, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM p GROUP BY t_from)
+        |SELECT p.t_from, p.t_to, p.n,
+        |  (p.n * 1000000) // row_total AS rate_ppm
+        |FROM p JOIN t USING (t_from) ORDER BY p.t_from, p.t_to""".stripMargin,
+
+    // q198: the q22 scoring machinery aggregated into the confusion
+    // matrix — DuckDB re-derives scores, argmax (same first-match
+    // tie-break), and the per-label ppm shares.
+    "q198_lang_confusion" -> {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val scores = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(",\n  ")
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS padded,
+         |    text FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM p),
+         |b AS (SELECT *, $best AS best FROM sc),
+         |pr AS (SELECT lang, CASE $cases ELSE 'und' END AS pred_lang
+         |  FROM b),
+         |cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM pr GROUP BY lang, pred_lang),
+         |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS label_total
+         |  FROM cm GROUP BY lang)
+         |SELECT cm.lang, cm.pred_lang, cm.n,
+         |  (cm.n * 1000000) // label_total AS share_ppm
+         |FROM cm JOIN t USING (lang)
+         |ORDER BY cm.lang, cm.pred_lang""".stripMargin
+    },
 
     // q196: DuckDB re-derives the per-dimension census from its own
     // zipped unnest; min/max stay exact floats cast to double, the

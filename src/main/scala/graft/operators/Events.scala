@@ -270,6 +270,33 @@ object Events {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Markov transition matrix (q197) — q191's pairwise core as the
+    * normalized next-event model product analytics and simulation
+    * both consume: per (from, to) event-type pair, the transition
+    * count and the row-normalized rate as exact integer ppm of the
+    * from-state's outgoing mass (the q100 share discipline — no
+    * float probabilities). One lead() window over the total
+    * (epoch-µs, event_id) order, one map-side-combinable pair count,
+    * row totals as a types-sized broadcast join.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), micros.as("us"),
+        col("event_type").as("t_from"))
+      .withColumn("t_to", lead(col("t_from"), 1).over(w))
+      .filter(col("t_to").isNotNull)
+      .groupBy(col("t_from"), col("t_to"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("t_from"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), Seq("t_from"))
+      .select(col("t_from"), col("t_to"), col("n"),
+        expr("n * 1000000 div row_total").as("rate_ppm"))
+      .orderBy(col("t_from"), col("t_to"))
+  }
+
   /** Top behavior paths (q191) — product analytics' path/sequence
     * report ("what do users do in three steps"): each event paired
     * with its user's next two events via lead() over the total

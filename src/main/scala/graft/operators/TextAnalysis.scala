@@ -109,6 +109,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix (q198) — the EVALUATION of q22's
+    * classifier, not another run of it: per (labeled, predicted)
+    * language pair, the document count and the share of the label's
+    * mass as exact integer ppm — the per-class recall diagonal and
+    * every off-diagonal confusion a model card reports. On this
+    * corpus the report does exactly its job: it EXPOSES that the
+    * stopword heuristic cannot separate the synthetic labels (texts
+    * draw from one shared token pool), predicting only en/und —
+    * the "your classifier is broken on this distribution" signal a
+    * confusion matrix exists to raise. One aggregate over q22's
+    * per-doc projection + a labels-sized broadcast for the shares.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cm = langId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cm.groupBy(col("lang")).agg(sum(col("n")).as("label_total"))
+    cm.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("n * 1000000 div label_total").as("share_ppm"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** Per-document [0,1] quality score: length, punctuation density,
     * stopword ratio — the per-row scoring stage shared by
     * [[qualityScore]] and [[cleanCorpus]].

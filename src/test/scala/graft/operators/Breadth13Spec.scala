@@ -862,4 +862,24 @@ class Breadth13Spec extends AnyFunSuite {
       assert(row.getDouble(3) > 0.0)
     }
   }
+
+  test("transition matrix rows sum to ~1e6 ppm; lang confusion " +
+    "tallies the q22 predictions exactly") {
+    val tm = Events.transitionMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    tm.groupBy(_._1).foreach { case (from, rows) =>
+      val s = rows.map(_._4).sum
+      // div truncation loses < #targets ppm per row.
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"row $from rates sum to $s")
+    }
+    val preds = TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = preds.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((l, p), n) => (l, p, n) }.sortBy(t => (t._1, t._2))
+    val cm = TextAnalysis.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(cm === expected)
+  }
 }
