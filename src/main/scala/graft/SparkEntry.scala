@@ -286,7 +286,9 @@ object SparkEntry {
       Similarity.storedIvfTopK(s, d)),
     "q196_embedding_health" -> (Similarity.embeddingHealth _),
     "q197_transition_matrix" -> (Events.transitionMatrix _),
-    "q198_lang_confusion" -> (TextAnalysis.langConfusion _)
+    "q198_lang_confusion" -> (TextAnalysis.langConfusion _),
+    "q199_window_over_agg" -> ((s: SparkSession, d: String) =>
+      Flaco.sql(s, d, windowOverAggSql))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -802,6 +804,32 @@ object SparkEntry {
       |  > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
       |     FROM orders)
       |ORDER BY seg""".stripMargin
+
+  /** One SQL text, two planners (q199): a WINDOW FUNCTION OVER AN
+    * AGGREGATE — `sum(sum(cents)) OVER (PARTITION BY region)` — the
+    * percent-of-parent reporting idiom and a syntactically special
+    * surface (the window's argument is itself a post-GROUP-BY
+    * aggregate; both planners must evaluate the aggregate first and
+    * window over its RESULT rows). Exact integer cents throughout;
+    * the share stays derivable (cents / region_cents) rather than
+    * divided, because the engines' integer-division spellings (`div`
+    * vs `//`) are not shareable in one text.
+    */
+  private val windowOverAggSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(sum(sum(CAST(round(o_totalprice * 100) AS BIGINT)))
+      |    OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(count(*)) OVER (PARTITION BY r_name) AS BIGINT)
+      |    AS region_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
 
   private val boolTestSql: String =
     """WITH b AS (SELECT o_orderkey,
@@ -1428,6 +1456,9 @@ object SparkEntry {
         |  exact_users + (exact_users * 5 // 100 + 1) AS hi_users,
         |  CAST(1 AS BIGINT) AS in_band
         |FROM w ORDER BY day""".stripMargin,
+
+    // q199: one SQL text, two planners (see windowOverAggSql).
+    "q199_window_over_agg" -> windowOverAggSql,
 
     // q197: DuckDB replays the lead() pairing over the same explicit
     // (epoch-µs, event_id) order and its own row-normalized ppm.

@@ -882,4 +882,35 @@ class Breadth13Spec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(cm === expected)
   }
+
+  test("window-over-aggregate: region totals equal the sum of their " +
+    "nation rows and the share denominators are consistent") {
+    val out = graft.Flaco.sql(spark, sf,
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(sum(sum(CAST(round(o_totalprice * 100) AS BIGINT)))
+        |    OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(count(*)) OVER (PARTITION BY r_name) AS BIGINT)
+        |    AS region_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (region, rows) =>
+      assert(rows.map(_._2).sum === rows.head._3,
+        s"region_cents != sum of nation cents in $region")
+      assert(rows.map(_._4).sum === rows.head._5,
+        s"region_orders != sum of nation orders in $region")
+      assert(rows.map(_._3).toSet.size === 1 &&
+        rows.map(_._5).toSet.size === 1,
+        s"window denominator not constant within $region")
+    }
+  }
 }
