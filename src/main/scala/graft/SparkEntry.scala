@@ -2816,11 +2816,13 @@ object SparkEntry {
         |    CASE WHEN c_custkey % 2 = 1 THEN upper(c_mktsegment)
         |         ELSE lower(c_mktsegment) END AS mixed
         |  FROM customer)
-        |SELECT c_mktsegment, count(*) AS n,
-        |  count(DISTINCT mixed) AS n_cs,
-        |  count(DISTINCT lower(mixed)) AS n_ci,
-        |  CAST(count_if(mixed = lower(c_mktsegment)) AS BIGINT) AS eq_cs,
-        |  CAST(count_if(lower(mixed) = lower(c_mktsegment)) AS BIGINT) AS eq_ci
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT mixed) AS BIGINT) AS n_cs,
+        |  CAST(count(DISTINCT lower(mixed)) AS BIGINT) AS n_ci,
+        |  CAST(sum(CASE WHEN mixed = lower(c_mktsegment) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS eq_cs,
+        |  CAST(sum(CASE WHEN lower(mixed) = lower(c_mktsegment) THEN 1 ELSE 0
+        |    END) AS BIGINT) AS eq_ci
         |FROM b GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // q146: DuckDB's NATIVE recursive UNION on the cyclic affine
