@@ -446,6 +446,15 @@ object Bench {
     val noisy = !stable || tainted.nonEmpty || suspect.nonEmpty
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"noisy":$noisy,"tainted":$taintedJson,"suspect":$suspectJson,"structural":$structuralJson,"query_cpu":$cpuJson,"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"spin_threads":$SpinThreads,"spin_samples":$samples,"sf":"$sfDir"}"""
     println(json)
+    // Compact twin printed LAST: the driver's artifact keeps only a
+    // ~4 KB stdout tail, and at 210 queries the full line above is
+    // ~8 KB — its head falls outside the tail window, so the driver's
+    // parse has failed every round since r8 (BENCH_r{8,9,10}.json all
+    // carry "parsed": null). This line is a few hundred bytes, always
+    // inside the tail, and parseable on its own; per-query detail
+    // stays in the full line and in bench_result.json.
+    val suspectNames = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"noisy":$noisy,"tainted":$taintedJson,"suspect_names":$suspectNames,"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"sf":"$sfDir","queries_detail":"bench_result.json"}""")
     // File twin of the stdout line: the official artifact is captured
     // from a stdout tail that has truncated before (r4 lost the total
     // and q01-q09); a file can be read back whole.
