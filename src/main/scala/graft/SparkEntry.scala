@@ -288,7 +288,19 @@ object SparkEntry {
     "q197_transition_matrix" -> (Events.transitionMatrix _),
     "q198_lang_confusion" -> (TextAnalysis.langConfusion _),
     "q199_window_over_agg" -> ((s: SparkSession, d: String) =>
-      Flaco.sql(s, d, windowOverAggSql))
+      Flaco.sql(s, d, windowOverAggSql)),
+    "q200_epoch_shuffle" -> ((s: SparkSession, d: String) =>
+      Curation.epochShuffle(s, d)),
+    "q201_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegatives(s, d)),
+    "q202_packing_efficiency" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packingEfficiency(s, d)),
+    "q203_decimal_exact" -> (Relational.decimalBattery _),
+    "q204_cycle_path" -> (Relational.cyclePathWalk _),
+    "q205_distinct_ordered_agg" -> (Relational.distinctOrderedAgg _),
+    "q206_activity_powerlaw" -> (Events.activityPowerlaw _),
+    "q207_session_native" -> ((s: SparkSession, d: String) =>
+      Events.nativeSessions(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -4808,7 +4820,165 @@ object SparkEntry {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // q200: the oracle decodes the 4-hex-digit shard the strpos way
+    // (the q47 idiom) and re-ranks by the same md5 string — ASCII hex
+    // sorts identically in both engines.
+    "q200_epoch_shuffle" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    md5('epoch:1:' || CAST(doc_id AS VARCHAR)) AS skey
+         |  FROM documents),
+         |s AS (SELECT doc_id, skey, CAST(
+         |    ((((strpos('0123456789abcdef', skey[1]) - 1) * 16
+         |      + strpos('0123456789abcdef', skey[2]) - 1) * 16
+         |      + strpos('0123456789abcdef', skey[3]) - 1) * 16
+         |      + strpos('0123456789abcdef', skey[4]) - 1)
+         |      % ${Curation.EpochShards} AS BIGINT) AS shard FROM d)
+         |SELECT shard, CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY skey, doc_id) AS BIGINT) AS pos, doc_id
+         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // q201: q30's cosine machinery plus the label split — hardest
+    // positive re-derived as a per-anchor min, negatives ranked the
+    // same way the engine's heap ranks them.
+    "q201_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT qid, qlabel, e.vec_id AS vb, e.label AS lb,
+         |    qe AS ea, e.embedding AS eb
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
+         |x AS (SELECT qid, qlabel, vb, lb, ea, eb,
+         |    unnest(range(1, 65)) AS i FROM p),
+         |s AS (SELECT qid, qlabel, vb, lb,
+         |    $cosinePairSql
+         |  FROM x GROUP BY qid, qlabel, vb, lb),
+         |sim AS (SELECT qid, qlabel, vb, lb,
+         |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |      ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
+         |pos AS (SELECT qid, min(sim) AS pos_sim FROM sim
+         |  WHERE lb = qlabel GROUP BY qid),
+         |neg AS (SELECT qid, vb, sim, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, vb) AS BIGINT) AS rk
+         |  FROM sim WHERE lb <> qlabel)
+         |SELECT n.qid, n.rk, n.vb AS neighbor, n.sim, p.pos_sim,
+         |  CAST(n.sim < p.pos_sim AS BIGINT) AS is_semihard
+         |FROM neg n JOIN pos p ON n.qid = p.qid
+         |WHERE n.rk <= 5 ORDER BY n.qid, n.rk""".stripMargin,
+
+    // q202: the q45b bin assignment re-derived, then the waste
+    // report's integer arithmetic replayed; both overflow terms stay
+    // non-negative so `//` and Spark's `div` agree.
+    "q202_packing_efficiency" ->
+      """WITH d AS (SELECT doc_id // 64 AS shard, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM d),
+        |b AS (SELECT shard, (run - n_tok) // 2048 AS bin,
+        |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |  FROM c GROUP BY shard, bin),
+        |t AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(sum(bin_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(min(bin_tokens) AS BIGINT) AS min_bin_fill,
+        |    CAST(max(bin_tokens) AS BIGINT) AS max_bin_fill
+        |  FROM b GROUP BY shard)
+        |SELECT shard, n_bins, n_docs, sum_tokens,
+        |  n_bins * 2048 AS capacity,
+        |  greatest(n_bins * 2048 - sum_tokens, 0) * 1000000
+        |    // (n_bins * 2048) AS waste_ppm,
+        |  greatest(sum_tokens - n_bins * 2048, 0) AS overflow_tokens,
+        |  min_bin_fill, max_bin_fill
+        |FROM t ORDER BY shard""".stripMargin,
+
+    // q203: decimals constructed from integer digits on both sides —
+    // never by dividing a decimal (scale/rounding rules differ) —
+    // and rendered as text so the digits themselves are pinned.
+    "q203_decimal_exact" ->
+      """WITH b AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+        |  FROM lineitem),
+        |d AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(price_c // 100 || '.' ||
+        |      lpad(CAST(price_c % 100 AS VARCHAR), 2, '0')
+        |      AS DECIMAL(18,2)) AS price_d,
+        |    price_c * (100 - disc_c) AS rev_u FROM b),
+        |e AS (SELECT l_returnflag, l_linestatus, price_d,
+        |    CAST(rev_u // 10000 || '.' ||
+        |      lpad(CAST(rev_u % 10000 AS VARCHAR), 4, '0')
+        |      AS DECIMAL(28,4)) AS rev_d FROM d)
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(CAST(sum(price_d) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+        |  CAST(min(price_d) AS VARCHAR) AS min_price,
+        |  CAST(max(price_d) AS VARCHAR) AS max_price,
+        |  CAST(CAST(sum(rev_d) AS DECIMAL(38,4)) AS VARCHAR) AS sum_revenue
+        |FROM e GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // q204: DuckDB's native UNION ALL recursion carrying the path
+    // list, list_contains as the stop predicate — PG 14 CYCLE
+    // semantics from first principles vs the engine's driver loop.
+    "q204_cycle_path" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT DISTINCT c_custkey % 101 AS node FROM customer),
+        |walk AS (
+        |  SELECT node AS start, node AS cur, CAST(0 AS BIGINT) AS depth,
+        |    [node] AS path, false AS is_cycle FROM nodes
+        |  UNION ALL
+        |  SELECT start, (cur * 5 + 3) % 101 AS cur, depth + 1,
+        |    list_append(path, (cur * 5 + 3) % 101),
+        |    list_contains(path, (cur * 5 + 3) % 101)
+        |  FROM walk WHERE NOT is_cycle)
+        |SELECT start, depth, cur, CAST(is_cycle AS BIGINT) AS is_cycle,
+        |  md5(array_to_string(path, '->')) AS path_fp
+        |FROM walk ORDER BY start, depth""".stripMargin,
+
+    // q205: DuckDB's list primitives restate the DISTINCT+ORDER BY
+    // aggregate; the rendered CSV keeps arrays out of the hash (the
+    // q121 finding).
+    "q205_distinct_ordered_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))),
+        |    ',') AS prio_csv,
+        |  CAST(len(list_distinct(list(substring(o_orderpriority, 1, 1))))
+        |    AS BIGINT) AS n_prio_codes
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // q206: exact-integer histogram, ln rounded to 1e-6 BEFORE the
+    // regression on both engines, fit statistics rounded after.
+    "q206_activity_powerlaw" ->
+      """WITH a AS (SELECT user_id, count(*) AS k FROM events
+        |  GROUP BY user_id),
+        |h AS (SELECT k, count(*) AS n_users FROM a GROUP BY k),
+        |l AS (SELECT k, n_users, round(ln(k), 6) AS lk,
+        |    round(ln(n_users), 6) AS ln_n FROM h)
+        |SELECT count(*) AS n_points,
+        |  CAST(sum(n_users * k) AS BIGINT) AS n_events,
+        |  round(regr_slope(ln_n, lk), 6) AS slope,
+        |  round(regr_intercept(ln_n, lk), 6) AS intercept,
+        |  round(regr_r2(ln_n, lk), 6) AS r2
+        |FROM l""".stripMargin,
+
+    // q207: the q35 oracle verbatim — the native session_window
+    // aggregate and the lag/gap-island sessionization are two
+    // constructions of the same sessions, so they share one oracle.
+    "q207_session_native" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

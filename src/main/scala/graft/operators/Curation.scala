@@ -407,4 +407,45 @@ object Curation {
         (d * d <= lit(36L * SamplePct * (100 - SamplePct)) * col("n_source"))
           .cast("long").as("in_band"))
   }
+
+  /** Epoch-shuffle shard count — named because the q200 oracle
+    * interpolates the same value. Small here so every shard holds
+    * many fixture docs; production scales it with the corpus (the
+    * q45b shard argument — more shards = more write parallelism AND
+    * more window parallelism below).
+    */
+  val EpochShards = 8
+
+  /** Deterministic global epoch shuffle into training shards (q200) —
+    * the "shuffle each epoch" step every training run needs, stated
+    * as a dataset operator: each document gets a per-epoch
+    * pseudo-random sort key (md5 over epoch‖doc_id — no RNG state,
+    * any worker reproduces it, epochs are decorrelated by the salt),
+    * a shard from the key's first 4 hex digits, and a position within
+    * its shard by key order. The output (shard, pos, doc_id) IS the
+    * epoch's read plan: worker w streams shard w in pos order.
+    *
+    * Scale shape: one scan projection (md5, shard), then ONE shuffle
+    * on shard with a within-shard sort — physically identical to the
+    * `repartitionByRange(shard).sortWithinPartitions(key)` layout a
+    * shard writer runs at 100 TB. The window that numbers positions
+    * adds no second exchange (same partitioning), and its state is
+    * one counter per shard. Shard count grows with the corpus, so
+    * per-shard sort volume stays bounded.
+    */
+  def epochShuffle(spark: SparkSession, dir: String,
+      epoch: Int = 1, shards: Int = EpochShards): DataFrame = {
+    val key = md5(concat(lit(s"epoch:$epoch:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), key.as("skey"))
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 4), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .repartitionByRange(col("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
 }

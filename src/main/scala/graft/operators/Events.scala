@@ -1125,4 +1125,57 @@ object Events {
           .as("best_start_day"))
       .orderBy(col("user_id"))
   }
+
+  /** Activity power-law fit (q206) — does per-user event volume
+    * follow the Zipf-ish heavy tail every healthy product shows, or
+    * has a bot cohort bent it? The classic check is a straight line
+    * on the log–log activity histogram; the slope/intercept/R² come
+    * from the regr_* aggregates over it.
+    *
+    * Float discipline (the q130/q167 rule): the histogram (k events →
+    * n_users) is exact-integer via two hash aggregates; ln() is
+    * applied once per HISTOGRAM row (≤ distinct-activity-levels rows,
+    * never per user) and rounded to 1e-6 BEFORE the regression on
+    * both engines, so libm's last bit cannot flip the fit; the three
+    * fit statistics are rounded to 1e-6 after. The regression runs
+    * over a bounded relation, so aggregation-order float drift has
+    * no corpus-sized sum to accumulate in.
+    */
+  def activityPowerlaw(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_users"))
+      .select(col("k"), col("n_users"),
+        round(log(col("k").cast("double")), 6).as("lk"),
+        round(log(col("n_users").cast("double")), 6).as("ln_n"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("n_users") * col("k")).as("n_events"),
+        round(expr("regr_slope(ln_n, lk)"), 6).as("slope"),
+        round(expr("regr_intercept(ln_n, lk)"), 6).as("intercept"),
+        round(expr("regr_r2(ln_n, lk)"), 6).as("r2"))
+
+  /** Native session-window aggregation (q207) — Spark's built-in
+    * `session_window(ts, gap)` in BATCH: the engine-owned form of the
+    * q18/q35 sessionization (which state the gap-island construction
+    * explicitly via lag + running sum). One aggregate, no window
+    * functions: Spark merges per-partition session fragments in the
+    * aggregate's merge phase, so the plan is a hash aggregate
+    * partitioned by user — map-side-combinable, no per-user sort
+    * barrier. The oracle re-derives identical sessions from the
+    * lag/gap-island SQL — two independent constructions of the same
+    * session semantics (start = first event, end = last event + gap).
+    */
+  def nativeSessions(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame =
+    Corpus.read(spark, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        // q35's float discipline: exact decimal sum (order-free), one
+        // rounding at the end — the two sessionizations share an oracle.
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
 }

@@ -1258,6 +1258,74 @@ object Relational {
       frontier => frontier
         .select(col("node"), pmod(col("anc") * 5 + 3, lit(101L)).as("anc")))
 
+  /** PG 14's `WITH RECURSIVE … CYCLE anc SET is_cycle USING path`
+    * (q204) — the third recursion semantics next to q108's UNION ALL
+    * and q108b/q146's UNION distinct: UNION ALL expansion where each
+    * row CARRIES ITS PATH, a row whose next node already appears in
+    * its own path is emitted marked `is_cycle` and not expanded, and
+    * the result enumerates every walk prefix (PG emits the path
+    * column; the gate fingerprints it — raw arrays don't
+    * hash-compare stably cross-engine).
+    *
+    * Fixture: the q146 affine permutation anc → (5·anc+3) mod 101 —
+    * every walk returns to its start, so every start yields exactly
+    * cycle-length + 1 rows, the last flagged. The oracle is DuckDB's
+    * native UNION ALL recursion carrying the same list column with
+    * `list_contains` as the stop predicate.
+    *
+    * Scale: on functional graphs (one out-edge — event chains,
+    * symlink/redirect resolution) work is Σ walk lengths = O(n ×
+    * cycle bound) with rounds = longest walk; rows are
+    * (depth)-bounded tuples and each round is one distributed job
+    * with the eager-unpersist discipline of [[closureDistinctLoop]].
+    * On general DAGs path enumeration is inherently exponential —
+    * that is PG's semantics too; the UNION-distinct closure (q108b)
+    * is the scale form when only reachability is asked.
+    */
+  def cyclePathWalk(spark: SparkSession, dir: String): DataFrame = {
+    val base = Corpus.read(spark, dir, "customer")
+      .select(pmod(col("c_custkey"), lit(101L)).as("start")).distinct()
+      .select(col("start"), col("start").as("cur"),
+        lit(0L).as("depth"), array(col("start")).as("path"),
+        lit(false).as("is_cycle"))
+      .localCheckpoint(true)
+    var acc = base
+    var frontier = base
+    var accRdd = Dedup.checkpointRdd(acc)
+    var frontierRdd = accRdd
+    var added = 1L
+    var rounds = 0
+    while (added > 0 && rounds < 64) {
+      val obs = org.apache.spark.sql.Observation(s"cycle_round_$rounds")
+      val next = frontier.filter(!col("is_cycle"))
+        .select(col("start"),
+          pmod(col("cur") * 5 + 3, lit(101L)).as("cur"),
+          (col("depth") + 1).as("depth"), col("path"))
+        .select(col("start"), col("cur"), col("depth"),
+          concat(col("path"), array(col("cur"))).as("path"),
+          array_contains(col("path"), col("cur")).as("is_cycle"))
+        .observe(obs, count(lit(1)).as("n_new"))
+        .localCheckpoint(true)
+      added = Option(obs.get("n_new")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (added > 0) {
+        acc = acc.union(next).localCheckpoint(true)
+        val nextRdd = Dedup.checkpointRdd(next)
+        accRdd.foreach(_.unpersist(false))
+        frontierRdd.filterNot(r => accRdd.exists(_ eq r))
+          .foreach(_.unpersist(false))
+        accRdd = Dedup.checkpointRdd(acc)
+        frontierRdd = nextRdd
+        frontier = next
+      }
+      rounds += 1
+    }
+    acc.select(col("start"), col("depth"), col("cur"),
+        col("is_cycle").cast("long").as("is_cycle"),
+        expr("md5(concat_ws('->', transform(path, x -> cast(x AS string))))")
+          .as("path_fp"))
+      .orderBy(col("start"), col("depth"))
+  }
+
   /** The shared UNION-distinct frontier loop: expand the frontier,
     * drop in-round duplicates, anti-join against everything already
     * reached, stop on an empty delta — PG's "append only rows not
@@ -1411,4 +1479,70 @@ object Relational {
         expr("to_char(CAST(cents AS DECIMAL(18,0)), " +
           "'000000000000')").as("zero_padded"))
       .orderBy(col("o_orderkey"))
+
+  /** Exact NUMERIC aggregation battery (q203) — the reference maps
+    * PG NUMERIC to lossy double (`/root/reference/src/lib.rs:375-381`,
+    * behind `ParityOptions`; `DecimalType` is this engine's exact
+    * mode), and this gate proves the exact mode's ARITHMETIC: prices
+    * are lifted to integer cents (`round(x*100)` — corpus prices are
+    * 2-decimal, so the double error is ±ε around an integer, never a
+    * half-way case), decimal values are constructed from the integer
+    * digits (never by dividing a decimal — division scale/rounding
+    * rules differ across engines), and sums/extrema run in
+    * DecimalType with explicit result casts. Revenue is
+    * price×(100−disc) in exact cents×100 units before the decimal
+    * lift, so no rounding exists anywhere in the aggregate. Outputs
+    * render via CAST(… AS STRING), pinning the digits themselves
+    * rather than trusting two engines' decimal transports to
+    * stringify alike.
+    *
+    * Scale: one scan projection + one map-side-combinable hash
+    * aggregate — decimal adds 128-bit lanes, not a different plan.
+    */
+  def decimalBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        round(col("l_discount") * 100).cast("long").as("disc_c"))
+      .withColumn("price_d", expr(
+        "cast(concat(price_c div 100, '.', lpad(price_c % 100, 2, '0')) " +
+          "as decimal(18,2))"))
+      .withColumn("rev_u", col("price_c") * (lit(100L) - col("disc_c")))
+      .withColumn("rev_d", expr(
+        "cast(concat(rev_u div 10000, '.', lpad(rev_u % 10000, 4, '0')) " +
+          "as decimal(28,4))"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_d")).cast("decimal(38,2)").cast("string")
+          .as("sum_price"),
+        min(col("price_d")).cast("string").as("min_price"),
+        max(col("price_d")).cast("string").as("max_price"),
+        sum(col("rev_d")).cast("decimal(38,4)").cast("string")
+          .as("sum_revenue"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** DISTINCT-modified ordered aggregation (q205) — PG's
+    * `string_agg(DISTINCT x, ',' ORDER BY x)` /
+    * `array_agg(DISTINCT x ORDER BY x)`: Spark's collect_set has no
+    * order contract and its aggregates reject DISTINCT+ORDER BY
+    * syntax, so the engine states the same semantics as
+    * sort_array(collect_set(…)) — dedup by the set, order by the
+    * explicit sort — which is exactly the deterministic artifact the
+    * PG forms promise. Aggregation state is bounded by the DISTINCT
+    * domain (priorities × statuses here), not the row count; the
+    * rendered string keeps the comparison engine-neutral (raw array
+    * columns don't hash-compare stably cross-engine — the q121
+    * finding).
+    */
+  def distinctOrderedAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderpriority")).as("n_prios"),
+        concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+          .as("prio_csv"),
+        size(sort_array(collect_set(
+          substring(col("o_orderpriority"), 1, 1)))).cast("long")
+          .as("n_prio_codes"))
+      .orderBy(col("o_orderstatus"))
 }

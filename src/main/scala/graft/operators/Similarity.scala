@@ -791,4 +791,45 @@ object Similarity {
         col("qdot"), col("approx"), col("sim"))
       .orderBy(col("qid"), col("rk"))
   }
+
+  /** Hard-negative mining for contrastive training (q201) — for each
+    * anchor, the k most similar DIFFERENT-label vectors (the
+    * negatives that actually move an embedding model; random
+    * negatives are trivially separable), alongside the anchor's
+    * hardest positive (the least similar SAME-label vector) and the
+    * FaceNet semi-hard flag `sim_neg < sim_pos` — the triplet
+    * construction a metric-learning pipeline feeds its loss.
+    *
+    * Shape: one pass over anchor×corpus pairs (anchors broadcast —
+    * the q30 baseline), split into a per-anchor min aggregate
+    * (hardest positive: 1 row/anchor, broadcast back) and a
+    * per-anchor rank that plans as a bounded TopKRows heap via the
+    * injected rank-limit rewrite. At many-anchor scale the same
+    * policy runs over [[knnJoin]]'s cell-co-partitioned candidates
+    * instead of the broadcast scan (the q154 argument) — the mining
+    * predicate and ranking are unchanged. Scores round to 1e-6
+    * before ranking/compares (the suite-wide float discipline).
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 6))
+    val pos = pairs.filter(col("label") === col("qlabel"))
+      .groupBy(col("qid")).agg(min(col("sim")).as("pos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pairs.filter(col("label") =!= col("qlabel"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .join(broadcast(pos), Seq("qid"))
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        col("sim"), col("pos_sim"),
+        (col("sim") < col("pos_sim")).cast("long").as("is_semihard"))
+      .orderBy(col("qid"), col("rk"))
+  }
 }

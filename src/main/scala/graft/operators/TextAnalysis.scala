@@ -296,6 +296,47 @@ object TextAnalysis {
           "x -> cast(x AS string)), ',')").as("doc_list"))
       .orderBy(col("shard"), col("bin"))
 
+  /** Packing-efficiency report (q202) — the padding-waste audit a
+    * training pipeline runs over its packed shards: per shard, how
+    * many bins the greedy packer produced, the token capacity those
+    * bins reserve (bins × budget), and the waste as exact-integer
+    * ppm — unfilled capacity is padding, and padding is wasted
+    * compute at training time. min/max bin fill bound the spread
+    * (the last bin of each shard is legitimately part-filled; a LOW
+    * max means the budget is mis-sized vs document lengths).
+    *
+    * Cost: the q45b assignment's one range-shuffle + window, then two
+    * map-side-combinable aggregates over the (shard, bin) summary —
+    * the report adds nothing corpus-sized. All arithmetic is integer
+    * (ppm via `div`), so the oracle replays it exactly.
+    */
+  def packingEfficiency(spark: SparkSession, dir: String,
+      budget: Long = 2048, shardSize: Long = 64): DataFrame = {
+    val bins = shardedBins(spark, dir, budget, shardSize)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+    bins.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("sum_tokens"),
+        min(col("bin_tokens")).as("min_bin_fill"),
+        max(col("bin_tokens")).as("max_bin_fill"))
+      .withColumn("capacity", col("n_bins") * lit(budget))
+      // A document longer than the budget overflows its bin, which can
+      // push sum_tokens past capacity; waste and overflow are reported
+      // as separate non-negative terms so the integer `div` below never
+      // sees a negative numerator (Spark truncates toward zero, DuckDB
+      // floors — they disagree only below zero).
+      .withColumn("waste_ppm",
+        expr("greatest(capacity - sum_tokens, 0L) * 1000000 div capacity"))
+      .withColumn("overflow_tokens",
+        expr("greatest(sum_tokens - capacity, 0L)"))
+      .select(col("shard"), col("n_bins"), col("n_docs"),
+        col("sum_tokens"), col("capacity"), col("waste_ppm"),
+        col("overflow_tokens"), col("min_bin_fill"), col("max_bin_fill"))
+      .orderBy(col("shard"))
+  }
+
   /** Vocabulary construction: the k most frequent whitespace tokens
     * per language, with counts — the frequency pass a tokenizer fit
     * runs over the corpus. The token explode feeds a map-side-
