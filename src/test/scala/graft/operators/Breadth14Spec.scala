@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Invariant specs for the round-14 breadth gates (q200–q207). The
+  * value-level gate is the DuckDB oracle; these pin the properties the
+  * oracle compare cannot state (permutation-ness, epoch decorrelation,
+  * operator-vs-operator agreement, policy discriminations).
+  */
+class Breadth14Spec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  test("epoch shuffle: a permutation per epoch, contiguous shard " +
+    "positions, epochs decorrelated, deterministic") {
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val e1 = Curation.epochShuffle(spark, sf, epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Permutation: every doc exactly once.
+    assert(e1.map(_._3).toSet === docs)
+    assert(e1.length === docs.size)
+    // Positions are 1..n within each shard, no gaps.
+    e1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // Deterministic: a second run is identical.
+    val e1b = Curation.epochShuffle(spark, sf, epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e1.toSeq === e1b.toSeq)
+    // Epochs are decorrelated: epoch 2 is a different permutation
+    // (same doc set, different (shard, pos) for most docs).
+    val e2 = Curation.epochShuffle(spark, sf, epoch = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e2.map(_._3).toSet === docs)
+    val moved = e1.map(r => (r._3, (r._1, r._2))).toMap
+    val sameSlot = e2.count(r => moved(r._3) == ((r._1, r._2)))
+    assert(sameSlot < docs.size / 2,
+      s"epoch 2 kept $sameSlot/${docs.size} docs in the same slot")
+  }
+
+  test("packing efficiency: capacity/waste/overflow arithmetic " +
+    "reconciles with the q45b bins") {
+    val bins = TextAnalysis.packBinsSharded(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rep = TextAnalysis.packingEfficiency(spark, sf).collect()
+    rep.foreach { r =>
+      val shard = r.getLong(0)
+      val mine = bins.filter(_._1 == shard)
+      val nBins = r.getLong(1); val sumTok = r.getLong(3)
+      assert(nBins === mine.length.toLong)
+      assert(r.getLong(2) === mine.map(_._3).sum)          // n_docs
+      assert(sumTok === mine.map(_._4).sum)                // sum_tokens
+      val capacity = r.getLong(4)
+      assert(capacity === nBins * 2048L)
+      assert(r.getLong(5) === math.max(capacity - sumTok, 0L) * 1000000L / capacity)
+      assert(r.getLong(6) === math.max(sumTok - capacity, 0L))
+      assert(r.getLong(7) === mine.map(_._4).min)          // min_bin_fill
+      assert(r.getLong(8) === mine.map(_._4).max)          // max_bin_fill
+    }
+  }
+
+  test("hard negatives: label-disjoint, rank-ordered, semi-hard flag " +
+    "consistent with the hardest positive") {
+    val e = graft.sources.Corpus.read(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val out = Similarity.hardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val qid = r.getLong(0); val nb = r.getLong(2)
+      assert(e(nb) !== e(qid), s"neighbor $nb shares anchor $qid's label")
+      assert(r.getLong(5) === (if (r.getDouble(3) < r.getDouble(4)) 1L else 0L))
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getDouble(3)).toSeq ===
+        byRank.map(_.getDouble(3)).sortBy(-_).toSeq,
+        "negatives not ordered by descending similarity")
+    }
+  }
+
+  test("cycle path walk: every start terminates in exactly one " +
+    "flagged row, prefix paths are distinct") {
+    val out = Relational.cyclePathWalk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val byStart = out.groupBy(_._1)
+    byStart.foreach { case (start, rows) =>
+      assert(rows.count(_._4 == 1L) === 1,
+        s"start $start: expected exactly one cycle-terminated row")
+      val maxDepth = rows.map(_._2).max
+      assert(rows.find(_._4 == 1L).get._2 === maxDepth)
+      // Depths are 0..maxDepth with no gaps and path fingerprints all
+      // differ (each prefix is a distinct walk).
+      assert(rows.map(_._2).sorted.toSeq === (0L to maxDepth).toSeq)
+      assert(rows.map(_._5).distinct.length === rows.length)
+      // Pre-terminal nodes are distinct (the walk only repeats once).
+      val pre = rows.filter(_._4 == 0L).map(_._3)
+      assert(pre.distinct.length === pre.length)
+    }
+    // The affine permutation mod 101: cycle lengths divide the
+    // permutation order; the fixed point 75 closes at depth 1.
+    byStart.get(75L).foreach(rows => assert(rows.map(_._2).max === 1L))
+  }
+
+  test("decimal battery: sums reconcile exactly with integer-cents " +
+    "arithmetic") {
+    val li = graft.sources.Corpus.read(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_extendedprice",
+        "l_discount").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (math.round(r.getDouble(2) * 100), math.round(r.getDouble(3) * 100))))
+    val out = Relational.decimalBattery(spark, sf).collect()
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val rows = li.filter(_._1 == key).map(_._2)
+      val cents = rows.map(_._1).sum
+      assert(r.getString(3) === f"${cents / 100}.${cents % 100}%02d",
+        "sum_price digits")
+      val revU = rows.map { case (p, d) => p * (100L - d) }.sum
+      assert(r.getString(6) === f"${revU / 10000}.${revU % 10000}%04d",
+        "sum_revenue digits")
+    }
+  }
+
+  test("distinct ordered agg: CSV sorted ascending with n_prios entries") {
+    Relational.distinctOrderedAgg(spark, sf).collect().foreach { r =>
+      val parts = r.getString(3).split(",").toSeq
+      assert(parts.length.toLong === r.getLong(2))
+      assert(parts === parts.sorted)
+    }
+  }
+
+  test("activity power-law: fit replays in-JVM; the histogram tail " +
+    "slopes down") {
+    val pts = graft.sources.Corpus.read(spark, sf, "events")
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }.toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val xs = pts.map(p => r6(math.log(p._1.toDouble)))
+    val ys = pts.map(p => r6(math.log(p._2.toDouble)))
+    val n = xs.length.toDouble
+    val mx = xs.sum / n; val my = ys.sum / n
+    val sxy = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sxx = xs.map(a => (a - mx) * (a - mx)).sum
+    val syy = ys.map(b => (b - my) * (b - my)).sum
+    val out = Events.activityPowerlaw(spark, sf).collect().head
+    assert(out.getLong(0) === pts.length.toLong)
+    assert(math.abs(out.getDouble(2) - sxy / sxx) < 1e-5, "slope")
+    assert(math.abs(out.getDouble(3) - (my - sxy / sxx * mx)) < 1e-5,
+      "intercept")
+    assert(math.abs(out.getDouble(4) - sxy * sxy / (sxx * syy)) < 1e-5, "r2")
+  }
+
+  test("native session windows agree row-for-row with the typed " +
+    "sessionizer") {
+    val a = Events.nativeSessions(spark, sf).collect().map(_.toSeq)
+    val b = Temporal.sessionsTyped(spark, sf).collect().map(_.toSeq)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+}
