@@ -300,7 +300,11 @@ object SparkEntry {
     "q205_distinct_ordered_agg" -> (Relational.distinctOrderedAgg _),
     "q206_activity_powerlaw" -> (Events.activityPowerlaw _),
     "q207_session_native" -> ((s: SparkSession, d: String) =>
-      Events.nativeSessions(s, d))
+      Events.nativeSessions(s, d)),
+    "q208_fertility" -> (TextAnalysis.tokenizerFertility _),
+    "q209_rfm" -> (Events.rfmSegments _),
+    "q210_spearman" -> (TextAnalysis.spearmanQualityLength _),
+    "q211_trimmed_stats" -> (Events.trimmedStats _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -4978,7 +4982,124 @@ object SparkEntry {
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // q208: byte counts via octet_length(encode()) (the q32 idiom);
+    // percentile_disc agrees with Spark's at every probed fraction
+    // (both follow the SQL-standard smallest-cum≥p contract — probed
+    // on n=10 and n=7 ladders before gating).
+    "q208_fertility" ->
+      """WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok)
+        |    AS BIGINT) AS tok_q1,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok)
+        |    AS BIGINT) AS tok_med,
+        |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tok)
+        |    AS BIGINT) AS tok_q3,
+        |  CAST(sum(n_chars) AS BIGINT) * 1000
+        |    // CAST(sum(n_tok) AS BIGINT) AS chars_per_tok_milli,
+        |  CAST(sum(n_bytes) AS BIGINT) * 1000
+        |    // CAST(sum(n_tok) AS BIGINT) AS bytes_per_tok_milli
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q209: the same percentile_disc cutpoints re-derived, membership
+    // by the same strict > compares — no ntile anywhere.
+    "q209_rfm" ->
+      """WITH u AS (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT max(last_ts) AS asof_ts FROM u),
+        |r AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(last_ts AS DATE),
+        |      CAST(asof_ts AS DATE)) AS BIGINT) AS rec, f, m
+        |  FROM u CROSS JOIN a),
+        |c AS (SELECT
+        |    CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY rec) AS BIGINT) AS rec_c0,
+        |    CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY rec) AS BIGINT) AS rec_c1,
+        |    CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY rec) AS BIGINT) AS rec_c2,
+        |    CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY rec) AS BIGINT) AS rec_c3,
+        |    CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY f) AS BIGINT) AS f_c0,
+        |    CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY f) AS BIGINT) AS f_c1,
+        |    CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY f) AS BIGINT) AS f_c2,
+        |    CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY f) AS BIGINT) AS f_c3,
+        |    CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY m) AS BIGINT) AS m_c0,
+        |    CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY m) AS BIGINT) AS m_c1,
+        |    CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY m) AS BIGINT) AS m_c2,
+        |    CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY m) AS BIGINT) AS m_c3
+        |  FROM r),
+        |q AS (SELECT user_id, f, m,
+        |    1 + CAST(rec > rec_c0 AS BIGINT) + CAST(rec > rec_c1 AS BIGINT)
+        |      + CAST(rec > rec_c2 AS BIGINT) + CAST(rec > rec_c3 AS BIGINT) AS r_q,
+        |    1 + CAST(f > f_c0 AS BIGINT) + CAST(f > f_c1 AS BIGINT)
+        |      + CAST(f > f_c2 AS BIGINT) + CAST(f > f_c3 AS BIGINT) AS f_q,
+        |    1 + CAST(m > m_c0 AS BIGINT) + CAST(m > m_c1 AS BIGINT)
+        |      + CAST(m > m_c2 AS BIGINT) + CAST(m > m_c3 AS BIGINT) AS m_q
+        |  FROM r CROSS JOIN c)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users,
+        |  CAST(sum(f) AS BIGINT) AS sum_events,
+        |  CAST(sum(m) AS BIGINT) AS sum_cents
+        |FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin,
+
+    // q210: q23's quality CTE (cross-engine-pinned there) feeding
+    // tie-broken row_number ranks; Σd² exact, one final division.
+    "q210_spearman" ->
+      s"""WITH d AS (SELECT doc_id, text, ' ' || text || ' ' AS padded,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |e AS (SELECT doc_id, text, n_tokens, n_punct,
+         |  (${scoreSql("en")}) AS n_stop FROM d),
+         |q AS (SELECT doc_id,
+         |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+         |    + (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 0.5
+         |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.25, 6) AS quality,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM e),
+         |r AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS rq,
+         |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rl
+         |  FROM q),
+         |s AS (SELECT count(*) AS n_docs,
+         |  CAST(sum((rq - rl) * (rq - rl)) AS BIGINT) AS sum_d2 FROM r)
+         |SELECT n_docs, sum_d2,
+         |  round(1.0 - 6.0 * sum_d2 / (n_docs * (n_docs * n_docs - 1)), 6)
+         |    AS rho
+         |FROM s""".stripMargin,
+
+    // q211: band endpoints re-derived, winsorize/trim restated as
+    // CASE arithmetic over the same integer cents.
+    "q211_trimmed_stats" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |p AS (SELECT event_type,
+        |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY x)
+        |      AS BIGINT) AS p05,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY x)
+        |      AS BIGINT) AS p95
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type, count(*) AS n,
+        |  min(p.p05) AS p05, min(p.p95) AS p95,
+        |  CAST(sum(least(greatest(b.x, p.p05), p.p95)) AS BIGINT)
+        |    AS winsor_sum,
+        |  CAST(sum(CASE WHEN b.x BETWEEN p.p05 AND p.p95 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_trim,
+        |  CAST(sum(CASE WHEN b.x BETWEEN p.p05 AND p.p95 THEN b.x END)
+        |    AS BIGINT) AS trim_sum,
+        |  CAST(sum(least(greatest(b.x, p.p05), p.p95)) AS BIGINT)
+        |    // count(*) AS winsor_cents,
+        |  CAST(sum(CASE WHEN b.x BETWEEN p.p05 AND p.p95 THEN b.x END)
+        |    AS BIGINT) // CAST(sum(CASE WHEN b.x BETWEEN p.p05 AND p.p95
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS trim_cents
+        |FROM b JOIN p ON b.event_type = p.event_type
+        |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -1154,6 +1154,79 @@ object Events {
         round(expr("regr_intercept(ln_n, lk)"), 6).as("intercept"),
         round(expr("regr_r2(ln_n, lk)"), 6).as("r2"))
 
+  /** RFM segmentation (q209) — the classic recency/frequency/monetary
+    * user partitioning, stated the way it SCALES: quintile membership
+    * comes from comparing each user's metric to the four
+    * `percentile_disc` cutpoints (one bounded aggregate, broadcast
+    * back — exact integer compares), NOT from a global `ntile` whose
+    * single-partition total sort is the textbook formulation's
+    * scale-killer. Ties land on the same side of every cutpoint in
+    * both engines, so membership is deterministic without a global
+    * order. Output is the 5×5×5-bounded segment table.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("ts"), cents.as("x"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("f"),
+        sum(col("x")).as("m"))
+    val asof = byUser.agg(max(col("last_ts")).as("asof"))
+    val r = byUser.crossJoin(broadcast(asof))
+      .select(col("user_id"),
+        datediff(col("asof").cast("date"), col("last_ts").cast("date"))
+          .cast("long").as("rec"),
+        col("f"), col("m"))
+    def cuts(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map {
+      case (p, i) =>
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)")
+          .cast("long").as(s"${c}_c$i")
+    }
+    val cutpoints = r.agg(cuts("rec").head,
+      (cuts("rec").tail ++ cuts("f") ++ cuts("m")): _*)
+    def quint(c: String) = (0 until 4).map(i =>
+      (col(c) > col(s"${c}_c$i")).cast("long")).reduce(_ + _) + lit(1L)
+    r.crossJoin(broadcast(cutpoints))
+      .select(col("user_id"), col("f"), col("m"),
+        quint("rec").as("r_q"), quint("f").as("f_q"), quint("m").as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), sum(col("f")).as("sum_events"),
+        sum(col("m")).as("sum_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** Winsorized / trimmed robust statistics per event type (q211) —
+    * the outlier-resistant location estimates monitoring relies on
+    * when `avg` is one fat-finger away from useless: clamp to the
+    * exact [p05, p95] `percentile_disc` band (winsorize) or drop
+    * outside it (trim). All sums are integer cents, the band
+    * endpoints are actual data elements, and the reported means are
+    * truncated integer quotients — nothing floats. Shape: one
+    * bounded percentile aggregate per type, broadcast back into one
+    * scan + hash aggregate.
+    */
+  def trimmedStats(spark: SparkSession, dir: String): DataFrame = {
+    val b = Corpus.read(spark, dir, "events")
+      .select(col("event_type"), cents.as("x"))
+    val p = b.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY x)")
+          .cast("long").as("p05"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY x)")
+          .cast("long").as("p95"))
+    b.join(broadcast(p), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+        sum(least(greatest(col("x"), col("p05")), col("p95")))
+          .as("winsor_sum"),
+        sum(when(col("x").between(col("p05"), col("p95")), 1L)
+          .otherwise(0L)).as("n_trim"),
+        sum(when(col("x").between(col("p05"), col("p95")), col("x")))
+          .as("trim_sum"))
+      .withColumn("winsor_cents", expr("winsor_sum div n"))
+      .withColumn("trim_cents", expr("trim_sum div n_trim"))
+      .orderBy(col("event_type"))
+  }
+
   /** Native session-window aggregation (q207) — Spark's built-in
     * `session_window(ts, gap)` in BATCH: the engine-owned form of the
     * q18/q35 sessionization (which state the gap-island construction

@@ -337,6 +337,77 @@ object TextAnalysis {
       .orderBy(col("shard"))
   }
 
+  /** Tokenizer-fertility report (q208) — the per-language cost model
+    * a tokenizer/budget decision needs: how many characters and bytes
+    * one token carries per language (CJK text tokenizes denser in
+    * chars but heavier in bytes than Latin — the ratio drives both
+    * context-window budgeting and storage forecasts), plus the
+    * per-doc token-count quartiles that size packing bins (q45/q202
+    * consume exactly this distribution). Ratios are exact-integer
+    * milli-units (`×1000 div`); quartiles are `percentile_disc` over
+    * integer counts — an actual element, engine-agreeable, unlike
+    * interpolated percentiles. One scan + one hash aggregate.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .select(col("lang"), length(col("text")).cast("long").as("n_chars"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok)")
+          .cast("long").as("tok_q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok)")
+          .cast("long").as("tok_med"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tok)")
+          .cast("long").as("tok_q3"))
+      .withColumn("chars_per_tok_milli",
+        expr("sum_chars * 1000 div sum_tokens"))
+      .withColumn("bytes_per_tok_milli",
+        expr("sum_bytes * 1000 div sum_tokens"))
+      .orderBy(col("lang"))
+
+  /** Spearman rank correlation between document quality and length
+    * (q210) — the calibration check on a quality filter: q23's score
+    * deliberately rewards length (half the score), and this gate
+    * measures how much of the ranking that one feature explains
+    * before anyone treats the score as an independent signal.
+    *
+    * Construction keeps floats to ONE final division: both metrics
+    * rank by `row_number` over a fully tie-broken order ((metric,
+    * doc_id) — a deterministic permutation, so the classic
+    * 1 − 6Σd²/(n(n²−1)) formula applies verbatim), Σd² is an exact
+    * integer, and ρ is one IEEE division of exact integers, rounded —
+    * bit-identical cross-engine. The rounded-to-1e-6 quality values
+    * are already cross-engine-pinned by q23.
+    *
+    * Scale: the two global rank assignments are total sorts — at
+    * 100 TB each runs as a range-partitioned distributed sort
+    * (Spark's SortExec shape), or the ranks bin into percentile
+    * buckets (percentile_disc cutpoints, the q209 idiom) when exact
+    * global ranks aren't worth a pass.
+    */
+  def spearmanQualityLength(spark: SparkSession, dir: String): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality"), col("doc_id"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    docQuality(spark, dir)
+      .select(col("doc_id"), col("quality"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("rq", row_number().over(wq).cast("long"))
+      .withColumn("rl", row_number().over(wl).cast("long"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("rq") - col("rl")) * (col("rq") - col("rl")))
+          .as("sum_d2"))
+      .withColumn("rho", round(
+        lit(1.0) - lit(6.0) * col("sum_d2") /
+          (col("n_docs") * (col("n_docs") * col("n_docs") - lit(1L))), 6))
+  }
+
   /** Vocabulary construction: the k most frequent whitespace tokens
     * per language, with counts — the frequency pass a tokenizer fit
     * runs over the corpus. The token explode feeds a map-side-
