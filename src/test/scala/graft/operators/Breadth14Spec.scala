@@ -163,4 +163,83 @@ class Breadth14Spec extends AnyFunSuite {
     assert(a.length === b.length)
     a.zip(b).foreach { case (x, y) => assert(x === y) }
   }
+
+  test("fertility: quartiles are actual elements in order, ratios are " +
+    "floor milli-units") {
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val out = TextAnalysis.tokenizerFertility(spark, sf).collect()
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val toks = docs.filter(_._1 == lang)
+        .map(d => "\\S+".r.findAllIn(d._2).length.toLong).sorted
+      val Seq(q1, med, q3) = Seq(5, 6, 7).map(r.getLong)
+      assert(q1 <= med && med <= q3)
+      Seq(q1, med, q3).foreach(q => assert(toks.contains(q),
+        s"$lang quartile $q is not an element of the token-count set"))
+      // SQL-standard disc contract: smallest element with cum ≥ p.
+      def disc(p: Double) = toks((math.ceil(p * toks.length) - 1).toInt.max(0))
+      assert(q1 === disc(0.25) && med === disc(0.5) && q3 === disc(0.75))
+      assert(r.getLong(8) === r.getLong(3) * 1000 / r.getLong(2))
+      assert(r.getLong(9) === r.getLong(4) * 1000 / r.getLong(2))
+    }
+  }
+
+  test("rfm: segments partition the user base and quintiles stay in " +
+    "1..5") {
+    val nUsers = graft.sources.Corpus.read(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val nEvents = graft.sources.Corpus.read(spark, sf, "events").count()
+    val out = Events.rfmSegments(spark, sf).collect()
+    assert(out.map(_.getLong(3)).sum === nUsers)
+    assert(out.map(_.getLong(4)).sum === nEvents)
+    out.foreach { r =>
+      Seq(0, 1, 2).foreach(i =>
+        assert(r.getLong(i) >= 1L && r.getLong(i) <= 5L))
+    }
+    // The cutpoint construction must produce a genuine spread — all
+    // users in one segment would mean the cutpoints collapsed.
+    assert(out.length > 5, s"only ${out.length} RFM segments")
+  }
+
+  test("spearman: rho replays from first-principles ranks and sits " +
+    "in [-1, 1]") {
+    val base = TextAnalysis.docQuality(spark, sf)
+      .select("doc_id", "quality", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2).length.toLong))
+    val rq = base.sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case (x, i) => (x._1, i + 1L) }.toMap
+    val rl = base.sortBy(x => (x._3, x._1)).zipWithIndex
+      .map { case (x, i) => (x._1, i + 1L) }.toMap
+    val d2 = base.map(x => { val d = rq(x._1) - rl(x._1); d * d }).sum
+    val n = base.length.toLong
+    val out = TextAnalysis.spearmanQualityLength(spark, sf).collect().head
+    assert(out.getLong(0) === n)
+    assert(out.getLong(1) === d2)
+    val rho = out.getDouble(2)
+    assert(rho >= -1.0 && rho <= 1.0)
+    assert(math.abs(rho - (1.0 - 6.0 * d2 / (n * (n * n - 1.0)))) < 2e-6)
+    // Discrimination: q23's score is length-loaded by construction —
+    // the fixture must show a clearly positive correlation, or the
+    // gate isn't measuring anything.
+    assert(rho > 0.3, s"quality-length rho $rho unexpectedly weak")
+  }
+
+  test("trimmed stats: band endpoints bound both means and trimming " +
+    "only ever drops rows") {
+    val out = Events.trimmedStats(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1); val p05 = r.getLong(2); val p95 = r.getLong(3)
+      assert(p05 <= p95)
+      val nTrim = r.getLong(5)
+      assert(nTrim <= n && nTrim >= 1L)
+      val winsor = r.getLong(7); val trim = r.getLong(8)
+      assert(winsor >= p05 && winsor <= p95)
+      assert(trim >= p05 && trim <= p95)
+      // ≥ 90% of rows survive a 5/95 trim by the disc contract.
+      assert(nTrim * 10 >= n * 9 - 10)
+    }
+  }
 }
