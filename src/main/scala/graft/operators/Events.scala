@@ -1165,11 +1165,18 @@ object Events {
     * order. Output is the 5×5×5-bounded segment table.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    // The per-user rollup feeds three consumers (the as-of anchor, the
+    // cutpoint aggregate, the final assignment); without a persist the
+    // declarative plan re-derives it per consumer — each a full raw
+    // scan. Persisting the USER-sized relation (MEMORY_AND_DISK —
+    // spillable, ~32 bytes/user) makes the raw event corpus scan
+    // exactly once at any scale.
     val byUser = Corpus.read(spark, dir, "events")
       .select(col("user_id"), col("ts"), cents.as("x"))
       .groupBy(col("user_id"))
       .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("f"),
         sum(col("x")).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val asof = byUser.agg(max(col("last_ts")).as("asof"))
     val r = byUser.crossJoin(broadcast(asof))
       .select(col("user_id"),
