@@ -304,7 +304,12 @@ object SparkEntry {
     "q208_fertility" -> (TextAnalysis.tokenizerFertility _),
     "q209_rfm" -> (Events.rfmSegments _),
     "q210_spearman" -> (TextAnalysis.spearmanQualityLength _),
-    "q211_trimmed_stats" -> (Events.trimmedStats _)
+    "q211_trimmed_stats" -> (Events.trimmedStats _),
+    "q212_patch_grid" -> ((s: SparkSession, d: String) =>
+      Multimodal.patchGrid(s, d)),
+    "q213_decay_attribution" -> (Temporal.decayAttribution _),
+    "q214_pq_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.pqTopK(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5099,7 +5104,112 @@ object SparkEntry {
         |    AS BIGINT) // CAST(sum(CASE WHEN b.x BETWEEN p.p05 AND p.p95
         |    THEN 1 ELSE 0 END) AS BIGINT) AS trim_cents
         |FROM b JOIN p ON b.event_type = p.event_type
-        |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin
+        |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin,
+
+    // q212: dims re-derived arithmetically (the q33 pattern — the
+    // engine parses them out of real container headers), patch
+    // arithmetic replayed in integer ceil-division.
+    "q212_patch_grid" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(64 + doc_id % 577 AS BIGINT) AS width,
+        |    CAST(64 + doc_id % 417 AS BIGINT) AS height FROM documents),
+        |g AS (SELECT doc_id, width, height,
+        |    (width + 15) // 16 AS grid_w,
+        |    (height + 15) // 16 AS grid_h FROM d)
+        |SELECT doc_id, width, height, grid_w, grid_h,
+        |  grid_w * 16 - width AS pad_w, grid_h * 16 - height AS pad_h,
+        |  grid_w * grid_h AS n_patches, grid_w * grid_h + 1 AS seq_len,
+        |  CAST(grid_w * grid_h > 1024 AS BIGINT) AS needs_downscale
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // q213: the pair join replayed; the power-of-two weight ladder is
+    // an integer shift on both engines, shares are integer permille.
+    "q213_decay_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |t AS (SELECT user_id, event_type AS touch_type, us AS t_us
+         |  FROM e WHERE event_type IN ('click', 'view')),
+         |c AS (SELECT user_id, event_id AS conv_id, us AS c_us
+         |  FROM e WHERE event_type = 'purchase'),
+         |p AS (SELECT touch_type, conv_id,
+         |    (c_us - t_us) // 86400000000 AS days
+         |  FROM t JOIN c USING (user_id)
+         |  WHERE t_us < c_us
+         |    AND c_us - t_us < ${Temporal.AttributionWindowUs}),
+         |w AS (SELECT touch_type, conv_id,
+         |    1 << CAST(6 - days AS INTEGER) AS w_units FROM p),
+         |a AS (SELECT touch_type, count(*) AS n_touches,
+         |    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+         |    CAST(sum(w_units) AS BIGINT) AS w_sum
+         |  FROM w GROUP BY touch_type),
+         |tt AS (SELECT CAST(sum(w_sum) AS BIGINT) AS w_total FROM a)
+         |SELECT touch_type, n_touches, n_conversions, w_sum,
+         |  w_sum * 1000 // w_total AS share_permille
+         |FROM a CROSS JOIN tt ORDER BY touch_type""".stripMargin,
+
+    // q214: the PQ pipeline unrolled stage by stage — subspace
+    // element rows, the same one Lloyd round (round-6 argmin,
+    // mean→round-6→float), ADC table, candidate rank, cosine
+    // re-rank via the shared q30 machinery. Engine folds distances
+    // in fixed dim order, the oracle sums group rows — round-6
+    // before every compare absorbs the ulp (the q31c argument).
+    "q214_pq_ann" ->
+      s"""WITH sub0 AS (SELECT vec_id, embedding,
+         |    unnest(range(0, 8)) AS m FROM embeddings),
+         |el AS (SELECT vec_id, m, unnest(range(1, 9)) AS i,
+         |    embedding AS emb FROM sub0),
+         |elv AS (SELECT vec_id, m, i,
+         |    CAST(emb[m * 8 + i] AS DOUBLE) AS v FROM el),
+         |c0 AS (SELECT vec_id AS cid, m, i, v AS cv FROM elv
+         |  WHERE vec_id < 4),
+         |d0 AS (SELECT e.vec_id, e.m, c.cid,
+         |    round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+         |  FROM elv e JOIN c0 c ON e.m = c.m AND e.i = c.i
+         |  GROUP BY e.vec_id, e.m, c.cid),
+         |a0 AS (SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM d0)
+         |  WHERE rn = 1),
+         |c1 AS (SELECT a.m, a.cid, e.i,
+         |    CAST(CAST(round(avg(e.v), 6) AS FLOAT) AS DOUBLE) AS cv
+         |  FROM a0 a JOIN elv e ON a.vec_id = e.vec_id AND a.m = e.m
+         |  GROUP BY a.m, a.cid, e.i),
+         |d1 AS (SELECT e.vec_id, e.m, c.cid,
+         |    round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+         |  FROM elv e JOIN c1 c ON e.m = c.m AND e.i = c.i
+         |  GROUP BY e.vec_id, e.m, c.cid),
+         |codes AS (SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM d1)
+         |  WHERE rn = 1),
+         |dq AS (SELECT e.vec_id AS qid, e.m, c.cid,
+         |    round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS dqv
+         |  FROM elv e JOIN c1 c ON e.m = c.m AND e.i = c.i
+         |  WHERE e.vec_id < 20 GROUP BY e.vec_id, e.m, c.cid),
+         |ap AS (SELECT q.qid, k.vec_id, round(sum(q.dqv), 6) AS approx
+         |  FROM codes k JOIN dq q ON k.m = q.m AND k.cid = q.cid
+         |  WHERE k.vec_id <> q.qid GROUP BY q.qid, k.vec_id),
+         |cand AS (SELECT qid, vec_id, approx FROM (
+         |    SELECT qid, vec_id, approx, row_number() OVER (
+         |      PARTITION BY qid ORDER BY approx, vec_id) AS crk FROM ap)
+         |  WHERE crk <= 50),
+         |px AS (SELECT c.qid, c.vec_id AS vb, c.approx,
+         |    q.embedding AS ea, e.embedding AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.qid
+         |  JOIN embeddings e ON e.vec_id = c.vec_id),
+         |s AS (SELECT qid, vb, approx,
+         |    $cosinePairSql
+         |  FROM px GROUP BY qid, vb, approx),
+         |sim AS (SELECT qid, vb, approx,
+         |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |      ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim FROM s),
+         |r AS (SELECT qid, vb, approx, sim, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, vb) AS BIGINT) AS rk
+         |  FROM sim)
+         |SELECT qid, rk, vb AS neighbor, approx, sim
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -179,6 +179,35 @@ object Multimodal {
         countDistinct(md5(col("content"))).as("n_distinct"))
       .orderBy(col("source"))
 
+  /** ViT patch-grid manifest (q212) — the sequence-budget planning a
+    * vision-transformer ingest runs over raw image metadata BEFORE
+    * any pixel decode: pad each image up to the patch multiple,
+    * count the patch grid, derive the transformer sequence length
+    * (+1 CLS token), and flag images whose grid exceeds the patch
+    * budget for the downscale path. Dims come from parsing the real
+    * container headers ([[decodeAll]]'s PNG/BMP parse); the oracle
+    * re-derives them arithmetically — the q33 independent-encoding
+    * pattern. All arithmetic exact-integer ceil-division.
+    *
+    * Scale: one mapPartitions header parse + per-row projection; no
+    * shuffle at all (the ORDER BY is the gate's determinism, dropped
+    * in production).
+    */
+  def patchGrid(spark: SparkSession, dir: String,
+      patch: Int = 16, maxPatches: Long = 1024): DataFrame =
+    decodeAll(spark, dir).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .withColumn("grid_w", expr(s"(width + $patch - 1) div $patch"))
+      .withColumn("grid_h", expr(s"(height + $patch - 1) div $patch"))
+      .withColumn("pad_w", col("grid_w") * patch - col("width"))
+      .withColumn("pad_h", col("grid_h") * patch - col("height"))
+      .withColumn("n_patches", col("grid_w") * col("grid_h"))
+      .withColumn("seq_len", col("n_patches") + 1)
+      .withColumn("needs_downscale",
+        (col("n_patches") > maxPatches).cast("long"))
+      .orderBy(col("doc_id"))
+
   /** Max Hamming distance for a q181 perceptual near-dup pair —
     * lossless under 4×16-bit banding (ham ≤ 3 over 4 bands forces at
     * least one identical band, the q161 pigeonhole). Shared with the

@@ -792,6 +792,105 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Product-quantization geometry (q214) — named so the oracle SQL
+    * interpolates the same constants: M subspaces × Dsub dims (= the
+    * 64-dim corpus), K centroids per subspace, C ADC candidates.
+    */
+  val PqM = 8; val PqDsub = 8; val PqK = 4; val PqCands = 50
+
+  /** Per-(vector, subspace) slice rows — the n×M expansion every PQ
+    * stage shares. Dimension-bounded (M is a constant), never
+    * corpus-shaped beyond the factor M.
+    */
+  private def pqSubRows(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .withColumn("sub", expr(s"slice(embedding, m * $PqDsub + 1, $PqDsub)"))
+      .drop("embedding")
+
+  /** Rounded squared-L2 between two Dsub-slices: an all-double
+    * fixed-order fold (zip_with + aggregate — codegen'd higher-order
+    * functions), rounded at 1e-6 before any compare so summation
+    * order can never flip an argmin (the q31c discipline).
+    */
+  private def pqDist(a: Column, b: Column): Column =
+    round(expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, " +
+      "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+      "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"), 6)
+
+  /** Per-(vec, subspace) nearest-centroid assignment against a
+    * broadcast codebook (m, cid, ce): min over (d2, cid).
+    */
+  private def pqAssign(subRows: DataFrame, codebook: DataFrame): DataFrame =
+    subRows.join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", pqDist(col("sub"), col("ce")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  /** Product-quantization ANN (q214) — the classic codebook
+    * compression (Jégou et al., the FAISS `PQ8` family) completing
+    * this engine's quantization spectrum next to SQ8 (q172), 1-bit
+    * (q180) and IVF cells (q31b/c): each vector's M=8 subspaces are
+    * separately vector-quantized to K=4 trained centroids, so a
+    * vector stores M log₂K bits of code, and a query scores the
+    * WHOLE corpus from an M×K lookup table of subspace distances
+    * (ADC — one table build per query, then per-vector work = M adds
+    * of precomputed cells, no float math against the corpus floats).
+    * Exact cosine re-ranks only the C best ADC candidates.
+    *
+    * Training is one Lloyd round per subspace from the deterministic
+    * first-K init — the q31c recipe verbatim (round-6 before argmin,
+    * per-dim mean round-6 cast float, localCheckpoint of the
+    * codebook), so every stage replays exactly in the oracle. At
+    * 100 TB the code relation (M small ints per vector) IS the
+    * materialized scan — 32× smaller than the floats, which are
+    * fetched per-candidate only; the ADC join is codes ⋈ a
+    * queries×M×K-row broadcast, aggregated per (query, vector) —
+    * map-side-combinable, never an all-pairs float scan.
+    */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val subs = pqSubRows(e)
+    val init = pqSubRows(e.filter(col("vec_id") < PqK))
+      .select(col("m"), col("vec_id").as("cid"), col("sub").as("ce"))
+    val trained = pqAssign(subs, init)
+      .join(subs, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("i", "v")))
+      .groupBy(col("m"), col("cid"), col("i"))
+      .agg(round(avg(col("v").cast("double")), 6).as("mv"))
+      .groupBy(col("m"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, mv)))," +
+        " x -> CAST(x.mv AS FLOAT))").as("ce"))
+      .localCheckpoint(true)
+    val codes = pqAssign(subs, trained)
+    val adc = pqSubRows(e.filter(col("vec_id") < NumQueries))
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(trained), Seq("m"))
+      .select(col("qid"), col("m"), col("cid"),
+        pqDist(col("sub"), col("ce")).as("dq"))
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("approx"), col("vec_id"))
+    val cands = codes.join(broadcast(adc), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("dq")), 6).as("approx"))
+      .withColumn("crk", row_number().over(wApprox))
+      .filter(col("crk") <= PqCands)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands.join(e, Seq("vec_id")).join(broadcast(q), Seq("qid"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        col("approx"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Hard-negative mining for contrastive training (q201) — for each
     * anchor, the k most similar DIFFERENT-label vectors (the
     * negatives that actually move an embedding model; random

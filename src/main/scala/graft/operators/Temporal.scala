@@ -451,6 +451,53 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Multi-touch TIME-DECAY attribution (q213) — the pooled
+    * exponential-decay credit model next to q87's last-touch: every
+    * click/view in the 7 days before a purchase earns weight
+    * 2^(−days-before), and channels split credit by total weight.
+    * Stated entirely in exact integers: the half-life-one-day weight
+    * is `1 << (6 − days)` units (days ∈ 0..6 — a power-of-two ladder,
+    * no float decay anywhere), credit shares are `×1000 div` permille.
+    *
+    * Unlike last-touch (one preceding row — a running window),
+    * multi-touch credit is irreducibly pair-valued: each (touch,
+    * conversion) pair within the horizon carries its own delta. The
+    * pair join co-partitions both sides on user_id (one shuffle
+    * each); fan-out is bounded by per-user touch density × the
+    * horizon, the same bound as the q40 range join.
+    */
+  def decayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val us = Exact.micros
+    val ev = Corpus.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        us.as("us"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("us").as("t_us"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("us").as("c_us"))
+    // STRICT horizon (vs q87's inclusive one): an exactly-7-day delta
+    // would index day 7 and shift by −1 — engines disagree below a
+    // zero shift, so the boundary stays out of the weight ladder.
+    val pairs = touches.join(convs, Seq("user_id"))
+      .filter(col("t_us") < col("c_us") &&
+        col("c_us") - col("t_us") < lit(AttributionWindowUs))
+      .withColumn("days", expr("(c_us - t_us) div 86400000000"))
+      .withColumn("w_units",
+        expr("shiftleft(1L, cast(6 - days AS int))"))
+    val agg = pairs.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(col("w_units")).as("w_sum"))
+    val total = agg.agg(sum(col("w_sum")).as("w_total"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("share_permille", expr("w_sum * 1000 div w_total"))
+      .select(col("touch_type"), col("n_touches"), col("n_conversions"),
+        col("w_sum"), col("share_permille"))
+      .orderBy(col("touch_type"))
+  }
+
   /** PG `age(t2, t1)` symbolic interval breakdown (q152) — the
     * calendar-aware "2 years 3 mons 12 days" decomposition PG users
     * read off customer tenure / account age, and the DECODED form of
