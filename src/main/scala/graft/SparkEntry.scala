@@ -5110,7 +5110,7 @@ object SparkEntry {
     // engine parses them out of real container headers), patch
     // arithmetic replayed in integer ceil-division.
     "q212_patch_grid" ->
-      """WITH d AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id,
         |    CAST(64 + doc_id % 577 AS BIGINT) AS width,
         |    CAST(64 + doc_id % 417 AS BIGINT) AS height FROM documents),
         |g AS (SELECT doc_id, width, height,
@@ -5119,8 +5119,9 @@ object SparkEntry {
         |SELECT doc_id, width, height, grid_w, grid_h,
         |  grid_w * 16 - width AS pad_w, grid_h * 16 - height AS pad_h,
         |  grid_w * grid_h AS n_patches, grid_w * grid_h + 1 AS seq_len,
-        |  CAST(grid_w * grid_h > 1024 AS BIGINT) AS needs_downscale
-        |FROM g ORDER BY doc_id""".stripMargin,
+         |  CAST(grid_w * grid_h > ${Multimodal.PatchBudget} AS BIGINT)
+         |    AS needs_downscale
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // q213: the pair join replayed; the power-of-two weight ladder is
     // an integer shift on both engines, shares are integer permille.

@@ -193,8 +193,17 @@ object Multimodal {
     * shuffle at all (the ORDER BY is the gate's determinism, dropped
     * in production).
     */
+  /** q212's default patch budget — named because the oracle SQL
+    * interpolates the same value. Chosen so the GATE corpus (sf0.01:
+    * dims 64..563 × 64..480) genuinely exercises both branches of
+    * the flag (96/500 docs exceed it); a production ViT budget
+    * (1024/4096 patches) would leave the flag dead on fixture-sized
+    * images.
+    */
+  val PatchBudget = 600L
+
   def patchGrid(spark: SparkSession, dir: String,
-      patch: Int = 16, maxPatches: Long = 1024): DataFrame =
+      patch: Int = 16, maxPatches: Long = PatchBudget): DataFrame =
     decodeAll(spark, dir).toDF()
       .select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"))

@@ -226,6 +226,80 @@ class Breadth14Spec extends AnyFunSuite {
     assert(rho > 0.3, s"quality-length rho $rho unexpectedly weak")
   }
 
+  test("patch grid: arithmetic replay from the q33 dim contract, " +
+    "pads bounded by the patch size, both flag branches live") {
+    // The GATE corpus (sf0.01) — the flag-branch coverage needs the
+    // full dim range (sf0.001's 50 docs all stay under the budget).
+    val out = Multimodal.patchGrid(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (64 + id % 577, 64 + id % 417)
+      assert(r.getLong(1) === w && r.getLong(2) === h)
+      val (gw, gh) = ((w + 15) / 16, (h + 15) / 16)
+      assert(r.getLong(3) === gw && r.getLong(4) === gh)
+      assert(r.getLong(5) >= 0 && r.getLong(5) < 16, "pad_w out of range")
+      assert(r.getLong(6) >= 0 && r.getLong(6) < 16, "pad_h out of range")
+      assert(r.getLong(7) === gw * gh)
+      assert(r.getLong(8) === gw * gh + 1)
+      assert(r.getLong(9) ===
+        (if (gw * gh > Multimodal.PatchBudget) 1L else 0L))
+    }
+    // The gate corpus must exercise BOTH branches of the budget flag.
+    assert(out.exists(_.getLong(9) == 1L) && out.exists(_.getLong(9) == 0L))
+  }
+
+  test("decay attribution: in-JVM pair replay, permille shares sum " +
+    "to ~1000") {
+    val ev = graft.sources.Corpus.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val horizon = Temporal.AttributionWindowUs
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    val convs = ev.filter(_._3 == "purchase")
+    val byUserT = touches.groupBy(_._2)
+    val pairs = convs.flatMap { c =>
+      byUserT.getOrElse(c._2, Array.empty[(Long, Long, String, Long)])
+        .filter(t => t._4 < c._4 && c._4 - t._4 < horizon)
+        .map(t => (t._3, c._1, (c._4 - t._4) / 86400000000L))
+    }
+    val expected = pairs.groupBy(_._1).map { case (ch, ps) =>
+      ch -> (ps.length.toLong, ps.map(_._2).distinct.length.toLong,
+        ps.map(p => 1L << (6 - p._3).toInt).sum)
+    }
+    val out = Temporal.decayAttribution(spark, sf).collect()
+    val wTotal = expected.values.map(_._3).sum
+    out.foreach { r =>
+      val (nT, nC, wS) = expected(r.getString(0))
+      assert(r.getLong(1) === nT && r.getLong(2) === nC && r.getLong(3) === wS)
+      assert(r.getLong(4) === wS * 1000 / wTotal)
+    }
+    val shares = out.map(_.getLong(4)).sum
+    assert(shares >= 1000 - out.length && shares <= 1000)
+  }
+
+  test("pq ann: codes stay in the codebook, recall beats the " +
+    "random-candidate floor") {
+    val out = Similarity.pqTopK(spark, sf).collect()
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val got = out.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(got.keySet === brute.keySet, "every query answered")
+    val hits = got.map { case (q, s) => (s intersect brute(q)).size }.sum
+    val total = brute.values.map(_.size).sum
+    // 50 ADC candidates out of ~500 vectors: random candidates would
+    // recall ~10%; the trained codebook must do much better.
+    assert(hits * 100 >= total * 40,
+      s"PQ recall ${hits}/$total below the 40% sanity floor")
+    // ADC order: within a query, exact-sim rank 1 must come from the
+    // candidate set (trivially true) and approx values are finite,
+    // non-negative distances.
+    out.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
   test("trimmed stats: band endpoints bound both means and trimming " +
     "only ever drops rows") {
     val out = Events.trimmedStats(spark, sf).collect()
