@@ -299,8 +299,7 @@ object SparkEntry {
     "q204_cycle_path" -> (Relational.cyclePathWalk _),
     "q205_distinct_ordered_agg" -> (Relational.distinctOrderedAgg _),
     "q206_activity_powerlaw" -> (Events.activityPowerlaw _),
-    "q207_session_native" -> ((s: SparkSession, d: String) =>
-      Events.nativeSessions(s, d)),
+    "q207_adaptive_sessions" -> (Events.adaptiveSessions _),
     "q208_fertility" -> (TextAnalysis.tokenizerFertility _),
     "q209_rfm" -> (Events.rfmSegments _),
     "q210_spearman" -> (TextAnalysis.spearmanQualityLength _),
@@ -309,7 +308,11 @@ object SparkEntry {
       Multimodal.patchGrid(s, d)),
     "q213_decay_attribution" -> (Temporal.decayAttribution _),
     "q214_pq_ann" -> ((s: SparkSession, d: String) =>
-      Similarity.pqTopK(s, d))
+      Similarity.pqTopK(s, d)),
+    "q215_seasonal_baseline" -> ((s: SparkSession, d: String) =>
+      Events.seasonalBaseline(s, d)),
+    "q216_url_canon" -> (TextAnalysis.urlCanon _),
+    "q217_interval_join" -> (Temporal.sessionOverlapPairs _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -4972,22 +4975,30 @@ object SparkEntry {
         |  round(regr_r2(ln_n, lk), 6) AS r2
         |FROM l""".stripMargin,
 
-    // q207: the q35 oracle verbatim — the native session_window
-    // aggregate and the lag/gap-island sessionization are two
-    // constructions of the same sessions, so they share one oracle.
-    "q207_session_native" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        |m AS (SELECT user_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-        |SELECT user_id, min(ts) AS session_start,
-        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+    // q207: first-principles dynamic-gap islands — a running max of
+    // per-event proposed ends, new session at ts >= that max (the
+    // [start, end) contract); vs the engine's native dynamic
+    // session_window merge. All exact integer micros.
+    "q207_adaptive_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN event_type = 'error' THEN 3600000000
+        |         ELSE 1800000000 END AS gap_us, value FROM events),
+        |m AS (SELECT *, max(us + gap_us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |s0 AS (SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end
+        |    THEN 1 ELSE 0 END AS new_s FROM m),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s0)
+        |SELECT user_id, min(us) AS start_us,
+        |  CAST(max(us + gap_us) AS BIGINT) AS end_us,
         |  count(*) AS n_events,
-        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
     // q208: byte counts via octet_length(encode()) (the q32 idiom);
     // percentile_disc agrees with Spark's at every probed fraction
@@ -5210,7 +5221,79 @@ object SparkEntry {
          |    PARTITION BY qid ORDER BY sim DESC, vb) AS BIGINT) AS rk
          |  FROM sim)
          |SELECT qid, rk, vb AS neighbor, approx, sim
-         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // q215: DuckDB's dayofweek is 0-based Sunday, Spark's 1-based —
+    // the +1 aligns the calendars; baseline/residual replayed in
+    // exact integers.
+    "q215_seasonal_baseline" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |b AS (SELECT event_type, dow, hr, count(*) AS n_slot,
+        |    CAST(sum(x) AS BIGINT) AS sum_slot
+        |  FROM e GROUP BY event_type, dow, hr),
+        |j AS (SELECT e.event_id, e.event_type, e.dow, e.hr, e.x,
+        |    b.sum_slot // b.n_slot AS baseline, b.n_slot,
+        |    e.x - b.sum_slot // b.n_slot AS residual
+        |  FROM e JOIN b USING (event_type, dow, hr)),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    ORDER BY abs(residual) DESC, event_id) AS BIGINT) AS rk
+        |  FROM j)
+        |SELECT rk, event_id, event_type, dow, hr, x, baseline, residual,
+        |  n_slot
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // q216: the same synthesized raw URLs (shared SQL text),
+    // canonicalized by pure regex vs the engine's parse_url — two
+    // independent decodings of the URL grammar.
+    "q216_url_canon" ->
+      s"""WITH d AS (SELECT doc_id, ${TextAnalysis.UrlSynthesisSql} AS url
+         |  FROM documents),
+         |p AS (SELECT doc_id, url,
+         |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         |  regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS auth,
+         |  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+         |  regexp_extract(url, '\\?([^#]*)', 1) AS query0 FROM d),
+         |q AS (SELECT doc_id, scheme,
+         |  lower(regexp_extract(auth, '^([^:]+)', 1)) AS host,
+         |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+         |  regexp_replace(path0, '/$$', '') AS path,
+         |  array_to_string(list_filter(string_split(query0, '&'),
+         |    el -> NOT starts_with(el, 'utm_')), '&') AS qs FROM p),
+         |c AS (SELECT doc_id,
+         |  scheme || '://' || host ||
+         |  CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+         |        AND NOT (scheme = 'http' AND port = '80')
+         |    THEN ':' || port ELSE '' END ||
+         |  path ||
+         |  CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical
+         |  FROM q)
+         |SELECT canonical, count(*) AS n_docs, min(doc_id) AS min_doc
+         |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    // q217: the DIRECT inequality join over the same gap-island
+    // sessions — the gate proves the engine's hour-bucket blocking
+    // (candidates + exact verify) is lossless.
+    "q217_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |iv AS (SELECT user_id, sid, min(us) AS s_us,
+        |    CAST(max(us) + 1800000000 AS BIGINT) AS e_us
+        |  FROM s GROUP BY user_id, sid),
+        |pr AS (SELECT a.user_id AS u_a, b.user_id AS u_b,
+        |    least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+        |  FROM iv a JOIN iv b ON a.user_id < b.user_id
+        |    AND a.s_us < b.e_us AND b.s_us < a.e_us)
+        |SELECT u_a, u_b, count(*) AS n_overlaps,
+        |  CAST(sum(overlap_us) AS BIGINT) AS sum_overlap_us
+        |FROM pr GROUP BY u_a, u_b ORDER BY u_a, u_b""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -1234,28 +1234,68 @@ object Events {
       .orderBy(col("event_type"))
   }
 
-  /** Native session-window aggregation (q207) — Spark's built-in
-    * `session_window(ts, gap)` in BATCH: the engine-owned form of the
-    * q18/q35 sessionization (which state the gap-island construction
-    * explicitly via lag + running sum). One aggregate, no window
-    * functions: Spark merges per-partition session fragments in the
-    * aggregate's merge phase, so the plan is a hash aggregate
-    * partitioned by user — map-side-combinable, no per-user sort
-    * barrier. The oracle re-derives identical sessions from the
-    * lag/gap-island SQL — two independent constructions of the same
-    * session semantics (start = first event, end = last event + gap).
+  /** Seasonality-adjusted anomaly report (q215) — q85's rolling
+    * z-score flags deviation from a user's own recent history; this
+    * flags deviation from the SEASONAL norm (a Tuesday-9am purchase
+    * judged against Tuesday-9am purchases), the baseline every
+    * traffic/revenue monitor subtracts before alerting. The baseline
+    * table is one hash aggregate bounded by type × 7 dow × 24 hours
+    * (≤ 840 rows — broadcast back), residuals are exact integer cents
+    * (baseline = truncated mean), and the report is the global top-20
+    * |residual| events — a TakeOrdered top-k, never a global sort.
     */
-  def nativeSessions(spark: SparkSession, dir: String,
-      gapMinutes: Int = 30): DataFrame =
+  def seasonalBaseline(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame = {
+    val e = Corpus.read(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"), cents.as("x"))
+    val base = e.groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_slot"), sum(col("x")).as("sum_slot"))
+      .withColumn("baseline", expr("sum_slot div n_slot"))
+    val w = Window.orderBy(abs(col("residual")).desc, col("event_id"))
+    e.join(broadcast(base), Seq("event_type", "dow", "hr"))
+      .withColumn("residual", col("x") - col("baseline"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("rk"), col("event_id"), col("event_type"), col("dow"),
+        col("hr"), col("x"), col("baseline"), col("residual"),
+        col("n_slot"))
+      .orderBy(col("rk"))
+  }
+
+  /** DYNAMIC-gap (adaptive) sessionization (q207) — Spark's
+    * per-event gap form of `session_window`, the semantics the
+    * static-gap operators (q18/q19/q35, all 30-minute) cannot
+    * express: each event proposes the half-open window
+    * [ts, ts + gap(event)), overlapping proposals merge, and an
+    * event landing exactly ON a session's end starts a new one (the
+    * `[start, end)` contract). Error events here hold a session open
+    * 60 minutes vs 30 — the real-world shape where outage bursts or
+    * bot traffic deserve different idle thresholds than human
+    * browsing.
+    *
+    * Still ONE hash aggregate (fragments merge in the aggregate's
+    * merge phase — no per-user sort barrier). The oracle re-derives
+    * the same sessions from first principles: a running max of
+    * proposed ends (`max(ts+gap) OVER (… 1 PRECEDING)`) marks a new
+    * session wherever `ts ≥` that max — all exact integer micros.
+    * Emitted as unix micros so the boundary arithmetic is visible.
+    */
+  def adaptiveSessions(spark: SparkSession, dir: String): DataFrame =
     Corpus.read(spark, dir, "events")
       .groupBy(col("user_id"),
-        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+        session_window(col("ts"),
+          when(col("event_type") === "error", "60 minutes")
+            .otherwise("30 minutes")).as("sw"))
       .agg(count(lit(1)).as("n_events"),
         // q35's float discipline: exact decimal sum (order-free), one
-        // rounding at the end — the two sessionizations share an oracle.
+        // rounding at the end.
         round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
           .as("sum_value"))
-      .select(col("user_id"), col("sw.start").as("session_start"),
-        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
-      .orderBy(col("user_id"), col("session_start"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start").cast("timestamp")).as("start_us"),
+        unix_micros(col("sw.end").cast("timestamp")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_us"))
 }

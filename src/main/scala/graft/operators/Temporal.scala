@@ -498,6 +498,57 @@ object Temporal {
       .orderBy(col("touch_type"))
   }
 
+  /** Interval-overlap JOIN via bucket blocking (q217) — the
+    * interval×interval generalization of q40's point-in-range join:
+    * which users' sessions overlapped in time (concurrency analysis,
+    * co-presence, contention windows). The naive formulation is an
+    * inequality-only join — a cartesian at any scale; the scale form
+    * blocks each interval into the hour buckets it covers (bounded
+    * fan-out: session span div 1h + 1), equi-joins on bucket,
+    * DEDUPES pairs found in several shared buckets, and verifies the
+    * exact overlap predicate on candidates only — the LSH-family
+    * shape (candidates by blocking, exact verify after). The oracle
+    * states the DIRECT inequality join over the same sessions — the
+    * gate therefore proves the bucket blocking is lossless.
+    *
+    * Sessions come from the q35 gap-island construction in exact
+    * integer micros; overlap length is exact (`least(end) −
+    * greatest(start)`); output aggregates per user pair.
+    */
+  def sessionOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
+    val us = Exact.micros
+    val gapUs = 30L * 60 * 1000000L
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sessions = Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(wOrd) > gapUs || lag(col("us"), 1).over(wOrd).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s_us"),
+        (max(col("us")) + gapUs).as("e_us"))
+    val hourUs = 3600L * 1000000L
+    def buckets(df: DataFrame, tag: String): DataFrame =
+      df.select(col("user_id").as(s"u_$tag"), col("sid").as(s"sid_$tag"),
+        col("s_us").as(s"s_$tag"), col("e_us").as(s"e_$tag"),
+        explode(expr(s"sequence(s_us div $hourUs, e_us div $hourUs)"))
+          .as("bucket"))
+    val cands = buckets(sessions, "a").join(buckets(sessions, "b"), "bucket")
+      .filter(col("u_a") < col("u_b"))
+      .filter(col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      .select(col("u_a"), col("sid_a"), col("u_b"), col("sid_b"),
+        (least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b"))).as("overlap_us"))
+      .distinct()
+    cands.groupBy(col("u_a"), col("u_b"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("overlap_us")).as("sum_overlap_us"))
+      .orderBy(col("u_a"), col("u_b"))
+  }
+
   /** PG `age(t2, t1)` symbolic interval breakdown (q152) — the
     * calendar-aware "2 years 3 mons 12 days" decomposition PG users
     * read off customer tenure / account age, and the DECODED form of

@@ -408,6 +408,69 @@ object TextAnalysis {
           (col("n_docs") * (col("n_docs") * col("n_docs") - lit(1L))), 6))
   }
 
+  /** Synthesized URL per document — deterministic arithmetic over
+    * doc_id, shared verbatim (same SQL text) with the q216 oracle so
+    * both engines canonicalize the SAME raw strings. Mixed-case
+    * schemes/hosts, default and non-default ports, trailing-slash
+    * parity, utm_ tracking params and fragments keep every
+    * canonicalization rule load-bearing.
+    */
+  val UrlSynthesisSql: String =
+    """concat(
+      |  CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN 'HTTPS://Example.COM:443'
+      |    WHEN 1 THEN 'http://Test.ORG:8080'
+      |    ELSE 'https://Sub.Domain.NET' END,
+      |  '/Path', CAST(doc_id % 7 AS STRING),
+      |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      |  '?utm_source=feed&id=', CAST(doc_id % 13 AS STRING),
+      |  CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x' ELSE '' END,
+      |  '#sec', CAST(doc_id % 5 AS STRING))""".stripMargin
+
+  /** URL canonicalization + dedup census (q216) — the normalization a
+    * crawl pipeline runs before URL-level dedup (the same page
+    * arrives as `HTTPS://Example.COM:443/a/?utm_source=x#frag` and
+    * `https://example.com/a`): lowercase scheme and host, strip the
+    * scheme's default port (keep explicit non-defaults), strip one
+    * trailing slash, drop `utm_*` tracking params (preserving the
+    * order of survivors), drop the fragment. The census groups by
+    * canonical form — the dedup value is visible as n_docs > 1
+    * wherever variants collapsed.
+    *
+    * The engine canonicalizes through `parse_url` (Java's URI
+    * machinery); the oracle re-derives every part with pure regex —
+    * independent decodings of the URL grammar, the q46 pattern. Per
+    * -row projection + one hash aggregate; output bounded by the
+    * synthesis's modular structure, not the corpus.
+    */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame =
+    Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), expr(UrlSynthesisSql).as("url"))
+      .withColumn("scheme", lower(expr("parse_url(url, 'PROTOCOL')")))
+      .withColumn("host0", expr("parse_url(url, 'HOST')"))
+      .withColumn("host", lower(col("host0")))
+      .withColumn("port", expr(
+        "regexp_extract(parse_url(url, 'AUTHORITY'), ':([0-9]+)$', 1)"))
+      .withColumn("keep_port",
+        !(col("scheme") === "https" && col("port") === "443") &&
+        !(col("scheme") === "http" && col("port") === "80") &&
+        col("port") =!= "")
+      .withColumn("path",
+        expr("regexp_replace(parse_url(url, 'PATH'), '/$', '')"))
+      .withColumn("q", expr(
+        "array_join(filter(split(parse_url(url, 'QUERY'), '&'), " +
+          "p -> NOT startswith(p, 'utm_')), '&')"))
+      .withColumn("canonical", concat(
+        col("scheme"), lit("://"), col("host"),
+        when(col("keep_port"), concat(lit(":"), col("port")))
+          .otherwise(lit("")),
+        col("path"),
+        when(col("q") =!= "", concat(lit("?"), col("q")))
+          .otherwise(lit(""))))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("canonical"))
+
   /** Vocabulary construction: the k most frequent whitespace tokens
     * per language, with counts — the frequency pass a tokenizer fit
     * runs over the corpus. The token explode feeds a map-side-

@@ -156,12 +156,21 @@ class Breadth14Spec extends AnyFunSuite {
     assert(math.abs(out.getDouble(4) - sxy * sxy / (sxx * syy)) < 1e-5, "r2")
   }
 
-  test("native session windows agree row-for-row with the typed " +
-    "sessionizer") {
-    val a = Events.nativeSessions(spark, sf).collect().map(_.toSeq)
-    val b = Temporal.sessionsTyped(spark, sf).collect().map(_.toSeq)
-    assert(a.length === b.length)
-    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  test("adaptive sessions: error events genuinely stretch sessions — " +
+    "fewer or equal sessions than the static 30-minute split, with a " +
+    "real difference") {
+    val adaptive = Events.adaptiveSessions(spark, sf).collect()
+    val static30 = Events.sessions(spark, sf).collect()
+    // Widening one type's gap can only MERGE static sessions, never
+    // split one: session count is monotone non-increasing.
+    assert(adaptive.length <= static30.length)
+    assert(adaptive.nonEmpty)
+    // Discrimination: the fixture has error events, so at least one
+    // merge must actually happen or the dynamic gap did nothing.
+    assert(adaptive.length < static30.length,
+      "dynamic gap produced identical sessions — fixture exercises nothing")
+    // Event conservation across the re-split.
+    assert(adaptive.map(_.getLong(3)).sum === static30.map(_.getLong(3)).sum)
   }
 
   test("fertility: quartiles are actual elements in order, ratios are " +
@@ -298,6 +307,68 @@ class Breadth14Spec extends AnyFunSuite {
     // candidate set (trivially true) and approx values are finite,
     // non-negative distances.
     out.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
+  test("seasonal baseline: residuals reconcile with slot means and " +
+    "the report is the true top-20") {
+    val ev = graft.sources.Corpus.events(spark, sf)
+      .selectExpr("event_id", "event_type",
+        "cast(dayofweek(ts) as long) as dow", "cast(hour(ts) as long) as hr",
+        "cast(round(value * 100) as long) as x").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val slots = ev.groupBy(e => (e._2, e._3, e._4))
+      .map { case (k, es) => k -> (es.map(_._5).sum / es.length) }
+    val resid = ev.map(e => (e._1, e._5 - slots((e._2, e._3, e._4))))
+    val top = resid.sortBy(r => (-math.abs(r._2), r._1)).take(20)
+    val out = Events.seasonalBaseline(spark, sf).collect()
+    assert(out.length === 20)
+    out.zip(top).foreach { case (r, (id, d)) =>
+      assert(r.getLong(1) === id && r.getLong(7) === d)
+    }
+  }
+
+  test("url canon: docs conserved, variants genuinely collapse, no " +
+    "tracking params / default ports / case survive") {
+    val nDocs = graft.sources.Corpus.read(spark, sf, "documents").count()
+    val out = TextAnalysis.urlCanon(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum === nDocs)
+    assert(out.exists(_.getLong(1) > 1L),
+      "no variant collapsed — canonicalization did nothing")
+    out.foreach { r =>
+      val c = r.getString(0)
+      assert(!c.contains("utm_"), s"tracking param survived: $c")
+      assert(!c.contains(":443") && !c.contains("#"), s"bad canonical: $c")
+      // Scheme+authority must be lowercase; PATH case is semantic
+      // (URLs are case-sensitive after the authority) and preserved.
+      val authEnd = c.indexOf('/', c.indexOf("://") + 3) match {
+        case -1 => c.length; case i => i
+      }
+      val prefix = c.substring(0, authEnd)
+      assert(prefix === prefix.toLowerCase, s"scheme/host case survived: $c")
+      assert(!c.stripSuffix("?").endsWith("/"), s"trailing slash: $c")
+    }
+    // The explicit non-default port must SURVIVE canonicalization.
+    assert(out.exists(_.getString(0).contains(":8080")),
+      "non-default port wrongly stripped")
+  }
+
+  test("interval join: bucket blocking is lossless vs a direct " +
+    "quadratic replay") {
+    val sess = Events.sessions(spark, sf)
+      .selectExpr("user_id", "unix_micros(cast(session_start as timestamp)) as s",
+        "unix_micros(cast(session_end as timestamp)) as e").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      a <- sess; b <- sess
+      if a._1 < b._1 && a._2 < b._3 && b._2 < a._3
+    } yield ((a._1, b._1), math.min(a._3, b._3) - math.max(a._2, b._2)))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._2).sum) }
+    val out = Temporal.sessionOverlapPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out === expected)
   }
 
   test("trimmed stats: band endpoints bound both means and trimming " +
