@@ -536,13 +536,22 @@ object Temporal {
         col("s_us").as(s"s_$tag"), col("e_us").as(s"e_$tag"),
         explode(expr(s"sequence(s_us div $hourUs, e_us div $hourUs)"))
           .as("bucket"))
+    // A pair meeting in several shared buckets must count once. A
+    // dropDuplicates over the candidate stream is a second corpus-
+    // sized shuffle at exactly the densest moment; instead each pair
+    // is EMITTED only from the first bucket of its overlap
+    // (bucket == greatest(s_a, s_b) div hour — a property both sides
+    // of every duplicate agree on), so the dedup is a free per-row
+    // predicate and the candidate stream goes straight into the
+    // aggregate.
     val cands = buckets(sessions, "a").join(buckets(sessions, "b"), "bucket")
       .filter(col("u_a") < col("u_b"))
       .filter(col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      .filter(col("bucket") ===
+        expr(s"greatest(s_a, s_b) div $hourUs"))
       .select(col("u_a"), col("sid_a"), col("u_b"), col("sid_b"),
         (least(col("e_a"), col("e_b")) -
           greatest(col("s_a"), col("s_b"))).as("overlap_us"))
-      .distinct()
     cands.groupBy(col("u_a"), col("u_b"))
       .agg(count(lit(1)).as("n_overlaps"),
         sum(col("overlap_us")).as("sum_overlap_us"))
