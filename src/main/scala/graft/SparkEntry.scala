@@ -312,7 +312,9 @@ object SparkEntry {
     "q215_seasonal_baseline" -> ((s: SparkSession, d: String) =>
       Events.seasonalBaseline(s, d)),
     "q216_url_canon" -> (TextAnalysis.urlCanon _),
-    "q217_interval_join" -> (Temporal.sessionOverlapPairs _)
+    "q217_interval_join" -> (Temporal.sessionOverlapPairs _),
+    "q218_schema_evolution" -> ((s: SparkSession, d: String) =>
+      graft.sources.Layout.schemaEvolutionRead(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5293,7 +5295,22 @@ object SparkEntry {
         |    AND a.s_us < b.e_us AND b.s_us < a.e_us)
         |SELECT u_a, u_b, count(*) AS n_overlaps,
         |  CAST(sum(overlap_us) AS BIGINT) AS sum_overlap_us
-        |FROM pr GROUP BY u_a, u_b ORDER BY u_a, u_b""".stripMargin
+        |FROM pr GROUP BY u_a, u_b ORDER BY u_a, u_b""".stripMargin,
+
+    // q218: the merged table re-derived from the ORIGINAL parquet —
+    // even keys lose their priority (the old-schema files), odd keys
+    // keep it; any row the mergeSchema scan drops or mistypes moves
+    // a checksum.
+    "q218_schema_evolution" ->
+      """WITH m AS (SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio0
+        |  FROM orders)
+        |SELECT coalesce(prio0, 'PRE_SCHEMA') AS prio,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM m GROUP BY prio ORDER BY prio""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -122,4 +122,37 @@ object Layout {
           .as("acctbal_cents"))
       .orderBy(col("r_name"))
   }
+
+  private lazy val evolutionDir: String = jvmScratchDir("graft_q218_")
+
+  /** Schema-evolution read (q218) — the lakehouse reality a 100 TB
+    * table accumulates: files written before a column existed sit
+    * next to files written after. Orders are re-written as two
+    * batches — the even keys WITHOUT `o_orderpriority` (the
+    * "old-schema" files), the odd keys with it — and read back as one
+    * table under `mergeSchema`; the old-schema rows must surface the
+    * evolved column as NULL, not fail the scan or silently drop rows.
+    * The aggregate groups by the evolved column (NULL group = the
+    * old files) and checksums both populations; the oracle re-derives
+    * the merged table arithmetically from the original parquet.
+    */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = evolutionDir
+    val orders = Corpus.read(spark, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/orders_evo/batch=old")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$tmp/orders_evo/batch=new")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/orders_evo")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .select(coalesce(col("o_orderpriority"), lit("PRE_SCHEMA"))
+        .as("prio"), col("n_orders"), col("price_cents"), col("key_sum"))
+      .orderBy(col("prio"))
+  }
 }

@@ -169,6 +169,32 @@ object EventStreams {
       .select(col("user_id"), col("l_id"), col("r_id"))
   }
 
+  /** Stream-stream LEFT OUTER join — the semantics [[joinedNearbyEvents]]
+    * (inner) cannot express: every left event is emitted exactly
+    * once, matched rows as they join, UNMATCHED rows with nulls only
+    * after the right watermark passes the join range (proving no
+    * match can still arrive — the late-binding null that makes outer
+    * stream joins subtle). Same time-bounded condition, so both
+    * sides' state stays watermark-evicted. The standard deployment
+    * shape behind "did a view get a purchase within 10 minutes"
+    * conversion streams where the NON-conversions are the signal.
+    */
+  def leftJoinedNearbyEvents(events: DataFrame): DataFrame = {
+    val l = events.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      .withWatermark("l_ts", "2 hours")
+    val r = events.filter(col("event_id") % 2 === 1)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", "2 hours")
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 10 minutes"),
+        "left_outer")
+      .select(col("user_id"), col("l_id"), col("r_id"))
+  }
+
   /** Session windows (30-minute gap) per user under a watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

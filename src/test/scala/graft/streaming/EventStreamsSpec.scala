@@ -236,6 +236,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: matches agree with batch, " +
+    "null rows only for genuinely unmatched left events") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.leftJoinedNearbyEvents(stream), "ssleft_mem",
+      OutputMode.Append())
+    try {
+      val streamed = spark.table("ssleft_mem").collect()
+      val ev = Corpus.read(spark, TestSpark.sf, "events")
+      val l = ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      val r = ev.filter(col("event_id") % 2 === 1)
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+          col("event_id").as("r_id"))
+      val batchPairs = l.join(r,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr("INTERVAL 10 minutes"))
+        .select(col("l_id"), col("r_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val matchedLeft = batchPairs.map(_._1)
+      val matched = streamed.filter(!_.isNullAt(2))
+        .map(x => (x.getLong(1), x.getLong(2))).toSet
+      val nullRows = streamed.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+      assert(matched.nonEmpty && matched.subsetOf(batchPairs),
+        s"outer join emitted pairs absent from batch: ${matched.diff(batchPairs).take(3)}")
+      // A null row asserts "no match can ever arrive" — it must never
+      // name a left event the batch join DOES match.
+      assert(nullRows.intersect(matchedLeft).isEmpty,
+        s"null emitted for matched left ids: ${nullRows.intersect(matchedLeft).take(3)}")
+      assert(nullRows.nonEmpty,
+        "watermark never finalized any unmatched left event")
+      // Exactly-once per emitted left id on the null side.
+      val dupNulls = streamed.filter(_.isNullAt(2)).map(_.getLong(1))
+        .groupBy(identity).filter(_._2.length > 1)
+      assert(dupNulls.isEmpty, s"duplicate null rows: ${dupNulls.keys.take(3)}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with the batch sessions") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     val q = EventStreams.runToMemory(
