@@ -314,7 +314,11 @@ object SparkEntry {
     "q216_url_canon" -> (TextAnalysis.urlCanon _),
     "q217_interval_join" -> (Temporal.sessionOverlapPairs _),
     "q218_schema_evolution" -> ((s: SparkSession, d: String) =>
-      graft.sources.Layout.schemaEvolutionRead(s, d))
+      graft.sources.Layout.schemaEvolutionRead(s, d)),
+    "q219_scd2" -> (Temporal.scd2Intervals _),
+    "q220_period_report" -> (Events.periodOverPeriod _),
+    "q221_corrupt_json" -> ((s: SparkSession, d: String) =>
+      graft.sources.Layout.corruptJsonIngest(s, d))
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5310,7 +5314,70 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS price_cents,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-        |FROM m GROUP BY prio ORDER BY prio""".stripMargin
+        |FROM m GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // q219: the same change-point islands from first principles.
+    "q219_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |    AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS run FROM m),
+        |g AS (SELECT user_id, run, min(us) AS valid_from,
+        |    min(event_type) AS state, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run),
+        |f AS (SELECT user_id, run AS version, state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+        |      AS valid_to, n_events FROM g)
+        |SELECT user_id, version, state, valid_from, valid_to, n_events,
+        |  CAST(valid_to IS NULL AS BIGINT) AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin,
+
+    // q220: dense calendar spine via generate_series; negative-delta
+    // permille stated sign × (|delta|×1000 // prior) on both sides
+    // because Spark div truncates and DuckDB // floors.
+    "q220_period_report" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev,
+        |    count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY day),
+        |sp AS (SELECT CAST(unnest(generate_series(
+        |    (SELECT min(day) FROM d), (SELECT max(day) FROM d),
+        |    INTERVAL 1 DAY)) AS DATE) AS day),
+        |j AS (SELECT sp.day, coalesce(d.rev, 0) AS rev,
+        |    coalesce(d.n_purchases, 0) AS n_purchases
+        |  FROM sp LEFT JOIN d USING (day)),
+        |l AS (SELECT *, lag(rev, 1) OVER (ORDER BY day) AS prev1,
+        |    lag(rev, 7) OVER (ORDER BY day) AS prev7 FROM j)
+        |SELECT day, rev, n_purchases,
+        |  rev - prev1 AS rev_dod, rev - prev7 AS rev_wow,
+        |  CASE WHEN prev1 > 0 THEN
+        |    (CASE WHEN rev - prev1 < 0 THEN -1 ELSE 1 END)
+        |      * (abs(rev - prev1) * 1000 // prev1) END AS dod_permille,
+        |  CASE WHEN prev7 > 0 THEN
+        |    (CASE WHEN rev - prev7 < 0 THEN -1 ELSE 1 END)
+        |      * (abs(rev - prev7) * 1000 // prev7) END AS wow_permille
+        |FROM l ORDER BY day""".stripMargin,
+
+    // q221: both populations re-derived arithmetically — the corrupt
+    // set is event_id % 17 = 0 by construction.
+    "q221_corrupt_json" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN event_id % 17 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN event_id % 17 <> 0 THEN event_id END)
+        |    AS BIGINT) AS good_id_sum,
+        |  CAST(sum(CASE WHEN event_id % 17 <> 0 THEN cents END)
+        |    AS BIGINT) AS good_cents
+        |FROM e""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

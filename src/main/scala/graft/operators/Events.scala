@@ -1234,6 +1234,48 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Period-over-period revenue report (q220) — the daily business
+    * report every warehouse renders: revenue per calendar day with
+    * day-over-day and week-over-week deltas and permille changes.
+    * The day spine is DENSE (sequence over the observed min..max
+    * date — the q124 spine composed in), so a silent day reports 0
+    * and the lag really means "yesterday", not "previous row with
+    * data". All integer cents; pct change = delta×1000 div prior,
+    * NULL when the prior period is zero (permille of nothing is not
+    * 0). One aggregate to days, windows over the days-sized spine.
+    */
+  def periodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Corpus.read(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(cents).as("rev"), count(lit(1)).as("n_purchases"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.orderBy(col("day"))
+    // Deltas can be negative and Spark's `div` truncates toward zero
+    // while DuckDB's `//` floors — the permille is stated as
+    // sign × (|delta|×1000 div prior), where both engines agree.
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("rev"), lit(0L)).as("rev"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .withColumn("prev1", lag(col("rev"), 1).over(w))
+      .withColumn("prev7", lag(col("rev"), 7).over(w))
+      .withColumn("rev_dod", col("rev") - col("prev1"))
+      .withColumn("rev_wow", col("rev") - col("prev7"))
+      .withColumn("dod_permille",
+        when(col("prev1") > 0,
+          (when(col("rev_dod") < 0, -1L).otherwise(1L) *
+            expr("abs(rev_dod) * 1000 div prev1"))))
+      .withColumn("wow_permille",
+        when(col("prev7") > 0,
+          (when(col("rev_wow") < 0, -1L).otherwise(1L) *
+            expr("abs(rev_wow) * 1000 div prev7"))))
+      .select(col("day"), col("rev"), col("n_purchases"), col("rev_dod"),
+        col("rev_wow"), col("dod_permille"), col("wow_permille"))
+      .orderBy(col("day"))
+  }
+
   /** Seasonality-adjusted anomaly report (q215) — q85's rolling
     * z-score flags deviation from a user's own recent history; this
     * flags deviation from the SEASONAL norm (a Tuesday-9am purchase

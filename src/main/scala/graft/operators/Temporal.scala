@@ -498,6 +498,47 @@ object Temporal {
       .orderBy(col("touch_type"))
   }
 
+  /** SCD2 intervalization (q219) — turn an event log into the
+    * slowly-changing-dimension type-2 table a warehouse keys history
+    * against: per user, consecutive events carrying the SAME
+    * event_type collapse into one validity interval
+    * [first ts, next change's ts), the last interval per user open
+    * (end NULL, is_current = 1). Change-point islands — lag to mark
+    * changes, running sum to number runs, one aggregate — the
+    * gap-island machinery with a VALUE predicate instead of a time
+    * gap (q18/q35's complement). Exact integer micros; one shuffle
+    * on user_id shared by the window and the aggregate.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val us = Exact.micros
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val runs = Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        us.as("us"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("run"))
+      .agg(min(col("us")).as("valid_from"),
+        max(col("us")).as("last_seen"),
+        // every row in a run shares event_type by construction; min()
+        // keeps the pick order-free.
+        min(col("event_type")).as("state"),
+        count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .select(col("user_id"), col("run").as("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Interval-overlap JOIN via bucket blocking (q217) — the
     * interval×interval generalization of q40's point-in-range join:
     * which users' sessions overlapped in time (concurrency analysis,

@@ -123,6 +123,47 @@ object Layout {
       .orderBy(col("r_name"))
   }
 
+  private lazy val corruptDir: String = jvmScratchDir("graft_q221_")
+
+  /** Corrupt-record-tolerant JSON ingestion (q221) — the ingest
+    * contract a 100 TB pipeline cannot live without: a malformed line
+    * must not fail the job (FAILFAST), must not silently vanish
+    * (DROPMALFORMED), but must surface as a quarantined row
+    * (PERMISSIVE + `_corrupt_record`) so loss is measurable. The
+    * fixture corrupts a deterministic subset (event_id % 17 = 0 —
+    * each such line truncated to half) of a JSON-lines re-write of
+    * events; the report checksums BOTH populations (good rows by id
+    * sum + cents, corrupt rows by count), and the oracle re-derives
+    * them arithmetically from the original parquet. Integer-only
+    * JSON fields keep the float round-trip out of the gate.
+    */
+  def corruptJsonIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = corruptDir
+    Corpus.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("line", to_json(struct(col("event_id"), col("user_id"),
+        col("cents"))))
+      .withColumn("line", when(col("event_id") % 17 === 0,
+        expr("substring(line, 1, length(line) div 2)"))
+        .otherwise(col("line")))
+      .select(col("line"))
+      .write.mode("overwrite").text(s"$tmp/events_jsonl")
+    spark.read
+      .schema("event_id LONG, user_id LONG, cents LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$tmp/events_jsonl")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("_corrupt_record").isNull.cast("long")).as("n_good"),
+        sum(col("_corrupt_record").isNotNull.cast("long")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("event_id")))
+          .as("good_id_sum"),
+        sum(when(col("_corrupt_record").isNull, col("cents")))
+          .as("good_cents"))
+  }
+
   private lazy val evolutionDir: String = jvmScratchDir("graft_q218_")
 
   /** Schema-evolution read (q218) — the lakehouse reality a 100 TB

@@ -371,6 +371,111 @@ class Breadth14Spec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("scd2: contiguous versions, single current row per user, " +
+    "intervals chain exactly, events conserved") {
+    val out = Temporal.scd2Intervals(spark, sf).collect()
+    val total = graft.sources.Corpus.read(spark, sf, "events").count()
+    assert(out.map(_.getLong(5)).sum === total)
+    out.groupBy(_.getLong(0)).foreach { case (u, rows) =>
+      val byV = rows.sortBy(_.getLong(1))
+      assert(byV.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq,
+        s"user $u versions not contiguous")
+      assert(rows.count(_.getLong(6) == 1L) === 1,
+        s"user $u: expected exactly one current row")
+      assert(byV.last.getLong(6) === 1L)
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) === b.getLong(3),
+            s"user $u: valid_to does not chain to next valid_from")
+          assert(a.getString(2) !== b.getString(2),
+            s"user $u: adjacent versions share a state — not a change point")
+        case _ =>
+      }
+    }
+  }
+
+  test("period report: dense spine, totals conserved, deltas are " +
+    "true differences") {
+    val out = Events.periodOverPeriod(spark, sf).collect()
+    val days = out.map(r => r.getDate(0).toLocalDate)
+    assert(days.length === (days.head.until(days.last).getDays + 1),
+      "calendar spine has gaps")
+    val totalRev = graft.sources.Corpus.read(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("cast(sum(cast(round(value * 100) as bigint)) as long)")
+      .head().getLong(0)
+    assert(out.map(_.getLong(1)).sum === totalRev)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) === b.getLong(1) - a.getLong(1), "dod delta")
+      case _ =>
+    }
+  }
+
+  test("corrupt json: quarantine counts match the constructed " +
+    "corruption exactly") {
+    val ids = graft.sources.Corpus.read(spark, sf, "events")
+      .select("event_id").collect().map(_.getLong(0))
+    val r = graft.sources.Layout.corruptJsonIngest(spark, sf).collect().head
+    assert(r.getLong(0) === ids.length.toLong)
+    assert(r.getLong(2) === ids.count(_ % 17 == 0).toLong)
+    assert(r.getLong(1) === ids.count(_ % 17 != 0).toLong)
+    assert(r.getLong(3) === ids.filter(_ % 17 != 0).sum)
+  }
+
+  test("runtime bloom-filter join: plan injects the filter and " +
+    "results are invariant") {
+    val conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val threshold =
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    def q = {
+      val li = graft.sources.Corpus.read(spark, sf, "lineitem")
+      val o = graft.sources.Corpus.read(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") ===
+          "1-URGENT")
+      // Disable broadcast so the shuffle-join side actually benefits
+      // from (and triggers) the runtime row-level filter.
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "cast(round(l_extendedprice * 100) as bigint)")).as("cents"))
+    }
+    val before = spark.conf.getOption(conf)
+    val bcBefore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // The rule only injects for (probable) shuffle joins — a
+      // broadcastable creation side is served by broadcast instead.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(conf, "false")
+      val off = q.collect().map(_.toSeq).toSet
+      spark.conf.set(conf, "true")
+      spark.conf.set(threshold, "1GB")
+      // The filter injects only when the application side out-sizes
+      // this (default 10GB — never true on a fixture corpus).
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB")
+      val on = q.collect().map(_.toSeq).toSet
+      assert(on === off, "runtime bloom filter changed results")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        "bloom runtime filter not injected under forced thresholds")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+      spark.conf.unset(threshold)
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      bcBefore match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("trimmed stats: band endpoints bound both means and trimming " +
     "only ever drops rows") {
     val out = Events.trimmedStats(spark, sf).collect()
