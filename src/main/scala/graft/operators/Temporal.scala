@@ -571,6 +571,11 @@ object Temporal {
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("us")).as("s_us"),
         (max(col("us")) + gapUs).as("e_us"))
+      // Both sides of the self-join consume this relation; without a
+      // persist each side re-runs the corpus window+aggregate (the
+      // q209 argument — sessions are user×activity-sized, the raw
+      // events corpus-sized).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hourUs = 3600L * 1000000L
     def buckets(df: DataFrame, tag: String): DataFrame =
       df.select(col("user_id").as(s"u_$tag"), col("sid").as(s"sid_$tag"),
