@@ -318,7 +318,12 @@ object SparkEntry {
     "q219_scd2" -> (Temporal.scd2Intervals _),
     "q220_period_report" -> (Events.periodOverPeriod _),
     "q221_corrupt_json" -> ((s: SparkSession, d: String) =>
-      graft.sources.Layout.corruptJsonIngest(s, d))
+      graft.sources.Layout.corruptJsonIngest(s, d)),
+    "q222_hypothetical_rank" -> (Relational.hypotheticalRank _),
+    "q223_calendar_edges" -> (Relational.calendarEdges _),
+    "q225_bucketed_batching" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bucketedBatching(s, d)),
+    "q226_lsh_recall" -> (Dedup.lshRecallCurve _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5377,7 +5382,105 @@ object SparkEntry {
         |    AS BIGINT) AS good_id_sum,
         |  CAST(sum(CASE WHEN event_id % 17 <> 0 THEN cents END)
         |    AS BIGINT) AS good_cents
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // q222: the INSERTION semantics — the hypothetical row is really
+    // unioned into each group and the genuine window functions are
+    // read off it; meets the engine's counting identities only if
+    // those identities ARE the semantics.
+    "q222_hypothetical_rank" ->
+      s"""WITH b AS (SELECT o_orderstatus,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    0 AS is_h FROM orders),
+         |h AS (SELECT DISTINCT o_orderstatus,
+         |    CAST(${Relational.HypoCents} AS BIGINT) AS cents, 1 AS is_h
+         |  FROM orders),
+         |u AS (SELECT * FROM b UNION ALL SELECT * FROM h),
+         |w AS (SELECT o_orderstatus, is_h,
+         |    CAST(rank() OVER win AS BIGINT) AS rk,
+         |    CAST(dense_rank() OVER win AS BIGINT) AS drk,
+         |    round(percent_rank() OVER win, 6) AS prk,
+         |    round(cume_dist() OVER win, 6) AS cd
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY o_orderstatus ORDER BY cents)),
+         |n AS (SELECT o_orderstatus, count(*) AS n FROM b
+         |  GROUP BY o_orderstatus)
+         |SELECT w.o_orderstatus, n.n, w.rk AS hypo_rank,
+         |  w.drk AS hypo_dense_rank, w.prk AS hypo_percent_rank,
+         |  w.cd AS hypo_cume_dist
+         |FROM w JOIN n ON w.o_orderstatus = n.o_orderstatus
+         |WHERE w.is_h = 1 ORDER BY w.o_orderstatus""".stripMargin,
+
+    // q223: last-of-month from first principles (trunc + 1 month −
+    // 1 day — PG's spelling; it has no last_day), the clamp cases
+    // live via the leap-year span.
+    "q223_calendar_edges" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+        |    AS plus_1m,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 13 MONTH AS DATE)
+        |    AS minus_13m,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 YEAR AS DATE)
+        |    AS plus_1y,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+        |    + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE) AS month_last,
+        |  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+        |    AS qtr_start,
+        |  CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+        |    AS week_start,
+        |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // q225: both packing costs replayed in exact integers over the
+    // same deterministic doc_id batch order.
+    "q225_bucketed_batching" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT *, (row_number() OVER (ORDER BY doc_id) - 1) // 32
+        |    AS batch FROM d),
+        |nb AS (SELECT batch, count(*) AS bn, max(n_tok) AS bmax,
+        |    CAST(sum(n_tok) AS BIGINT) AS bsum FROM r GROUP BY batch),
+        |nv AS (SELECT CAST(sum(bn * bmax - bsum) AS BIGINT)
+        |    AS naive_waste FROM nb),
+        |bk AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |    CAST(sum(((n_tok + 63) // 64) * 64 - n_tok) AS BIGINT)
+        |      AS bucketed_waste,
+        |    CAST(count(DISTINCT ((n_tok + 63) // 64) * 64) AS BIGINT)
+        |      AS n_buckets FROM d)
+        |SELECT n_docs, total_tokens, n_buckets, naive_waste,
+        |  bucketed_waste,
+        |  greatest(naive_waste - bucketed_waste, 0) * 1000 // naive_waste
+        |    AS saving_permille
+        |FROM bk CROSS JOIN nv""".stripMargin,
+
+    // q226: truth = every shingle-sharing pair's exact Jaccard (no
+    // banding), candidates = the shared q28 relation; recall counted
+    // per threshold on both sides' round-6 values.
+    "q226_lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |commonT AS (SELECT x.doc_id AS ta, y.doc_id AS tb, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+         |    AND x.lang = y.lang AND x.doc_id < y.doc_id
+         |  GROUP BY ta, tb),
+         |jt AS (SELECT round(CAST(c AS DOUBLE) /
+         |    (sa.n_sh + sb.n_sh - c), 6) AS jt
+         |  FROM commonT JOIN sizes sa ON sa.doc_id = ta
+         |  JOIN sizes sb ON sb.doc_id = tb),
+         |thr AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.7, 0.9]) AS t),
+         |tr AS (SELECT t, count(*) AS n_true FROM thr
+         |  JOIN jt ON jt.jt >= thr.t GROUP BY t),
+         |ca AS (SELECT t, count(*) AS n_lsh FROM thr
+         |  JOIN j ON j.jaccard >= thr.t GROUP BY t)
+         |SELECT CAST(round(t * 100) AS BIGINT) AS threshold_pct,
+         |  CAST(coalesce(tr.n_true, 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(ca.n_lsh, 0) AS BIGINT) AS n_lsh,
+         |  CASE WHEN coalesce(tr.n_true, 0) > 0
+         |    THEN coalesce(ca.n_lsh, 0) * 1000 // tr.n_true END
+         |    AS recall_permille
+         |FROM thr LEFT JOIN tr USING (t) LEFT JOIN ca USING (t)
+         |ORDER BY threshold_pct""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

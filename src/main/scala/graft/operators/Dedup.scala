@@ -909,4 +909,56 @@ object Dedup {
         col("n_a"), col("n_b"), col("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** LSH recall curve (q226) — q193 measures per-band PRECISION;
+    * this measures the other tuning axis: at each similarity
+    * threshold, what fraction of the TRUE near-dup pairs does the
+    * banded candidate generator recover. Ground truth is every
+    * shingle-sharing same-language pair with its exact Jaccard (any
+    * pair with J > 0 shares a shingle, so the truth join is
+    * inverted-index-bounded, never corpus² — though at production
+    * scale this audit runs on a SAMPLE, which is exactly how recall
+    * is monitored in practice); the candidate side is the full q28
+    * relation. Thresholds broadcast (5 rows); recall in exact
+    * permille. Both sides' Jaccards round at 1e-6 before the
+    * threshold compare, and the threshold literals are the same
+    * doubles in both engines, so the band edges cannot disagree.
+    */
+  def lshRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val lsh = candidatePairJaccard(spark, dir)
+    val sh = docs.select(col("doc_id"), col("lang"),
+        explode(graft.functions.MinHashFunctions.sorted_shingles(
+          TextAnalysis.tokens(col("text")))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("doc_id").as("a"), col("lang"),
+        col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+          col("shingle").as("shingle_b")),
+        col("shingle") === col("shingle_b") &&
+          col("lang") === col("lang_b") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val truth = common
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")),
+        Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")),
+        Seq("b"))
+      .select(round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 6).as("jt"))
+    val thr = spark.range(1).select(explode(array(
+      Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9).map(lit): _*)).as("t"))
+    val nTrue = truth.crossJoin(broadcast(thr))
+      .filter(col("jt") >= col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_true"))
+    val nLsh = lsh.crossJoin(broadcast(thr))
+      .filter(col("jaccard") >= col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_lsh"))
+    thr.join(nTrue, Seq("t"), "left").join(nLsh, Seq("t"), "left")
+      .select(round(col("t") * 100).cast("long").as("threshold_pct"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"))
+      .withColumn("recall_permille",
+        when(col("n_true") > 0, expr("n_lsh * 1000 div n_true")))
+      .orderBy(col("threshold_pct"))
+  }
 }

@@ -1521,6 +1521,69 @@ object Relational {
           .as("sum_revenue"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** q222's hypothetical value in integer cents — named because the
+    * oracle SQL interpolates the same constant.
+    */
+  val HypoCents = 15000000L
+
+  /** Hypothetical-set aggregates (q222) — PG's
+    * `rank(h) WITHIN GROUP (ORDER BY x)` family (rank, dense_rank,
+    * percent_rank, cume_dist): "where WOULD this value land". Spark
+    * has no hypothetical aggregates, so the engine states the
+    * DEFINITIONS as exact counting aggregates — rank = 1 + #(x < h),
+    * dense_rank = 1 + #distinct(x < h), percent_rank = (rank−1)/n,
+    * cume_dist = (#(x ≤ h)+1)/(n+1) — one map-side-combinable pass.
+    * The oracle takes the SEMANTIC route instead: it UNIONs the
+    * hypothetical row into each group and reads the real window
+    * functions off the inserted row — the two constructions meet
+    * only if the counting identities really are the insertion
+    * semantics. Comparisons run on integer cents; the two ratios are
+    * each one IEEE division of exact integers, rounded.
+    */
+  def hypotheticalRank(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < HypoCents, 1L).otherwise(0L)).as("n_lt"),
+        countDistinct(when(col("cents") < HypoCents, col("cents")))
+          .as("nd_lt"),
+        sum(when(col("cents") <= HypoCents, 1L).otherwise(0L)).as("n_le"))
+      .select(col("o_orderstatus"), col("n"),
+        (col("n_lt") + 1L).as("hypo_rank"),
+        (col("nd_lt") + 1L).as("hypo_dense_rank"),
+        round(col("n_lt").cast("double") / col("n"), 6)
+          .as("hypo_percent_rank"),
+        round((col("n_le") + 1L).cast("double") / (col("n") + 1L), 6)
+          .as("hypo_cume_dist"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Calendar-edge date arithmetic battery (q223) — the month-end /
+    * leap-year semantics every report hits in its first quarter:
+    * add-months CLAMPS to the target month's last day (Jan 31 + 1 mo
+    * = Feb 28/29 — Spark, PG and DuckDB agree on the clamp),
+    * last-of-month, quarter and ISO-week truncation, day-of-year.
+    * The engine uses Spark's calendar functions; the oracle
+    * re-derives last-of-month from first principles
+    * (`date_trunc('month') + 1 month − 1 day` — PG's classic
+    * spelling, since PG itself has no last_day) — independent
+    * constructions on the clamp-sensitive column. The orders span
+    * covers leap years (1992/1996), so Feb-29 cases are live.
+    */
+  def calendarEdges(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .select(col("o_orderkey"), col("d"),
+        add_months(col("d"), 1).as("plus_1m"),
+        add_months(col("d"), -13).as("minus_13m"),
+        expr("d + interval 1 year").cast("date").as("plus_1y"),
+        last_day(col("d")).as("month_last"),
+        date_trunc("quarter", col("d")).cast("date").as("qtr_start"),
+        date_trunc("week", col("d")).cast("date").as("week_start"),
+        dayofyear(col("d")).cast("long").as("doy"))
+      .orderBy(col("o_orderkey"))
+
   /** DISTINCT-modified ordered aggregation (q205) — PG's
     * `string_agg(DISTINCT x, ',' ORDER BY x)` /
     * `array_agg(DISTINCT x ORDER BY x)`: Spark's collect_set has no

@@ -471,6 +471,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy(col("canonical"))
 
+  /** Length-bucketed batching report (q225) — the inference-serving
+    * counterpart to q202's training-shard waste: naive batching pads
+    * every sequence in a batch to the batch MAX, so one long doc
+    * taxes 31 short ones; bucketing by padded length (here: round up
+    * to a multiple of 64) groups like-sized docs so padding is
+    * bounded by the bucket granularity. Both costs are computed
+    * exactly — naive = Σ_batch (batch_max × n − Σ tok) over
+    * doc_id-ordered batches of 32, bucketed = Σ_doc (bucket − tok) —
+    * and the saving reported in permille. All integer arithmetic;
+    * the naive batch assignment is the deterministic doc_id order.
+    */
+  def bucketedBatching(spark: SparkSession, dir: String,
+      batchSize: Int = 32, granule: Long = 64): DataFrame = {
+    val d = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val naive = d
+      .withColumn("batch", ((row_number().over(w) - 1) / batchSize)
+        .cast("long"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("bn"), max(col("n_tok")).as("bmax"),
+        sum(col("n_tok")).as("bsum"))
+      .agg(sum(col("bn") * col("bmax") - col("bsum")).as("naive_waste"))
+    val bucketed = d
+      .withColumn("bucket", expr(s"((n_tok + $granule - 1) div $granule) " +
+        s"* $granule"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        sum(col("bucket") - col("n_tok")).as("bucketed_waste"),
+        countDistinct(col("bucket")).as("n_buckets"))
+    bucketed.crossJoin(broadcast(naive))
+      .withColumn("saving_permille", expr(
+        "greatest(naive_waste - bucketed_waste, 0L) * 1000 div naive_waste"))
+      .select(col("n_docs"), col("total_tokens"), col("n_buckets"),
+        col("naive_waste"), col("bucketed_waste"), col("saving_permille"))
+  }
+
   /** Vocabulary construction: the k most frequent whitespace tokens
     * per language, with counts — the frequency pass a tokenizer fit
     * runs over the corpus. The token explode feeds a map-side-

@@ -476,6 +476,80 @@ class Breadth14Spec extends AnyFunSuite {
     }
   }
 
+  test("hypothetical rank: the counting identities replay in-JVM") {
+    val orders = graft.sources.Corpus.read(spark, sf, "orders")
+      .selectExpr("o_orderstatus", "cast(round(o_totalprice * 100) as long)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h = Relational.HypoCents
+    val out = Relational.hypotheticalRank(spark, sf).collect()
+    out.foreach { r =>
+      val xs = orders.filter(_._1 == r.getString(0)).map(_._2)
+      val n = xs.length.toLong
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === xs.count(_ < h) + 1L)
+      assert(r.getLong(3) === xs.filter(_ < h).distinct.length + 1L)
+      assert(math.abs(r.getDouble(4) - xs.count(_ < h).toDouble / n) < 1e-6)
+      assert(math.abs(r.getDouble(5) -
+        (xs.count(_ <= h) + 1).toDouble / (n + 1)) < 1e-6)
+    }
+  }
+
+  test("calendar edges: clamp and truncation replay via java.time") {
+    import java.time.temporal.IsoFields
+    val out = Relational.calendarEdges(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getDate(1).toLocalDate
+      assert(r.getDate(2).toLocalDate === d.plusMonths(1), "plus_1m")
+      assert(r.getDate(3).toLocalDate === d.minusMonths(13), "minus_13m")
+      assert(r.getDate(4).toLocalDate === d.plusYears(1), "plus_1y")
+      assert(r.getDate(5).toLocalDate ===
+        d.withDayOfMonth(d.lengthOfMonth), "month_last")
+      assert(r.getDate(6).toLocalDate ===
+        d.withMonth((d.getMonthValue - 1) / 3 * 3 + 1).withDayOfMonth(1),
+        "qtr_start")
+      assert(r.getDate(7).toLocalDate ===
+        d.minusDays(d.getDayOfWeek.getValue - 1L), "week_start")
+      assert(r.getLong(8) === d.getDayOfYear.toLong)
+    }
+    // The span must include a month-end clamp case or the battery
+    // exercises nothing.
+    assert(out.exists { r =>
+      val d = r.getDate(1).toLocalDate
+      d.getDayOfMonth > d.plusMonths(1).lengthOfMonth.min(28)
+    } || out.exists(_.getDate(1).toLocalDate.getDayOfMonth === 31))
+  }
+
+  test("bucketed batching: both packing costs replay in-JVM and " +
+    "bucketing genuinely saves") {
+    val toks = graft.sources.Corpus.read(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "cast(size(regexp_extract_all(text, '\\\\S+', 0)) as long)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val naive = toks.map(_._2).grouped(32)
+      .map(b => b.max * b.length - b.sum).sum
+    val bucketed = toks.map { case (_, t) => (t + 63) / 64 * 64 - t }.sum
+    val r = TextAnalysis.bucketedBatching(spark, sf).collect().head
+    assert(r.getLong(0) === toks.length.toLong)
+    assert(r.getLong(3) === naive)
+    assert(r.getLong(4) === bucketed)
+    assert(bucketed < naive, "bucketing did not reduce padding")
+    assert(r.getLong(5) === (naive - bucketed) * 1000 / naive)
+  }
+
+  test("lsh recall curve: bounded by truth, monotone in threshold") {
+    val out = Dedup.lshRecallCurve(spark, sf).collect()
+    assert(out.length === 6)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "more candidates than truth")
+      if (!r.isNullAt(3)) assert(r.getLong(3) <= 1000L)
+    }
+    val byT = out.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(byT.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
+      "n_true not non-increasing in threshold")
+    assert(out.map(_.getLong(1)).max > 0, "fixture has no true pairs at all")
+  }
+
   test("trimmed stats: band endpoints bound both means and trimming " +
     "only ever drops rows") {
     val out = Events.trimmedStats(spark, sf).collect()
