@@ -323,7 +323,8 @@ object SparkEntry {
     "q223_calendar_edges" -> (Relational.calendarEdges _),
     "q225_bucketed_batching" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bucketedBatching(s, d)),
-    "q226_lsh_recall" -> (Dedup.lshRecallCurve _)
+    "q226_lsh_recall" -> (Dedup.lshRecallCurve _),
+    "q227_weighted_median" -> (TextAnalysis.weightedMedianLength _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5480,7 +5481,27 @@ object SparkEntry {
          |    THEN coalesce(ca.n_lsh, 0) * 1000 // tr.n_true END
          |    AS recall_permille
          |FROM thr LEFT JOIN tr USING (t) LEFT JOIN ca USING (t)
-         |ORDER BY threshold_pct""".stripMargin
+         |ORDER BY threshold_pct""".stripMargin,
+
+    // q227: the same weighted-percentile crossing re-derived; exact
+    // integers make the pick deterministic under ties.
+    "q227_weighted_median" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum FROM d),
+        |t AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tok,
+        |    count(*) AS n_docs FROM d GROUP BY lang),
+        |x AS (SELECT c.lang, c.n_chars, c.doc_id, t.total_tok, t.n_docs,
+        |    row_number() OVER (PARTITION BY c.lang
+        |      ORDER BY c.n_chars, c.doc_id) AS rn
+        |  FROM c JOIN t ON c.lang = t.lang WHERE c.cum * 2 >= t.total_tok)
+        |SELECT lang, n_docs, total_tok,
+        |  n_chars AS weighted_median_chars, doc_id AS median_doc
+        |FROM x WHERE rn = 1 ORDER BY lang""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -507,6 +507,39 @@ object TextAnalysis {
         col("naive_waste"), col("bucketed_waste"), col("saving_permille"))
   }
 
+  /** Token-mass-weighted median length (q227) — the per-language
+    * document length below which HALF THE TOKENS live: the statistic
+    * that actually answers "what sequence length covers half my
+    * training mass" (the unweighted median answers about documents,
+    * and short docs dominate counts while long docs dominate mass).
+    * Weighted percentile_disc from first principles: sort by
+    * (n_chars, doc_id) per language, running token sum, keep the
+    * first row whose 2·cumulative ≥ total — all exact integers, so
+    * the pick is deterministic under any tie. One shuffle on lang
+    * shared by the window and the final min-aggregate.
+    */
+  def weightedMedianLength(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val d = Corpus.read(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+    val tot = d.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("total_tok"), count(lit(1)).as("n_docs"))
+    d.withColumn("cum", sum(col("n_tok")).over(w))
+      .join(broadcast(tot), Seq("lang"))
+      .filter(col("cum") * 2 >= col("total_tok"))
+      .groupBy(col("lang"))
+      .agg(min(struct(col("n_chars"), col("doc_id"))).as("pick"),
+        min(col("total_tok")).as("total_tok"), min(col("n_docs")).as("n_docs"))
+      .select(col("lang"), col("n_docs"), col("total_tok"),
+        col("pick.n_chars").as("weighted_median_chars"),
+        col("pick.doc_id").as("median_doc"))
+      .orderBy(col("lang"))
+  }
+
   /** Vocabulary construction: the k most frequent whitespace tokens
     * per language, with counts — the frequency pass a tokenizer fit
     * runs over the corpus. The token explode feeds a map-side-

@@ -550,6 +550,30 @@ class Breadth14Spec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).max > 0, "fixture has no true pairs at all")
   }
 
+  test("weighted median: the crossing point replays in-JVM and " +
+    "differs from the unweighted median somewhere") {
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .selectExpr("lang", "doc_id", "cast(length(text) as long)",
+        "cast(size(regexp_extract_all(text, '\\\\S+', 0)) as long)")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = TextAnalysis.weightedMedianLength(spark, sf).collect()
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val rows = docs.filter(_._1 == lang).sortBy(x => (x._3, x._2))
+      val total = rows.map(_._4).sum
+      var cum = 0L
+      val pick = rows.find { x => cum += x._4; cum * 2 >= total }.get
+      assert(r.getLong(2) === total)
+      assert(r.getLong(3) === pick._3 && r.getLong(4) === pick._2)
+      // Weighted vs unweighted: the token-mass median must sit at or
+      // above the doc-count median (long docs carry more mass).
+      val unweighted = rows(rows.length / 2)._3
+      assert(r.getLong(3) >= rows(math.max(rows.length / 2 - 1, 0))._3,
+        s"$lang weighted median below the unweighted band ($unweighted)")
+    }
+  }
+
   test("trimmed stats: band endpoints bound both means and trimming " +
     "only ever drops rows") {
     val out = Events.trimmedStats(spark, sf).collect()
