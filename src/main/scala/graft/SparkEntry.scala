@@ -324,7 +324,8 @@ object SparkEntry {
     "q225_bucketed_batching" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bucketedBatching(s, d)),
     "q226_lsh_recall" -> (Dedup.lshRecallCurve _),
-    "q227_weighted_median" -> (TextAnalysis.weightedMedianLength _)
+    "q227_weighted_median" -> (TextAnalysis.weightedMedianLength _),
+    "q228_dedup_funnel" -> (Dedup.dedupFunnel _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5501,7 +5502,40 @@ object SparkEntry {
         |  FROM c JOIN t ON c.lang = t.lang WHERE c.cum * 2 >= t.total_tok)
         |SELECT lang, n_docs, total_tok,
         |  n_chars AS weighted_median_chars, doc_id AS median_doc
-        |FROM x WHERE rn = 1 ORDER BY lang""".stripMargin
+        |FROM x WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+    // q228: both stages replayed — the doubled corpus's exact stage
+    // from the q26 fingerprint, the near-dup stage from the shared
+    // candidate relation under the q137 set-wise policy.
+    "q228_dedup_funnel" ->
+      s"""WITH $minhashCtes,
+         |base AS (SELECT doc_id,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+         |  FROM (SELECT doc_id, text FROM documents
+         |        UNION ALL SELECT doc_id + ${Dedup.FunnelCopyOffset}, text
+         |        FROM documents) u),
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
+         |s1 AS (SELECT b.* FROM base b JOIN keep1 k ON b.doc_id = k.doc_id),
+         |drop2 AS (SELECT DISTINCT j.b AS doc_id FROM j
+         |  WHERE j.jaccard >= 0.2
+         |    AND j.a IN (SELECT doc_id FROM keep1)
+         |    AND j.b IN (SELECT doc_id FROM keep1)),
+         |s2 AS (SELECT * FROM s1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+         |t0 AS (SELECT count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS tk
+         |  FROM base),
+         |t1 AS (SELECT count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS tk
+         |  FROM s1),
+         |t2 AS (SELECT count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS tk
+         |  FROM s2)
+         |SELECT '1_exact' AS stage, t0.n AS docs_in, t1.n AS docs_out,
+         |  t0.n - t1.n AS docs_removed, t0.tk - t1.tk AS tokens_removed
+         |FROM t0 CROSS JOIN t1
+         |UNION ALL
+         |SELECT '2_neardup', t1.n, t2.n, t1.n - t2.n, t1.tk - t2.tk
+         |FROM t1 CROSS JOIN t2
+         |ORDER BY stage""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -910,6 +910,63 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Staged dedup funnel (q228) — the attrition report a pipeline
+    * publishes for its dedup stages (the q141 cascade's dedup-side
+    * sibling): stage 1 drops exact duplicates (normalized
+    * fingerprint, min-doc_id survivor — q26's relation as a POLICY),
+    * stage 2 drops near-duplicates among the exact survivors (q28's
+    * candidate pairs at J ≥ 0.2, the q137 set-wise greedy-lower-id
+    * policy: b drops iff some surviving a < b pairs with it). Each
+    * stage reports docs in/out/removed and the TOKEN mass removed —
+    * the number that actually matters for training-budget accounting.
+    * Costs what its stages cost (one fingerprint aggregate + the
+    * banded pair relation); the report rows are two cross-joined
+    * constant-size aggregates.
+    */
+  /** q228's copy-id offset — far above any fixture doc_id, so the
+    * doubled corpus (the q26 construction: the raw fixture has no
+    * byte-identical duplicates, so the exact stage must be GIVEN
+    * copies to demonstrably remove) keeps unique ids and every
+    * original id sorts below its copy. Shared with the oracle.
+    */
+  val FunnelCopyOffset = 100000000L
+
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Corpus.read(spark, dir, "documents")
+    val base = d0.unionByName(
+        d0.withColumn("doc_id", col("doc_id") + FunnelCopyOffset))
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintCol(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .cache()
+    val keep1 = base.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).cache()
+    val s1 = base.join(keep1, Seq("doc_id"), "left_semi")
+    val pairs = candidatePairJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.2)
+    val drop2 = pairs
+      .join(keep1.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+        "left_semi")
+      .join(keep1.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_semi")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s2 = s1.join(drop2, Seq("doc_id"), "left_anti")
+    def tally(df: DataFrame, n: String, tk: String): DataFrame =
+      df.agg(count(lit(1)).as(n), sum(col("n_tok")).as(tk))
+    val t0 = tally(base, "n0", "tk0")
+    val t1 = tally(s1, "n1", "tk1")
+    val t2 = tally(s2, "n2", "tk2")
+    val r1 = t0.crossJoin(broadcast(t1))
+      .select(lit("1_exact").as("stage"), col("n0").as("docs_in"),
+        col("n1").as("docs_out"), (col("n0") - col("n1")).as("docs_removed"),
+        (col("tk0") - col("tk1")).as("tokens_removed"))
+    val r2 = t1.crossJoin(broadcast(t2))
+      .select(lit("2_neardup").as("stage"), col("n1").as("docs_in"),
+        col("n2").as("docs_out"), (col("n1") - col("n2")).as("docs_removed"),
+        (col("tk1") - col("tk2")).as("tokens_removed"))
+    r1.unionByName(r2).orderBy(col("stage"))
+  }
+
   /** LSH recall curve (q226) — q193 measures per-band PRECISION;
     * this measures the other tuning axis: at each similarity
     * threshold, what fraction of the TRUE near-dup pairs does the

@@ -574,6 +574,28 @@ class Breadth14Spec extends AnyFunSuite {
     }
   }
 
+  test("dedup funnel: stages chain, every copy dies in stage 1, " +
+    "near-dup drops subset stage-1 survivors") {
+    val out = Dedup.dedupFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val nDocs = graft.sources.Corpus.read(spark, sf, "documents").count()
+    val Seq(ex, nd) = out.toSeq
+    assert(ex._2 === 2 * nDocs, "doubled input")
+    assert(ex._3 === nDocs, "exact stage keeps exactly the originals")
+    assert(ex._4 === nDocs)
+    assert(nd._2 === ex._3, "stages chain docs_out -> docs_in")
+    assert(nd._3 === nd._2 - nd._4)
+    assert(nd._4 >= 0 && nd._5 >= 0)
+    // Consistency with the standalone near-dup relation: stage-2
+    // removals are bounded by the number of distinct higher-id docs
+    // in ≥0.2 candidate pairs.
+    val pairDrops = Dedup.candidatePairJaccard(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.2)
+      .select("doc_b").distinct().count()
+    assert(nd._4 <= pairDrops)
+  }
+
   test("trimmed stats: band endpoints bound both means and trimming " +
     "only ever drops rows") {
     val out = Events.trimmedStats(spark, sf).collect()
