@@ -325,7 +325,8 @@ object SparkEntry {
       TextAnalysis.bucketedBatching(s, d)),
     "q226_lsh_recall" -> (Dedup.lshRecallCurve _),
     "q227_weighted_median" -> (TextAnalysis.weightedMedianLength _),
-    "q228_dedup_funnel" -> (Dedup.dedupFunnel _)
+    "q228_dedup_funnel" -> (Dedup.dedupFunnel _),
+    "q229_lsh_recall_sampled" -> (Dedup.lshRecallCurveSampled _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5535,7 +5536,38 @@ object SparkEntry {
          |UNION ALL
          |SELECT '2_neardup', t1.n, t2.n, t1.n - t2.n, t1.tk - t2.tk
          |FROM t1 CROSS JOIN t2
-         |ORDER BY stage""".stripMargin
+         |ORDER BY stage""".stripMargin,
+
+    // q229: q226's machinery with the corpus restricted to the
+    // deterministic 'rc:'-salted 20% sample BEFORE shingling/banding
+    // — the minhash CTEs re-rooted onto the sampled relation.
+    "q229_lsh_recall_sampled" ->
+      s"""WITH docs_s AS (SELECT * FROM documents
+         |  WHERE ${hexBucketSql("'rc:' || CAST(doc_id AS VARCHAR)")}
+         |    < ${Dedup.RecallSampleBound}),
+         |${minhashCtes.replace("FROM documents", "FROM docs_s")
+            .stripPrefix("")},
+         |commonT AS (SELECT x.doc_id AS ta, y.doc_id AS tb, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+         |    AND x.lang = y.lang AND x.doc_id < y.doc_id
+         |  GROUP BY ta, tb),
+         |jt AS (SELECT round(CAST(c AS DOUBLE) /
+         |    (sa.n_sh + sb.n_sh - c), 6) AS jt
+         |  FROM commonT JOIN sizes sa ON sa.doc_id = ta
+         |  JOIN sizes sb ON sb.doc_id = tb),
+         |thr AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.7, 0.9]) AS t),
+         |tr AS (SELECT t, count(*) AS n_true FROM thr
+         |  JOIN jt ON jt.jt >= thr.t GROUP BY t),
+         |ca AS (SELECT t, count(*) AS n_lsh FROM thr
+         |  JOIN j ON j.jaccard >= thr.t GROUP BY t)
+         |SELECT CAST(round(t * 100) AS BIGINT) AS threshold_pct,
+         |  CAST(coalesce(tr.n_true, 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(ca.n_lsh, 0) AS BIGINT) AS n_lsh,
+         |  CASE WHEN coalesce(tr.n_true, 0) > 0
+         |    THEN coalesce(ca.n_lsh, 0) * 1000 // tr.n_true END
+         |    AS recall_permille
+         |FROM thr LEFT JOIN tr USING (t) LEFT JOIN ca USING (t)
+         |ORDER BY threshold_pct""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -286,8 +286,14 @@ object Dedup {
     bands0.join(hot, Seq("lang", "band", "bkey"), "left_anti")
   }
 
-  def candidatePairJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Corpus.read(spark, dir, "documents")
+  def candidatePairJaccard(spark: SparkSession, dir: String): DataFrame =
+    candidatePairJaccardOver(Corpus.read(spark, dir, "documents"))
+
+  /** The same relation over an arbitrary document set — the q229
+    * sampled audit restricts the corpus BEFORE banding, so bands,
+    * caps and verification all see only the sample.
+    */
+  def candidatePairJaccardOver(docs: DataFrame): DataFrame = {
     val bands = cappedBands(docs)
     val bl = bands.select(col("doc_id").as("a"), col("lang"), col("band"), col("bkey"))
     val br = bands.select(col("doc_id").as("b"), col("lang").as("lang_b"),
@@ -981,9 +987,36 @@ object Dedup {
     * threshold compare, and the threshold literals are the same
     * doubles in both engines, so the band edges cannot disagree.
     */
-  def lshRecallCurve(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Corpus.read(spark, dir, "documents")
-    val lsh = candidatePairJaccard(spark, dir)
+  def lshRecallCurve(spark: SparkSession, dir: String): DataFrame =
+    recallCurveOver(spark, Corpus.read(spark, dir, "documents"))
+
+  /** q229's sample bucket bound out of 256 (≈ 20%) — named because
+    * the oracle SQL interpolates the same constant.
+    */
+  val RecallSampleBound = 51
+
+  /** SAMPLED LSH recall audit (q229) — q226's documented production
+    * contract made executable: the full-truth join is quadratic in
+    * per-shingle occupancy (measured — SCALING.md's second-decade
+    * check), so at scale the audit restricts the corpus to a
+    * deterministic md5 sample FIRST (bucket < 51/256 ≈ 20%; salted
+    * 'rc:' so it decorrelates from the split/mixture buckets) and
+    * measures recall within the sample — banding, hot-bucket caps
+    * and verification all run on the sampled corpus, exactly as the
+    * estimator would in production. Same output shape as q226; the
+    * sample estimate's job is trend detection, and determinism makes
+    * it comparable run over run.
+    */
+  def lshRecallCurveSampled(spark: SparkSession, dir: String): DataFrame =
+    recallCurveOver(spark, Corpus.read(spark, dir, "documents")
+      .filter(conv(substring(md5(concat(lit("rc:"),
+          col("doc_id").cast("string"))), 1, 2), 16, 10)
+        .cast("long") < RecallSampleBound))
+
+  private def recallCurveOver(spark: SparkSession,
+      docs0: DataFrame): DataFrame = {
+    val docs = docs0
+    val lsh = candidatePairJaccardOver(docs)
     val sh = docs.select(col("doc_id"), col("lang"),
         explode(graft.functions.MinHashFunctions.sorted_shingles(
           TextAnalysis.tokens(col("text")))).as("shingle"))

@@ -596,6 +596,30 @@ class Breadth14Spec extends AnyFunSuite {
     assert(nd._4 <= pairDrops)
   }
 
+  test("sampled recall audit: sampled truth nests in the full truth " +
+    "and the estimator stays bounded") {
+    val full = Dedup.lshRecallCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val samp = Dedup.lshRecallCurveSampled(spark, sf).collect()
+    assert(samp.length === 6)
+    samp.foreach { r =>
+      val (fullTrue, _) = full(r.getLong(0))
+      assert(r.getLong(1) <= fullTrue,
+        "sampled truth exceeds the population truth")
+      assert(r.getLong(2) <= r.getLong(1))
+      if (!r.isNullAt(3)) assert(r.getLong(3) <= 1000L)
+    }
+    // The sample is the md5 predicate, nothing else: replay the doc
+    // filter and check at least one threshold has sampled truth when
+    // the corpus places a near-dup pair inside the sample (this
+    // fixture does at sf0.001's scale or reports 0 consistently).
+    val inSample = graft.sources.Corpus.read(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "cast(conv(substring(md5(concat('rc:', cast(doc_id as string))), 1, 2), 16, 10) as long) as b")
+      .collect().count(_.getLong(1) < Dedup.RecallSampleBound)
+    assert(inSample > 0, "sample predicate selected nothing")
+  }
+
   test("trimmed stats: band endpoints bound both means and trimming " +
     "only ever drops rows") {
     val out = Events.trimmedStats(spark, sf).collect()
