@@ -326,7 +326,8 @@ object SparkEntry {
     "q226_lsh_recall" -> (Dedup.lshRecallCurve _),
     "q227_weighted_median" -> (TextAnalysis.weightedMedianLength _),
     "q228_dedup_funnel" -> (Dedup.dedupFunnel _),
-    "q229_lsh_recall_sampled" -> (Dedup.lshRecallCurveSampled _)
+    "q229_lsh_recall_sampled" -> (Dedup.lshRecallCurveSampled _),
+    "q230_cohort_ltv" -> (Events.cohortLtv _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5567,7 +5568,38 @@ object SparkEntry {
          |    THEN coalesce(ca.n_lsh, 0) * 1000 // tr.n_true END
          |    AS recall_permille
          |FROM thr LEFT JOIN tr USING (t) LEFT JOIN ca USING (t)
-         |ORDER BY threshold_pct""".stripMargin
+         |ORDER BY threshold_pct""".stripMargin,
+
+    // q230: the LTV triangle replayed — first-seen, week indices as
+    // integer div, cumulative over the bounded grid.
+    "q230_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM e GROUP BY user_id),
+        |d0 AS (SELECT min(first_day) AS d0 FROM fs),
+        |u AS (SELECT user_id, first_day,
+        |    CAST(date_diff('day', d0, first_day) AS BIGINT) // 7
+        |      AS cohort_week
+        |  FROM fs CROSS JOIN d0),
+        |sz AS (SELECT cohort_week,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM u GROUP BY cohort_week),
+        |g AS (SELECT u.cohort_week,
+        |    CAST(date_diff('day', u.first_day, CAST(e.ts AS DATE))
+        |      AS BIGINT) // 7 AS age_weeks,
+        |    CAST(sum(e.x) AS BIGINT) AS week_cents
+        |  FROM e JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY u.cohort_week, age_weeks),
+        |c AS (SELECT *, CAST(sum(week_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY age_weeks ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_cents FROM g)
+        |SELECT c.cohort_week, c.age_weeks, sz.n_users, c.week_cents,
+        |  c.cum_cents, c.cum_cents // sz.n_users AS cum_per_user_cents
+        |FROM c JOIN sz ON c.cohort_week = sz.cohort_week
+        |ORDER BY c.cohort_week, c.age_weeks""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

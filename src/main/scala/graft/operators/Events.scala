@@ -1276,6 +1276,44 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Cohort LTV triangle (q230) — q189's retention matrix counts WHO
+    * comes back; this accumulates WHAT THEY SPEND: per signup-week
+    * cohort and account-age week, the period's purchase revenue, its
+    * running cumulative, and cumulative-per-user — the lifetime-value
+    * curve every growth model is fit against. Two bounded stages:
+    * per-user first-seen (one map-side-combinable aggregate), then
+    * revenue collapsed onto the (cohort, age) grid (≤ weeks² cells)
+    * BEFORE the cumulative window runs — the running sum never sees
+    * event volume. All integer cents; per-user quotients truncate.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.read(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), cents.as("x"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("first_day"))
+    val day0 = firstSeen.agg(min(col("first_day")).as("d0"))
+    val users = firstSeen.crossJoin(broadcast(day0))
+      .select(col("user_id"), col("first_day"),
+        expr("CAST(datediff(first_day, d0) AS LONG) div 7")
+          .as("cohort_week"))
+    val sizes = users.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val grid = ev.filter(col("event_type") === "purchase")
+      .join(users, Seq("user_id"))
+      .withColumn("age_weeks",
+        expr("CAST(datediff(CAST(ts AS DATE), first_day) AS LONG) div 7"))
+      .groupBy(col("cohort_week"), col("age_weeks"))
+      .agg(sum(col("x")).as("week_cents"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.withColumn("cum_cents", sum(col("week_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_per_user_cents", expr("cum_cents div n_users"))
+      .select(col("cohort_week"), col("age_weeks"), col("n_users"),
+        col("week_cents"), col("cum_cents"), col("cum_per_user_cents"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
   /** Seasonality-adjusted anomaly report (q215) — q85's rolling
     * z-score flags deviation from a user's own recent history; this
     * flags deviation from the SEASONAL norm (a Tuesday-9am purchase

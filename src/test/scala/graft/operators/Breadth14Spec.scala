@@ -620,6 +620,26 @@ class Breadth14Spec extends AnyFunSuite {
     assert(inSample > 0, "sample predicate selected nothing")
   }
 
+  test("cohort ltv: cumulative is a true running sum, revenue " +
+    "conserved, quotients bounded by the cumulative") {
+    val out = Events.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val totalRev = graft.sources.Corpus.read(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("cast(sum(cast(round(value * 100) as bigint)) as long)")
+      .head().getLong(0)
+    assert(out.map(_._4).sum === totalRev, "revenue not conserved")
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byAge = rows.sortBy(_._2)
+      assert(byAge.map(_._4).scanLeft(0L)(_ + _).tail.toSeq ===
+        byAge.map(_._5).toSeq, "cum_cents is not the running sum")
+      assert(byAge.map(_._6).toSeq ===
+        byAge.map(r => r._5 / r._3).toSeq, "per-user quotient")
+    }
+  }
+
   test("trimmed stats: band endpoints bound both means and trimming " +
     "only ever drops rows") {
     val out = Events.trimmedStats(spark, sf).collect()
