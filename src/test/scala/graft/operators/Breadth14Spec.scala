@@ -640,6 +640,18 @@ class Breadth14Spec extends AnyFunSuite {
     }
   }
 
+  test("pq ann plan contract: both rank limits are TopKRows heaps — " +
+    "no Window node, no cartesian, only broadcast joins") {
+    val plan = Similarity.pqTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "a rank limit survived as a Window sort")
+    assert(!plan.contains("CartesianProduct"), "cartesian in the PQ plan")
+    assert(plan.contains("topk_rows") || plan.contains("TopKRows") ||
+      plan.contains("ObjectHashAggregate"),
+      "rank-limit rewrite did not plan a top-k aggregate")
+  }
+
   test("trimmed stats: band endpoints bound both means and trimming " +
     "only ever drops rows") {
     val out = Events.trimmedStats(spark, sf).collect()
