@@ -279,7 +279,10 @@ object SparkEntry {
     "q190_dup_spans" -> (Dedup.dupSpans _),
     "q191_top_paths" -> ((s: SparkSession, d: String) =>
       Events.topPaths(s, d)),
-    "q192_ks_distance" -> (Events.ksDistance _),
+    "q192_ks_distance" -> ((s: SparkSession, d: String) =>
+      Events.ksDistance(s, d)),
+    "q192b_ks_bucketed" -> ((s: SparkSession, d: String) =>
+      Events.ksDistance(s, d, granule = 100)),
     "q193_lsh_diagnostics" -> (Dedup.lshBandDiagnostics _),
     "q194_growth_accounting" -> (Events.growthAccounting _),
     "q195_stored_ivf" -> ((s: SparkSession, d: String) =>
@@ -1141,6 +1144,46 @@ object SparkEntry {
        |    round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
        |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)""".stripMargin
 
+  /** The q192/q192b oracle: DuckDB replays the integer KS statistic
+    * over the `granule`-bucketed value axis — per-pair cumulative
+    * counts, cleared denominators (|cum_a·n_b − cum_b·n_a|), ppm of
+    * n_a·n_b — no float CDF on either side. granule=1 is the exact
+    * statistic; granule=100 the engine's fixed-grid 100 TB path.
+    */
+  private def ksOracleSql(granule: Long): String =
+    s"""WITH c AS (SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) // $granule AS x,
+       |    count(*) AS n
+       |  FROM events GROUP BY event_type, x),
+       |tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM (SELECT DISTINCT event_type FROM c) a
+       |  JOIN (SELECT DISTINCT event_type FROM c) b
+       |    ON a.event_type < b.event_type),
+       |m AS (SELECT tp.ta, tp.tb, c.x,
+       |    CAST(sum(CASE WHEN c.event_type = tp.ta THEN n ELSE 0 END)
+       |      AS BIGINT) AS nax,
+       |    CAST(sum(CASE WHEN c.event_type = tp.tb THEN n ELSE 0 END)
+       |      AS BIGINT) AS nbx
+       |  FROM tp JOIN c ON c.event_type IN (tp.ta, tp.tb)
+       |  GROUP BY tp.ta, tp.tb, c.x),
+       |cc AS (SELECT ta, tb, x,
+       |    sum(nax) OVER (PARTITION BY ta, tb ORDER BY x
+       |      ROWS UNBOUNDED PRECEDING) AS ca,
+       |    sum(nbx) OVER (PARTITION BY ta, tb ORDER BY x
+       |      ROWS UNBOUNDED PRECEDING) AS cb
+       |  FROM m),
+       |tt AS (SELECT ta, tb, CAST(sum(nax) AS BIGINT) AS n_a,
+       |    CAST(sum(nbx) AS BIGINT) AS n_b
+       |  FROM m GROUP BY ta, tb),
+       |d AS (SELECT cc.ta, cc.tb, tt.n_a, tt.n_b,
+       |    CAST(max(abs(cc.ca * tt.n_b - cc.cb * tt.n_a)) AS BIGINT)
+       |      AS d_scaled
+       |  FROM cc JOIN tt ON cc.ta = tt.ta AND cc.tb = tt.tb
+       |  GROUP BY cc.ta, cc.tb, tt.n_a, tt.n_b)
+       |SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+       |  (d_scaled * 1000000) // (n_a * n_b) AS ks_ppm
+       |FROM d ORDER BY ta, tb""".stripMargin
+
   /** DuckDB 0..255 bucket from the first two md5 hex digits of `arg`
     * (no hex→int cast in DuckDB, so the digits decode via strpos) —
     * the q47 idiom, shared by the curation oracles.
@@ -1606,39 +1649,10 @@ object SparkEntry {
     // q192: DuckDB replays the exact integer KS statistic — per-pair
     // merged value axis, cumulative counts, cleared denominators
     // (|cum_a·n_b − cum_b·n_a|), ppm of n_a·n_b — no float CDF on
-    // either side.
-    "q192_ks_distance" ->
-      """WITH c AS (SELECT event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS x, count(*) AS n
-        |  FROM events GROUP BY event_type, x),
-        |tp AS (SELECT a.event_type AS ta, b.event_type AS tb
-        |  FROM (SELECT DISTINCT event_type FROM c) a
-        |  JOIN (SELECT DISTINCT event_type FROM c) b
-        |    ON a.event_type < b.event_type),
-        |m AS (SELECT tp.ta, tp.tb, c.x,
-        |    CAST(sum(CASE WHEN c.event_type = tp.ta THEN n ELSE 0 END)
-        |      AS BIGINT) AS nax,
-        |    CAST(sum(CASE WHEN c.event_type = tp.tb THEN n ELSE 0 END)
-        |      AS BIGINT) AS nbx
-        |  FROM tp JOIN c ON c.event_type IN (tp.ta, tp.tb)
-        |  GROUP BY tp.ta, tp.tb, c.x),
-        |cc AS (SELECT ta, tb, x,
-        |    sum(nax) OVER (PARTITION BY ta, tb ORDER BY x
-        |      ROWS UNBOUNDED PRECEDING) AS ca,
-        |    sum(nbx) OVER (PARTITION BY ta, tb ORDER BY x
-        |      ROWS UNBOUNDED PRECEDING) AS cb
-        |  FROM m),
-        |tt AS (SELECT ta, tb, CAST(sum(nax) AS BIGINT) AS n_a,
-        |    CAST(sum(nbx) AS BIGINT) AS n_b
-        |  FROM m GROUP BY ta, tb),
-        |d AS (SELECT cc.ta, cc.tb, tt.n_a, tt.n_b,
-        |    CAST(max(abs(cc.ca * tt.n_b - cc.cb * tt.n_a)) AS BIGINT)
-        |      AS d_scaled
-        |  FROM cc JOIN tt ON cc.ta = tt.ta AND cc.tb = tt.tb
-        |  GROUP BY cc.ta, cc.tb, tt.n_a, tt.n_b)
-        |SELECT ta AS type_a, tb AS type_b, n_a, n_b,
-        |  (d_scaled * 1000000) // (n_a * n_b) AS ks_ppm
-        |FROM d ORDER BY ta, tb""".stripMargin,
+    // either side. q192b replays the same construction over the
+    // granule-100 pre-bucketed axis (the engine's 100 TB grid).
+    "q192_ks_distance" -> ksOracleSql(granule = 1),
+    "q192b_ks_bucketed" -> ksOracleSql(granule = 100),
 
     // q191: DuckDB replays the two lead() windows over the same
     // explicit (epoch-µs, event_id) order and its own path count.
@@ -5034,10 +5048,12 @@ object SparkEntry {
         |    AS BIGINT) AS tok_med,
         |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tok)
         |    AS BIGINT) AS tok_q3,
-        |  CAST(sum(n_chars) AS BIGINT) * 1000
-        |    // CAST(sum(n_tok) AS BIGINT) AS chars_per_tok_milli,
-        |  CAST(sum(n_bytes) AS BIGINT) * 1000
-        |    // CAST(sum(n_tok) AS BIGINT) AS bytes_per_tok_milli
+        |  CASE WHEN sum(n_tok) > 0 THEN CAST(sum(n_chars) AS BIGINT)
+        |    * 1000 // CAST(sum(n_tok) AS BIGINT)
+        |  END AS chars_per_tok_milli,
+        |  CASE WHEN sum(n_tok) > 0 THEN CAST(sum(n_bytes) AS BIGINT)
+        |    * 1000 // CAST(sum(n_tok) AS BIGINT)
+        |  END AS bytes_per_tok_milli
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q209: the same percentile_disc cutpoints re-derived, membership
@@ -5455,8 +5471,9 @@ object SparkEntry {
         |      AS n_buckets FROM d)
         |SELECT n_docs, total_tokens, n_buckets, naive_waste,
         |  bucketed_waste,
-        |  greatest(naive_waste - bucketed_waste, 0) * 1000 // naive_waste
-        |    AS saving_permille
+        |  CASE WHEN naive_waste > 0 THEN
+        |    greatest(naive_waste - bucketed_waste, 0) * 1000 // naive_waste
+        |  END AS saving_permille
         |FROM bk CROSS JOIN nv""".stripMargin,
 
     // q226: truth = every shingle-sharing pair's exact Jaccard (no

@@ -226,47 +226,57 @@ object Events {
     * CDF exists and the oracle replays bit-for-bit (the Rényi/q177
     * construction applied to a distribution test).
     *
-    * Shapes: one (type, cents) count aggregate (map-side-combinable,
-    * collapses event volume to ≤ types × distinct-values rows); per
-    * type pair, cumulative sums over the merged value axis — a
-    * single-partition window over VALUE-cardinality rows, which is
-    * the gate shape; at 100 TB the axis is pre-bucketed to a fixed
-    * grid first (the q86 width_bucket move), making the window
-    * constant-size. Type pairs are dimension-cardinality (the q169
-    * argument).
+    * ONE plan for all pairs: the (type, value, n) aggregate
+    * (map-side-combinable — collapses event volume to ≤ types ×
+    * distinct-values rows) joins the dimension-sized type-pair table
+    * (broadcast; a row enters every pair it belongs to), and the
+    * cumulative sums run under a SINGLE window PARTITIONED BY the
+    * pair key — P(P−1)/2 modest partitions in one shuffle instead of
+    * that many unioned single-partition subplans (the r11 verdict's
+    * q192 anti-pattern; it also made q192 the suite's slowest query).
+    *
+    * `granule` pre-buckets the value axis (`x div granule` — the q86
+    * width_bucket move) so each pair's window is bounded by the grid
+    * size, not the observed-value cardinality: the 100 TB setting.
+    * Bucketing computes the exact KS of the BUCKETED distributions
+    * (a deterministic coarsening both engines replay bit-for-bit;
+    * D_bucketed ≤ D_exact, tight as the grid refines). granule=1 is
+    * the exact statistic — the q192 gate; q192b gates the bucketed
+    * scale path on the same oracle construction.
     */
-  def ksDistance(spark: SparkSession, dir: String): DataFrame = {
+  def ksDistance(spark: SparkSession, dir: String,
+      granule: Long = 1): DataFrame = {
     val cnt = Corpus.read(spark, dir, "events")
-      .select(col("event_type"), cents.as("x"))
+      .select(col("event_type"), cents.as("x0"))
+      // SQL `div`, never Column./ — the Exact.microsDiv discipline.
+      .select(col("event_type"), expr(s"x0 div $granule").as("x"))
       .groupBy(col("event_type"), col("x"))
       .agg(count(lit(1)).as("n"))
-      .cache()
     val types = cnt.select(col("event_type")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val pairs = for {
-      i <- types.indices; j <- types.indices if i < j
-    } yield (types(i), types(j))
-    val w = Window.orderBy(col("x"))
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(broadcast(types.select(col("event_type").as("type_b"))))
+      .filter(col("type_a") < col("type_b"))
+    val m = cnt
+      .join(broadcast(pairs), cnt("event_type") === pairs("type_a") ||
+        cnt("event_type") === pairs("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("x"))
+      .agg(sum(when(col("event_type") === col("type_a"), col("n"))
+        .otherwise(0L)).as("nax"),
+        sum(when(col("event_type") === col("type_b"), col("n"))
+          .otherwise(0L)).as("nbx"))
+    val w = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pairs.map { case (a, b) =>
-      val m = cnt.filter(col("event_type").isin(a, b))
-        .groupBy(col("x"))
-        .agg(sum(when(col("event_type") === a, col("n"))
-          .otherwise(0L)).as("nax"),
-          sum(when(col("event_type") === b, col("n"))
-            .otherwise(0L)).as("nbx"))
-      val tot = m.agg(sum(col("nax")).as("n_a"),
-        sum(col("nbx")).as("n_b"))
-      m.withColumn("ca", sum(col("nax")).over(w))
-        .withColumn("cb", sum(col("nbx")).over(w))
-        .crossJoin(broadcast(tot))
-        .groupBy(col("n_a"), col("n_b"))
-        .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
-          .as("d_scaled"))
-        .select(lit(a).as("type_a"), lit(b).as("type_b"),
-          col("n_a"), col("n_b"),
-          expr("d_scaled * 1000000 div (n_a * n_b)").as("ks_ppm"))
-    }.reduce(_ unionByName _)
+    val tot = m.groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("nax")).as("n_a"), sum(col("nbx")).as("n_b"))
+    m.withColumn("ca", sum(col("nax")).over(w))
+      .withColumn("cb", sum(col("nbx")).over(w))
+      .join(broadcast(tot), Seq("type_a", "type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+        .as("d_scaled"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        expr("d_scaled * 1000000 div (n_a * n_b)").as("ks_ppm"))
       .orderBy(col("type_a"), col("type_b"))
   }
 

@@ -364,10 +364,15 @@ object TextAnalysis {
           .cast("long").as("tok_med"),
         expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tok)")
           .cast("long").as("tok_q3"))
+      // Zero-guard: a language whose docs are all empty text has
+      // sum_tokens = 0 — Spark div yields NULL, DuckDB // errors, so
+      // both sides guard identically (the q226 recall_permille idiom).
       .withColumn("chars_per_tok_milli",
-        expr("sum_chars * 1000 div sum_tokens"))
+        expr("CASE WHEN sum_tokens > 0 " +
+          "THEN sum_chars * 1000 div sum_tokens END"))
       .withColumn("bytes_per_tok_milli",
-        expr("sum_bytes * 1000 div sum_tokens"))
+        expr("CASE WHEN sum_tokens > 0 " +
+          "THEN sum_bytes * 1000 div sum_tokens END"))
       .orderBy(col("lang"))
 
   /** Spearman rank correlation between document quality and length
@@ -481,15 +486,31 @@ object TextAnalysis {
     * doc_id-ordered batches of 32, bucketed = Σ_doc (bucket − tok) —
     * and the saving reported in permille. All integer arithmetic;
     * the naive batch assignment is the deterministic doc_id order.
+    *
+    * The global doc_id-order rank is assigned WITHOUT a corpus-wide
+    * window (the r11 verdict's q225 anti-pattern: an unpartitioned
+    * row_number sorts the whole corpus in ONE task): one
+    * repartitionByRange(doc_id) shuffle + in-partition sort — the
+    * q200 epoch-shuffle layout — then zipWithIndex, whose global
+    * index is exact because range partitions are ordered and rows
+    * are sorted within each (cost: one lightweight count job over
+    * the partitions for the offsets — the classic two-pass
+    * distributed row_number). No doc_id density assumption, so it
+    * holds for any user corpus, not just the dense synthetic ids.
     */
   def bucketedBatching(spark: SparkSession, dir: String,
       batchSize: Int = 32, granule: Long = 64): DataFrame = {
     val d = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-    val naive = d
-      .withColumn("batch", ((row_number().over(w) - 1) / batchSize)
-        .cast("long"))
+    val ranged = d.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val schema = ranged.schema
+      .add("batch", org.apache.spark.sql.types.LongType, nullable = false)
+    val batched = spark.createDataFrame(
+      ranged.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / batchSize) },
+      schema)
+    val naive = batched
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("bn"), max(col("n_tok")).as("bmax"),
         sum(col("n_tok")).as("bsum"))
@@ -501,8 +522,13 @@ object TextAnalysis {
         sum(col("bucket") - col("n_tok")).as("bucketed_waste"),
         countDistinct(col("bucket")).as("n_buckets"))
     bucketed.crossJoin(broadcast(naive))
+      // Zero-guard (the q226 recall_permille idiom): on a degenerate
+      // uniform corpus naive_waste = 0, where Spark's div yields NULL
+      // but DuckDB's // errors — guard BOTH sides identically.
       .withColumn("saving_permille", expr(
-        "greatest(naive_waste - bucketed_waste, 0L) * 1000 div naive_waste"))
+        "CASE WHEN naive_waste > 0 THEN " +
+          "greatest(naive_waste - bucketed_waste, 0L) * 1000 " +
+          "div naive_waste END"))
       .select(col("n_docs"), col("total_tokens"), col("n_buckets"),
         col("naive_waste"), col("bucketed_waste"), col("saving_permille"))
   }
