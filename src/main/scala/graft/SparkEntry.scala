@@ -277,6 +277,7 @@ object SparkEntry {
     "q188_textrank" -> (TextAnalysis.textRank _),
     "q189_cohort_matrix" -> (Events.cohortMatrix _),
     "q190_dup_spans" -> (Dedup.dupSpans _),
+    "q190b_dup_spans_bloom" -> (Dedup.dupSpansBloom _),
     "q191_top_paths" -> ((s: SparkSession, d: String) =>
       Events.topPaths(s, d)),
     "q192_ks_distance" -> ((s: SparkSession, d: String) =>
@@ -1144,6 +1145,33 @@ object SparkEntry {
        |    round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
        |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)""".stripMargin
 
+  /** The q190/q190b duplicated-span oracle (one SQL, two engine
+    * encodings — exact-set kernel and Bloom-ladder join).
+    */
+  private val dupSpansOracleSql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, i,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      |  FROM (SELECT doc_id, toks, unnest(range(1,
+      |      greatest(len(toks) - 1, 1))) AS i
+      |    FROM t WHERE len(toks) >= 3)),
+      |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g),
+      |shared AS (SELECT g FROM df WHERE df >= 2),
+      |hits AS (SELECT sh.doc_id, sh.i FROM sh JOIN shared USING (g)),
+      |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT)
+      |      AS covered
+      |  FROM (SELECT doc_id, unnest([i, i + 1, i + 2]) AS p FROM hits)
+      |  GROUP BY doc_id),
+      |n AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks
+      |  FROM documents)
+      |SELECT n.doc_id, n.n_toks,
+      |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_toks,
+      |  CAST(COALESCE(cov.covered, 0) * 1000000
+      |    // greatest(n_toks, 1) AS BIGINT) AS dup_ppm
+      |FROM n LEFT JOIN cov USING (doc_id) ORDER BY n.doc_id""".stripMargin
+
   /** The q192/q192b oracle: DuckDB replays the integer KS statistic
     * over the `granule`-bucketed value axis — per-pair cumulative
     * counts, cleared denominators (|cum_a·n_b − cum_b·n_a|), ppm of
@@ -1669,34 +1697,14 @@ object SparkEntry {
         |FROM s WHERE t3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,
 
-    // q190: the oracle takes the POSITIONAL route the engine's
-    // one-pass kernel avoids — explode shingles with their positions,
-    // join the df>=2 shared set, expand each hit to its three covered
-    // positions, count distinct — independent encodings of span
-    // coverage.
-    "q190_dup_spans" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |sh AS (SELECT doc_id, i,
-        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-        |  FROM (SELECT doc_id, toks, unnest(range(1,
-        |      greatest(len(toks) - 1, 1))) AS i
-        |    FROM t WHERE len(toks) >= 3)),
-        |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g),
-        |shared AS (SELECT g FROM df WHERE df >= 2),
-        |hits AS (SELECT sh.doc_id, sh.i FROM sh JOIN shared USING (g)),
-        |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT)
-        |      AS covered
-        |  FROM (SELECT doc_id, unnest([i, i + 1, i + 2]) AS p FROM hits)
-        |  GROUP BY doc_id),
-        |n AS (SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks
-        |  FROM documents)
-        |SELECT n.doc_id, n.n_toks,
-        |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_toks,
-        |  CAST(COALESCE(cov.covered, 0) * 1000000
-        |    // greatest(n_toks, 1) AS BIGINT) AS dup_ppm
-        |FROM n LEFT JOIN cov USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    // q190/q190b: the oracle takes the POSITIONAL route — explode
+    // shingles with their positions, join the df>=2 shared set,
+    // expand each hit to its three covered positions, count distinct
+    // — independent of BOTH engine encodings (q190's one-pass
+    // coverage kernel AND q190b's Bloom-prefiltered verification
+    // join), which must agree with it and therefore each other.
+    "q190_dup_spans" -> dupSpansOracleSql,
+    "q190b_dup_spans_bloom" -> dupSpansOracleSql,
 
     // q189: the oracle derives the same matrix WITHOUT pivoting —
     // CASE sums per offset column (independent encodings of the

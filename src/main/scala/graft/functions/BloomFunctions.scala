@@ -95,6 +95,31 @@ object BloomKernel {
     */
   def shingleBloomHits(tokens: ArrayData, words: Array[Long]): Long =
     MinHashKernel.countMatchingShingles(tokens, s => mightContain(words, s))
+
+  private val SpaceUtf8 = UTF8String.fromString(" ")
+
+  /** Every token POSITION whose word-3-gram bloom-tests positive, as
+    * (pos, shingle) structs — the POSITIONAL prefilter of the q190b
+    * span-coverage ladder. Unlike [[shingleBloomHits]] (distinct
+    * count), positions repeat when a shingle recurs in a doc: span
+    * coverage needs every occurrence. Shingle strings materialize
+    * ONLY for bloom-positive positions, so the explode that follows
+    * is bounded by true shared shingles + the ~0.3% FP tail (removed
+    * by the exact verification join), never by the corpus.
+    */
+  def bloomHitShingles(tokens: ArrayData, words: Array[Long]): ArrayData = {
+    val n = tokens.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i <= n - 3) {
+      val sh = UTF8String.concat(tokens.getUTF8String(i), SpaceUtf8,
+        tokens.getUTF8String(i + 1), SpaceUtf8, tokens.getUTF8String(i + 2))
+      if (mightContain(words, sh))
+        out += org.apache.spark.sql.catalyst.InternalRow(i.toLong, sh)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** `shingle_bloom_hits(tokensArray)` → count of the doc's distinct
@@ -126,10 +151,46 @@ case class ShingleBloomHits(child: Expression,
     copy(child = c)
 }
 
+/** `bloom_hit_shingles(tokensArray)` → array<struct<pos,shingle>> of
+  * bloom-positive 3-gram positions ([[BloomKernel.bloomHitShingles]])
+  * — the same broadcast-bits plumbing as [[ShingleBloomHits]], feeding
+  * an explode bounded by bloom-positive positions only.
+  */
+case class BloomHitShingles(child: Expression,
+    bits: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("shingle", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    BloomKernel.bloomHitShingles(input.asInstanceOf[ArrayData], bits.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBits", bits,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val wordsVar = ctx.addMutableState("long[]", "bloomWords",
+      v => s"$v = (long[]) $bcRef.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BloomKernel.bloomHitShingles($c, $wordsVar)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object BloomFunctions {
   import GraftSqlBridge.{column, expression}
 
   def shingle_bloom_hits(tokens: Column,
       bits: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     column(ShingleBloomHits(expression(tokens), bits))
+
+  def bloom_hit_shingles(tokens: Column,
+      bits: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    column(BloomHitShingles(expression(tokens), bits))
 }

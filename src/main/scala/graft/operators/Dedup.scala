@@ -512,9 +512,13 @@ object Dedup {
     * [[graft.functions.ShingleCoverage]] scan kernel, which marks
     * covered positions in ONE pass per doc (no positional explode —
     * the oracle does the positional explode precisely because it is
-    * the independent formulation). At corpus scale the shared-set
-    * broadcast follows q48's ladder: exact set while it fits, the
-    * q48b Bloom prefilter + exact verification join beyond.
+    * the independent formulation). This exact-set path streams the
+    * shared universe into a driver HashSet, so it is the
+    * SMALL-CORPUS leg of the q48 ladder: shared-shingle cardinality
+    * grows with the corpus and at 100 TB this set no longer fits one
+    * process — [[dupSpansBloom]] (q190b) is the scale leg, with only
+    * compact Bloom bits broadcast and the exact verification as a
+    * distributed join. Same output, same oracle.
     */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
@@ -536,6 +540,76 @@ object Dedup {
         size(col("toks")).cast("long").as("n_toks"),
         graft.functions.MinHashFunctions
           .shingle_coverage(col("toks"), shared).as("covered_toks"))
+      .withColumn("dup_ppm",
+        expr("covered_toks * 1000000 div greatest(n_toks, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[dupSpans]]'s 100 TB leg (q190b) — the q48b Bloom ladder
+    * applied to span coverage, closing the r11 verdict's q190 gap
+    * (driver-side HashSet of ALL cross-doc shared shingles):
+    *
+    *  1. The df ≥ 2 shared-shingle relation stays DISTRIBUTED
+    *     (localCheckpoint — never collected, never driver-resident).
+    *  2. Its ~12-bits/element Bloom bits are built per-partition and
+    *     tree-OR-merged ([[decontaminateBloom]]'s build), and only
+    *     the bits broadcast.
+    *  3. Each doc's scan projection emits (pos, shingle) ONLY for
+    *     bloom-positive positions ([[graft.functions.BloomKernel
+    *     .bloomHitShingles]]) — the positional explode is bounded by
+    *     truly-shared occurrences + the ~0.3% FP tail, never by the
+    *     corpus shingle volume.
+    *  4. EXACT verification is a distributed join of those survivors
+    *     against the shared relation (FPs die here), then covered
+    *     positions = distinct of each hit's [pos, pos+2] span.
+    *
+    * Row-identical to [[dupSpans]] (false positives never reach the
+    * output; false negatives don't exist) — gated by the SAME oracle.
+    * The per-doc coverage relation (2 longs/doc) materializes once so
+    * the checkpointed shared blocks and the bits broadcast release
+    * eagerly (the decontaminateBloom hygiene).
+    */
+  def dupSpansBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val shared = shinglesOf(docs)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("shingle"))
+      .localCheckpoint(true)
+    val nWords = graft.functions.BloomKernel.wordsFor(shared.count())
+    val bits = shared.rdd.mapPartitions { rows =>
+      val w = new Array[Long](nWords)
+      rows.foreach(r => graft.functions.BloomKernel.add(w,
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+      Iterator.single(w)
+    }.treeReduce { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    val bc = spark.sparkContext.broadcast(bits)
+    val hits = docs
+      .select(col("doc_id"),
+        explode(graft.functions.BloomFunctions
+          .bloom_hit_shingles(TextAnalysis.tokens(col("text")), bc))
+          .as("h"))
+      .select(col("doc_id"), col("h.pos").as("pos"),
+        col("h.shingle").as("shingle"))
+    val covered = hits.join(shared, Seq("shingle"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 2)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+      .localCheckpoint(true)
+    checkpointRdd(shared).foreach(_.unpersist(false))
+    bc.destroy()
+    docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("covered"), lit(0L)).as("covered_toks"))
       .withColumn("dup_ppm",
         expr("covered_toks * 1000000 div greatest(n_toks, 1)"))
       .orderBy(col("doc_id"))
