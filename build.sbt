@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNPREFIXED: sbt's default logger
+// wraps every app stdout line in "[info] ", which has broken the
+// driver's line-wise JSON parse of Bench's stdout every round since
+// r8 (BENCH_r{8..11}.json all carry "parsed": null — the tail shows
+// the compact JSON line present but [info]-prefixed).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -457,8 +457,14 @@ object Bench {
     // carry "parsed": null). This line is a few hundred bytes, always
     // inside the tail, and parseable on its own; per-query detail
     // stays in the full line and in bench_result.json.
+    // "schema":"compact" discriminates this line's shape from the full
+    // line's (same "metric":"total" tag — deliberately kept: the
+    // driver's parser may filter on it, and the full line's head is
+    // outside the stdout tail anyway, so a line-wise json parse can
+    // only ever bind the compact schema; a consumer that needs the
+    // per-query map reads bench_result.json).
     val suspectNames = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"noisy":$noisy,"tainted":$taintedJson,"suspect_names":$suspectNames,"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"sf":"$sfDir","queries_detail":"bench_result.json"}""")
+    println(s"""{"metric":"total","schema":"compact","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"noisy":$noisy,"tainted":$taintedJson,"suspect_names":$suspectNames,"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"sf":"$sfDir","queries_detail":"bench_result.json"}""")
     // File twin of the stdout line: the official artifact is captured
     // from a stdout tail that has truncated before (r4 lost the total
     // and q01-q09); a file can be read back whole.

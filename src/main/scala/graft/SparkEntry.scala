@@ -1061,11 +1061,18 @@ object SparkEntry {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""".stripMargin
 
-  /** DuckDB: distinct word-3-gram shingles per doc, as a WITH body. */
-  private val shinglesCte =
-    """d AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS l FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, lang, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM (
-      |  SELECT doc_id, lang, l, unnest(range(1, greatest(len(l) - 1, 1))) AS i FROM d))""".stripMargin
+  /** DuckDB: distinct word-3-gram shingles per doc, as a WITH body
+    * rooted on `rel` — parameterized (not string-replaced after the
+    * fact) so a sampled-corpus oracle like q229 re-roots by
+    * construction: a formatting change here can never silently leave
+    * a caller's replace running on the full corpus.
+    */
+  private def shinglesCteOver(rel: String): String =
+    s"""d AS (SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS l FROM $rel),
+       |sh AS (SELECT DISTINCT doc_id, lang, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM (
+       |  SELECT doc_id, lang, l, unnest(range(1, greatest(len(l) - 1, 1))) AS i FROM d))""".stripMargin
+
+  private val shinglesCte = shinglesCteOver("documents")
 
   /** DuckDB stopword-score formula mirroring TextAnalysis.hits. */
   private def scoreSql(lang: String): String =
@@ -1115,8 +1122,11 @@ object SparkEntry {
          |SELECT qid, rk, vb AS neighbor, sim FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin
 
-  private val minhashCtes: String =
-    s"""$shinglesCte,
+  /** [[minhashCtes]] rooted on an arbitrary document relation — the
+    * q229 sampled-corpus oracle re-roots the WHOLE pipeline here.
+    */
+  private def minhashCtesOver(rel: String): String =
+    s"""${shinglesCteOver(rel)},
        |mh AS (SELECT doc_id, lang, i,
        |    min(substring(CASE WHEN i < 4 THEN md5(shingle)
        |                       ELSE md5('x' || shingle) END,
@@ -1144,6 +1154,8 @@ object SparkEntry {
        |j AS (SELECT a, b,
        |    round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
        |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)""".stripMargin
+
+  private val minhashCtes: String = minhashCtesOver("documents")
 
   /** The q190/q190b duplicated-span oracle (one SQL, two engine
     * encodings — exact-set kernel and Bloom-ladder join).
@@ -4912,7 +4924,7 @@ object SparkEntry {
          |  FROM sim WHERE lb <> qlabel)
          |SELECT n.qid, n.rk, n.vb AS neighbor, n.sim, p.pos_sim,
          |  CAST(n.sim < p.pos_sim AS BIGINT) AS is_semihard
-         |FROM neg n JOIN pos p ON n.qid = p.qid
+         |FROM neg n LEFT JOIN pos p ON n.qid = p.qid
          |WHERE n.rk <= 5 ORDER BY n.qid, n.rk""".stripMargin,
 
     // q202: the q45b bin assignment re-derived, then the waste
@@ -5566,13 +5578,13 @@ object SparkEntry {
 
     // q229: q226's machinery with the corpus restricted to the
     // deterministic 'rc:'-salted 20% sample BEFORE shingling/banding
-    // — the minhash CTEs re-rooted onto the sampled relation.
+    // — the minhash CTEs re-rooted onto the sampled relation BY
+    // CONSTRUCTION (minhashCtesOver, not post-hoc string replace).
     "q229_lsh_recall_sampled" ->
       s"""WITH docs_s AS (SELECT * FROM documents
          |  WHERE ${hexBucketSql("'rc:' || CAST(doc_id AS VARCHAR)")}
          |    < ${Dedup.RecallSampleBound}),
-         |${minhashCtes.replace("FROM documents", "FROM docs_s")
-            .stripPrefix("")},
+         |${minhashCtesOver("docs_s")},
          |commonT AS (SELECT x.doc_id AS ta, y.doc_id AS tb, count(*) AS c
          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
          |    AND x.lang = y.lang AND x.doc_id < y.doc_id

@@ -67,6 +67,12 @@ object Verify {
     }
     Await.result(Future.sequence(futures), Duration.Inf)
     pool.shutdown()
+    // Several operators cache/persist intermediates they cannot safely
+    // unpersist themselves (the returned plan still references them);
+    // the concurrent rewrite dropped the per-query clear, so without
+    // this the whole suite's blocks accumulate for the run — memory/
+    // disk pressure at larger SFs. One sweep once all queries landed.
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

@@ -925,7 +925,12 @@ object Similarity {
     pairs.filter(col("label") =!= col("qlabel"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .join(broadcast(pos), Seq("qid"))
+      // LEFT join: an anchor whose label has no OTHER same-label
+      // vector has no hardest positive — it must keep its negatives
+      // (pos_sim and is_semihard NULL on both engines; NULL < NULL
+      // comparison propagates identically), not silently vanish from
+      // the mined set the way an inner join would drop it.
+      .join(broadcast(pos), Seq("qid"), "left_outer")
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
         col("sim"), col("pos_sim"),
         (col("sim") < col("pos_sim")).cast("long").as("is_semihard"))
