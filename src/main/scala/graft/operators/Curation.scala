@@ -402,7 +402,10 @@ object Curation {
       .filter(col("a").isNull || col("b").isNull)
       .agg(count(lit(1)).as("n_diff"))
     val d = lit(100L) * col("n_sample") - lit(SamplePct.toLong) * col("n_source")
-    nSource.crossJoin(nSample).crossJoin(notIn).crossJoin(nDiff)
+    // One-row scalar relations: the broadcast hint is the durable
+    // contract (plan-contract gate), not size-based auto-planning.
+    nSource.crossJoin(broadcast(nSample)).crossJoin(broadcast(notIn))
+      .crossJoin(broadcast(nDiff))
       .select(col("n_source"), col("not_in_source"), col("n_diff"),
         (d * d <= lit(36L * SamplePct * (100 - SamplePct)) * col("n_source"))
           .cast("long").as("in_band"))

@@ -28,6 +28,28 @@ object Relational {
 
   private def tsn(s: String) = lit(s).cast(TimestampNTZType)
 
+  /** Distributed global row_number WITHOUT an unpartitioned Window
+    * (the single-task total sort the plan-contract gate bans): one
+    * repartitionByRange shuffle on the sort key + in-partition sort,
+    * then zipWithIndex — range partitions are ordered and rows sorted
+    * within each, so the zipped index IS the global 1-based rank, at
+    * the cost of zipWithIndex's lightweight partition-count pass (the
+    * classic two-pass distributed row_number). Callers must pass a
+    * total order (tie-break on a unique key) for a deterministic
+    * result. Used by q210's Spearman ranks and q225's batch layout.
+    */
+  def globalRowNumber(df: DataFrame, out: String,
+      sortCols: Column*): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ranged.schema
+      .add(out, org.apache.spark.sql.types.LongType, nullable = false)
+    df.sparkSession.createDataFrame(
+      ranged.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) },
+      schema)
+  }
+
   /** TPC-H Q1: pricing summary — scan + filter + hash agg. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -389,22 +389,24 @@ object TextAnalysis {
     * bit-identical cross-engine. The rounded-to-1e-6 quality values
     * are already cross-engine-pinned by q23.
     *
-    * Scale: the two global rank assignments are total sorts — at
-    * 100 TB each runs as a range-partitioned distributed sort
-    * (Spark's SortExec shape), or the ranks bin into percentile
-    * buckets (percentile_disc cutpoints, the q209 idiom) when exact
-    * global ranks aren't worth a pass.
+    * Scale: the two global rank assignments run as range-partitioned
+    * distributed sorts via [[Relational.globalRowNumber]] (NOT an
+    * unpartitioned Window — a single-task total sort the
+    * plan-contract gate bans), joined back on doc_id; or the ranks
+    * bin into percentile buckets (percentile_disc cutpoints, the
+    * q209 idiom) when exact global ranks aren't worth two passes.
     */
   def spearmanQualityLength(spark: SparkSession, dir: String): DataFrame = {
-    val wq = org.apache.spark.sql.expressions.Window
-      .orderBy(col("quality"), col("doc_id"))
-    val wl = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_chars"), col("doc_id"))
-    docQuality(spark, dir)
+    val base = docQuality(spark, dir)
       .select(col("doc_id"), col("quality"),
         length(col("text")).cast("long").as("n_chars"))
-      .withColumn("rq", row_number().over(wq).cast("long"))
-      .withColumn("rl", row_number().over(wl).cast("long"))
+    val rq = Relational.globalRowNumber(
+      base.select(col("doc_id"), col("quality")), "rq",
+      col("quality"), col("doc_id")).select(col("doc_id"), col("rq"))
+    val rl = Relational.globalRowNumber(
+      base.select(col("doc_id"), col("n_chars")), "rl",
+      col("n_chars"), col("doc_id")).select(col("doc_id"), col("rl"))
+    rq.join(rl, Seq("doc_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum((col("rq") - col("rl")) * (col("rq") - col("rl")))
           .as("sum_d2"))
@@ -502,14 +504,8 @@ object TextAnalysis {
       batchSize: Int = 32, granule: Long = 64): DataFrame = {
     val d = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
-    val ranged = d.repartitionByRange(col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-    val schema = ranged.schema
-      .add("batch", org.apache.spark.sql.types.LongType, nullable = false)
-    val batched = spark.createDataFrame(
-      ranged.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / batchSize) },
-      schema)
+    val batched = Relational.globalRowNumber(d, "rn", col("doc_id"))
+      .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
     val naive = batched
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("bn"), max(col("n_tok")).as("bmax"),

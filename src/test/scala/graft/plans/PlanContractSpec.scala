@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.InnerLike
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, Window}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** The suite-wide 100 TB plan contract — the r11 verdict's ask #7:
+  * the e5cc33e manual plan audit turned into a permanent gate over
+  * EVERY SparkEntry query.
+  *
+  * Two scale-killers are banned from every optimized plan:
+  *
+  *  1. An unpartitioned Window (empty PARTITION BY): it funnels its
+  *     entire input through ONE task. Rank-limit windows are exempt
+  *     by construction — the injected [[RankLimitToTopK]] rewrite
+  *     replaces them with bounded TopKRows heap aggregates before
+  *     this gate sees the plan (RankLimitSpec pins that), so any
+  *     Window surviving with an empty partitionSpec is a real
+  *     single-task sort of its input relation.
+  *  2. A join with no condition and no broadcast hint: Spark plans it
+  *     as CartesianProduct (or auto-BHJ only while the side is small
+  *     enough TODAY). Every deliberate scalar/dimension cross in the
+  *     suite writes `crossJoin(broadcast(...))`; the hint is the
+  *     durable contract — size-based auto-broadcast at test SF says
+  *     nothing about 100 TB.
+  *
+  * Allowlists are per-query and must carry a justification naming the
+  * BOUND on the windowed relation; an empty-string justification
+  * fails the gate by construction.
+  */
+class PlanContractSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Queries whose plan cannot be inspected statically, with why. */
+  private val skip: Map[String, String] = Map(
+    "qS01_stream_sessions" -> ("runs a Structured Streaming " +
+      "availableNow pipeline during construction; the returned plan " +
+      "is a parquet read-back of the sink. The streaming plan's " +
+      "session aggregate is keyed (user_id) and watermark-bounded — " +
+      "EventStreamsSpec covers it.")
+  )
+
+  /** Unpartitioned windows allowed because the windowed relation is
+    * provably bounded (dimension/grid-sized), with the bound.
+    * (Windows over LIMIT-bounded inputs are exempted structurally
+    * via maxRows — no entry needed.)
+    */
+  private val boundedGlobalWindow: Map[String, String] = Map(
+    "q162_search_order" -> ("the two global ranks materialize the " +
+      "SEARCH-clause ORDER CONTRACT so the hash gate can pin it; " +
+      "production consumers ORDER BY the path/depth columns directly " +
+      "(a distributed sort) — documented on searchOrderSparkSql, " +
+      "whose one-SQL-text/two-planners design is the point of the " +
+      "test and precludes a DataFrame-side globalRowNumber rewrite."),
+    "q220_period_report" -> ("cumulative/lag window over the per-DAY " +
+      "revenue grid — one row per calendar day (~365/year), bounded " +
+      "by the time horizon, not the event volume.")
+  )
+
+  /** A Window whose input has a statically-known row bound (LIMIT
+    * propagated through maxRows) cannot be a scale-killer.
+    */
+  private val MaxBoundedWindowRows = 100000L
+
+  test("no unpartitioned non-rank-limit Window; no unhinted " +
+    "condition-less join — every query, every optimized plan") {
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    (boundedGlobalWindow ++ skip).foreach { case (q, why) =>
+      assert(why.trim.nonEmpty, s"allowlist entry $q lacks a justification")
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip.contains(name)) {
+        val plan = fn(spark, TestSpark.sf).queryExecution.optimizedPlan
+        plan.foreach {
+          case w: Window if w.partitionSpec.isEmpty &&
+              !boundedGlobalWindow.contains(name) &&
+              !w.child.maxRows.exists(_ <= MaxBoundedWindowRows) =>
+            violations += s"$name: unpartitioned Window over\n  " +
+              w.child.simpleString(3)
+          case j: Join if j.condition.isEmpty &&
+              j.joinType.isInstanceOf[InnerLike] &&
+              !j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+              !j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) =>
+            violations += s"$name: condition-less ${j.joinType} join " +
+              s"without a broadcast hint\n  ${j.simpleString(3)}"
+          case _ => ()
+        }
+      }
+    }
+    assert(violations.isEmpty,
+      s"${violations.size} plan-contract violations:\n" +
+        violations.mkString("\n"))
+  }
+}
