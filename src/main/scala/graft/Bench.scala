@@ -356,7 +356,15 @@ object Bench {
       case (a, b) => a.orElse(b)
     }
 
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // qS* entries are streaming CORRECTNESS gates (availableNow
+    // pipeline + sink read-back): their wall time is dominated by
+    // fixed micro-batch/trigger machinery and input staging, not by
+    // data throughput, so timing them min-of-2 here would only dilute
+    // the suite total's comparability across rounds. Verify still
+    // runs them; EventStreamsSpec covers their latency-relevant
+    // behavior.
+    val names = if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.filterNot(_.startsWith("qS")).sorted
     val sentinel =
       if (names.contains("q01_pricing_summary")) "q01_pricing_summary" else names.head
     // A query is an error only if NO attempt ever measured it — a

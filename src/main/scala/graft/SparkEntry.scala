@@ -331,7 +331,9 @@ object SparkEntry {
     "q227_weighted_median" -> (TextAnalysis.weightedMedianLength _),
     "q228_dedup_funnel" -> (Dedup.dedupFunnel _),
     "q229_lsh_recall_sampled" -> (Dedup.lshRecallCurveSampled _),
-    "q230_cohort_ltv" -> (Events.cohortLtv _)
+    "q230_cohort_ltv" -> (Events.cohortLtv _),
+    "qS01_stream_sessions" ->
+      (graft.streaming.EventStreams.sessionsFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5636,7 +5638,36 @@ object SparkEntry {
         |SELECT c.cohort_week, c.age_weeks, sz.n_users, c.week_cents,
         |  c.cum_cents, c.cum_cents // sz.n_users AS cum_per_user_cents
         |FROM c JOIN sz ON c.cohort_week = sz.cohort_week
-        |ORDER BY c.cohort_week, c.age_weeks""".stripMargin
+        |ORDER BY c.cohort_week, c.age_weeks""".stripMargin,
+
+    // qS01: the streaming run's emitted set replayed in batch — q19's
+    // gaps-and-islands sessionization plus the watermark SEAL: only
+    // sessions whose end (last event + 30 min) is at or below the
+    // final watermark (max event time floored to Spark's ms watermark
+    // precision, minus the 2 h delay) are append-emitted. Epoch-µs
+    // BIGINTs on both sides (instant/naive parquet timestamps don't
+    // hash cross-engine).
+    "qS01_stream_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 7200000000
+        |    AS wm_us FROM e),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |g AS (SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |    epoch_us(max(ts)) + 1800000000 AS end_us,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |      AS sum_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n_events, sum_value
+        |FROM g CROSS JOIN wm WHERE end_us <= wm_us
+        |ORDER BY user_id, start_us""".stripMargin
   )
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the

@@ -195,6 +195,67 @@ object EventStreams {
       .select(col("user_id"), col("l_id"), col("r_id"))
   }
 
+  /** The qS01 streaming-vs-oracle gate: the watermarked 30-minute
+    * session aggregation (the q19 batch twin's full output shape —
+    * start/end/count/decimal-summed value) run END-TO-END as a
+    * Structured Streaming pipeline — file source → session_window
+    * aggregate under a 2-hour watermark → append-mode parquet sink
+    * with checkpointing, Trigger.AvailableNow — then read back.
+    *
+    * DETERMINISM CONTRACT (what makes a streaming run oracle-able):
+    * append mode emits exactly the sessions the FINAL watermark
+    * (max event time − 2 h) has sealed — a session whose
+    * `end = last event + gap` is at or below it can never be
+    * extended (later events would be dropped by contract), so the
+    * emitted set is a pure function of the input data, independent
+    * of micro-batch boundaries. The DuckDB oracle replays that
+    * contract in batch SQL: gaps-and-islands sessionization plus the
+    * same `session_end ≤ max(ts) − 2h` seal. Spark tracks event-time
+    * watermarks in MILLISECONDS (truncating the µs max event time),
+    * so the oracle's seal compares at the same ms floor.
+    *
+    * Timestamps ship as epoch-µs BIGINTs (instant vs naive parquet
+    * encodings don't hash cross-engine; the UTC session pin makes
+    * the integer values identical). Scale: the aggregate is keyed
+    * (user_id × sealed windows), state bounded by the watermark
+    * horizon; the sink is an ordinary distributed parquet append.
+    */
+  def sessionsFinalized(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qs01-")
+      .toString
+    // The corpus ships events as ONE parquet file; a file-source
+    // stream watches a DIRECTORY. Stage it as a multi-file ingest dir
+    // (what a real feed looks like) — the raw nanos `ts` long rides
+    // through unchanged under the legacy conf and readEventStream's
+    // magnitude sniff picks the right conversion.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/events.parquet")
+    val q = readEventStream(spark, s"$tmp/in")
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2)
+          .cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data")
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   /** Session windows (30-minute gap) per user under a watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events
