@@ -332,8 +332,11 @@ object SparkEntry {
     "q228_dedup_funnel" -> (Dedup.dedupFunnel _),
     "q229_lsh_recall_sampled" -> (Dedup.lshRecallCurveSampled _),
     "q230_cohort_ltv" -> (Events.cohortLtv _),
+    "q231_span_excision" -> (Dedup.exciseSpans _),
     "qS01_stream_sessions" ->
-      (graft.streaming.EventStreams.sessionsFinalized _)
+      (graft.streaming.EventStreams.sessionsFinalized _),
+    "qS02_stream_dedup" ->
+      (graft.streaming.EventStreams.dedupFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5639,6 +5642,53 @@ object SparkEntry {
         |  c.cum_cents, c.cum_cents // sz.n_users AS cum_per_user_cents
         |FROM c JOIN sz ON c.cohort_week = sz.cohort_week
         |ORDER BY c.cohort_week, c.age_weeks""".stripMargin,
+
+    // q231: the oracle takes the POSITIONAL route (the q190 pattern)
+    // — covered positions from the shared-shingle hits, KEPT
+    // positions by anti-join, the cleaned text re-assembled with
+    // string_agg in position order, then md5 — fully independent of
+    // the engine's one-pass excision kernel.
+    "q231_span_excision" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, i,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1,
+        |      greatest(len(toks) - 1, 1))) AS i
+        |    FROM t WHERE len(toks) >= 3)),
+        |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g),
+        |shared AS (SELECT g FROM df WHERE df >= 2),
+        |hits AS (SELECT sh.doc_id, sh.i FROM sh JOIN shared USING (g)),
+        |cov AS (SELECT DISTINCT doc_id, p
+        |  FROM (SELECT doc_id, unnest([i, i + 1, i + 2]) AS p FROM hits)),
+        |tok AS (SELECT doc_id, p, toks[p] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
+        |    FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.tok
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+        |    AND tok.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |c AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+        |  FROM cov GROUP BY doc_id),
+        |n AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT n.doc_id, n.n_toks,
+        |  n.n_toks - COALESCE(cv.covered, 0) AS kept_toks,
+        |  md5(COALESCE(c.cleaned, '')) AS cleaned_fp
+        |FROM n LEFT JOIN cv USING (doc_id) LEFT JOIN c USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // qS02: the staged feed delivers every event TWICE; the streamed
+    // dedup must emit each exactly once, so the oracle is a plain
+    // projection of the original (unique-by-event_id) events.
+    "qS02_stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // qS01: the streaming run's emitted set replayed in batch — q19's
     // gaps-and-islands sessionization plus the watermark SEAL: only

@@ -269,6 +269,44 @@ object MinHashKernel {
     c
   }
 
+  /** The kept text after SPAN EXCISION (q231) — [[coveredTokens]]'
+    * fix-step sibling (Lee et al. 2022's remedy, not just its
+    * signal): drop every token position covered by a `set` 3-gram,
+    * rejoin the survivors with single spaces. Same one-pass boolean
+    * mark as the counter, then one concat — no per-token rows. A doc
+    * below 3 tokens (or an empty set) rejoins unchanged; a fully
+    * covered doc returns the empty string.
+    */
+  def exciseShared(tokens: ArrayData,
+      set: java.util.HashSet[UTF8String]): UTF8String = {
+    val n = tokens.numElements()
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val covered = new Array[Boolean](n)
+    if (n >= 3 && !set.isEmpty) {
+      var i = 0
+      while (i <= n - 3) {
+        val sh = UTF8String.concat(tokens.getUTF8String(i), SpaceUtf8,
+          tokens.getUTF8String(i + 1), SpaceUtf8, tokens.getUTF8String(i + 2))
+        if (set.contains(sh)) {
+          covered(i) = true; covered(i + 1) = true; covered(i + 2) = true
+        }
+        i += 1
+      }
+    }
+    var kept = 0
+    var j = 0
+    while (j < n) { if (!covered(j)) kept += 1; j += 1 }
+    if (kept == 0) return UTF8String.EMPTY_UTF8
+    val parts = new Array[UTF8String](kept)
+    var k = 0
+    j = 0
+    while (j < n) {
+      if (!covered(j)) { parts(k) = tokens.getUTF8String(j); k += 1 }
+      j += 1
+    }
+    UTF8String.concatWs(SpaceUtf8, parts: _*)
+  }
+
   /** Exact Jaccard similarity of two SORTED DISTINCT shingle arrays
     * (as produced by [[sortedShingles]]): one merge pass, no per-pair
     * set construction. Unrounded — callers apply the engine's round
@@ -494,6 +532,35 @@ case class ShingleCoverage(child: Expression,
     copy(child = c)
 }
 
+/** `excise_shared(tokensArray)` → the kept text after removing every
+  * token covered by a broadcast-set 3-gram
+  * ([[MinHashKernel.exciseShared]]); the [[ShingleCoverage]] plumbing
+  * with a STRING result — the excision twin of the coverage counter.
+  */
+case class ExciseShared(child: Expression,
+    shared: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.exciseShared(input.asInstanceOf[ArrayData], shared.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("sharedShingles", shared,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val setVar = ctx.addMutableState("java.util.HashSet", "sharedSet",
+      v => s"$v = (java.util.HashSet) $bcRef.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.exciseShared($c, $setVar)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `minhash_signature(tokensArray)` → array of 8 hex-window strings
   * (null for docs with no shingles). Codegen'd via a static kernel
   * call so the projection stays inside whole-stage codegen.
@@ -550,4 +617,9 @@ object MinHashFunctions {
       shared: org.apache.spark.broadcast.Broadcast[java.util.HashSet[
         org.apache.spark.unsafe.types.UTF8String]]): Column =
     column(ShingleCoverage(expression(tokens), shared))
+
+  def excise_shared(tokens: Column,
+      shared: org.apache.spark.broadcast.Broadcast[java.util.HashSet[
+        org.apache.spark.unsafe.types.UTF8String]]): Column =
+    column(ExciseShared(expression(tokens), shared))
 }

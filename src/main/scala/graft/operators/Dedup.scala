@@ -520,20 +520,29 @@ object Dedup {
     * compact Bloom bits broadcast and the exact verification as a
     * distributed join. Same output, same oracle.
     */
+  /** The df ≥ 2 cross-doc shared-shingle universe as a broadcast
+    * HashSet — the exact-set (small-corpus) leg shared by
+    * [[dupSpans]] (q190) and [[exciseSpans]] (q231); the 100 TB leg
+    * keeps this relation distributed ([[dupSpansBloom]]).
+    */
+  private def sharedShingleBroadcast(spark: SparkSession, docs: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] = {
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val it = shinglesOf(docs)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("shingle")).toLocalIterator()
+    while (it.hasNext) set.add(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        it.next().getString(0)))
+    spark.sparkContext.broadcast(set)
+  }
+
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
-    val shared = {
-      val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-      val it = shinglesOf(docs)
-        .select(col("doc_id"), col("shingle")).distinct()
-        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)
-        .select(col("shingle")).toLocalIterator()
-      while (it.hasNext) set.add(
-        org.apache.spark.unsafe.types.UTF8String.fromString(
-          it.next().getString(0)))
-      spark.sparkContext.broadcast(set)
-    }
+    val shared = sharedShingleBroadcast(spark, docs)
     docs
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
@@ -542,6 +551,42 @@ object Dedup {
           .shingle_coverage(col("toks"), shared).as("covered_toks"))
       .withColumn("dup_ppm",
         expr("covered_toks * 1000000 div greatest(n_toks, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Span EXCISION (q231) — the FIX step of Lee et al. 2022's
+    * exact-substring dedup, where [[dupSpans]] (q190) is only the
+    * signal: every token position covered by a cross-doc shared
+    * word-3-gram is REMOVED and the surviving tokens rejoined, per
+    * document — the "deduplicate repeated spans, keep the unique
+    * prose" transformation a training pipeline actually applies
+    * after triage. Output per doc: original and kept token counts
+    * plus the md5 of the cleaned text, so the gate hashes WHAT
+    * SURVIVED, not just how much.
+    *
+    * Same shapes as q190: shared universe built once (exact-set leg
+    * here — [[sharedShingleBroadcast]]; the q190b Bloom ladder
+    * applies verbatim to the excision at corpus scale), one scan
+    * projection with TWO one-pass kernels (coverage count + the
+    * [[graft.functions.MinHashKernel.exciseShared]] rejoin — no
+    * positional explode engine-side; the oracle takes the positional
+    * route: kept positions by anti-join, string_agg in position
+    * order).
+    */
+  def exciseSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val shared = sharedShingleBroadcast(spark, docs)
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        graft.functions.MinHashFunctions
+          .shingle_coverage(col("toks"), shared).as("covered_toks"),
+        graft.functions.MinHashFunctions
+          .excise_shared(col("toks"), shared).as("cleaned"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - col("covered_toks")).as("kept_toks"),
+        md5(col("cleaned")).as("cleaned_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -256,6 +256,45 @@ object EventStreams {
       .orderBy(col("user_id"), col("start_us"))
   }
 
+  /** The qS02 streaming-vs-oracle gate: at-least-once ingest DEDUP
+    * end-to-end — the staged feed delivers EVERY event twice (the
+    * replayed-upstream shape), [[dedupedEvents]]'
+    * `dropDuplicatesWithinWatermark(event_id)` must emit each exactly
+    * once into an append-mode parquet sink, and the read-back is
+    * gated against a plain batch projection of the original events.
+    *
+    * Determinism contract: unlike qS01's sealed aggregate, dedup
+    * emits a row in the micro-batch it FIRST appears (the watermark
+    * bounds STATE, not emission), so with every duplicate inside the
+    * horizon the emitted set is exactly the distinct-event set —
+    * independent of batch boundaries. event_id is unique in the
+    * corpus, so "first delivery wins" cannot pick different payloads.
+    * Timestamps as epoch-µs, money as integer cents (suite-wide
+    * discipline).
+    */
+  def dedupFinalized(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qs02-")
+      .toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.union(raw).repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/events.parquet")
+    val q = dedupedEvents(readEventStream(spark, s"$tmp/in"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data").orderBy(col("event_id"))
+  }
+
   /** Session windows (30-minute gap) per user under a watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

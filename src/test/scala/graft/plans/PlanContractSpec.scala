@@ -40,7 +40,10 @@ class PlanContractSpec extends AnyFunSuite {
       "availableNow pipeline during construction; the returned plan " +
       "is a parquet read-back of the sink. The streaming plan's " +
       "session aggregate is keyed (user_id) and watermark-bounded — " +
-      "EventStreamsSpec covers it.")
+      "EventStreamsSpec covers it."),
+    "qS02_stream_dedup" -> ("same availableNow-pipeline shape as " +
+      "qS01; the streaming dedup state is keyed (event_id) and " +
+      "watermark-evicted — EventStreamsSpec covers it.")
   )
 
   /** Unpartitioned windows allowed because the windowed relation is
