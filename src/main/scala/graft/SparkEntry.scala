@@ -333,6 +333,7 @@ object SparkEntry {
     "q229_lsh_recall_sampled" -> (Dedup.lshRecallCurveSampled _),
     "q230_cohort_ltv" -> (Events.cohortLtv _),
     "q231_span_excision" -> (Dedup.exciseSpans _),
+    "q231b_span_excision_bloom" -> (Dedup.exciseSpansBloom _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -1188,6 +1189,45 @@ object SparkEntry {
       |  CAST(COALESCE(cov.covered, 0) * 1000000
       |    // greatest(n_toks, 1) AS BIGINT) AS dup_ppm
       |FROM n LEFT JOIN cov USING (doc_id) ORDER BY n.doc_id""".stripMargin
+
+  /** The q231/q231b span-excision oracle (one SQL, two engine
+    * encodings — broadcast exact-set kernel and Bloom-ladder join +
+    * position-list kernel): covered positions from the shared hits,
+    * kept positions by anti-join, cleaned text re-assembled with
+    * string_agg in position order, md5'd.
+    */
+  private val exciseOracleSql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, i,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      |  FROM (SELECT doc_id, toks, unnest(range(1,
+      |      greatest(len(toks) - 1, 1))) AS i
+      |    FROM t WHERE len(toks) >= 3)),
+      |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g),
+      |shared AS (SELECT g FROM df WHERE df >= 2),
+      |hits AS (SELECT sh.doc_id, sh.i FROM sh JOIN shared USING (g)),
+      |cov AS (SELECT DISTINCT doc_id, p
+      |  FROM (SELECT doc_id, unnest([i, i + 1, i + 2]) AS p FROM hits)),
+      |tok AS (SELECT doc_id, p, toks[p] AS tok
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
+      |    FROM t)),
+      |kept AS (SELECT tok.doc_id, tok.p, tok.tok
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+      |    AND tok.p = cov.p
+      |  WHERE cov.p IS NULL),
+      |c AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+      |  FROM kept GROUP BY doc_id),
+      |cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+      |  FROM cov GROUP BY doc_id),
+      |n AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks
+      |  FROM documents)
+      |SELECT n.doc_id, n.n_toks,
+      |  n.n_toks - COALESCE(cv.covered, 0) AS kept_toks,
+      |  md5(COALESCE(c.cleaned, '')) AS cleaned_fp
+      |FROM n LEFT JOIN cv USING (doc_id) LEFT JOIN c USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
 
   /** The q192/q192b oracle: DuckDB replays the integer KS statistic
     * over the `granule`-bucketed value axis — per-pair cumulative
@@ -5643,43 +5683,14 @@ object SparkEntry {
         |FROM c JOIN sz ON c.cohort_week = sz.cohort_week
         |ORDER BY c.cohort_week, c.age_weeks""".stripMargin,
 
-    // q231: the oracle takes the POSITIONAL route (the q190 pattern)
-    // — covered positions from the shared-shingle hits, KEPT
+    // q231/q231b: the oracle takes the POSITIONAL route (the q190
+    // pattern) — covered positions from the shared-shingle hits, KEPT
     // positions by anti-join, the cleaned text re-assembled with
     // string_agg in position order, then md5 — fully independent of
-    // the engine's one-pass excision kernel.
-    "q231_span_excision" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |sh AS (SELECT doc_id, i,
-        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-        |  FROM (SELECT doc_id, toks, unnest(range(1,
-        |      greatest(len(toks) - 1, 1))) AS i
-        |    FROM t WHERE len(toks) >= 3)),
-        |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g),
-        |shared AS (SELECT g FROM df WHERE df >= 2),
-        |hits AS (SELECT sh.doc_id, sh.i FROM sh JOIN shared USING (g)),
-        |cov AS (SELECT DISTINCT doc_id, p
-        |  FROM (SELECT doc_id, unnest([i, i + 1, i + 2]) AS p FROM hits)),
-        |tok AS (SELECT doc_id, p, toks[p] AS tok
-        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
-        |    FROM t)),
-        |kept AS (SELECT tok.doc_id, tok.p, tok.tok
-        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
-        |    AND tok.p = cov.p
-        |  WHERE cov.p IS NULL),
-        |c AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
-        |  FROM kept GROUP BY doc_id),
-        |cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
-        |  FROM cov GROUP BY doc_id),
-        |n AS (SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks
-        |  FROM documents)
-        |SELECT n.doc_id, n.n_toks,
-        |  n.n_toks - COALESCE(cv.covered, 0) AS kept_toks,
-        |  md5(COALESCE(c.cleaned, '')) AS cleaned_fp
-        |FROM n LEFT JOIN cv USING (doc_id) LEFT JOIN c USING (doc_id)
-        |ORDER BY n.doc_id""".stripMargin,
+    // BOTH engine encodings (exact-set kernel and Bloom-ladder join),
+    // which must agree with it and therefore each other.
+    "q231_span_excision" -> exciseOracleSql,
+    "q231b_span_excision_bloom" -> exciseOracleSql,
 
     // qS02: the staged feed delivers every event TWICE; the streamed
     // dedup must emit each exactly once, so the oracle is a plain

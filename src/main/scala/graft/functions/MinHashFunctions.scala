@@ -293,6 +293,31 @@ object MinHashKernel {
         i += 1
       }
     }
+    joinKept(tokens, covered)
+  }
+
+  /** [[exciseShared]] given EXPLICIT covered positions (q231b — the
+    * Bloom-ladder leg computes positions via a distributed verified
+    * join and hands them to the scan): same one-pass cut, identical
+    * rejoin, so the two legs cannot drift in the string they build.
+    */
+  def exciseAt(tokens: ArrayData, positions: ArrayData): UTF8String = {
+    val n = tokens.numElements()
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val covered = new Array[Boolean](n)
+    val m = positions.numElements()
+    var i = 0
+    while (i < m) {
+      val p = positions.getLong(i)
+      if (p >= 0 && p < n) covered(p.toInt) = true
+      i += 1
+    }
+    joinKept(tokens, covered)
+  }
+
+  private def joinKept(tokens: ArrayData,
+      covered: Array[Boolean]): UTF8String = {
+    val n = tokens.numElements()
     var kept = 0
     var j = 0
     while (j < n) { if (!covered(j)) kept += 1; j += 1 }
@@ -561,6 +586,31 @@ case class ExciseShared(child: Expression,
     copy(child = c)
 }
 
+/** `excise_at(tokensArray, positionsArray)` → the kept text after
+  * removing the listed token positions
+  * ([[MinHashKernel.exciseAt]]) — q231b's scan-side cut, fed by the
+  * distributed verified-coverage join instead of a broadcast set.
+  */
+case class ExciseAt(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(LongType))
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(toks: Any, pos: Any): Any =
+    MinHashKernel.exciseAt(toks.asInstanceOf[ArrayData],
+      pos.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.functions.MinHashKernel.exciseAt($t, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `minhash_signature(tokensArray)` → array of 8 hex-window strings
   * (null for docs with no shingles). Codegen'd via a static kernel
   * call so the projection stays inside whole-stage codegen.
@@ -622,4 +672,7 @@ object MinHashFunctions {
       shared: org.apache.spark.broadcast.Broadcast[java.util.HashSet[
         org.apache.spark.unsafe.types.UTF8String]]): Column =
     column(ExciseShared(expression(tokens), shared))
+
+  def excise_at(tokens: Column, positions: Column): Column =
+    column(ExciseAt(expression(tokens), expression(positions)))
 }

@@ -614,8 +614,15 @@ object Dedup {
     * the checkpointed shared blocks and the bits broadcast release
     * eagerly (the decontaminateBloom hygiene).
     */
-  def dupSpansBloom(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Corpus.read(spark, dir, "documents")
+  /** The DISTRIBUTED df ≥ 2 shared-shingle relation (localCheckpoint
+    * — never collected) plus its tree-OR-merged Bloom bits — the
+    * 100 TB build shared by [[dupSpansBloom]] (q190b) and
+    * [[exciseSpansBloom]] (q231b). Callers must release the
+    * checkpoint blocks and destroy the broadcast once their result
+    * materializes (the decontaminateBloom hygiene).
+    */
+  private def sharedShingleBloom(spark: SparkSession, docs: DataFrame)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Long]]) = {
     val shared = shinglesOf(docs)
       .select(col("doc_id"), col("shingle")).distinct()
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -633,7 +640,17 @@ object Dedup {
       while (i < a.length) { a(i) |= b(i); i += 1 }
       a
     }
-    val bc = spark.sparkContext.broadcast(bits)
+    (shared, spark.sparkContext.broadcast(bits))
+  }
+
+  /** Verified covered positions per doc: bloom-positive (pos,
+    * shingle) candidates exactly verified against the distributed
+    * shared relation, each hit expanded to its 3-token span,
+    * distinct — (doc_id, p) rows bounded by true shared occurrences
+    * + the FP tail. Shared by q190b (counts) and q231b (positions).
+    */
+  private def verifiedCoveredPositions(docs: DataFrame, shared: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]]): DataFrame = {
     val hits = docs
       .select(col("doc_id"),
         explode(graft.functions.BloomFunctions
@@ -641,10 +658,16 @@ object Dedup {
           .as("h"))
       .select(col("doc_id"), col("h.pos").as("pos"),
         col("h.shingle").as("shingle"))
-    val covered = hits.join(shared, Seq("shingle"))
+    hits.join(shared, Seq("shingle"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + 2)).as("p"))
       .distinct()
+  }
+
+  def dupSpansBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val (shared, bc) = sharedShingleBloom(spark, docs)
+    val covered = verifiedCoveredPositions(docs, shared, bc)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
       .localCheckpoint(true)
     checkpointRdd(shared).foreach(_.unpersist(false))
@@ -657,6 +680,40 @@ object Dedup {
         coalesce(col("covered"), lit(0L)).as("covered_toks"))
       .withColumn("dup_ppm",
         expr("covered_toks * 1000000 div greatest(n_toks, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[exciseSpans]]' 100 TB leg (q231b) — the q190b machinery
+    * driving the FIX instead of the signal: verified covered
+    * positions (Bloom prefilter → exact join, never a driver-side
+    * set) are collected into a PER-DOC position array — bounded by
+    * that doc's shared-span mass, not the corpus — joined back to
+    * the scan, and the [[graft.functions.MinHashKernel.exciseAt]]
+    * kernel performs the same one-pass cut as q231's exact-set
+    * kernel given explicit positions. Row-identical to q231, same
+    * oracle: FPs die at the verification join, so the position sets
+    * are exactly the exact-set leg's.
+    */
+  def exciseSpansBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val (shared, bc) = sharedShingleBloom(spark, docs)
+    val covArr = verifiedCoveredPositions(docs, shared, bc)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("p")).as("cov"))
+      .localCheckpoint(true)
+    checkpointRdd(shared).foreach(_.unpersist(false))
+    bc.destroy()
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .join(covArr, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        coalesce(col("cov"), expr("array()").cast("array<bigint>"))
+          .as("cov"), col("toks"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("cov")).cast("long")).as("kept_toks"),
+        md5(graft.functions.MinHashFunctions
+          .excise_at(col("toks"), col("cov"))).as("cleaned_fp"))
       .orderBy(col("doc_id"))
   }
 
