@@ -337,7 +337,9 @@ object SparkEntry {
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
-      (graft.streaming.EventStreams.dedupFinalized _)
+      (graft.streaming.EventStreams.dedupFinalized _),
+    "qS03_stream_clean" ->
+      (graft.streaming.DocumentStreams.cleanedFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5700,6 +5702,32 @@ object SparkEntry {
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |  CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // qS03: the cleaning stage is stateless, so the streamed output
+    // is exactly the batch projection — the q42 quality construction
+    // with the 0.4 threshold, plus the q44 redaction md5, per doc.
+    "qS03_stream_clean" -> {
+      val email = TextAnalysis.EmailPattern
+      val num = TextAnalysis.LongNumberPattern
+      s"""WITH d AS (SELECT doc_id, lang, text, ' ' || text || ' ' AS padded,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |e AS (SELECT doc_id, lang, text, n_tokens, n_punct,
+         |  (${scoreSql("en")}) AS n_stop FROM d),
+         |q AS (SELECT doc_id, lang, text,
+         |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+         |    + (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 0.5
+         |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.25, 6)
+         |    AS quality
+         |  FROM e)
+         |SELECT doc_id, lang, quality,
+         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |  md5(regexp_replace(
+         |    regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |    '$num', '<NUM>', 'g')) AS redacted_fp
+         |FROM q WHERE quality > 0.4 ORDER BY doc_id""".stripMargin
+    },
 
     // qS01: the streaming run's emitted set replayed in batch — q19's
     // gaps-and-islands sessionization plus the watermark SEAL: only

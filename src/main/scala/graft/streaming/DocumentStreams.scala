@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.operators.{Curation, TextAnalysis}
@@ -51,6 +51,35 @@ object DocumentStreams {
         md5(regexp_replace(
           regexp_replace(col("text"), TextAnalysis.EmailPattern, "<EMAIL>"),
           TextAnalysis.LongNumberPattern, "<NUM>")).as("redacted_fp"))
+
+  /** The qS03 streaming-vs-oracle gate: the document CLEANING stage
+    * ([[cleanedDocuments]] — quality score → threshold filter →
+    * fingerprint → redaction) run end-to-end as an ingest pipeline:
+    * staged multi-file feed → stateless per-row projection →
+    * append-mode parquet sink with checkpoint, Trigger.AvailableNow,
+    * read back. Stateless means NO watermark seal: every qualifying
+    * document is emitted in whatever micro-batch it arrives, so the
+    * emitted set is trivially batch-replayable — the DuckDB oracle is
+    * the quality/fingerprint/redaction formulas over the static
+    * corpus (the q42/q44 constructions) with the same 0.4 threshold.
+    */
+  def cleanedFinalized(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qs03-")
+      .toString
+    spark.read.parquet(s"$dir/documents.parquet").repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/documents.parquet")
+    val q = cleanedDocuments(readDocumentStream(spark, s"$tmp/in"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data").orderBy(col("doc_id"))
+  }
 
   /** Mixture-sample each arriving document at
     * [[Curation.mixtureRates]] — the same deterministic

@@ -43,7 +43,10 @@ class PlanContractSpec extends AnyFunSuite {
       "EventStreamsSpec covers it."),
     "qS02_stream_dedup" -> ("same availableNow-pipeline shape as " +
       "qS01; the streaming dedup state is keyed (event_id) and " +
-      "watermark-evicted — EventStreamsSpec covers it.")
+      "watermark-evicted — EventStreamsSpec covers it."),
+    "qS03_stream_clean" -> ("same availableNow-pipeline shape as " +
+      "qS01; the cleaning stage is a stateless per-row projection — " +
+      "DocumentStreamsSpec covers it.")
   )
 
   /** Unpartitioned windows allowed because the windowed relation is
