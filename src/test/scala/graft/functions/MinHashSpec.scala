@@ -184,4 +184,39 @@ class MinHashSpec extends AnyFunSuite {
     assert(math.abs(pairs(3) - 1.0 / 4) < 1e-12)
     assert(pairs(4) === 0.0)
   }
+
+  test("excise kernels: edge cases the corpus gate may never hit") {
+    val s = spark
+    import s.implicits._
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    set.add(org.apache.spark.unsafe.types.UTF8String.fromString("a b c"))
+    val bc = s.sparkContext.broadcast(set)
+    val rows = Seq(
+      "a b c",          // fully covered -> ""
+      "a b c d",        // positions 0-2 covered -> "d"
+      "x a b c y",      // middle covered -> "x y"
+      "a b",            // < 3 tokens -> unchanged
+      "",               // empty -> ""
+      "x y z")          // no hit -> unchanged
+      .toDF("t")
+      .select(graft.functions.MinHashFunctions
+        .excise_shared(TextAnalysis.tokens(col("t")), bc).as("c"))
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("", "d", "x y", "a b", "", "x y z"))
+
+    // excise_at must build the identical string from explicit
+    // positions — including out-of-range positions ignored (the
+    // verified join can never produce them; the kernel still must
+    // not crash on a malformed caller).
+    val at = Seq(
+      ("a b c d", Seq(0L, 1L, 2L)),
+      ("x a b c y", Seq(1L, 2L, 3L)),
+      ("x y z", Seq.empty[Long]),
+      ("x y z", Seq(-1L, 99L)))
+      .toDF("t", "p")
+      .select(graft.functions.MinHashFunctions
+        .excise_at(TextAnalysis.tokens(col("t")), col("p")).as("c"))
+      .collect().map(_.getString(0))
+    assert(at.toSeq == Seq("d", "x y", "x y z", "x y z"))
+  }
 }
