@@ -334,6 +334,7 @@ object SparkEntry {
     "q230_cohort_ltv" -> (Events.cohortLtv _),
     "q231_span_excision" -> (Dedup.exciseSpans _),
     "q231b_span_excision_bloom" -> (Dedup.exciseSpansBloom _),
+    "q232_mixture_waterfill" -> (Curation.mixtureWaterfill _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -5702,6 +5703,44 @@ object SparkEntry {
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |  CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // q232: DuckDB replays the closed-form water-fill — same integer
+    // sort key, same prefix-cumulative saturation test, same floor
+    // division — over the same mixtureRates CASE.
+    "q232_mixture_waterfill" ->
+      s"""WITH a AS (SELECT lang,
+         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |      AS avail,
+         |    CAST($mixtureRateCase AS BIGINT) AS w
+         |  FROM documents GROUP BY lang),
+         |f AS (SELECT * FROM a WHERE w > 0),
+         |t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot,
+         |    CAST(sum(w) AS BIGINT) AS wsum FROM f),
+         |c AS (SELECT f.*, t.tot, t.wsum, t.tot * 3 // 4 AS budget,
+         |    avail * 1000 // w AS key FROM f CROSS JOIN t),
+         |p AS (SELECT *,
+         |    COALESCE(CAST(sum(avail) OVER (ORDER BY key, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS cuma,
+         |    COALESCE(CAST(sum(w) OVER (ORDER BY key, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS cumw
+         |  FROM c),
+         |s AS (SELECT *, CASE WHEN avail * (wsum - cumw)
+         |      <= (budget - cuma) * w THEN 1 ELSE 0 END AS sat FROM p),
+         |st AS (SELECT
+         |    COALESCE(CAST(sum(CASE WHEN sat = 1 THEN avail END)
+         |      AS BIGINT), 0) AS sata,
+         |    COALESCE(CAST(sum(CASE WHEN sat = 1 THEN w END)
+         |      AS BIGINT), 0) AS satw FROM s),
+         |o AS (SELECT s.*, CASE WHEN sat = 1 THEN avail
+         |    ELSE greatest(budget - sata, 0) * w // (wsum - satw)
+         |  END AS alloc FROM s CROSS JOIN st)
+         |SELECT lang, avail AS avail_tokens, w AS weight,
+         |  CAST(sat AS BIGINT) AS saturated,
+         |  CAST(alloc AS BIGINT) AS alloc_tokens,
+         |  alloc * 1000 // greatest(avail, 1) AS upsample_permille
+         |FROM o ORDER BY lang""".stripMargin,
 
     // qS03: the cleaning stage is stateless, so the streamed output
     // is exactly the batch projection — the q42 quality construction

@@ -89,6 +89,61 @@ object Curation {
   def mixtureSample(spark: SparkSession, dir: String): DataFrame =
     mixtureSampleOf(Corpus.read(spark, dir, "documents"))
 
+  /** Water-filling token allocation across the target mixture (q232)
+    * — the BUDGET-PLANNING step that precedes q53's sampling: given
+    * each language's available token mass and the [[mixtureRates]]
+    * target weights, split a total budget (here 3·tot/4 — high
+    * enough that most languages saturate and the re-distribution
+    * branch is live in the gate) weight-
+    * proportionally, capping every language at what it actually has
+    * and re-distributing the unused share of saturated languages to
+    * the rest — the standard water-filling construction every
+    * published training mixture (weights × caps × upsampling limits)
+    * is an instance of. The report also states the implied
+    * upsample/downsample factor per language in permille.
+    *
+    * Single-pass closed form, all exact integers: sort languages by
+    * saturation point avail/w (integer key `avail·1000 div w`, tie
+    * by lang — key quantization can only reorder near-exact ties,
+    * deterministically and identically on both engines), take prefix
+    * cumulative sums; language i saturates iff
+    * `avail_i·(W − cumw_{i−1}) ≤ (B − cuma_{i−1})·w_i` (saturation
+    * is a prefix of this order), then every unsaturated language
+    * gets `(B − satA)·w div (W − satW)`. No iteration, no driver
+    * loop; the windows run over the LANGUAGE-cardinality aggregate
+    * (the q169 dimension argument — allowlisted in the plan gate).
+    */
+  def mixtureWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key"), col("lang"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val avail = Corpus.read(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("avail"))
+      .withColumn("w", rateCol(col("lang")).cast("long"))
+      .filter(col("w") > 0)
+    val tot = avail.agg(sum(col("avail")).as("tot"), sum(col("w")).as("wsum"))
+    val flagged = avail.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tot * 3 div 4"))
+      .withColumn("key", expr("avail * 1000 div w"))
+      .withColumn("cuma", coalesce(sum(col("avail")).over(win), lit(0L)))
+      .withColumn("cumw", coalesce(sum(col("w")).over(win), lit(0L)))
+      .withColumn("sat", (col("avail") * (col("wsum") - col("cumw")) <=
+        (col("budget") - col("cuma")) * col("w")).cast("long"))
+    val satTot = flagged.agg(
+      coalesce(sum(when(col("sat") === 1L, col("avail"))), lit(0L)).as("sata"),
+      coalesce(sum(when(col("sat") === 1L, col("w"))), lit(0L)).as("satw"))
+    flagged.crossJoin(broadcast(satTot))
+      .withColumn("alloc", when(col("sat") === 1L, col("avail"))
+        .otherwise(expr("greatest(budget - sata, 0L) * w div (wsum - satw)")))
+      .withColumn("upsample_permille",
+        expr("alloc * 1000 div greatest(avail, 1)"))
+      .select(col("lang"), col("avail").as("avail_tokens"),
+        col("w").as("weight"), col("sat").as("saturated"),
+        col("alloc").as("alloc_tokens"), col("upsample_permille"))
+      .orderBy(col("lang"))
+  }
+
   /** `(lang, n_toks, bucket)` per doc from a scored relation carrying
     * `lang`, `n_tokens`, `quality` (plus passthrough of `doc_id` for
     * the apply path): bucket = floor(quality × 20), quality-bucket

@@ -63,7 +63,10 @@ class PlanContractSpec extends AnyFunSuite {
       "test and precludes a DataFrame-side globalRowNumber rewrite."),
     "q220_period_report" -> ("cumulative/lag window over the per-DAY " +
       "revenue grid — one row per calendar day (~365/year), bounded " +
-      "by the time horizon, not the event volume.")
+      "by the time horizon, not the event volume."),
+    "q232_mixture_waterfill" -> ("prefix-cumulative window over the " +
+      "per-LANGUAGE mixture aggregate — one row per language in the " +
+      "mixture table (dimension-bounded, the q169 argument).")
   )
 
   /** A Window whose input has a statically-known row bound (LIMIT
