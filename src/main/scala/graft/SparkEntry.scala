@@ -335,6 +335,7 @@ object SparkEntry {
     "q231_span_excision" -> (Dedup.exciseSpans _),
     "q231b_span_excision_bloom" -> (Dedup.exciseSpansBloom _),
     "q232_mixture_waterfill" -> (Curation.mixtureWaterfill _),
+    "q233_trgm_fuzzy" -> (TextAnalysis.trgmFuzzyNations _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -5741,6 +5742,32 @@ object SparkEntry {
          |  CAST(alloc AS BIGINT) AS alloc_tokens,
          |  alloc * 1000 // greatest(avail, 1) AS upsample_permille
          |FROM o ORDER BY lang""".stripMargin,
+
+    // q233: DuckDB re-derives the pg_trgm construction with its own
+    // list primitives (string_split_regex / list_transform / range /
+    // list_intersect vs Spark's split / transform / sequence /
+    // array_intersect) — independent encodings of the same padding
+    // and trigram rules.
+    "q233_trgm_fuzzy" ->
+      """WITH n AS (SELECT n_name AS name,
+        |  list_distinct(flatten(list_transform(
+        |    list_filter(string_split_regex(lower(n_name), '[^a-z0-9]+'),
+        |      w -> w <> ''),
+        |    w -> list_transform(range(1, length('  ' || w || ' ') - 1),
+        |           i -> substring('  ' || w || ' ',
+        |             CAST(i AS INTEGER), 3))))) AS tg
+        |  FROM nation),
+        |p AS (SELECT a.name AS name_a, b.name AS name_b,
+        |    a.tg AS ta, b.tg AS tb
+        |  FROM n a JOIN n b ON a.name < b.name),
+        |c AS (SELECT name_a, name_b,
+        |    CAST(len(ta) AS BIGINT) AS n_a, CAST(len(tb) AS BIGINT) AS n_b,
+        |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS common
+        |  FROM p)
+        |SELECT name_a, name_b, n_a, n_b, common,
+        |  common * 1000 // (n_a + n_b - common) AS sim_permille
+        |FROM c WHERE common > 0
+        |ORDER BY sim_permille DESC, name_a, name_b""".stripMargin,
 
     // qS03: the cleaning stage is stateless, so the streamed output
     // is exactly the batch projection — the q42 quality construction

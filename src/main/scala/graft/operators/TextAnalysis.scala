@@ -415,6 +415,44 @@ object TextAnalysis {
           (col("n_docs") * (col("n_docs") * col("n_docs") - lit(1L))), 6))
   }
 
+  /** pg_trgm-style fuzzy matching (q233) — the PostgreSQL `pg_trgm`
+    * extension's `similarity()` re-expressed declaratively: lowercase,
+    * split into alnum words, pad each with two leading and one
+    * trailing space (pg_trgm's exact padding, so word boundaries
+    * weigh like the extension's), take distinct character 3-grams,
+    * Jaccard over the two sets — the record-linkage primitive behind
+    * PG's `%` operator and trigram indexes. Run here as fuzzy
+    * NATION-name matching (UNITED STATES ↔ UNITED KINGDOM etc.):
+    * dimension × dimension via broadcast (the q169 argument — at
+    * corpus scale the trigram sets feed an LSH/inverted-index block
+    * exactly like the q28 shingle pipeline; the per-row set
+    * derivation is unchanged). All higher-order functions — no UDF,
+    * no explode; similarity as exact integer permille.
+    */
+  def trgmFuzzyNations(spark: SparkSession, dir: String): DataFrame = {
+    def trgmSql(c: String) =
+      s"""array_distinct(flatten(transform(
+         |  filter(split(lower($c), '[^a-z0-9]+'), w -> w <> ''),
+         |  w -> transform(sequence(1, length(concat('  ', w, ' ')) - 2),
+         |         i -> substring(concat('  ', w, ' '), i, 3)))))""".stripMargin
+    val n = Corpus.read(spark, dir, "nation")
+      .select(col("n_name").as("name"), expr(trgmSql("n_name")).as("tg"))
+    val a = n.select(col("name").as("name_a"), col("tg").as("ta"))
+    val b = n.select(col("name").as("name_b"), col("tg").as("tb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("common",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("common") > 0)
+      .withColumn("n_a", size(col("ta")).cast("long"))
+      .withColumn("n_b", size(col("tb")).cast("long"))
+      .withColumn("sim_permille",
+        expr("common * 1000 div (n_a + n_b - common)"))
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+        col("common"), col("sim_permille"))
+      .orderBy(col("sim_permille").desc, col("name_a"), col("name_b"))
+  }
+
   /** Synthesized URL per document — deterministic arithmetic over
     * doc_id, shared verbatim (same SQL text) with the q216 oracle so
     * both engines canonicalize the SAME raw strings. Mixed-case

@@ -219,4 +219,42 @@ class MinHashSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(at.toSeq == Seq("d", "x y", "x y z", "x y z"))
   }
+
+  test("excise_shared equals a brute-force reference on random docs") {
+    val s = spark
+    import s.implicits._
+    // Tiny alphabet so shared shingles actually occur.
+    val tokGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    val docs = Gen.listOfN(60, tokGen).sample.getOrElse(Nil)
+    assert(docs.nonEmpty)
+    // Shared set: every 3-gram appearing in >= 2 docs (the q190 rule).
+    def grams(t: String): Seq[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+    }
+    val df2 = docs.map(d => grams(d).toSet)
+      .foldLeft(Map.empty[String, Int]) { (m, g) =>
+        g.foldLeft(m)((mm, x) => mm.updated(x, mm.getOrElse(x, 0) + 1))
+      }.filter(_._2 >= 2).keySet
+    def refExcise(t: String): String = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      val cov = Array.fill(w.length)(false)
+      for (i <- 0 to w.length - 3
+           if df2(s"${w(i)} ${w(i + 1)} ${w(i + 2)}")) {
+        cov(i) = true; cov(i + 1) = true; cov(i + 2) = true
+      }
+      w.indices.filterNot(cov).map(w).mkString(" ")
+    }
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    df2.foreach(g => set.add(
+      org.apache.spark.unsafe.types.UTF8String.fromString(g)))
+    val bc = s.sparkContext.broadcast(set)
+    val got = docs.toDF("t")
+      .select(graft.functions.MinHashFunctions
+        .excise_shared(TextAnalysis.tokens(col("t")), bc).as("c"))
+      .collect().map(_.getString(0))
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g == refExcise(d), s"doc '$d'")
+    }
+  }
 }
