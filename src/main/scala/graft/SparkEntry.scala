@@ -336,6 +336,7 @@ object SparkEntry {
     "q231b_span_excision_bloom" -> (Dedup.exciseSpansBloom _),
     "q232_mixture_waterfill" -> (Curation.mixtureWaterfill _),
     "q233_trgm_fuzzy" -> (TextAnalysis.trgmFuzzyNations _),
+    "q234_fuzzy_join" -> (TextAnalysis.fuzzyJoinCustomers _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -5768,6 +5769,49 @@ object SparkEntry {
         |  common * 1000 // (n_a + n_b - common) AS sim_permille
         |FROM c WHERE common > 0
         |ORDER BY sim_permille DESC, name_a, name_b""".stripMargin,
+
+    // q234: DuckDB replays the whole linkage — same deterministic
+    // deletion, same trigram derivation (its own list primitives),
+    // same df cap, its own levenshtein, best match by (dist, cid).
+    "q234_fuzzy_join" ->
+      s"""WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+         |    c_name AS name FROM customer),
+         |dirty AS (SELECT id AS did,
+         |    substring(name, 1,
+         |      CAST(id % (length(name) - 2) + 1 AS INTEGER)) ||
+         |    substring(name,
+         |      CAST(id % (length(name) - 2) + 3 AS INTEGER), 1000)
+         |      AS dname
+         |  FROM cust),
+         |tgc AS (SELECT id AS cid, name AS cname,
+         |    unnest(list_distinct(flatten(list_transform(
+         |      list_filter(string_split_regex(lower(name), '[^a-z0-9]+'),
+         |        w -> w <> ''),
+         |      w -> list_transform(range(1, length('  ' || w || ' ') - 1),
+         |             i -> substring('  ' || w || ' ',
+         |               CAST(i AS INTEGER), 3)))))) AS tg
+         |  FROM cust),
+         |keep AS (SELECT tg FROM tgc GROUP BY tg
+         |  HAVING count(*) <= ${TextAnalysis.TrgmDfCap}),
+         |idx AS (SELECT tgc.* FROM tgc JOIN keep USING (tg)),
+         |tgd AS (SELECT did, dname,
+         |    unnest(list_distinct(flatten(list_transform(
+         |      list_filter(string_split_regex(lower(dname), '[^a-z0-9]+'),
+         |        w -> w <> ''),
+         |      w -> list_transform(range(1, length('  ' || w || ' ') - 1),
+         |             i -> substring('  ' || w || ' ',
+         |               CAST(i AS INTEGER), 3)))))) AS tg
+         |  FROM dirty),
+         |cand AS (SELECT DISTINCT did, dname, cid, cname
+         |  FROM tgd JOIN idx USING (tg)),
+         |v AS (SELECT did, dname, cid, cname,
+         |    CAST(levenshtein(dname, cname) AS BIGINT) AS dist
+         |  FROM cand WHERE levenshtein(dname, cname) <= 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY did
+         |    ORDER BY dist, cid) AS rk FROM v)
+         |SELECT did, dname, cid AS matched_id, cname AS matched_name,
+         |  dist
+         |FROM r WHERE rk = 1 ORDER BY did""".stripMargin,
 
     // qS03: the cleaning stage is stateless, so the streamed output
     // is exactly the batch projection — the q42 quality construction

@@ -453,6 +453,76 @@ object TextAnalysis {
       .orderBy(col("sim_permille").desc, col("name_a"), col("name_b"))
   }
 
+  /** Trigram document-frequency cap for [[fuzzyJoinCustomers]] —
+    * named because the oracle interpolates the same value. The
+    * pg_trgm-index analogue of [[Dedup.ContainDfCap]]: a trigram
+    * occurring in more than this many names ('Customer#0000…'s
+    * shared prefix — the df is the TABLE size) blocks nothing and
+    * only multiplies candidates, so it is dropped from the index.
+    */
+  val TrgmDfCap = 64
+
+  /** Blocked fuzzy JOIN (q234) — record linkage as PG users run it
+    * with a pg_trgm index: a perturbed name list (here a
+    * deterministic one-character deletion per customer name — the
+    * dirty-feed stand-in) is joined back to the clean names by
+    * char-trigram BLOCKING + edit-distance verification, never by a
+    * cartesian compare:
+    *
+    *  1. both sides explode to (name, trigram) rows (q233's exact
+    *     pg_trgm derivation);
+    *  2. the clean-side index drops trigrams with df >
+    *     [[TrgmDfCap]] (the shared 'Customer#0000' prefix trigrams
+    *     have df = table size and block nothing — the df-cap is what
+    *     makes a trigram index work on low-entropy name sets);
+    *  3. candidates = distinct (dirty, clean) pairs sharing a
+    *     surviving trigram — bounded by cap · index size;
+    *  4. verify levenshtein ≤ 2 and keep the best match per dirty
+    *     name ((distance, id) order — the rank plans as a TopKRows
+    *     heap via the injected rewrite).
+    *
+    * Same candidate/verify shape as q28 (shingles→Jaccard) and q89
+    * (inverted index→containment), instantiated for edit distance.
+    */
+  def fuzzyJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    def trgmSql(c: String) =
+      s"""array_distinct(flatten(transform(
+         |  filter(split(lower($c), '[^a-z0-9]+'), w -> w <> ''),
+         |  w -> transform(sequence(1, length(concat('  ', w, ' ')) - 2),
+         |         i -> substring(concat('  ', w, ' '), i, 3)))))""".stripMargin
+    val cust = Corpus.read(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+    // Deterministic one-char deletion at a key-dependent position
+    // (2-based so the leading char survives; both engines replay it).
+    val dirty = cust.select(col("id").as("did"),
+      expr("concat(substring(name, 1, cast(id % (length(name) - 2) + 1 " +
+        "as int)), substring(name, cast(id % (length(name) - 2) + 3 " +
+        "as int), 1000))").as("dname"))
+    val cleanIdx = cust
+      .select(col("id").as("cid"), col("name").as("cname"),
+        explode(expr(trgmSql("name"))).as("tg"))
+    val keep = cleanIdx.groupBy(col("tg"))
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= TrgmDfCap)
+      .select(col("tg"))
+    val idx = cleanIdx.join(keep, Seq("tg"))
+    val cand = dirty
+      .select(col("did"), col("dname"), explode(expr(trgmSql("dname"))).as("tg"))
+      .join(idx, Seq("tg"))
+      .select(col("did"), col("dname"), col("cid"), col("cname"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("did")).orderBy(col("dist"), col("cid"))
+    cand
+      .withColumn("dist", levenshtein(col("dname"), col("cname")).cast("long"))
+      .filter(col("dist") <= 2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("did"), col("dname"), col("cid").as("matched_id"),
+        col("cname").as("matched_name"), col("dist"))
+      .orderBy(col("did"))
+  }
+
   /** Synthesized URL per document — deterministic arithmetic over
     * doc_id, shared verbatim (same SQL text) with the q216 oracle so
     * both engines canonicalize the SAME raw strings. Mixed-case
