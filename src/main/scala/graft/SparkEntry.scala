@@ -5808,10 +5808,12 @@ object SparkEntry {
          |    CAST(levenshtein(dname, cname) AS BIGINT) AS dist
          |  FROM cand WHERE levenshtein(dname, cname) <= 2),
          |r AS (SELECT *, row_number() OVER (PARTITION BY did
-         |    ORDER BY dist, cid) AS rk FROM v)
-         |SELECT did, dname, cid AS matched_id, cname AS matched_name,
-         |  dist
-         |FROM r WHERE rk = 1 ORDER BY did""".stripMargin,
+         |    ORDER BY dist, cid) AS rk FROM v),
+         |best AS (SELECT did, cid AS matched_id, cname AS matched_name,
+         |    dist FROM r WHERE rk = 1)
+         |SELECT d.did, d.dname, b.matched_id, b.matched_name, b.dist
+         |FROM dirty d LEFT JOIN best b USING (did)
+         |ORDER BY d.did""".stripMargin,
 
     // qS03: the cleaning stage is stateless, so the streamed output
     // is exactly the batch projection — the q42 quality construction

@@ -513,13 +513,22 @@ object TextAnalysis {
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("did")).orderBy(col("dist"), col("cid"))
-    cand
+    val best = cand
       .withColumn("dist", levenshtein(col("dname"), col("cname")).cast("long"))
       .filter(col("dist") <= 2)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("did"), col("dname"), col("cid").as("matched_id"),
+      .select(col("did"), col("cid").as("matched_id"),
         col("cname").as("matched_name"), col("dist"))
+    // LEFT join so an UNMATCHED dirty name is a visible NULL row, not
+    // a silent drop — blocking recall is part of the gated result
+    // (the cap thins the index when names repeat verbatim, e.g. the
+    // 10× replication fixture: df ∝ copies pushes even discriminating
+    // trigrams over the cap; on real corpora names are distinct and
+    // df is multiplicity-stable, but the failure mode must be LOUD).
+    dirty.join(best, Seq("did"), "left_outer")
+      .select(col("did"), col("dname"), col("matched_id"),
+        col("matched_name"), col("dist"))
       .orderBy(col("did"))
   }
 
