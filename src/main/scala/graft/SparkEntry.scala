@@ -337,6 +337,9 @@ object SparkEntry {
     "q232_mixture_waterfill" -> (Curation.mixtureWaterfill _),
     "q233_trgm_fuzzy" -> (TextAnalysis.trgmFuzzyNations _),
     "q234_fuzzy_join" -> (TextAnalysis.fuzzyJoinCustomers _),
+    "q235_mrl_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.mrlRecall(s, d)),
+    "q236_table_profile" -> (Relational.tableProfile _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -5814,6 +5817,63 @@ object SparkEntry {
          |SELECT d.did, d.dname, b.matched_id, b.matched_name, b.dist
          |FROM dirty d LEFT JOIN best b USING (did)
          |ORDER BY d.did""".stripMargin,
+
+    // q235: DuckDB replays each truncation's brute top-k with its own
+    // unnest-range pair sums over the first d components, then the
+    // same truth intersection and integer recall.
+    "q235_mrl_recall" -> {
+      val dims = Seq(16, 32, 64)
+      val blocks = dims.map { d =>
+        s"""x$d AS (SELECT qid, vb, ea, eb, unnest(range(1, ${d + 1})) AS i
+           |  FROM p),
+           |s$d AS (SELECT qid, vb,
+           |    $cosinePairSql
+           |  FROM x$d GROUP BY qid, vb),
+           |m$d AS (SELECT qid, vb, round(CASE WHEN na = 0 OR nb = 0
+           |    THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+           |  FROM s$d),
+           |r$d AS (SELECT qid, vb, row_number() OVER (PARTITION BY qid
+           |    ORDER BY sim DESC, vb) AS rk FROM m$d)""".stripMargin
+      }.mkString(",\n")
+      val union = dims.map(d =>
+        s"SELECT CAST($d AS BIGINT) AS dim, qid, vb FROM r$d WHERE rk <= 10")
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT q.qid, e.vec_id AS vb, q.qe AS ea,
+         |    e.embedding AS eb
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |$blocks,
+         |truth AS (SELECT qid, vb FROM r${dims.max} WHERE rk <= 10),
+         |u AS ($union),
+         |h AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM u JOIN truth USING (qid, vb) GROUP BY dim)
+         |SELECT dim, n_hits, n_hits * 1000 // 200 AS recall_permille
+         |FROM h ORDER BY dim""".stripMargin
+    },
+
+    // q236: DuckDB re-derives the per-column profile as one UNION ALL
+    // block per column (n_nulls via count(*)−count(c)); doubles in
+    // integer cents on both sides — float→string formatting is
+    // engine-specific and never enters the hash.
+    "q236_table_profile" -> {
+      val cols = Seq( // (name, isDouble)
+        "o_orderkey" -> false, "o_custkey" -> false,
+        "o_orderstatus" -> false, "o_totalprice" -> true,
+        "o_orderdate" -> false, "o_orderpriority" -> false)
+      cols.map { case (c, dbl) =>
+        val mn = if (dbl) s"CAST(CAST(round(min($c) * 100) AS BIGINT) AS VARCHAR)"
+                 else s"CAST(min($c) AS VARCHAR)"
+        val mx = if (dbl) s"CAST(CAST(round(max($c) * 100) AS BIGINT) AS VARCHAR)"
+                 else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mn AS min_val, $mx AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     // qS03: the cleaning stage is stateless, so the streamed output
     // is exactly the batch projection — the q42 quality construction

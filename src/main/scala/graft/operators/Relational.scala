@@ -1213,6 +1213,49 @@ object Relational {
           "collate(lower(c_mktsegment), 'UTF8_LCASE'))").as("eq_ci"))
       .orderBy(col("c_mktsegment"))
 
+  /** One-pass table profile (q236) — the data-profiling report every
+    * ingest of an unknown table starts with (the reference's users
+    * point `read_sql` at arbitrary PG tables; this is the first query
+    * they run on what lands): per column, null count, EXACT distinct
+    * count, and min/max rendered as strings (doubles in integer cents
+    * — the Exact.cents discipline — because float→string formatting
+    * is engine-specific). Schema-driven: the aggregate list is built
+    * from the DataFrame's own schema, so it runs on any relation.
+    *
+    * One pass over the table. The multi-DISTINCT aggregate pays
+    * Spark's Expand multiplier (one duplicate of the input per
+    * distinct column — the q125 finding, documented there); the
+    * profile at 100 TB swaps `countDistinct` for
+    * `approx_count_distinct` per column (the q20 ladder) — same
+    * report shape, sketch-bounded cost.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "orders")
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx) = f.dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          (expr(s"cast(cast(round(min(${f.name}) * 100) as bigint) as string)"),
+            expr(s"cast(cast(round(max(${f.name}) * 100) as bigint) as string)"))
+        case _ => (min(c).cast("string"), max(c).cast("string"))
+      }
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__nd"),
+        mn.as(s"${f.name}__min"), mx.as(s"${f.name}__max"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stack = fields.map(f =>
+      s"'${f.name}', ${f.name}__nulls, ${f.name}__nd, " +
+        s"${f.name}__min, ${f.name}__max").mkString(", ")
+    row.selectExpr("__n as n_rows",
+        s"stack(${fields.length}, $stack) as " +
+          "(column_name, n_nulls, n_distinct, min_val, max_val)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("column_name"))
+  }
+
   /** PG's `WITH RECURSIVE … UNION` (DISTINCT) semantics, emulated
     * (q108b) — q108 gates Spark's native recursive-CTE execution,
     * but Spark recursion is UNION ALL-only

@@ -891,6 +891,45 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Matryoshka (MRL) truncation recall audit (q235) — the
+    * serving-dimension decision for MRL-trained embeddings: how much
+    * of the full-dimension top-k survives when vectors are truncated
+    * to their first d dimensions (the whole point of Matryoshka
+    * Representation Learning is that prefixes are usable embeddings;
+    * this measures what a given prefix actually costs in retrieval
+    * recall). For each d, brute-force top-k by cosine over the first
+    * d dims (queries broadcast — the q30 shape; the ranks plan as
+    * TopKRows heaps), intersect with the full-dim truth set, report
+    * exact integer recall permille. d = full is the self-consistency
+    * row (1000‰ by construction — same tie-break both times).
+    * Scores round at 1e-6 before ranking (suite float discipline).
+    */
+  def mrlRecall(spark: SparkSession, dir: String, k: Int = 10,
+      dims: Seq[Int] = Seq(16, 32, 64)): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def topk(d: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(VectorFunctions.cosine_sim(
+          slice(col("qe"), 1, d), slice(col("embedding"), 1, d)), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(lit(d.toLong).as("dim"), col("qid"),
+          col("vec_id").as("vb"))
+    }
+    val truth = topk(dims.max).select(col("qid"), col("vb"))
+    val all = dims.map(topk).reduce(_ unionByName _)
+    all.join(truth, Seq("qid", "vb"))
+      .groupBy(col("dim")).agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_permille",
+        expr(s"n_hits * 1000 div ${NumQueries.toLong * k}"))
+      .orderBy(col("dim"))
+  }
+
   /** Hard-negative mining for contrastive training (q201) — for each
     * anchor, the k most similar DIFFERENT-label vectors (the
     * negatives that actually move an embedding model; random
