@@ -340,6 +340,8 @@ object SparkEntry {
     "q235_mrl_recall" -> ((s: SparkSession, d: String) =>
       Similarity.mrlRecall(s, d)),
     "q236_table_profile" -> (Relational.tableProfile _),
+    "q237_layout_health" -> ((s: SparkSession, d: String) =>
+      graft.sources.Layout.layoutHealth(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -5874,6 +5876,35 @@ object SparkEntry {
            |FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+
+    // q237: the oracle re-derives every per-file statistic from the
+    // ORIGINAL table via the same arithmetic file assignment — it
+    // never reads the scratch layouts, so a physical write/read/
+    // introspect divergence in the engine breaks the hash (the q106
+    // philosophy applied to layout stats).
+    "q237_layout_health" ->
+      """WITH li AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+        |m AS (SELECT max(k) // 8 + 1 AS width FROM li),
+        |a AS (SELECT k, k // width AS fc, k % 8 AS fs
+        |  FROM li CROSS JOIN m),
+        |pc AS (SELECT fc AS f, count(*) AS n, min(k) AS mn, max(k) AS mx
+        |  FROM a GROUP BY fc),
+        |ps AS (SELECT fs AS f, count(*) AS n, min(k) AS mn, max(k) AS mx
+        |  FROM a GROUP BY fs),
+        |oc AS (SELECT CAST(count(*) AS BIGINT) AS ov FROM pc x JOIN pc y
+        |  ON x.f < y.f AND y.mn <= x.mx AND x.mn <= y.mx),
+        |os AS (SELECT CAST(count(*) AS BIGINT) AS ov FROM ps x JOIN ps y
+        |  ON x.f < y.f AND y.mn <= x.mx AND x.mn <= y.mx)
+        |SELECT 'clustered' AS layout,
+        |  CAST((SELECT count(*) FROM pc) AS BIGINT) AS n_files,
+        |  CAST((SELECT sum(n) FROM pc) AS BIGINT) AS n_rows,
+        |  (SELECT ov FROM oc) AS overlapping_pairs
+        |UNION ALL
+        |SELECT 'shuffled',
+        |  CAST((SELECT count(*) FROM ps) AS BIGINT),
+        |  CAST((SELECT sum(n) FROM ps) AS BIGINT),
+        |  (SELECT ov FROM os)
+        |ORDER BY layout""".stripMargin,
 
     // qS03: the cleaning stage is stateless, so the streamed output
     // is exactly the batch projection — the q42 quality construction

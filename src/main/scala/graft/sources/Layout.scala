@@ -123,6 +123,69 @@ object Layout {
       .orderBy(col("r_name"))
   }
 
+  private lazy val layoutDir: String = jvmScratchDir("graft_q237_")
+
+  /** Layout / clustering-health introspection (q237) — the per-file
+    * min/max statistics an OPTIMIZE/Z-ORDER decision is made from:
+    * write the SAME keys under a clustered layout (arithmetic range
+    * buckets — disjoint sorted runs) and a shuffled one (k mod N —
+    * every file spans the whole key range), read both back, and
+    * derive per-file (count, min, max) from the PHYSICAL layout via
+    * `input_file_name()`, then count overlapping file pairs — 0 for
+    * the clustered layout, all N·(N−1)/2 for the shuffled one. The
+    * overlap count is exactly what data-skipping buys: a point
+    * predicate prunes to 1 file on the clustered layout and to none
+    * on the shuffled one.
+    *
+    * File assignment is EXPLICIT ARITHMETIC (`k div width`,
+    * `k mod N`), so the oracle re-derives every statistic from the
+    * ORIGINAL table without touching the scratch files (the q106
+    * philosophy) — the gate therefore proves the physical
+    * write→read→introspect round trip reproduces the logical
+    * assignment. Per-file stats group by the partition VALUE parsed
+    * from the path, so task-level part-file splits inside one
+    * partition directory cannot change the result. The pair join is
+    * file-count-bounded.
+    */
+  def layoutHealth(spark: SparkSession, dir: String,
+      nFiles: Int = 8): DataFrame = {
+    val tmp = layoutDir
+    val li = Corpus.read(spark, dir, "lineitem")
+      .select(expr("CAST(l_orderkey AS BIGINT)").as("k"))
+    val maxK = li.agg(max(col("k"))).head().getLong(0)
+    val width = maxK / nFiles + 1
+    val assigned = li
+      .withColumn("f_clustered", expr(s"k div $width"))
+      .withColumn("f_shuffled", pmod(col("k"), lit(nFiles)).cast("long"))
+    assigned.write.mode("overwrite")
+      .partitionBy("f_clustered").parquet(s"$tmp/clustered")
+    assigned.write.mode("overwrite")
+      .partitionBy("f_shuffled").parquet(s"$tmp/shuffled")
+    def stats(path: String, pcol: String, label: String): DataFrame = {
+      val per = spark.read.parquet(path)
+        .withColumn("file",
+          regexp_extract(input_file_name(), s"$pcol=(\\d+)", 1)
+            .cast("long"))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("mn"),
+          max(col("k")).as("mx"))
+      val a = per.select(col("file").as("fa"), col("mn").as("mna"),
+        col("mx").as("mxa"))
+      val b = per.select(col("file").as("fb"), col("mn").as("mnb"),
+        col("mx").as("mxb"))
+      val ov = a.join(broadcast(b), col("fa") < col("fb") &&
+          col("mnb") <= col("mxa") && col("mna") <= col("mxb"))
+        .agg(count(lit(1)).as("overlapping_pairs"))
+      per.agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"))
+        .crossJoin(broadcast(ov))
+        .select(lit(label).as("layout"), col("n_files"), col("n_rows"),
+          col("overlapping_pairs"))
+    }
+    stats(s"$tmp/clustered", "f_clustered", "clustered")
+      .unionByName(stats(s"$tmp/shuffled", "f_shuffled", "shuffled"))
+      .orderBy(col("layout"))
+  }
+
   private lazy val corruptDir: String = jvmScratchDir("graft_q221_")
 
   /** Corrupt-record-tolerant JSON ingestion (q221) — the ingest
