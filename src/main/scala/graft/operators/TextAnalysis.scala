@@ -506,11 +506,18 @@ object TextAnalysis {
       .filter(col("dfreq") <= TrgmDfCap)
       .select(col("tg"))
     val idx = cleanIdx.join(keep, Seq("tg"))
+    // Candidates dedup on the ID PAIR only — the name strings would
+    // otherwise ride the explode×index fan-out through the distinct
+    // exchange (~millions of 36-byte payloads); the name lookups are
+    // table-sized and broadcast back after.
     val cand = dirty
-      .select(col("did"), col("dname"), explode(expr(trgmSql("dname"))).as("tg"))
-      .join(idx, Seq("tg"))
-      .select(col("did"), col("dname"), col("cid"), col("cname"))
+      .select(col("did"), explode(expr(trgmSql("dname"))).as("tg"))
+      .join(idx.select(col("tg"), col("cid")), Seq("tg"))
+      .select(col("did"), col("cid"))
       .distinct()
+      .join(broadcast(dirty), Seq("did"))
+      .join(broadcast(cust.select(col("id").as("cid"),
+        col("name").as("cname"))), Seq("cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("did")).orderBy(col("dist"), col("cid"))
     val best = cand
