@@ -342,6 +342,7 @@ object SparkEntry {
     "q236_table_profile" -> (Relational.tableProfile _),
     "q237_layout_health" -> ((s: SparkSession, d: String) =>
       graft.sources.Layout.layoutHealth(s, d)),
+    "q238_table_profile_approx" -> (Relational.tableProfileApprox _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -5551,19 +5552,26 @@ object SparkEntry {
         |  END AS saving_permille
         |FROM bk CROSS JOIN nv""".stripMargin,
 
-    // q226: truth = every shingle-sharing pair's exact Jaccard (no
-    // banding), candidates = the shared q28 relation; recall counted
-    // per threshold on both sides' round-6 values.
+    // q226: truth = every shingle-sharing pair's exact Jaccard over
+    // the df-capped shingle space (Dedup.RecallTruthDfCap, mirrored
+    // here — the cap bounds per-shingle truth fanout), candidates =
+    // the shared q28 relation; recall counted per threshold on both
+    // sides' round-6 values.
     "q226_lsh_recall" ->
       s"""WITH $minhashCtes,
+         |keepT AS (SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) <= ${Dedup.RecallTruthDfCap}),
+         |shT AS (SELECT sh.* FROM sh JOIN keepT USING (shingle)),
+         |sizesT AS (SELECT doc_id, count(*) AS n_sh FROM shT
+         |  GROUP BY doc_id),
          |commonT AS (SELECT x.doc_id AS ta, y.doc_id AS tb, count(*) AS c
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+         |  FROM shT x JOIN shT y ON x.shingle = y.shingle
          |    AND x.lang = y.lang AND x.doc_id < y.doc_id
          |  GROUP BY ta, tb),
          |jt AS (SELECT round(CAST(c AS DOUBLE) /
          |    (sa.n_sh + sb.n_sh - c), 6) AS jt
-         |  FROM commonT JOIN sizes sa ON sa.doc_id = ta
-         |  JOIN sizes sb ON sb.doc_id = tb),
+         |  FROM commonT JOIN sizesT sa ON sa.doc_id = ta
+         |  JOIN sizesT sb ON sb.doc_id = tb),
          |thr AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.7, 0.9]) AS t),
          |tr AS (SELECT t, count(*) AS n_true FROM thr
          |  JOIN jt ON jt.jt >= thr.t GROUP BY t),
@@ -5640,14 +5648,19 @@ object SparkEntry {
          |  WHERE ${hexBucketSql("'rc:' || CAST(doc_id AS VARCHAR)")}
          |    < ${Dedup.RecallSampleBound}),
          |${minhashCtesOver("docs_s")},
+         |keepT AS (SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) <= ${Dedup.RecallTruthDfCap}),
+         |shT AS (SELECT sh.* FROM sh JOIN keepT USING (shingle)),
+         |sizesT AS (SELECT doc_id, count(*) AS n_sh FROM shT
+         |  GROUP BY doc_id),
          |commonT AS (SELECT x.doc_id AS ta, y.doc_id AS tb, count(*) AS c
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+         |  FROM shT x JOIN shT y ON x.shingle = y.shingle
          |    AND x.lang = y.lang AND x.doc_id < y.doc_id
          |  GROUP BY ta, tb),
          |jt AS (SELECT round(CAST(c AS DOUBLE) /
          |    (sa.n_sh + sb.n_sh - c), 6) AS jt
-         |  FROM commonT JOIN sizes sa ON sa.doc_id = ta
-         |  JOIN sizes sb ON sb.doc_id = tb),
+         |  FROM commonT JOIN sizesT sa ON sa.doc_id = ta
+         |  JOIN sizesT sb ON sb.doc_id = tb),
          |thr AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.7, 0.9]) AS t),
          |tr AS (SELECT t, count(*) AS n_true FROM thr
          |  JOIN jt ON jt.jt >= thr.t GROUP BY t),
@@ -5783,9 +5796,9 @@ object SparkEntry {
          |    c_name AS name FROM customer),
          |dirty AS (SELECT id AS did,
          |    substring(name, 1,
-         |      CAST(id % (length(name) - 2) + 1 AS INTEGER)) ||
+         |      CAST(id % greatest(length(name) - 2, 1) + 1 AS INTEGER)) ||
          |    substring(name,
-         |      CAST(id % (length(name) - 2) + 3 AS INTEGER), 1000)
+         |      CAST(id % greatest(length(name) - 2, 1) + 3 AS INTEGER), 1000)
          |      AS dname
          |  FROM cust),
          |tgc AS (SELECT id AS cid, name AS cname,
@@ -5849,33 +5862,54 @@ object SparkEntry {
          |truth AS (SELECT qid, vb FROM r${dims.max} WHERE rk <= 10),
          |u AS ($union),
          |h AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_hits
-         |  FROM u JOIN truth USING (qid, vb) GROUP BY dim)
-         |SELECT dim, n_hits, n_hits * 1000 // 200 AS recall_permille
-         |FROM h ORDER BY dim""".stripMargin
+         |  FROM u JOIN truth USING (qid, vb) GROUP BY dim),
+         |dl AS (SELECT CAST(unnest([${dims.mkString(", ")}]) AS BIGINT)
+         |  AS dim)
+         |SELECT dl.dim, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(h.n_hits, 0) * 1000 // 200 AS recall_permille
+         |FROM dl LEFT JOIN h USING (dim) ORDER BY dim""".stripMargin
     },
 
     // q236: DuckDB re-derives the per-column profile as one UNION ALL
     // block per column (n_nulls via count(*)−count(c)); doubles in
     // integer cents on both sides — float→string formatting is
-    // engine-specific and never enters the hash.
-    "q236_table_profile" -> {
-      val cols = Seq( // (name, isDouble)
-        "o_orderkey" -> false, "o_custkey" -> false,
-        "o_orderstatus" -> false, "o_totalprice" -> true,
-        "o_orderdate" -> false, "o_orderpriority" -> false)
-      cols.map { case (c, dbl) =>
-        val mn = if (dbl) s"CAST(CAST(round(min($c) * 100) AS BIGINT) AS VARCHAR)"
-                 else s"CAST(min($c) AS VARCHAR)"
-        val mx = if (dbl) s"CAST(CAST(round(max($c) * 100) AS BIGINT) AS VARCHAR)"
-                 else s"CAST(max($c) AS VARCHAR)"
+    // engine-specific and never enters the hash. The column list is
+    // Relational.ProfileColumns — the SAME value the engine relation
+    // is built from, so a schema change breaks both sides together;
+    // names are double-quoted in the generated SQL.
+    "q236_table_profile" ->
+      Relational.ProfileColumns.map { case (c, dbl) =>
+        val q = "\"" + c + "\""
+        val mn = if (dbl) s"CAST(CAST(round(min($q) * 100) AS BIGINT) AS VARCHAR)"
+                 else s"CAST(min($q) AS VARCHAR)"
+        val mx = if (dbl) s"CAST(CAST(round(max($q) * 100) AS BIGINT) AS VARCHAR)"
+                 else s"CAST(max($q) AS VARCHAR)"
         s"""SELECT '$c' AS column_name,
            |  CAST(count(*) AS BIGINT) AS n_rows,
-           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(count(*) - count($q) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $q) AS BIGINT) AS n_distinct,
            |  $mn AS min_val, $mx AS max_val
            |FROM orders""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
-    },
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    // q238: the approx-profiler gate — the q20 sketch contract per
+    // column: the HLL++ estimate itself is engine-specific and stays
+    // out of the hash; the oracle re-derives the exact count and the
+    // same ±SlackPct integer band, and asserts in_band as literal 1.
+    // Generated from the same Relational.ProfileColumns.
+    "q238_table_profile_approx" ->
+      Relational.ProfileColumns.map { case (c, _) =>
+        val q = "\"" + c + "\""
+        val slack = s"(count(DISTINCT $q) * ${Events.SlackPct} // 100 + 1)"
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($q) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $q) AS BIGINT) AS exact_distinct,
+           |  CAST(count(DISTINCT $q) - $slack AS BIGINT) AS lo_distinct,
+           |  CAST(count(DISTINCT $q) + $slack AS BIGINT) AS hi_distinct,
+           |  CAST(1 AS BIGINT) AS in_band
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
 
     // q237: the oracle re-derives every per-file statistic from the
     // ORIGINAL table via the same arithmetic file assignment — it

@@ -1153,15 +1153,21 @@ object Dedup {
     * this measures the other tuning axis: at each similarity
     * threshold, what fraction of the TRUE near-dup pairs does the
     * banded candidate generator recover. Ground truth is every
-    * shingle-sharing same-language pair with its exact Jaccard (any
-    * pair with J > 0 shares a shingle, so the truth join is
-    * inverted-index-bounded, never corpus² — though at production
-    * scale this audit runs on a SAMPLE, which is exactly how recall
-    * is monitored in practice); the candidate side is the full q28
-    * relation. Thresholds broadcast (5 rows); recall in exact
-    * permille. Both sides' Jaccards round at 1e-6 before the
-    * threshold compare, and the threshold literals are the same
-    * doubles in both engines, so the band edges cannot disagree.
+    * shingle-sharing same-language pair with its exact Jaccard over
+    * the DF-CAPPED shingle space: shingles held by more than
+    * [[RecallTruthDfCap]] documents are dropped before the truth
+    * self-join (the [[ContainDfCap]] idiom — what a mass-repeated
+    * shingle contributes is boilerplate the exact-dedup stage already
+    * handles, and per-shingle fanout is what makes an uncapped truth
+    * join quadratic in occupancy: measured exponent 0.38 at 3× on the
+    * replication fixture before the cap, ≈0 after). Every surviving
+    * shingle joins at most cap docs, so the truth relation is bounded
+    * by cap · |shingle table| at any corpus size. The candidate side
+    * is the full q28 relation. Thresholds broadcast (6 rows); recall
+    * in exact permille. Both sides' Jaccards round at 1e-6 before the
+    * threshold compare, and the threshold literals and the cap are
+    * the same values in both engines, so the band edges cannot
+    * disagree.
     */
   def lshRecallCurve(spark: SparkSession, dir: String): DataFrame =
     recallCurveOver(spark, Corpus.read(spark, dir, "documents"))
@@ -1170,6 +1176,14 @@ object Dedup {
     * the oracle SQL interpolates the same constant.
     */
   val RecallSampleBound = 51
+
+  /** Truth-side shingle document-frequency cap for the recall audits
+    * (q226/q229) — named because the oracle SQL interpolates the same
+    * value. Same role as [[ContainDfCap]]: bounds per-shingle join
+    * fanout, so truth-pair generation is cap · |shingle rows| instead
+    * of Σ df² (the measured super-linear term before the cap).
+    */
+  val RecallTruthDfCap = 64
 
   /** SAMPLED LSH recall audit (q229) — q226's documented production
     * contract made executable: the full-truth join is quadratic in
@@ -1193,9 +1207,17 @@ object Dedup {
       docs0: DataFrame): DataFrame = {
     val docs = docs0
     val lsh = candidatePairJaccardOver(docs)
-    val sh = docs.select(col("doc_id"), col("lang"),
+    val sh0 = docs.select(col("doc_id"), col("lang"),
         explode(graft.functions.MinHashFunctions.sorted_shingles(
           TextAnalysis.tokens(col("text")))).as("shingle"))
+    // Truth df-cap (see [[RecallTruthDfCap]]): drop mass-repeated
+    // shingles BEFORE the self-join; sizes count the surviving set so
+    // the truth Jaccard is exact over the capped shingle space.
+    val keep = sh0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= RecallTruthDfCap)
+      .select(col("shingle"))
+    val sh = sh0.join(keep, Seq("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("doc_id").as("a"), col("lang"),
         col("shingle"))

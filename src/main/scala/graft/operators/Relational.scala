@@ -1213,31 +1213,51 @@ object Relational {
           "collate(lower(c_mktsegment), 'UTF8_LCASE'))").as("eq_ci"))
       .orderBy(col("c_mktsegment"))
 
+  /** The q236/q238 profiled columns of `orders` — the SINGLE schema
+    * source both the engine relations and the generated oracle SQL
+    * build from (name → is-double), so a corpus schema change breaks
+    * both sides of the gate SYMMETRICALLY instead of the engine
+    * emitting rows the oracle never produces. Doubles render as
+    * integer cents (the Exact.cents discipline — float→string
+    * formatting is engine-specific and never enters the hash).
+    */
+  val ProfileColumns: Seq[(String, Boolean)] = Seq(
+    "o_orderkey" -> false, "o_custkey" -> false,
+    "o_orderstatus" -> false, "o_totalprice" -> true,
+    "o_orderdate" -> false, "o_orderpriority" -> false)
+
   /** One-pass table profile (q236) — the data-profiling report every
     * ingest of an unknown table starts with (the reference's users
     * point `read_sql` at arbitrary PG tables; this is the first query
     * they run on what lands): per column, null count, EXACT distinct
-    * count, and min/max rendered as strings (doubles in integer cents
-    * — the Exact.cents discipline — because float→string formatting
-    * is engine-specific). Schema-driven: the aggregate list is built
-    * from the DataFrame's own schema, so it runs on any relation.
+    * count, and min/max rendered as strings. Column list pinned to
+    * [[ProfileColumns]] (shared with the oracle); the per-column
+    * double handling still reads the DataFrame's own schema and is
+    * asserted against the shared list, so a drift between the two
+    * fails loudly instead of hashing wrong.
     *
-    * One pass over the table. The multi-DISTINCT aggregate pays
+    * One pass over the table, but the multi-DISTINCT aggregate pays
     * Spark's Expand multiplier (one duplicate of the input per
-    * distinct column — the q125 finding, documented there); the
-    * profile at 100 TB swaps `countDistinct` for
-    * `approx_count_distinct` per column (the q20 ladder) — same
-    * report shape, sketch-bounded cost.
+    * distinct column — the q125 finding): this is the SMALL-TABLE
+    * leg. The 100 TB profiler is [[tableProfileApprox]] (gated,
+    * q238) / [[tableProfileApproxDetail]] (the production shape) —
+    * `approx_count_distinct` per column, no Expand, sketch-bounded.
     */
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
     val df = t(spark, dir, "orders")
+      .select(ProfileColumns.map(c => col(c._1)): _*)
     val fields = df.schema.fields
+    require(fields.map(f => f.name ->
+        (f.dataType == org.apache.spark.sql.types.DoubleType))
+      .sameElements(ProfileColumns),
+      s"ProfileColumns drifted from the orders schema: " +
+        fields.map(_.name).mkString(","))
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       val (mn, mx) = f.dataType match {
         case org.apache.spark.sql.types.DoubleType =>
-          (expr(s"cast(cast(round(min(${f.name}) * 100) as bigint) as string)"),
-            expr(s"cast(cast(round(max(${f.name}) * 100) as bigint) as string)"))
+          (expr(s"cast(cast(round(min(`${f.name}`) * 100) as bigint) as string)"),
+            expr(s"cast(cast(round(max(`${f.name}`) * 100) as bigint) as string)"))
         case _ => (min(c).cast("string"), max(c).cast("string"))
       }
       Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
@@ -1246,13 +1266,88 @@ object Relational {
     } :+ count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stack = fields.map(f =>
-      s"'${f.name}', ${f.name}__nulls, ${f.name}__nd, " +
-        s"${f.name}__min, ${f.name}__max").mkString(", ")
+      s"'${f.name}', `${f.name}__nulls`, `${f.name}__nd`, " +
+        s"`${f.name}__min`, `${f.name}__max`").mkString(", ")
     row.selectExpr("__n as n_rows",
         s"stack(${fields.length}, $stack) as " +
           "(column_name, n_nulls, n_distinct, min_val, max_val)")
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("column_name"))
+  }
+
+  /** The 100 TB profiler, gated (q238) — [[tableProfile]] with the
+    * per-column EXACT distinct count replaced by the q20 sketch
+    * contract: the HLL++ `approx_count_distinct` value is
+    * engine-specific so it is projected OUT of the gated row; what
+    * the oracle hashes is the exact count, its ±3·rsd integer band
+    * ([[graft.operators.Events.SlackPct]] — the same Long arithmetic
+    * on both engines) and `in_band` = does the sketch fall inside
+    * (oracle asserts literal 1 — a drifting sketch fails loudly).
+    * The exact twin exists ONLY to make the accuracy contract
+    * hashable (the q20/q96 gate-vs-path split, SCALING.md); the
+    * shape to ship is [[tableProfileApproxDetail]], whose plan
+    * ProfileSpec pins to contain NO exact distinct aggregate and NO
+    * Expand — one pass, mergeable sketches, bounded memory at any
+    * width.
+    */
+  def tableProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "orders")
+      .select(ProfileColumns.map(c => col(c._1)): _*)
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__nd"),
+        approx_count_distinct(c, Events.ApproxRsd).as(s"${f.name}__ad"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stack = fields.map(f =>
+      s"'${f.name}', `${f.name}__nulls`, `${f.name}__nd`, " +
+        s"`${f.name}__ad`").mkString(", ")
+    row.selectExpr("__n as n_rows",
+        s"stack(${fields.length}, $stack) as " +
+          "(column_name, n_nulls, nd, ad)")
+      .withColumn("slack", expr(s"nd * ${Events.SlackPct} div 100 + 1"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("nd").as("exact_distinct"),
+        (col("nd") - col("slack")).as("lo_distinct"),
+        (col("nd") + col("slack")).as("hi_distinct"),
+        (col("ad") >= col("nd") - col("slack") &&
+          col("ad") <= col("nd") + col("slack"))
+          .cast("long").as("in_band"))
+      .orderBy(col("column_name"))
+  }
+
+  /** The production profile shape at 100 TB: one pass, per column
+    * null count + HLL++ `approx_count_distinct` + min/max — NO exact
+    * distinct anywhere, so the plan has no Expand multiplier and the
+    * aggregate state is a fixed-size mergeable sketch per column
+    * regardless of cardinality. Not oracle-gatable (the sketch value
+    * is engine-specific) — its accuracy contract is gated by
+    * [[tableProfileApprox]]'s in-band row; ProfileSpec pins this
+    * plan's shape (approx sketch present, no exact-distinct Expand).
+    */
+  def tableProfileApproxDetail(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "orders")
+      .select(ProfileColumns.map(c => col(c._1)): _*)
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        approx_count_distinct(c, Events.ApproxRsd).as(s"${f.name}__ad"),
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stack = fields.map(f =>
+      s"'${f.name}', `${f.name}__nulls`, `${f.name}__ad`, " +
+        s"`${f.name}__min`, `${f.name}__max`").mkString(", ")
+    row.selectExpr("__n as n_rows",
+        s"stack(${fields.length}, $stack) as " +
+          "(column_name, n_nulls, approx_distinct, min_val, max_val)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("approx_distinct"), col("min_val"), col("max_val"))
       .orderBy(col("column_name"))
   }
 

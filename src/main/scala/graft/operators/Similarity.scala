@@ -901,7 +901,12 @@ object Similarity {
     * d dims (queries broadcast — the q30 shape; the ranks plan as
     * TopKRows heaps), intersect with the full-dim truth set, report
     * exact integer recall permille. d = full is the self-consistency
-    * row (1000‰ by construction — same tie-break both times).
+    * row (1000‰ by construction — same tie-break both times); its
+    * top-k is computed ONCE (localCheckpoint) and serves as both the
+    * truth set and the d = max report row — the most expensive
+    * crossJoin+rank stage never runs twice. The dim list LEFT-joins
+    * onto the hit counts, so a truncation with zero truth overlap
+    * reports recall 0 instead of silently dropping its row.
     * Scores round at 1e-6 before ranking (suite float discipline).
     */
   def mrlRecall(spark: SparkSession, dir: String, k: Int = 10,
@@ -921,10 +926,16 @@ object Similarity {
         .select(lit(d.toLong).as("dim"), col("qid"),
           col("vec_id").as("vb"))
     }
-    val truth = topk(dims.max).select(col("qid"), col("vb"))
-    val all = dims.map(topk).reduce(_ unionByName _)
-    all.join(truth, Seq("qid", "vb"))
+    val full = topk(dims.max).localCheckpoint(true)
+    val truth = full.select(col("qid"), col("vb"))
+    val all = (dims.filter(_ != dims.max).map(topk) :+ full)
+      .reduce(_ unionByName _)
+    val hits = all.join(truth, Seq("qid", "vb"))
       .groupBy(col("dim")).agg(count(lit(1)).as("n_hits"))
+    val dimRows = spark.range(1).select(
+      explode(array(dims.map(d => lit(d.toLong)): _*)).as("dim"))
+    dimRows.join(hits, Seq("dim"), "left_outer")
+      .select(col("dim"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall_permille",
         expr(s"n_hits * 1000 div ${NumQueries.toLong * k}"))
       .orderBy(col("dim"))

@@ -494,10 +494,14 @@ object TextAnalysis {
       .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
     // Deterministic one-char deletion at a key-dependent position
     // (2-based so the leading char survives; both engines replay it).
+    // The modulus is floored at 1 (greatest) so a name of length ≤ 3
+    // degrades identically on both engines instead of a NULL-vs-error
+    // split on modulo-by-zero — the fixture's names are fixed-width,
+    // but the docstring positions this as a template.
     val dirty = cust.select(col("id").as("did"),
-      expr("concat(substring(name, 1, cast(id % (length(name) - 2) + 1 " +
-        "as int)), substring(name, cast(id % (length(name) - 2) + 3 " +
-        "as int), 1000))").as("dname"))
+      expr("concat(substring(name, 1, cast(id % greatest(length(name) - 2," +
+        " 1) + 1 as int)), substring(name, cast(id % greatest(length(name)" +
+        " - 2, 1) + 3 as int), 1000))").as("dname"))
     val cleanIdx = cust
       .select(col("id").as("cid"), col("name").as("cname"),
         explode(expr(trgmSql("name"))).as("tg"))
@@ -520,9 +524,18 @@ object TextAnalysis {
         col("name").as("cname"))), Seq("cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("did")).orderBy(col("dist"), col("cid"))
+    // Two exact pruning rules before/inside the verify: (a) a length
+    // difference beyond the edit bound can never verify (levenshtein
+    // ≥ |len(a) − len(b)|) — free on arbitrary corpora, a no-op on
+    // the fixed-width fixture; (b) the THRESHOLDED levenshtein (banded
+    // DP, early exit at 2) instead of the full O(|a|·|b|) matrix — it
+    // returns −1 past the bound, which the ≤ 2 filter drops. Neither
+    // changes the result, so the oracle keeps the plain form.
     val best = cand
-      .withColumn("dist", levenshtein(col("dname"), col("cname")).cast("long"))
-      .filter(col("dist") <= 2)
+      .filter(abs(length(col("dname")) - length(col("cname"))) <= 2)
+      .withColumn("dist",
+        levenshtein(col("dname"), col("cname"), 2).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("did"), col("cid").as("matched_id"),

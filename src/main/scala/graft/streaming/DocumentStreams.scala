@@ -63,9 +63,8 @@ object DocumentStreams {
     * the quality/fingerprint/redaction formulas over the static
     * corpus (the q42/q44 constructions) with the same 0.4 threshold.
     */
-  def cleanedFinalized(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-qs03-")
-      .toString
+  def cleanedFinalized(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.stagedGate("graft-qs03-") { tmp =>
     spark.read.parquet(s"$dir/documents.parquet").repartition(4)
       .write.mode("overwrite").parquet(s"$tmp/in/documents.parquet")
     val q = cleanedDocuments(readDocumentStream(spark, s"$tmp/in"))
@@ -78,8 +77,8 @@ object DocumentStreams {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.read.parquet(s"$tmp/data").orderBy(col("doc_id"))
-  }
+    spark.read.parquet(s"$tmp/data")
+  }.orderBy(col("doc_id"))
 
   /** Mixture-sample each arriving document at
     * [[Curation.mixtureRates]] — the same deterministic

@@ -220,9 +220,25 @@ object EventStreams {
     * (user_id × sealed windows), state bounded by the watermark
     * horizon; the sink is an ordinary distributed parquet append.
     */
-  def sessionsFinalized(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-qs01-")
-      .toString
+  /** Run a staged streaming gate inside a throwaway scratch dir:
+    * `body` stages its input feed under `tmp`, drives the query to
+    * completion, and returns the sink read-back; the result is
+    * MATERIALIZED (eager localCheckpoint — gate outputs are
+    * verify-scale) so the staged input, checkpoint and sink files
+    * can be deleted before returning. Without this each invocation
+    * leaked a full staged copy of its input table into /tmp —
+    * unbounded disk across repeated Verify/spec runs. Callers apply
+    * their ORDER BY after the checkpoint.
+    */
+  private[streaming] def stagedGate(prefix: String)(
+      body: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try body(tmp.toString).localCheckpoint(true)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
+  }
+
+  def sessionsFinalized(spark: SparkSession, dir: String): DataFrame =
+    stagedGate("graft-qs01-") { tmp =>
     // The corpus ships events as ONE parquet file; a file-source
     // stream watches a DIRECTORY. Stage it as a multi-file ingest dir
     // (what a real feed looks like) — the raw nanos `ts` long rides
@@ -253,8 +269,7 @@ object EventStreams {
     q.awaitTermination()
     q.stop()
     spark.read.parquet(s"$tmp/data")
-      .orderBy(col("user_id"), col("start_us"))
-  }
+  }.orderBy(col("user_id"), col("start_us"))
 
   /** The qS02 streaming-vs-oracle gate: at-least-once ingest DEDUP
     * end-to-end — the staged feed delivers EVERY event twice (the
@@ -272,9 +287,8 @@ object EventStreams {
     * Timestamps as epoch-µs, money as integer cents (suite-wide
     * discipline).
     */
-  def dedupFinalized(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-qs02-")
-      .toString
+  def dedupFinalized(spark: SparkSession, dir: String): DataFrame =
+    stagedGate("graft-qs02-") { tmp =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.union(raw).repartition(4)
@@ -292,8 +306,8 @@ object EventStreams {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.read.parquet(s"$tmp/data").orderBy(col("event_id"))
-  }
+    spark.read.parquet(s"$tmp/data")
+  }.orderBy(col("event_id"))
 
   /** Session windows (30-minute gap) per user under a watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
