@@ -343,6 +343,12 @@ object SparkEntry {
     "q237_layout_health" -> ((s: SparkSession, d: String) =>
       graft.sources.Layout.layoutHealth(s, d)),
     "q238_table_profile_approx" -> (Relational.tableProfileApprox _),
+    // q239 is the PRODUCTION profiler shape (one pass, HLL++ sketch
+    // only — no exact distinct, no Expand; ProfileSpec pins the plan).
+    // The sketch value is engine-specific so there is no DuckDB
+    // oracle: its accuracy contract is q238's in_band gate, and the
+    // driver records the weaker rows-only check here.
+    "q239_table_profile_detail" -> (Relational.tableProfileApproxDetail _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->

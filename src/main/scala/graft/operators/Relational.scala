@@ -1319,14 +1319,16 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
-  /** The production profile shape at 100 TB: one pass, per column
-    * null count + HLL++ `approx_count_distinct` + min/max — NO exact
-    * distinct anywhere, so the plan has no Expand multiplier and the
-    * aggregate state is a fixed-size mergeable sketch per column
-    * regardless of cardinality. Not oracle-gatable (the sketch value
-    * is engine-specific) — its accuracy contract is gated by
-    * [[tableProfileApprox]]'s in-band row; ProfileSpec pins this
-    * plan's shape (approx sketch present, no exact-distinct Expand).
+  /** The production profile shape at 100 TB (q239): one pass, per
+    * column null count + HLL++ `approx_count_distinct` + min/max —
+    * NO exact distinct anywhere, so the plan has no Expand multiplier
+    * and the aggregate state is a fixed-size mergeable sketch per
+    * column regardless of cardinality. Not oracle-gatable (the sketch
+    * value is engine-specific) — its accuracy contract is gated by
+    * [[tableProfileApprox]]'s in-band row (q238), and ProfileSpec
+    * pins this plan's shape (HLL++ sketch per profiled column, no
+    * exact-distinct aggregate, no Expand) plus the sketch-in-gated-
+    * band cross-check.
     */
   def tableProfileApproxDetail(spark: SparkSession, dir: String): DataFrame = {
     val df = t(spark, dir, "orders")

@@ -33,9 +33,11 @@ import graft.TestSpark
   *
   * Asserts the streaming peak stays under a generous absolute bound
   * (256 MiB — JVM Row overhead is fatter than the reference's Rust
-  * rows; the CLAIM is partition-bounded, not 2.4 MiB) and strictly
-  * under the collect retention, and records both numbers plus the
-  * reference baseline in `MEMPROBE.json` for the round artifact.
+  * rows; the CLAIM is partition-bounded, not 2.4 MiB) and under a
+  * QUARTER of the collect retention (measured headroom ~10-15×, so
+  * /4 has real slack yet still catches a streaming path that starts
+  * materializing), and records both numbers plus the reference
+  * baseline in `MEMPROBE.json` for the round artifact.
   */
 class MemoryParitySpec extends AnyFunSuite {
 
@@ -111,11 +113,15 @@ class MemoryParitySpec extends AnyFunSuite {
     // flake without any regression in the streaming path. So the
     // numbers are primarily a RECORDED ARTIFACT (MEMPROBE.json); the
     // assertions check the order-of-magnitude relation, and a
-    // failing first pass is retried once with a 1.5× margin before
-    // declaring a real regression.
+    // failing first pass is retried once before declaring a real
+    // regression. The relational margin is collectDelta / 4: measured
+    // headroom on this host is ~10-15× (r13: 20.6 vs 301.4 MiB; r14
+    // re-record: 26.0 vs 252.5 MiB), so /4 leaves >2× slack for GC
+    // wander while still failing loudly if the streaming path ever
+    // degrades toward materializing the table.
     var (streamPeakDelta, collectDelta) = measure(df)
     val strictOk = streamPeakDelta < StreamBoundBytes &&
-      streamPeakDelta < collectDelta
+      streamPeakDelta.toDouble < collectDelta / 4.0
     if (!strictOk) {
       info("first pass failed the strict relation; retrying once " +
         "(GC-timing-dependent sampler)")
@@ -143,10 +149,11 @@ class MemoryParitySpec extends AnyFunSuite {
       f"streaming write grew the live set by ${mib(streamPeakDelta)}%.1f" +
         f" MiB — over the ${mib(StreamBoundBytes)}%.1f MiB bound; the " +
         "toLocalIterator path is no longer partition-bounded")
-    assert(streamPeakDelta.toDouble < collectDelta * 1.5,
+    assert(streamPeakDelta.toDouble < collectDelta / 4.0,
       f"streaming peak ${mib(streamPeakDelta)}%.1f MiB is not below " +
-        f"collect retention ${mib(collectDelta)}%.1f MiB (×1.5 margin) " +
-        "— the streaming path buys nothing")
+        f"a quarter of collect retention ${mib(collectDelta)}%.1f MiB " +
+        "— measured headroom is ~10-15×; losing it means the " +
+        "streaming path is materializing")
   }
 }
 
