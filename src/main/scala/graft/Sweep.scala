@@ -21,6 +21,19 @@ import graft.sources.Corpus
   */
 object ScaleFixtures {
 
+  /** Part-file count every replicated twin is written at — BOTH the
+    * 1× base and the k× twin, so a sweep's two measurements scan at
+    * the SAME task parallelism and the exponent isolates data volume.
+    * Without this the driver corpus's single-file tables (sf0.1
+    * orders.parquet is ONE 2.7 MB file = a 1-task scan) make the 1×
+    * side of any scan-dominated query run single-threaded while the
+    * k× twin (k part-files) runs k-way — which measured as NEGATIVE
+    * exponents on the profiler family (q239: 2.76 s at 1× vs 0.52 s
+    * at 10×, pure parallelism, no data insight). 32 matches the
+    * sweep's local[32] and its shuffle partitioning.
+    */
+  val FixtureFiles = 32
+
   /** events twin with event_id ≡ 0 (mod denom) remapped to one hot
     * user — that user then holds ~1/denom of the corpus. Returns the
     * hot user id.
@@ -69,6 +82,7 @@ object ScaleFixtures {
         text.as("text"), col("lang"), col("source"),
         length(text).cast("long").as("n_chars"))
     }.reduce(_ union _)
+      .repartition(FixtureFiles)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val ev = Corpus.read(spark, srcDir, "events")
@@ -79,6 +93,7 @@ object ScaleFixtures {
         (col("user_id") + lit(k * maxUid)).as("user_id"),
         col("ts"), col("event_type"), col("value"))
     }.reduce(_ union _)
+      .repartition(FixtureFiles)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     // embeddings at factor× for the ANN/cluster sweeps: vec_id offset
@@ -93,6 +108,7 @@ object ScaleFixtures {
       em.select((col("vec_id") + lit(k * maxVid)).as("vec_id"),
         col("embedding"), col("label"))
     }.reduce(_ union _)
+      .repartition(FixtureFiles)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
@@ -101,6 +117,12 @@ object ScaleFixtures {
     * closure's round count grows with log₂(max key), so a 10× twin
     * runs both ~10× the per-round volume AND ~log₁₀(10·maxKey)/
     * log₁₀(maxKey) more rounds — SCALING.md's fit separates the two.
+    * c_name is REBUILT from the offset key (the corpus's own
+    * 'Customer#%09d' format): copying names verbatim would hand the
+    * q234 trigram index `factor` exact copies of every name, inflate
+    * every discriminating trigram's df by `factor`, and let the
+    * TrgmDfCap prune the candidate set into a fake speed-up — a 10×
+    * corpus has 10× DISTINCT names, and the fixture must too.
     */
   def replicatedCustomer(spark: SparkSession, srcDir: String,
       outDir: String, factor: Int): Unit = {
@@ -108,7 +130,10 @@ object ScaleFixtures {
     val maxCk = c.agg(max(col("c_custkey"))).head().getLong(0) + 1
     (0 until factor).map { k =>
       c.withColumn("c_custkey", col("c_custkey") + lit(k * maxCk))
+        .withColumn("c_name",
+          format_string("Customer#%09d", col("c_custkey")))
     }.reduce(_ union _)
+      .repartition(FixtureFiles)
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
   }
 
@@ -138,6 +163,24 @@ object ScaleFixtures {
       .filter(pmod(col("doc_id"), lit(denom.toLong)) === 0).count()
   }
 
+  /** orders at `factor`× rows for the profiler sweeps (q238/q239
+    * scan orders): order keys offset per copy so the key column's
+    * cardinality scales with the volume; the low-cardinality columns
+    * (status/priority) and o_custkey pass through — exactly the mix
+    * a profiler meets (some columns' distinct counts grow with the
+    * data, some saturate).
+    */
+  def replicatedOrders(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): Unit = {
+    val o = Corpus.read(spark, srcDir, "orders")
+    val maxOk = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(k * maxOk))
+    }.reduce(_ union _)
+      .repartition(FixtureFiles)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+  }
+
   /** lineitem at `factor`× rows for the skew×scale sweep: order and
     * supplier keys offset per copy (so per-supplier window-partition
     * sizes stay the sf-level baseline until [[skewedLineitem]]
@@ -154,6 +197,7 @@ object ScaleFixtures {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOk))
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * maxSk))
     }.reduce(_ union _)
+      .repartition(FixtureFiles)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 }
@@ -273,13 +317,29 @@ object Sweep {
         // Optional trailing query names restrict the sweep (e.g. the
         // output-linear trio at a deeper factor).
         val names = if (args.length > 4) args.drop(4).toSeq else SweepQueries
-        ScaleFixtures.replicated(spark, srcDir, workDir, factor)
-        // The q108b closure walks customer keys — replicate them too
-        // (cheap; only sweeps that list q108b read the table).
-        ScaleFixtures.replicatedCustomer(spark, srcDir, workDir, factor)
+        // The 1× side is a factor-1 twin written through the SAME
+        // fixture writers ([[ScaleFixtures.FixtureFiles]] part-files
+        // per table, identical rows), NOT the driver corpus directly:
+        // the corpus's single-file tables scan as ONE task, the k×
+        // twin as many, and that parallelism delta — not data cost —
+        // is what a srcDir-based t1 measures on scan-dominated
+        // queries (observed as negative exponents on the profiler
+        // family). Same layout both sides → the exponent is volume.
+        val baseDir = s"$workDir/base1x"
+        val kDir = s"$workDir/x$factor"
+        Seq(1 -> baseDir, factor -> kDir).foreach { case (f, d) =>
+          ScaleFixtures.replicated(spark, srcDir, d, f)
+          // The q108b closure walks customer keys — replicate them
+          // too (cheap; only sweeps that list q108b read the table).
+          ScaleFixtures.replicatedCustomer(spark, srcDir, d, f)
+          // orders + lineitem twins for the profiler (q238/q239 scan
+          // orders) and layout-health (q237 scans lineitem) sweeps.
+          ScaleFixtures.replicatedOrders(spark, srcDir, d, f)
+          ScaleFixtures.replicatedLineitem(spark, srcDir, d, f)
+        }
         val lines = names.map { q =>
-          val t1 = minOf2(q, srcDir)
-          val tk = minOf2(q, workDir)
+          val t1 = minOf2(q, baseDir)
+          val tk = minOf2(q, kDir)
           val exp = math.log(tk / t1) / math.log(factor.toDouble)
           f""""$q": {"t1": $t1%.3f, "t$factor": $tk%.3f, "exponent": $exp%.2f}"""
         }

@@ -1159,8 +1159,10 @@ object Dedup {
     * self-join (the [[ContainDfCap]] idiom — what a mass-repeated
     * shingle contributes is boilerplate the exact-dedup stage already
     * handles, and per-shingle fanout is what makes an uncapped truth
-    * join quadratic in occupancy: measured exponent 0.38 at 3× on the
-    * replication fixture before the cap, ≈0 after). Every surviving
+    * join quadratic in occupancy: on the replication fixture the
+    * 3→10 marginal exponent measured ≈1.2 before the cap and ≈0.3
+    * after, t₁₀ₓ 25.7 s → 10.2 s — the post-cap fit is fixed
+    * overhead + a LINEAR term, SCALING.md round-15). Every surviving
     * shingle joins at most cap docs, so the truth relation is bounded
     * by cap · |shingle table| at any corpus size. The candidate side
     * is the full q28 relation. Thresholds broadcast (6 rows); recall
