@@ -349,6 +349,10 @@ object SparkEntry {
     // oracle: its accuracy contract is q238's in_band gate, and the
     // driver records the weaker rows-only check here.
     "q239_table_profile_detail" -> (Relational.tableProfileApproxDetail _),
+    "q240_dsir_weights" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirWeights(s, d)),
+    "q241_dsir_resample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirResample(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -5916,6 +5920,84 @@ object SparkEntry {
            |  CAST(1 AS BIGINT) AS in_band
            |FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    // q240: DSIR importance weights. The oracle re-derives the
+    // hashed-bigram feature map from FIRST PRINCIPLES — explicit
+    // (doc, position) adjacency join (the q114 ordinality idiom)
+    // where the engine uses a per-row higher-order transform, and an
+    // explode+join re-aggregation where the engine uses a broadcast
+    // map-literal lookup. The md5 hex prefix is the q47 portable
+    // hash; the bucket log-ratio is fixed to micro-unit BIGINTs
+    // before the per-doc sum, so the compared numbers are integer
+    // sums (the only float step is the ≤1024 bucket-level ln's).
+    "q240_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok,
+         |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS ord FROM t),
+         |bg AS (SELECT a.doc_id, a.lang, md5(a.tok || ' ' || b.tok) AS h
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+         |bk AS (SELECT doc_id, lang,
+         |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+         |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1))
+         |    % 1024 AS b
+         |  FROM bg),
+         |dist AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS cp,
+         |    count(*) AS cq FROM bk GROUP BY b),
+         |tot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM dist),
+         |w AS (SELECT b, CAST(round((ln((2 * cp + 1) / (2.0 * np + 1024))
+         |    - ln((2 * cq + 1) / (2.0 * nq + 1024))) * 1000000)
+         |    AS BIGINT) AS lw
+         |  FROM dist, tot)
+         |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(w.lw) AS BIGINT) AS w_micro
+         |FROM bk JOIN w USING (b)
+         |GROUP BY bk.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q241: DSIR Gumbel top-k resampling over q240's weights. The
+    // seeded noise is re-derived independently: 6-hex md5 prefix →
+    // uniform → −ln(−ln(u)), fixed to micro-units ON TOP of the
+    // integer weight, so both engines rank by the same BIGINT key.
+    "q241_dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok,
+         |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS ord FROM t),
+         |bg AS (SELECT a.doc_id, a.lang, md5(a.tok || ' ' || b.tok) AS h
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+         |bk AS (SELECT doc_id, lang,
+         |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+         |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1))
+         |    % 1024 AS b
+         |  FROM bg),
+         |dist AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS cp,
+         |    count(*) AS cq FROM bk GROUP BY b),
+         |tot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM dist),
+         |w AS (SELECT b, CAST(round((ln((2 * cp + 1) / (2.0 * np + 1024))
+         |    - ln((2 * cq + 1) / (2.0 * nq + 1024))) * 1000000)
+         |    AS BIGINT) AS lw
+         |  FROM dist, tot),
+         |doc AS (SELECT bk.doc_id, CAST(sum(w.lw) AS BIGINT) AS w_micro
+         |  FROM bk JOIN w USING (b) GROUP BY bk.doc_id),
+         |gum AS (SELECT doc_id, w_micro,
+         |    md5('dsir-seed-7:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM doc),
+         |keyed AS (SELECT doc_id, w_micro,
+         |    CAST(round(w_micro + (-ln(-ln(
+         |      (((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576
+         |       + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536
+         |       + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)
+         |       + 0.5) / 16777216.0)))) * 1000000) AS BIGINT) AS key_micro
+         |  FROM gum)
+         |SELECT doc_id, w_micro, key_micro FROM keyed
+         |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin,
 
     // q237: the oracle re-derives every per-file statistic from the
     // ORIGINAL table via the same arithmetic file assignment — it

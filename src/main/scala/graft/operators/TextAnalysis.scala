@@ -1834,4 +1834,92 @@ object TextAnalysis {
       .filter(col("n_a") + col("n_b") > 0)
       .orderBy(col("doc_id"))
   }
+
+  /** DSIR hashed-bigram buckets for one document's token array:
+    * each adjacent token pair is hashed (md5 hex prefix, the q47
+    * portable-hash idiom) into one of `buckets` feature buckets —
+    * the paper's hashed n-gram feature map. One codegen pass per
+    * row; no explode, no (doc, position) blow-up.
+    */
+  private def dsirBuckets(buckets: Int): Column = expr(
+    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+      "(t, i) -> cast(conv(substring(md5(concat(t, ' ', toks[i + 1])), " +
+      s"1, 3), 16, 10) as int) % $buckets)")
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-bigram feature profile looks
+    * like a target domain (here `lang = targetLang`) relative to the
+    * raw corpus. Per bucket b: lw(b) = ln p_target(b) − ln p_raw(b)
+    * with add-half smoothing, computed on exact integer counts as
+    * ln((2·cp+1)/(2·Np+B)) − ln((2·cq+1)/(2·Nq+B)) and FIXED to a
+    * micro-unit BIGINT — so the per-document score is an INTEGER sum
+    * (order-independent, exactly reproducible cross-engine; the only
+    * floating step is the B bucket-level ln's, the q73/q171 parity
+    * class). Per doc: w_micro = Σ lw_micro(bucket of each bigram).
+    *
+    * Scale: stage 1 explodes bigrams but map-side-combines into ≤ B
+    * partial rows per partition (the q142 contract — the explode
+    * never shuffles row-per-token); the collected weight table is
+    * bounded by the CONSTANT B = 1024 (the adjudicated vocab-collect
+    * class, TextAnalysis.scala:755) and returns to the plan as a
+    * broadcast map literal; stage 2 is a single codegen scan — a
+    * higher-order `aggregate` over the bucket array with a map
+    * lookup, no second explode, no join, no extra shuffle. At 100 TB
+    * both stages are embarrassingly parallel.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en", buckets: Int = 1024): DataFrame = {
+    val bk = Corpus.read(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("bks", dsirBuckets(buckets))
+    val dist = bk.select(col("lang"), explode(col("bks")).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("cq"))
+      .collect()
+    val np = dist.map(_.getLong(1)).sum
+    val nq = dist.map(_.getLong(2)).sum
+    val lwMicro: Map[Int, Long] = dist.map { r =>
+      val cp = r.getLong(1); val cq = r.getLong(2)
+      val v = math.log((2.0 * cp + 1) / (2.0 * np + buckets)) -
+        math.log((2.0 * cq + 1) / (2.0 * nq + buckets))
+      r.getInt(0) -> math.round(v * 1e6)
+    }.toMap
+    val wm = typedLit(lwMicro)
+    bk.filter(size(col("bks")) > 0)
+      .select(col("doc_id"),
+        size(col("bks")).cast("long").as("n_grams"),
+        aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + element_at(wm, b)).as("w_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR importance RESAMPLING (the paper's selection step): draw
+    * k documents WITHOUT replacement with probability ∝ exp(weight)
+    * via the Gumbel top-k trick — key = weight + Gumbel noise,
+    * take the k largest keys. The noise is SEEDED and portable:
+    * u ∈ (0,1) from a 6-hex-digit md5 prefix of the doc id (the q47
+    * idiom), g = −ln(−ln(u)) — deterministic in both engines, so the
+    * "random" sample is hash-reproducible (the property a 100 TB
+    * pipeline needs to re-derive the same training set twice).
+    * Weight = w_micro/1e6 from [[dsirWeights]] (integer-exact).
+    *
+    * Scale: per-row key computation is codegen'd; the top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver) — no global sort, no full shuffle.
+    */
+  def dsirResample(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    val u = (conv(substring(md5(
+      concat(lit("dsir-seed-7:"), col("doc_id"))), 1, 6), 16, 10)
+      .cast("double") + lit(0.5)) / lit(16777216.0)
+    val g = -log(-log(u))
+    dsirWeights(spark, dir)
+      .withColumn("key_micro",
+        round(col("w_micro") + g * lit(1e6)).cast("long"))
+      .select(col("doc_id"), col("w_micro"), col("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

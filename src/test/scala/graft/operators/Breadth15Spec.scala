@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Invariant specs for the round-15 breadth gates (q240–q241, DSIR).
+  * The value-level gate is the DuckDB oracle; these pin the
+  * properties the oracle compare cannot state: that the weights
+  * actually discriminate the target domain, that the resample is
+  * weight-biased, and that the scoring stage keeps its no-join /
+  * no-explode plan shape (the broadcast-map-literal design).
+  */
+class Breadth15Spec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  test("dsir weights discriminate the target domain and are " +
+    "deterministic") {
+    val w = TextAnalysis.dsirWeights(spark, sf)
+    val rows = w.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val langs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Every scored doc exists and has at least one bigram.
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0))
+    // The point of DSIR: per-bigram log importance (w_micro/n_grams)
+    // is higher for target-domain (en) docs than for the rest.
+    def meanPerGram(p: ((Long, Long, Long)) => Boolean): Double = {
+      val s = rows.filter(p)
+      s.map(r => r._3.toDouble / r._2).sum / s.length
+    }
+    val en = meanPerGram(r => langs(r._1) == "en")
+    val rest = meanPerGram(r => langs(r._1) != "en")
+    assert(en > 0 && rest < 0,
+      s"per-gram weight means: en=$en rest=$rest — DSIR should score " +
+        "target-domain docs positive and off-domain docs negative")
+    // Deterministic: the bounded bucket-table collect and the map
+    // literal reproduce exactly across runs.
+    val again = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("dsir scoring stage plans with no join and no explode " +
+    "(broadcast map literal, single codegen pass)") {
+    val plan = TextAnalysis.dsirWeights(spark, sf)
+      .queryExecution.optimizedPlan
+    plan.foreach {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        fail(s"scoring stage re-joined the weight table: $j")
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        fail(s"scoring stage exploded the bucket array: $g")
+      case _ =>
+    }
+  }
+
+  test("dsir resample is a weight-biased k-subset of the scored docs") {
+    val w = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val s = TextAnalysis.dsirResample(spark, sf, k = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s.length === 100)
+    assert(s.map(_._1).distinct.length === 100)
+    // Subset with consistent weights.
+    s.foreach { case (id, wm, _) => assert(w(id) === wm) }
+    // key = weight + Gumbel ⇒ keys are sorted desc and each key ≥ its
+    // own weight is NOT guaranteed (noise can be negative), but the
+    // SELECTED set must be weight-biased: its mean weight beats the
+    // corpus mean by a wide margin.
+    val meanSel = s.map(_._2).sum.toDouble / s.length
+    val meanAll = w.values.sum.toDouble / w.size
+    assert(meanSel > meanAll,
+      s"selected mean $meanSel should exceed corpus mean $meanAll")
+    assert(s.map(_._3).toSeq === s.map(_._3).sortBy(-_).toSeq)
+    // Deterministic (seeded noise): a second draw is identical.
+    val again = TextAnalysis.dsirResample(spark, sf, k = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s.toSeq === again.toSeq)
+  }
+}
