@@ -353,6 +353,8 @@ object SparkEntry {
       TextAnalysis.dsirWeights(s, d)),
     "q241_dsir_resample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.dsirResample(s, d)),
+    "q242_zorder_layout" -> ((s: SparkSession, d: String) =>
+      graft.sources.Layout.zorderHealth(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -5998,6 +6000,49 @@ object SparkEntry {
          |  FROM gum)
          |SELECT doc_id, w_micro, key_micro FROM keyed
          |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin,
+
+    // q242: the q237 philosophy applied to z-order — the oracle
+    // re-derives the 8-bit scaling, the Morton interleave (the SAME
+    // div/mod fragment builder, DuckDB's `//` spelling) and both
+    // arithmetic file assignments from the ORIGINAL lineitem, never
+    // reading the scratch layouts; a physical write/read/introspect
+    // divergence breaks the hash.
+    "q242_zorder_layout" -> {
+      val z = graft.sources.Layout.zInterleaveExpr("xb", "yb", "//")
+      s"""WITH s AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+         |    CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+         |mx AS (SELECT max(x) AS maxx, max(y) AS maxy FROM s),
+         |b AS (SELECT x * 256 // (maxx + 1) AS xb,
+         |    y * 256 // (maxy + 1) AS yb FROM s, mx),
+         |a AS (SELECT xb, yb, ($z) // 4096 AS f_zorder,
+         |    xb // 16 AS f_linear FROM b),
+         |pz AS (SELECT f_zorder, count(*) AS n,
+         |    min(xb) AS mnx, max(xb) AS mxx,
+         |    min(yb) AS mny, max(yb) AS mxy FROM a GROUP BY 1),
+         |pl AS (SELECT f_linear, count(*) AS n,
+         |    min(xb) AS mnx, max(xb) AS mxx,
+         |    min(yb) AS mny, max(yb) AS mxy FROM a GROUP BY 1),
+         |rz AS (SELECT 'zorder' AS layout,
+         |    CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(sum((mxx - mnx + 1) * (mxy - mny + 1)) AS BIGINT)
+         |      AS sum_bbox_area,
+         |    CAST(sum(CASE WHEN mnx <= 115 AND mxx >= 100
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_x,
+         |    CAST(sum(CASE WHEN mny <= 115 AND mxy >= 100
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_y FROM pz),
+         |rl AS (SELECT 'linear' AS layout,
+         |    CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(sum((mxx - mnx + 1) * (mxy - mny + 1)) AS BIGINT)
+         |      AS sum_bbox_area,
+         |    CAST(sum(CASE WHEN mnx <= 115 AND mxx >= 100
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_x,
+         |    CAST(sum(CASE WHEN mny <= 115 AND mxy >= 100
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_y FROM pl)
+         |SELECT * FROM rz UNION ALL SELECT * FROM rl
+         |ORDER BY layout""".stripMargin
+    },
 
     // q237: the oracle re-derives every per-file statistic from the
     // ORIGINAL table via the same arithmetic file assignment — it

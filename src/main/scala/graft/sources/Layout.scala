@@ -186,6 +186,88 @@ object Layout {
       .orderBy(col("layout"))
   }
 
+  private lazy val zorderScratch: String = jvmScratchDir("graft_q242_")
+
+  /** Bit-interleave of two pre-scaled `bits`-bit integers as PURE
+    * div/mod/multiply arithmetic — one text, any SQL engine (no
+    * shift-operator dialect): z = Σ_i ((x div 2^i) % 2)·2^(2i+1)
+    * + ((y div 2^i) % 2)·2^(2i). `idiv` is the engine's integer
+    * division spelling (`div` Spark, `//` DuckDB).
+    */
+  def zInterleaveExpr(x: String, y: String, idiv: String,
+      bits: Int = 8): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"((($x) $idiv $p) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((($y) $idiv $p) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** Z-ORDER clustering health (q242) — q237's physical
+    * write→read→introspect gate extended to MULTI-dimensional
+    * data-skipping, the `OPTIMIZE ... ZORDER BY (a, b)` decision:
+    * scale two predicate columns to 8-bit codes, bit-interleave them
+    * into a 16-bit Morton z-value, and compare a z-clustered layout
+    * against a single-column-sorted one. Per layout, per-file
+    * (min, max) bounding boxes on BOTH dimensions are derived from
+    * the PHYSICAL files via `input_file_name()`; the health row
+    * reports the file count a 16-wide probe band hits on each
+    * dimension. The linear layout prunes perfectly on its sort key
+    * and not at all on the other (1 vs all); z-order prunes BOTH to
+    * ~√nFiles tiles — the balanced-pruning property that justifies
+    * the rewrite at 100 TB, measured rather than asserted.
+    *
+    * File assignment is explicit arithmetic on the z-value
+    * (`z div 65536/nFiles` — contiguous Morton tiles), so the oracle
+    * re-derives every statistic from the ORIGINAL table without
+    * touching the scratch files (the q237/q106 philosophy): the gate
+    * proves the physical round trip reproduces the logical
+    * assignment. At scale the same z projection feeds
+    * `repartitionByRange(z) + sortWithinPartitions(z)` — a single
+    * range shuffle, no new operator; the stats join here is
+    * file-count-bounded.
+    */
+  def zorderHealth(spark: SparkSession, dir: String,
+      nFiles: Int = 16): DataFrame = {
+    val tmp = zorderScratch
+    val li = Corpus.read(spark, dir, "lineitem")
+      .select(expr("CAST(l_partkey AS BIGINT)").as("x"),
+        expr("CAST(l_suppkey AS BIGINT)").as("y"))
+    val mr = li.agg(max(col("x")), max(col("y"))).head()
+    val (maxX, maxY) = (mr.getLong(0), mr.getLong(1))
+    val assigned = li
+      .withColumn("xb", expr(s"x * 256 div ${maxX + 1}"))
+      .withColumn("yb", expr(s"y * 256 div ${maxY + 1}"))
+      .withColumn("z", expr(zInterleaveExpr("xb", "yb", "div")))
+      .withColumn("f_zorder", expr(s"z div ${65536 / nFiles}"))
+      .withColumn("f_linear", expr(s"xb div ${256 / nFiles}"))
+    assigned.write.mode("overwrite")
+      .partitionBy("f_zorder").parquet(s"$tmp/zorder")
+    assigned.write.mode("overwrite")
+      .partitionBy("f_linear").parquet(s"$tmp/linear")
+    def stats(path: String, pcol: String, label: String): DataFrame = {
+      val per = spark.read.parquet(path)
+        .withColumn("file",
+          regexp_extract(input_file_name(), s"$pcol=(\\d+)", 1)
+            .cast("long"))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xb")).as("mnx"), max(col("xb")).as("mxx"),
+          min(col("yb")).as("mny"), max(col("yb")).as("mxy"))
+      per.agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+        sum(expr("(mxx - mnx + 1) * (mxy - mny + 1)"))
+          .as("sum_bbox_area"),
+        sum(when(col("mnx") <= 115 && col("mxx") >= 100, 1L)
+          .otherwise(0L)).as("files_hit_x"),
+        sum(when(col("mny") <= 115 && col("mxy") >= 100, 1L)
+          .otherwise(0L)).as("files_hit_y"))
+        .select(lit(label).as("layout"), col("n_files"), col("n_rows"),
+          col("sum_bbox_area"), col("files_hit_x"), col("files_hit_y"))
+    }
+    stats(s"$tmp/zorder", "f_zorder", "zorder")
+      .unionByName(stats(s"$tmp/linear", "f_linear", "linear"))
+      .orderBy(col("layout"))
+  }
+
   private lazy val corruptDir: String = jvmScratchDir("graft_q221_")
 
   /** Corrupt-record-tolerant JSON ingestion (q221) — the ingest

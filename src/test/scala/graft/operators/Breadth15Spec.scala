@@ -80,4 +80,24 @@ class Breadth15Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(s.toSeq === again.toSeq)
   }
+
+  test("z-order layout prunes BOTH dimensions; linear only its " +
+    "sort key (q242 balanced-pruning invariant)") {
+    val rows = graft.sources.Layout.zorderHealth(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val (zf, zr, zx, zy) = rows("zorder")
+    val (lf, lr, lx, ly) = rows("linear")
+    assert(zr === lr)                       // same rows, two layouts
+    assert(zf === 16L && lf === 16L)        // both fully materialized
+    // Linear: perfect on the sort key, useless on the other.
+    assert(lx <= 2, s"linear should prune x to ≤2 files, hit $lx")
+    assert(ly === lf, "linear prunes nothing on the non-sort dim")
+    // Z-order: BOTH probes bounded by ~√nFiles tiles — the property
+    // that justifies OPTIMIZE ZORDER; worst-dimension pruning is
+    // strictly better than linear's.
+    assert(zx <= 4 && zy <= 4,
+      s"zorder probe hit ($zx, $zy) files — expected ≤4 tiles each")
+    assert(math.max(zx, zy) < math.max(lx, ly))
+  }
 }
