@@ -355,6 +355,8 @@ object SparkEntry {
       TextAnalysis.dsirResample(s, d)),
     "q242_zorder_layout" -> ((s: SparkSession, d: String) =>
       graft.sources.Layout.zorderHealth(s, d)),
+    "q243_symspell_fuzzy" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.symspellFuzzyJoin(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -5844,6 +5846,61 @@ object SparkEntry {
          |SELECT d.did, d.dname, b.matched_id, b.matched_name, b.dist
          |FROM dirty d LEFT JOIN best b USING (did)
          |ORDER BY d.did""".stripMargin,
+
+    // q243: DuckDB replays the FastSS linkage — same deterministic
+    // deletion fixture, its OWN deletion-neighborhood construction
+    // (range/list_transform/flatten vs Spark's sequence/transform),
+    // its own levenshtein, same best-match and LEFT-join contract.
+    "q243_symspell_fuzzy" ->
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    c_name AS name FROM customer),
+        |dirty AS (SELECT id AS did,
+        |    substring(name, 1,
+        |      CAST(id % greatest(length(name) - 2, 1) + 1 AS INTEGER)) ||
+        |    substring(name,
+        |      CAST(id % greatest(length(name) - 2, 1) + 3 AS INTEGER), 1000)
+        |      AS dname
+        |  FROM cust),
+        |vc AS (SELECT id AS cid, unnest(list_distinct(
+        |    [name]
+        |    || list_transform(range(1, length(name) + 1),
+        |         i -> substring(name, 1, CAST(i - 1 AS INTEGER)) ||
+        |              substring(name, CAST(i + 1 AS INTEGER), length(name)))
+        |    || flatten(list_transform(range(1, length(name)),
+        |         i -> list_transform(range(i + 1, length(name) + 1),
+        |           j -> substring(name, 1, CAST(i - 1 AS INTEGER)) ||
+        |                substring(name, CAST(i + 1 AS INTEGER),
+        |                  CAST(j - i - 1 AS INTEGER)) ||
+        |                substring(name, CAST(j + 1 AS INTEGER),
+        |                  length(name))))))) AS v
+        |  FROM cust),
+        |vd AS (SELECT did, unnest(list_distinct(
+        |    [dname]
+        |    || list_transform(range(1, length(dname) + 1),
+        |         i -> substring(dname, 1, CAST(i - 1 AS INTEGER)) ||
+        |              substring(dname, CAST(i + 1 AS INTEGER), length(dname)))
+        |    || flatten(list_transform(range(1, length(dname)),
+        |         i -> list_transform(range(i + 1, length(dname) + 1),
+        |           j -> substring(dname, 1, CAST(i - 1 AS INTEGER)) ||
+        |                substring(dname, CAST(i + 1 AS INTEGER),
+        |                  CAST(j - i - 1 AS INTEGER)) ||
+        |                substring(dname, CAST(j + 1 AS INTEGER),
+        |                  length(dname))))))) AS v
+        |  FROM dirty),
+        |cand AS (SELECT DISTINCT did, cid FROM vd JOIN vc USING (v)),
+        |named AS (SELECT c.did, d.dname, c.cid, cu.name AS cname
+        |  FROM cand c JOIN dirty d USING (did)
+        |  JOIN cust cu ON c.cid = cu.id),
+        |v2 AS (SELECT did, dname, cid, cname,
+        |    CAST(levenshtein(dname, cname) AS BIGINT) AS dist
+        |  FROM named WHERE levenshtein(dname, cname) <= 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY did
+        |    ORDER BY dist, cid) AS rk FROM v2),
+        |best AS (SELECT did, cid AS matched_id, cname AS matched_name,
+        |    dist FROM r WHERE rk = 1)
+        |SELECT d.did, d.dname, b.matched_id, b.matched_name, b.dist
+        |FROM dirty d LEFT JOIN best b USING (did)
+        |ORDER BY d.did""".stripMargin,
 
     // q235: DuckDB replays each truncation's brute top-k with its own
     // unnest-range pair sums over the first d components, then the

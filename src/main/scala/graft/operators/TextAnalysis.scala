@@ -552,6 +552,85 @@ object TextAnalysis {
       .orderBy(col("did"))
   }
 
+  /** Deletion-neighborhood fuzzy JOIN (q243) — the scale-robust
+    * answer to q234's measured trigram-recall cliff (SCALING.md
+    * round-15: at 150 k distinct 9-digit names every digit trigram's
+    * df crosses the cap and the index empties). FastSS/SymSpell
+    * blocking (Bocek et al. 2007, "Fast Similarity Search in Large
+    * Dictionaries"; SymSpell is the industrial descendant): for edit
+    * distance ≤ d, ANY alignment deletes ≤ d chars from each side,
+    * so two strings within distance d share an exact member of their
+    * depth-d deletion neighborhoods — a NECESSARY condition with no
+    * dependence on corpus entropy. Blocking therefore:
+    *
+    *  1. explode BOTH sides to their ≤2-deletion variants
+    *     (1 + L + C(L,2) ≈ 172 strings for L = 18 — per-name cost a
+    *     CONSTANT in corpus size, unlike any df-capped gram index);
+    *  2. candidates = distinct id pairs sharing an exact variant —
+    *     an equi-join, no similarity math in the exchange;
+    *  3. verify thresholded levenshtein ≤ 2, best match per dirty
+    *     name ((dist, cid) — plans as a TopKRows heap), LEFT join so
+    *     missed names stay loud (q234's contract).
+    *
+    * Recall is GUARANTEED (the neighborhood condition is necessary,
+    * the verify is exact), so unlike q234 the 10× low-entropy
+    * namespace keeps 100% matches — measured in SCALING.md. Cost is
+    * linear in names (172·N index rows, short-string keys); false
+    * candidates only form between names already within deletion
+    * distance 4, so the candidate set tracks TRUE near-pair density
+    * rather than gram-vocabulary saturation. Same output shape as
+    * q234 for side-by-side comparison.
+    */
+  def symspellFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Depth-≤2 deletion neighborhood (distinct): the string itself,
+    // every single-position deletion, every two-position deletion.
+    def delNbhd(c: String) =
+      s"""array_distinct(concat(
+         |  array($c),
+         |  transform(sequence(1, length($c)),
+         |    i -> concat(substring($c, 1, i - 1),
+         |                substring($c, i + 1, length($c)))),
+         |  flatten(transform(sequence(1, greatest(length($c) - 1, 1)),
+         |    i -> transform(sequence(least(i + 1, length($c)), length($c)),
+         |      j -> concat(substring($c, 1, i - 1),
+         |                  substring($c, i + 1, j - i - 1),
+         |                  substring($c, j + 1, length($c))))))))""".stripMargin
+    val cust = Corpus.read(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"),
+        col("c_name").as("name"))
+    // The SAME deterministic one-char deletion as q234 — the two
+    // operators gate the same linkage problem, so their recall is
+    // directly comparable.
+    val dirty = cust.select(col("id").as("did"),
+      expr("concat(substring(name, 1, cast(id % greatest(length(name) - 2," +
+        " 1) + 1 as int)), substring(name, cast(id % greatest(length(name)" +
+        " - 2, 1) + 3 as int), 1000))").as("dname"))
+    val idx = cust.select(col("id").as("cid"),
+      explode(expr(delNbhd("name"))).as("v"))
+    val cand = dirty
+      .select(col("did"), explode(expr(delNbhd("dname"))).as("v"))
+      .join(idx, Seq("v"))
+      .select(col("did"), col("cid"))
+      .distinct()
+      .join(broadcast(dirty), Seq("did"))
+      .join(broadcast(cust.select(col("id").as("cid"),
+        col("name").as("cname"))), Seq("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("did")).orderBy(col("dist"), col("cid"))
+    val best = cand
+      .withColumn("dist",
+        levenshtein(col("dname"), col("cname"), 2).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("did"), col("cid").as("matched_id"),
+        col("cname").as("matched_name"), col("dist"))
+    dirty.join(best, Seq("did"), "left_outer")
+      .select(col("did"), col("dname"), col("matched_id"),
+        col("matched_name"), col("dist"))
+      .orderBy(col("did"))
+  }
+
   /** Synthesized URL per document — deterministic arithmetic over
     * doc_id, shared verbatim (same SQL text) with the q216 oracle so
     * both engines canonicalize the SAME raw strings. Mixed-case

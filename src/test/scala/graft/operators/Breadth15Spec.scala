@@ -2,6 +2,8 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.TestSpark
 
 /** Invariant specs for the round-15 breadth gates (q240–q241, DSIR).
@@ -99,5 +101,25 @@ class Breadth15Spec extends AnyFunSuite {
     assert(zx <= 4 && zy <= 4,
       s"zorder probe hit ($zx, $zy) files — expected ≤4 tiles each")
     assert(math.max(zx, zy) < math.max(lx, ly))
+  }
+
+  test("symspell fuzzy join (q243) has FULL recall on the deletion " +
+    "fixture — the guarantee the q234 trigram cap cannot make") {
+    val rows = TextAnalysis.symspellFuzzyJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Every dirty name is one deletion from its original, and the
+    // deletion-neighborhood condition is NECESSARY for dist ≤ 2 —
+    // so every row must match, at exactly distance 1 (all clean
+    // names share one length; a 1-shorter dirty name can never be
+    // at distance 0).
+    rows.foreach { r =>
+      assert(!r.isNullAt(2), s"unmatched dirty name: ${r.getString(1)}")
+      assert(r.getLong(4) === 1L)
+    }
+    // And it must dominate q234's recall (the capped trigram index
+    // may drop names; the neighborhood index may not).
+    val trgmMatched = TextAnalysis.fuzzyJoinCustomers(spark, sf)
+      .filter(col("matched_id").isNotNull).count()
+    assert(rows.length.toLong >= trgmMatched)
   }
 }
