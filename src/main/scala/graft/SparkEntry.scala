@@ -357,6 +357,8 @@ object SparkEntry {
       graft.sources.Layout.zorderHealth(s, d)),
     "q243_symspell_fuzzy" -> ((s: SparkSession, d: String) =>
       TextAnalysis.symspellFuzzyJoin(s, d)),
+    "q244_bpe_train" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTrain(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6057,6 +6059,53 @@ object SparkEntry {
          |  FROM gum)
          |SELECT doc_id, w_micro, key_micro FROM keyed
          |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin,
+
+    // q244: DuckDB replays the whole BPE training loop as
+    // [[TextAnalysis.BpeMerges]] UNROLLED stages (the q235
+    // block-generation idiom) — pair counts from 1-based list
+    // subscripts over an unnested index range (vs the engine's
+    // higher-order shifted-zip), the same (count, pair) argmax, the
+    // same replace()-as-greedy-merge (both engines' replace is
+    // leftmost-non-overlapping — exactly BPE's merge order). The
+    // per-round CTEs are MATERIALIZED: DuckDB inlines CTEs by
+    // default and each round references its argmax three times, so
+    // the plain form expands 3^rounds.
+    "q244_bpe_train" -> {
+      val stages = (1 to TextAnalysis.BpeMerges).map { k =>
+        val p = k - 1
+        s"""px$k AS (SELECT cnt, string_split(
+           |    substring(sym, 2, length(sym) - 2), '··') AS parts
+           |  FROM w$p),
+           |pe$k AS (SELECT cnt, parts,
+           |    unnest(range(1, len(parts))) AS i FROM px$k),
+           |pp$k AS (SELECT cnt, parts[CAST(i AS INTEGER)] AS a,
+           |    parts[CAST(i + 1 AS INTEGER)] AS b FROM pe$k),
+           |pc$k AS (SELECT a, b, sum(cnt) AS pc FROM pp$k GROUP BY a, b),
+           |m$k AS MATERIALIZED (SELECT a, b, pc FROM pc$k
+           |  ORDER BY pc DESC, a, b LIMIT 1),
+           |w$k AS MATERIALIZED (SELECT replace(sym,
+           |    '·' || (SELECT a FROM m$k) || '··' ||
+           |      (SELECT b FROM m$k) || '·',
+           |    '·' || (SELECT a FROM m$k) ||
+           |      (SELECT b FROM m$k) || '·') AS sym,
+           |  cnt FROM w$p)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to TextAnalysis.BpeMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
+          s"CAST(pc AS BIGINT) AS pair_count FROM m$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+'))
+         |    AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+         |w0 AS MATERIALIZED (SELECT '·' || array_to_string(
+         |    list_transform(range(1, length(w) + 1),
+         |      i -> substring(w, CAST(i AS INTEGER), 1)), '··') || '·'
+         |    AS sym,
+         |  cnt FROM wc),
+         |$stages
+         |$rows
+         |ORDER BY rank""".stripMargin
+    },
 
     // q242: the q237 philosophy applied to z-order — the oracle
     // re-derives the 8-bit scaling, the Morton interleave (the SAME

@@ -277,6 +277,19 @@ object Sweep {
     def minOf2(name: String, dir: String): Double =
       math.min(once(name, dir), once(name, dir))
 
+    /** Per-query warm-up before the timed pair — same discipline as
+      * Bench. Without it the session's FIRST query pays whole-stage
+      * codegen + C2 compilation inside its timed runs, and because
+      * the 1× leg always runs first that cost lands asymmetrically:
+      * measured on q240 as t1 = 4.3/16.3/30.1 s across three
+      * sessions on IDENTICAL 1× data (t10 stable ≈ 6–7 s) — a
+      * negative "exponent" that was pure JIT order, not data cost.
+      */
+    def warmed(name: String, dir1: String, dirK: String): (Double, Double) = {
+      once(name, dir1): Unit
+      (minOf2(name, dir1), minOf2(name, dirK))
+    }
+
     /** Times SkewQueries on a uniform vs a hot-key twin of the same
       * corpus — shared by `skew` (driver corpus) and `skewx`
       * (replicated corpus, where the hot partition is factor× the
@@ -292,8 +305,7 @@ object Sweep {
       println(f"[skew] hot user $hotUser holds $evHot/$evTotal events " +
         f"(${100.0 * evHot / evTotal}%.1f%%); hot supplier $hotSupp")
       val lines = SkewQueries.map { q =>
-        val tu = minOf2(q, uniformDir)
-        val ts = minOf2(q, skewDir)
+        val (tu, ts) = warmed(q, uniformDir, skewDir)
         f""""$q": {"uniform": $tu%.3f, "skewed": $ts%.3f, "ratio": ${ts / tu}%.2f}"""
       }
       println(lines.mkString("SWEEP_RESULT {", ", ", "}"))
@@ -338,8 +350,7 @@ object Sweep {
           ScaleFixtures.replicatedLineitem(spark, srcDir, d, f)
         }
         val lines = names.map { q =>
-          val t1 = minOf2(q, baseDir)
-          val tk = minOf2(q, kDir)
+          val (t1, tk) = warmed(q, baseDir, kDir)
           val exp = math.log(tk / t1) / math.log(factor.toDouble)
           f""""$q": {"t1": $t1%.3f, "t$factor": $tk%.3f, "exponent": $exp%.2f}"""
         }
@@ -356,8 +367,7 @@ object Sweep {
         // Optional trailing query names override the default list.
         val docQs = if (args.length > 4) args.drop(4).toSeq else DocSkewQueries
         val lines = docQs.map { q =>
-          val tu = minOf2(q, baseDir)
-          val ts = minOf2(q, hotDir)
+          val (tu, ts) = warmed(q, baseDir, hotDir)
           f""""$q": {"uniform": $tu%.3f, "hot": $ts%.3f, "ratio": ${ts / tu}%.2f}"""
         }
         println(lines.mkString("SWEEP_RESULT {", ", ", "}"))

@@ -631,6 +631,86 @@ object TextAnalysis {
       .orderBy(col("did"))
   }
 
+  /** Merge-rule count for [[bpeTrain]] — shared with the oracle by
+    * name (the oracle unrolls one SQL stage per round).
+    */
+  val BpeMerges = 8
+
+  /** BPE tokenizer TRAINING (q244) — byte-pair-encoding merge-rule
+    * induction (Sennrich et al. 2016, "Neural Machine Translation of
+    * Rare Words with Subword Units"): the step every real pipeline
+    * runs BEFORE the token-counting/fertility/packing operators
+    * (q72/q95/q208) can exist. The algorithm, Spark-first:
+    *
+    *  1. ONE corpus pass collapses documents to the (word, count)
+    *     vocabulary (Heaps-law-bounded — every later round works on
+    *     the vocabulary, never the corpus: the reason dictionary-BPE
+    *     is the industrial shape);
+    *  2. each word becomes a symbol string with every symbol
+    *     INDIVIDUALLY fenced ('·a··b··c·' — symbols joined by '··');
+    *     per round: adjacent-pair counts weighted by word count
+    *     (explode over VOCAB rows → map-side-combinable hash
+    *     aggregate), argmax pair by (count, pair) via a 1-row
+    *     TakeOrdered heap, then the merge applied as a single
+    *     `replace('·a··b·' → '·ab·')` per word. The DOUBLE fence is
+    *     load-bearing: with single separators a chained run
+    *     ('a a a a') only merges alternate pairs because each match
+    *     consumes the shared boundary; with per-symbol fences the
+    *     matches are disjoint and `replace`'s
+    *     leftmost-non-overlapping contract IS exactly BPE's greedy
+    *     left-to-right merge (both engines share it — and the
+    *     Breadth15Spec brute-force replay pins it against a plain
+    *     Scala implementation of the paper's algorithm).
+    *     Precondition: the corpus never contains U+00B7 (checked
+    *     nowhere cheaper than the fixture; any fence char outside
+    *     the corpus alphabet works);
+    *  3. [[BpeMerges]] rounds; per-round `localCheckpoint` cuts the
+    *     8-deep lineage (the q108b closure-loop hygiene).
+    *
+    * Output: the merge table (rank, left, right, pair_count) — the
+    * artifact a tokenizer ships. Driver traffic per round is ONE
+    * row (the argmax); at 100 TB the corpus is read once and the
+    * loop runs on the distributed vocabulary.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sep = "·"
+    var words = Corpus.read(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(sep),
+        array_join(expr("transform(sequence(1, length(w)), " +
+          "i -> substring(w, i, 1))"), sep + sep),
+        lit(sep)).as("sym"), col("cnt"))
+      .localCheckpoint()
+    // Unfence: '·a··bc·' → ['a', 'bc'] (strip the outer fences, split
+    // on the inter-symbol double fence).
+    val symsExpr = s"split(substring(sym, 2, length(sym) - 2), '$sep$sep')"
+    val merges = (1 to BpeMerges).map { rank =>
+      val top = words
+        .select(col("cnt"), expr(
+          s"""filter(transform($symsExpr,
+             |  (s, i) -> struct(s AS a, try_element_at($symsExpr,
+             |    i + 2) AS b)),
+             |  p -> p.b IS NOT NULL)""".stripMargin).as("ps"))
+        .select(explode(col("ps")).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1)
+        .head()
+      val (a, b, pc) = (top.getString(0), top.getString(1), top.getLong(2))
+      words = words
+        .withColumn("sym", regexp_replace(col("sym"),
+          lit(java.util.regex.Pattern.quote(s"$sep$a$sep$sep$b$sep")),
+          lit(java.util.regex.Matcher.quoteReplacement(s"$sep$a$b$sep"))))
+        .localCheckpoint()
+      (rank.toLong, a, b, pc)
+    }
+    merges.toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   /** Synthesized URL per document — deterministic arithmetic over
     * doc_id, shared verbatim (same SQL text) with the q216 oracle so
     * both engines canonicalize the SAME raw strings. Mixed-case

@@ -122,4 +122,42 @@ class Breadth15Spec extends AnyFunSuite {
       .filter(col("matched_id").isNotNull).count()
     assert(rows.length.toLong >= trgmMatched)
   }
+
+  test("bpe training (q244) equals a from-scratch single-threaded " +
+    "replay of Sennrich's algorithm") {
+    val engine = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // Brute-force replay in plain Scala: word counts, then R rounds
+    // of (pair-count argmax, greedy left-to-right non-overlapping
+    // merge) over symbol vectors — no SQL, no replace() semantics to
+    // share, ties broken identically ((count desc, pair asc)).
+    val wc = scala.collection.mutable.Map.empty[List[String], Long]
+    graft.sources.Corpus.read(spark, sf, "documents")
+      .select("text").collect().foreach { r =>
+      r.getString(0).split("\\s+").filter(_.nonEmpty).foreach { w =>
+        val syms = w.map(_.toString).toList
+        wc(syms) = wc.getOrElse(syms, 0L) + 1L
+      }
+    }
+    var words = wc.toMap
+    val expected = (1 to TextAnalysis.BpeMerges).map { rank =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + c
+        }
+      }
+      val ((a, b), pc) = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      def merge(s: List[String]): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: merge(rest)
+        case x :: rest => x :: merge(rest)
+        case Nil => Nil
+      }
+      words = words.groupBy { case (syms, _) => merge(syms) }
+        .map { case (m, g) => m -> g.values.sum }
+      (rank.toLong, a, b, pc)
+    }
+    assert(engine.toSeq === expected)
+  }
 }
