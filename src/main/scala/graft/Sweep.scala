@@ -277,18 +277,21 @@ object Sweep {
     def minOf2(name: String, dir: String): Double =
       math.min(once(name, dir), once(name, dir))
 
-    /** Per-query warm-up before the timed pair — same discipline as
-      * Bench. Without it the session's FIRST query pays whole-stage
-      * codegen + C2 compilation inside its timed runs, and because
-      * the 1× leg always runs first that cost lands asymmetrically:
-      * measured on q240 as t1 = 4.3/16.3/30.1 s across three
-      * sessions on IDENTICAL 1× data (t10 stable ≈ 6–7 s) — a
-      * negative "exponent" that was pure JIT order, not data cost.
+    /** FULL settle pass before any timing — every (query, dir) pair
+      * runs once untimed, THEN the timed min-of-2 pass starts. Two
+      * measured contaminations land on the session's early timed
+      * legs otherwise: (a) whole-stage codegen + C2 compilation
+      * (q240 t1 = 4.3/16.3/30.1 s across three sessions on IDENTICAL
+      * 1× data, t10 stable ≈ 6–7 s — a negative "exponent" that was
+      * session order, not data cost), and (b) the page-cache flush
+      * of the multi-GB fixture writes that immediately precede
+      * timing — a per-query warm run was NOT enough (warm + both
+      * timed runs still landed inside the flush window: q240
+      * t1 = 21.8 s warmed vs 1.40 s steady-state via Bench on the
+      * same fixture dir). The settle pass absorbs both.
       */
-    def warmed(name: String, dir1: String, dirK: String): (Double, Double) = {
-      once(name, dir1): Unit
-      (minOf2(name, dir1), minOf2(name, dirK))
-    }
+    def settle(qs: Seq[String], dirs: Seq[String]): Unit =
+      for (q <- qs; d <- dirs) once(q, d): Unit
 
     /** Times SkewQueries on a uniform vs a hot-key twin of the same
       * corpus — shared by `skew` (driver corpus) and `skewx`
@@ -304,8 +307,10 @@ object Sweep {
         .filter(col("user_id") === hotUser).count()
       println(f"[skew] hot user $hotUser holds $evHot/$evTotal events " +
         f"(${100.0 * evHot / evTotal}%.1f%%); hot supplier $hotSupp")
+      settle(SkewQueries, Seq(uniformDir, skewDir))
       val lines = SkewQueries.map { q =>
-        val (tu, ts) = warmed(q, uniformDir, skewDir)
+        val tu = minOf2(q, uniformDir)
+        val ts = minOf2(q, skewDir)
         f""""$q": {"uniform": $tu%.3f, "skewed": $ts%.3f, "ratio": ${ts / tu}%.2f}"""
       }
       println(lines.mkString("SWEEP_RESULT {", ", ", "}"))
@@ -349,8 +354,10 @@ object Sweep {
           ScaleFixtures.replicatedOrders(spark, srcDir, d, f)
           ScaleFixtures.replicatedLineitem(spark, srcDir, d, f)
         }
+        settle(names, Seq(baseDir, kDir))
         val lines = names.map { q =>
-          val (t1, tk) = warmed(q, baseDir, kDir)
+          val t1 = minOf2(q, baseDir)
+          val tk = minOf2(q, kDir)
           val exp = math.log(tk / t1) / math.log(factor.toDouble)
           f""""$q": {"t1": $t1%.3f, "t$factor": $tk%.3f, "exponent": $exp%.2f}"""
         }
@@ -366,8 +373,10 @@ object Sweep {
           f"(${100.0 * clusterSize / total}%.1f%%)")
         // Optional trailing query names override the default list.
         val docQs = if (args.length > 4) args.drop(4).toSeq else DocSkewQueries
+        settle(docQs, Seq(baseDir, hotDir))
         val lines = docQs.map { q =>
-          val (tu, ts) = warmed(q, baseDir, hotDir)
+          val tu = minOf2(q, baseDir)
+          val ts = minOf2(q, hotDir)
           f""""$q": {"uniform": $tu%.3f, "hot": $ts%.3f, "ratio": ${ts / tu}%.2f}"""
         }
         println(lines.mkString("SWEEP_RESULT {", ", ", "}"))
