@@ -364,7 +364,9 @@ object SparkEntry {
     "qS02_stream_dedup" ->
       (graft.streaming.EventStreams.dedupFinalized _),
     "qS03_stream_clean" ->
-      (graft.streaming.DocumentStreams.cleanedFinalized _)
+      (graft.streaming.DocumentStreams.cleanedFinalized _),
+    "qS04_stream_dsir" ->
+      (graft.streaming.DocumentStreams.dsirScoredFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -5991,31 +5993,13 @@ object SparkEntry {
     // hash; the bucket log-ratio is fixed to micro-unit BIGINTs
     // before the per-doc sum, so the compared numbers are integer
     // sums (the only float step is the ≤1024 bucket-level ln's).
-    "q240_dsir_weights" ->
-      s"""WITH t AS (SELECT doc_id, lang,
-         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
-         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok,
-         |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS ord FROM t),
-         |bg AS (SELECT a.doc_id, a.lang, md5(a.tok || ' ' || b.tok) AS h
-         |  FROM tok a JOIN tok b
-         |    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
-         |bk AS (SELECT doc_id, lang,
-         |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
-         |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
-         |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1))
-         |    % 1024 AS b
-         |  FROM bg),
-         |dist AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS cp,
-         |    count(*) AS cq FROM bk GROUP BY b),
-         |tot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM dist),
-         |w AS (SELECT b, CAST(round((ln((2 * cp + 1) / (2.0 * np + 1024))
-         |    - ln((2 * cq + 1) / (2.0 * nq + 1024))) * 1000000)
-         |    AS BIGINT) AS lw
-         |  FROM dist, tot)
-         |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |  CAST(sum(w.lw) AS BIGINT) AS w_micro
-         |FROM bk JOIN w USING (b)
-         |GROUP BY bk.doc_id ORDER BY doc_id""".stripMargin,
+    "q240_dsir_weights" -> dsirWeightsOracle,
+
+    // qS04: DSIR scoring at ingest is a STATELESS projection with an
+    // offline-fit model, so the streamed emitted set equals the
+    // batch scoring of the same corpus — the oracle is verbatim
+    // q240's (the qS03 stateless-gate argument applied to q240).
+    "qS04_stream_dsir" -> dsirWeightsOracle,
 
     // q241: DSIR Gumbel top-k resampling over q240's weights. The
     // seeded noise is re-derived independently: 6-hex md5 prefix →
@@ -6234,6 +6218,39 @@ object SparkEntry {
         |FROM g CROSS JOIN wm WHERE end_us <= wm_us
         |ORDER BY user_id, start_us""".stripMargin
   )
+
+  /** Shared q240/qS04 oracle: DSIR importance weights re-derived
+    * from first principles (the q114 ordinality idiom for bigram
+    * adjacency, the q47 md5 bucket hash, micro-unit integer
+    * log-ratios). qS04's streamed scorer is a stateless projection
+    * of an offline-fit model over the same corpus, so its emitted
+    * set equals the batch scoring — ONE oracle text, two gates.
+    */
+  private val dsirWeightsOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |tok AS (SELECT doc_id, lang, unnest(toks) AS tok,
+       |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS ord FROM t),
+       |bg AS (SELECT a.doc_id, a.lang, md5(a.tok || ' ' || b.tok) AS h
+       |  FROM tok a JOIN tok b
+       |    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+       |bk AS (SELECT doc_id, lang,
+       |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+       |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1))
+       |    % 1024 AS b
+       |  FROM bg),
+       |dist AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS cp,
+       |    count(*) AS cq FROM bk GROUP BY b),
+       |tot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM dist),
+       |w AS (SELECT b, CAST(round((ln((2 * cp + 1) / (2.0 * np + 1024))
+       |    - ln((2 * cq + 1) / (2.0 * nq + 1024))) * 1000000)
+       |    AS BIGINT) AS lw
+       |  FROM dist, tot)
+       |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(w.lw) AS BIGINT) AS w_micro
+       |FROM bk JOIN w USING (b)
+       |GROUP BY bk.doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the
     * total-ordered last-in-hour pick, per-user bounds, the hourly

@@ -2028,30 +2028,54 @@ object TextAnalysis {
     * both stages are embarrassingly parallel.
     */
   def dsirWeights(spark: SparkSession, dir: String,
-      targetLang: String = "en", buckets: Int = 1024): DataFrame = {
-    val bk = Corpus.read(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      targetLang: String = "en", buckets: Int = 1024): DataFrame =
+    dsirScore(Corpus.read(spark, dir, "documents"),
+      dsirWeightTable(spark, dir, targetLang, buckets), buckets)
+      .orderBy(col("doc_id"))
+
+  /** FIT stage of [[dsirWeights]] as a reusable artifact: the
+    * micro-unit bucket→log-ratio table, bounded by the constant B
+    * (the trained model a deployment broadcasts — e.g. the qS04
+    * streaming scorer applies it at ingest).
+    */
+  def dsirWeightTable(spark: SparkSession, dir: String,
+      targetLang: String = "en", buckets: Int = 1024): Map[Int, Long] = {
+    val dist = Corpus.read(spark, dir, "documents")
+      .select(col("lang"), tokens(col("text")).as("toks"))
       .withColumn("bks", dsirBuckets(buckets))
-    val dist = bk.select(col("lang"), explode(col("bks")).as("b"))
+      .select(col("lang"), explode(col("bks")).as("b"))
       .groupBy(col("b"))
       .agg(sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("cp"),
         count(lit(1)).as("cq"))
       .collect()
     val np = dist.map(_.getLong(1)).sum
     val nq = dist.map(_.getLong(2)).sum
-    val lwMicro: Map[Int, Long] = dist.map { r =>
+    dist.map { r =>
       val cp = r.getLong(1); val cq = r.getLong(2)
       val v = math.log((2.0 * cp + 1) / (2.0 * np + buckets)) -
         math.log((2.0 * cq + 1) / (2.0 * nq + buckets))
       r.getInt(0) -> math.round(v * 1e6)
     }.toMap
-    val wm = typedLit(lwMicro)
-    bk.filter(size(col("bks")) > 0)
+  }
+
+  /** SCORE stage of [[dsirWeights]]: a STATELESS projection over any
+    * documents relation — batch or streaming — with the trained
+    * table as a broadcast map literal. One codegen pass, no join,
+    * no explode, no state; a bucket produced by [[dsirBuckets]] can
+    * be absent from a table trained on a DIFFERENT corpus slice
+    * (e.g. scoring a live feed with an offline model), so the lookup
+    * null-coalesces to 0 — unseen features carry no evidence.
+    */
+  def dsirScore(docs: DataFrame, lw: Map[Int, Long],
+      buckets: Int = 1024): DataFrame = {
+    val wm = typedLit(lw)
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("bks", dsirBuckets(buckets))
+      .filter(size(col("bks")) > 0)
       .select(col("doc_id"),
         size(col("bks")).cast("long").as("n_grams"),
-        aggregate(col("bks"), lit(0L),
-          (acc, b) => acc + element_at(wm, b)).as("w_micro"))
-      .orderBy(col("doc_id"))
+        aggregate(col("bks"), lit(0L), (acc, b) =>
+          acc + coalesce(element_at(wm, b), lit(0L))).as("w_micro"))
   }
 
   /** DSIR importance RESAMPLING (the paper's selection step): draw

@@ -80,6 +80,36 @@ object DocumentStreams {
     spark.read.parquet(s"$tmp/data")
   }.orderBy(col("doc_id"))
 
+  /** The qS04 streaming-vs-oracle gate: DSIR scoring at INGEST — the
+    * train-offline / score-online deployment of q240. The weight
+    * table is fit on the landed corpus
+    * ([[TextAnalysis.dsirWeightTable]] — bounded by the constant B,
+    * the broadcastable model artifact), then every arriving document
+    * is scored by [[TextAnalysis.dsirScore]]: a stateless per-row
+    * projection (bigram→bucket transform + map-literal lookup), so
+    * no watermark, no state store, constant memory, and the emitted
+    * set is trivially batch-replayable — the DuckDB oracle is
+    * EXACTLY q240's (same fit formulas over the static corpus).
+    */
+  def dsirScoredFinalized(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.stagedGate("graft-qs04-") { tmp =>
+    val lw = TextAnalysis.dsirWeightTable(spark, dir)
+    spark.read.parquet(s"$dir/documents.parquet").repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/documents.parquet")
+    val q = TextAnalysis.dsirScore(
+        readDocumentStream(spark, s"$tmp/in"), lw)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data")
+  }.orderBy(col("doc_id"))
+
   /** Mixture-sample each arriving document at
     * [[Curation.mixtureRates]] — the same deterministic
     * bucket < rate predicate as the batch operator, applied at

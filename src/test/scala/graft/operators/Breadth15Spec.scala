@@ -123,6 +123,16 @@ class Breadth15Spec extends AnyFunSuite {
     assert(rows.length.toLong >= trgmMatched)
   }
 
+  test("streaming DSIR scorer (qS04) emits exactly the batch " +
+    "scoring of the same corpus") {
+    val streamed = graft.streaming.DocumentStreams
+      .dsirScoredFinalized(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("bpe training (q244) equals a from-scratch single-threaded " +
     "replay of Sennrich's algorithm") {
     val engine = TextAnalysis.bpeTrain(spark, sf).collect()

@@ -46,7 +46,11 @@ class PlanContractSpec extends AnyFunSuite {
       "watermark-evicted — EventStreamsSpec covers it."),
     "qS03_stream_clean" -> ("same availableNow-pipeline shape as " +
       "qS01; the cleaning stage is a stateless per-row projection — " +
-      "DocumentStreamsSpec covers it.")
+      "DocumentStreamsSpec covers it."),
+    "qS04_stream_dsir" -> ("same availableNow-pipeline shape as " +
+      "qS01; DSIR scoring is a stateless per-row projection with an " +
+      "offline-fit broadcast model — Breadth15Spec pins the batch " +
+      "scoring plan (no join, no explode) and stream-vs-batch parity.")
   )
 
   /** Unpartitioned windows allowed because the windowed relation is
