@@ -566,8 +566,13 @@ object TextAnalysis {
     *  1. explode BOTH sides to their ≤2-deletion variants
     *     (1 + L + C(L,2) ≈ 172 strings for L = 18 — per-name cost a
     *     CONSTANT in corpus size, unlike any df-capped gram index);
-    *  2. candidates = distinct id pairs sharing an exact variant —
-    *     an equi-join, no similarity math in the exchange;
+    *  2. candidates = distinct id pairs sharing a variant — an
+    *     equi-join on xxhash64(variant) (8 bytes through the
+    *     exchange instead of the ~17-char string; PROVABLY
+    *     result-identical: every true dist ≤ 2 pair shares a real
+    *     variant whose hash also matches, and a hash collision can
+    *     only ADD a candidate at dist > 2, which the exact verify
+    *     rejects);
     *  3. verify thresholded levenshtein ≤ 2, best match per dirty
     *     name ((dist, cid) — plans as a TopKRows heap), LEFT join so
     *     missed names stay loud (q234's contract).
@@ -595,7 +600,7 @@ object TextAnalysis {
          |      j -> concat(substring($c, 1, i - 1),
          |                  substring($c, i + 1, j - i - 1),
          |                  substring($c, j + 1, length($c))))))))""".stripMargin
-    val cust = Corpus.read(spark, dir, "customer")
+    val cust = spread(Corpus.read(spark, dir, "customer"))
       .select(col("c_custkey").cast("long").as("id"),
         col("c_name").as("name"))
     // The SAME deterministic one-char deletion as q234 — the two
@@ -605,11 +610,13 @@ object TextAnalysis {
       expr("concat(substring(name, 1, cast(id % greatest(length(name) - 2," +
         " 1) + 1 as int)), substring(name, cast(id % greatest(length(name)" +
         " - 2, 1) + 3 as int), 1000))").as("dname"))
-    val idx = cust.select(col("id").as("cid"),
-      explode(expr(delNbhd("name"))).as("v"))
+    val idx = cust
+      .select(col("id").as("cid"), explode(expr(delNbhd("name"))).as("v"))
+      .select(col("cid"), xxhash64(col("v")).as("h"))
     val cand = dirty
       .select(col("did"), explode(expr(delNbhd("dname"))).as("v"))
-      .join(idx, Seq("v"))
+      .select(col("did"), xxhash64(col("v")).as("h"))
+      .join(idx, Seq("h"))
       .select(col("did"), col("cid"))
       .distinct()
       .join(broadcast(dirty), Seq("did"))
@@ -1994,6 +2001,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Spread a pathologically under-partitioned input before a
+    * CPU-heavy per-row kernel. The driver corpus ships single-file
+    * tables — a 1-task scan, which SERIALIZES md5-heavy projections
+    * (measured: q240's fit+score at 10.7 s wall ≈ 9.8 s cpu on the
+    * single-file sf0.1 documents vs 1.40 s on the same rows in 32
+    * part-files). Guarded on the physical input file count, not a
+    * blind repartition: real corpora are many-file and this is a
+    * no-op — at target scale an unconditional repartition would
+    * shuffle the full corpus for nothing.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length * 2 < par) df.repartition(par) else df
+  }
+
   /** DSIR hashed-bigram buckets for one document's token array:
     * each adjacent token pair is hashed (md5 hex prefix, the q47
     * portable-hash idiom) into one of `buckets` feature buckets —
@@ -2029,7 +2051,7 @@ object TextAnalysis {
     */
   def dsirWeights(spark: SparkSession, dir: String,
       targetLang: String = "en", buckets: Int = 1024): DataFrame =
-    dsirScore(Corpus.read(spark, dir, "documents"),
+    dsirScore(spread(Corpus.read(spark, dir, "documents")),
       dsirWeightTable(spark, dir, targetLang, buckets), buckets)
       .orderBy(col("doc_id"))
 
@@ -2040,7 +2062,7 @@ object TextAnalysis {
     */
   def dsirWeightTable(spark: SparkSession, dir: String,
       targetLang: String = "en", buckets: Int = 1024): Map[Int, Long] = {
-    val dist = Corpus.read(spark, dir, "documents")
+    val dist = spread(Corpus.read(spark, dir, "documents"))
       .select(col("lang"), tokens(col("text")).as("toks"))
       .withColumn("bks", dsirBuckets(buckets))
       .select(col("lang"), explode(col("bks")).as("b"))
