@@ -99,6 +99,37 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
+  /** DSIR bigram feature buckets: per adjacent token pair, the first
+    * 12 bits of md5(tok[i] + ' ' + tok[i+1]) modulo `buckets` —
+    * BIT-IDENTICAL to the declarative
+    * `cast(conv(substring(md5(concat(t, ' ', next)), 1, 3), 16, 10)
+    * as int) % B` (the first 3 hex chars of a digest ARE its first
+    * 12 bits), so the q240/qS04 DuckDB oracle keeps its strpos-decode
+    * formulation and still hash-matches. One tight loop per document
+    * with a reused digest — the declarative form paid a fresh
+    * MessageDigest, a hex-string round trip and a base-16 string
+    * parse per bigram (the q240 fit+score profile was dominated by
+    * exactly that churn).
+    */
+  def dsirBuckets(tokens: ArrayData, buckets: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = math.max(n - 1, 0)
+    val out = new Array[Int](m)
+    val md = Md5.get()
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(tokens.getUTF8String(i).getBytes)
+      md.update(Space)
+      md.update(tokens.getUTF8String(i + 1).getBytes)
+      val d = md.digest()
+      val h12 = ((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)
+      out(i) = h12 % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash over the token multiset, bit-identical to the
     * explode formulation (and the DuckDB oracle): vote p (1-based
     * hex-digit position of md5(token)) is +1 when the digit ≥ 8 else
@@ -450,6 +481,29 @@ case class TopGramCount(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** `dsir_buckets(tokensArray, B)` → the doc's bigram feature buckets
+  * (one int per adjacent token pair), [[MinHashKernel.dsirBuckets]].
+  * `buckets` must not exceed 4096 — the kernel draws 12 digest bits.
+  */
+case class DsirBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(buckets >= 1 && buckets <= 4096,
+    s"dsir_buckets: buckets must be in [1, 4096], got $buckets")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.dsirBuckets(input.asInstanceOf[ArrayData], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.dsirBuckets($c, $buckets)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `sorted_shingles(tokensArray)` → the doc's distinct word 3-gram
   * shingles as a sorted array — computed once per document so pair
   * verification never re-shingles a hub document per pair.
@@ -662,6 +716,9 @@ object MinHashFunctions {
 
   def top_gram_count(tokens: Column, n: Int): Column =
     column(TopGramCount(expression(tokens), n))
+
+  def dsir_buckets(tokens: Column, buckets: Int): Column =
+    column(DsirBuckets(expression(tokens), buckets))
 
   def shingle_coverage(tokens: Column,
       shared: org.apache.spark.broadcast.Broadcast[java.util.HashSet[

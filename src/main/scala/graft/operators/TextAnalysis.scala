@@ -2019,13 +2019,16 @@ object TextAnalysis {
   /** DSIR hashed-bigram buckets for one document's token array:
     * each adjacent token pair is hashed (md5 hex prefix, the q47
     * portable-hash idiom) into one of `buckets` feature buckets —
-    * the paper's hashed n-gram feature map. One codegen pass per
-    * row; no explode, no (doc, position) blow-up.
+    * the paper's hashed n-gram feature map. Computed by the
+    * [[graft.functions.MinHashKernel.dsirBuckets]] native kernel
+    * (one tight loop per document, reused digest), BIT-IDENTICAL to
+    * the declarative `transform(..., (t, i) ->
+    * cast(conv(substring(md5(concat(t, ' ', toks[i+1])), 1, 3), 16,
+    * 10) as int) % B)` the oracle replays — the MinHashSignature
+    * kernel-vs-declarative split applied to DSIR.
     */
-  private def dsirBuckets(buckets: Int): Column = expr(
-    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-      "(t, i) -> cast(conv(substring(md5(concat(t, ' ', toks[i + 1])), " +
-      s"1, 3), 16, 10) as int) % $buckets)")
+  private def dsirBuckets(buckets: Int): Column =
+    graft.functions.MinHashFunctions.dsir_buckets(col("toks"), buckets)
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw

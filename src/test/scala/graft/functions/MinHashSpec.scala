@@ -257,4 +257,20 @@ class MinHashSpec extends AnyFunSuite {
       assert(g == refExcise(d), s"doc '$d'")
     }
   }
+
+  test("dsir_buckets kernel equals the declarative md5-prefix " +
+    "transform (the q240/qS04 oracle formulation)") {
+    val both = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(
+        MinHashFunctions.dsir_buckets(col("toks"), 1024).as("k"),
+        expr("transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(t, i) -> cast(conv(substring(md5(concat(t, ' ', " +
+          "toks[i + 1])), 1, 3), 16, 10) as int) % 1024)").as("d"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+    }
+  }
 }
