@@ -345,14 +345,28 @@ object Sweep {
         val baseDir = s"$workDir/base1x"
         val kDir = s"$workDir/x$factor"
         Seq(1 -> baseDir, factor -> kDir).foreach { case (f, d) =>
-          ScaleFixtures.replicated(spark, srcDir, d, f)
-          // The q108b closure walks customer keys — replicate them
-          // too (cheap; only sweeps that list q108b read the table).
-          ScaleFixtures.replicatedCustomer(spark, srcDir, d, f)
-          // orders + lineitem twins for the profiler (q238/q239 scan
-          // orders) and layout-health (q237 scans lineitem) sweeps.
-          ScaleFixtures.replicatedOrders(spark, srcDir, d, f)
-          ScaleFixtures.replicatedLineitem(spark, srcDir, d, f)
+          // Deterministic fixtures are REUSED across sweep sessions
+          // (marker-tagged by factor+source): rebuilding them leaves
+          // multi-GB of dirty pages flushing through the first timed
+          // legs, and a SHORT session's settle pass is not long
+          // enough to absorb that (measured: q240 t1 15.2 s in a
+          // 2-query session with rebuild vs 1.40 s with prebuilt
+          // fixtures). First run of a configuration still pays once.
+          val marker = java.nio.file.Paths.get(d, ".fixture")
+          val tag = s"x$f:$srcDir"
+          val fresh = !java.nio.file.Files.exists(marker) ||
+            java.nio.file.Files.readString(marker) != tag
+          if (fresh) {
+            ScaleFixtures.replicated(spark, srcDir, d, f)
+            // The q108b closure walks customer keys — replicate them
+            // too (cheap; only sweeps that list q108b read the table).
+            ScaleFixtures.replicatedCustomer(spark, srcDir, d, f)
+            // orders + lineitem twins for the profiler (q238/q239 scan
+            // orders) and layout-health (q237 scans lineitem) sweeps.
+            ScaleFixtures.replicatedOrders(spark, srcDir, d, f)
+            ScaleFixtures.replicatedLineitem(spark, srcDir, d, f)
+            java.nio.file.Files.writeString(marker, tag): Unit
+          }
         }
         settle(names, Seq(baseDir, kDir))
         val lines = names.map { q =>
