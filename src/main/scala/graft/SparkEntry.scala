@@ -359,6 +359,8 @@ object SparkEntry {
       TextAnalysis.symspellFuzzyJoin(s, d)),
     "q244_bpe_train" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeTrain(s, d)),
+    "q245_bpe_apply" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeApply(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6055,40 +6057,55 @@ object SparkEntry {
     // default and each round references its argmax three times, so
     // the plain form expands 3^rounds.
     "q244_bpe_train" -> {
-      val stages = (1 to TextAnalysis.BpeMerges).map { k =>
-        val p = k - 1
-        s"""px$k AS (SELECT cnt, string_split(
-           |    substring(sym, 2, length(sym) - 2), '··') AS parts
-           |  FROM w$p),
-           |pe$k AS (SELECT cnt, parts,
-           |    unnest(range(1, len(parts))) AS i FROM px$k),
-           |pp$k AS (SELECT cnt, parts[CAST(i AS INTEGER)] AS a,
-           |    parts[CAST(i + 1 AS INTEGER)] AS b FROM pe$k),
-           |pc$k AS (SELECT a, b, sum(cnt) AS pc FROM pp$k GROUP BY a, b),
-           |m$k AS MATERIALIZED (SELECT a, b, pc FROM pc$k
-           |  ORDER BY pc DESC, a, b LIMIT 1),
-           |w$k AS MATERIALIZED (SELECT replace(sym,
-           |    '·' || (SELECT a FROM m$k) || '··' ||
-           |      (SELECT b FROM m$k) || '·',
-           |    '·' || (SELECT a FROM m$k) ||
-           |      (SELECT b FROM m$k) || '·') AS sym,
-           |  cnt FROM w$p)""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to TextAnalysis.BpeMerges).map(k =>
         s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
           s"CAST(pc AS BIGINT) AS pair_count FROM m$k")
         .mkString("\nUNION ALL\n")
-      s"""WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+'))
-         |    AS w FROM documents),
-         |wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
-         |w0 AS MATERIALIZED (SELECT '·' || array_to_string(
-         |    list_transform(range(1, length(w) + 1),
-         |      i -> substring(w, CAST(i AS INTEGER), 1)), '··') || '·'
-         |    AS sym,
-         |  cnt FROM wc),
-         |$stages
+      s"""WITH $bpeSelectionCtes
          |$rows
          |ORDER BY rank""".stripMargin
+    },
+
+    // q245: the trained tokenizer APPLIED — the oracle re-derives
+    // the q244 merge chain (same shared CTEs), then applies each
+    // argmax merge to a LANG-AWARE copy of the vocabulary and
+    // re-aggregates the fertility report with exact integer
+    // permilles. Application order is the merge RANK order — both
+    // engines replay it as the same replace() chain.
+    "q245_bpe_apply" -> {
+      val applyChain = (1 to TextAnalysis.BpeMerges).map { k =>
+        val p = k - 1
+        s"""wl$k AS MATERIALIZED (SELECT lang, cnt, chars, replace(sym,
+           |    '·' || (SELECT a FROM m$k) || '··' ||
+           |      (SELECT b FROM m$k) || '·',
+           |    '·' || (SELECT a FROM m$k) ||
+           |      (SELECT b FROM m$k) || '·') AS sym
+           |  FROM wl$p)""".stripMargin
+      }.mkString(",\n")
+      val R = TextAnalysis.BpeMerges
+      s"""WITH $bpeSelectionCtes,
+         |wl0 AS MATERIALIZED (SELECT lang, count(*) AS cnt,
+         |    length(w) AS chars,
+         |    '·' || array_to_string(
+         |      list_transform(range(1, length(w) + 1),
+         |        i -> substring(w, CAST(i AS INTEGER), 1)), '··') || '·'
+         |      AS sym
+         |  FROM tok GROUP BY lang, w),
+         |$applyChain,
+         |fin AS (SELECT lang, cnt, chars,
+         |    len(string_split(substring(sym, 2, length(sym) - 2),
+         |      '··')) AS n_tok
+         |  FROM wl$R)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_word_types,
+         |  CAST(sum(cnt) AS BIGINT) AS n_word_occurrences,
+         |  CAST(sum(chars * cnt) AS BIGINT) AS sum_chars,
+         |  CAST(sum(n_tok * cnt) AS BIGINT) AS sum_subwords,
+         |  CAST(sum(n_tok * cnt) * 1000 // sum(cnt) AS BIGINT)
+         |    AS subwords_per_word_permille,
+         |  CAST(sum(chars * cnt) * 1000 // sum(n_tok * cnt) AS BIGINT)
+         |    AS chars_per_subword_permille
+         |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     // q242: the q237 philosophy applied to z-order — the oracle
@@ -6251,6 +6268,45 @@ object SparkEntry {
        |  CAST(sum(w.lw) AS BIGINT) AS w_micro
        |FROM bk JOIN w USING (b)
        |GROUP BY bk.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shared q244/q245 oracle CTEs: the BPE merge-SELECTION chain —
+    * word counts, char-fenced symbols, and one MATERIALIZED
+    * (pair-count → argmax → replace) stage per merge round (DuckDB
+    * inlines CTEs by default and each argmax is referenced three
+    * times, so the plain form expands 3^rounds). q244 reads the m$k
+    * argmax rows; q245 additionally applies them to a lang-aware
+    * vocabulary copy.
+    */
+  private val bpeSelectionCtes: String = {
+    val stages = (1 to TextAnalysis.BpeMerges).map { k =>
+      val p = k - 1
+      s"""px$k AS (SELECT cnt, string_split(
+         |    substring(sym, 2, length(sym) - 2), '··') AS parts
+         |  FROM w$p),
+         |pe$k AS (SELECT cnt, parts,
+         |    unnest(range(1, len(parts))) AS i FROM px$k),
+         |pp$k AS (SELECT cnt, parts[CAST(i AS INTEGER)] AS a,
+         |    parts[CAST(i + 1 AS INTEGER)] AS b FROM pe$k),
+         |pc$k AS (SELECT a, b, sum(cnt) AS pc FROM pp$k GROUP BY a, b),
+         |m$k AS MATERIALIZED (SELECT a, b, pc FROM pc$k
+         |  ORDER BY pc DESC, a, b LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT replace(sym,
+         |    '·' || (SELECT a FROM m$k) || '··' ||
+         |      (SELECT b FROM m$k) || '·',
+         |    '·' || (SELECT a FROM m$k) ||
+         |      (SELECT b FROM m$k) || '·') AS sym,
+         |  cnt FROM w$p)""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (SELECT lang, unnest(regexp_extract_all(text, '\\S+'))
+       |    AS w FROM documents),
+       |wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT '·' || array_to_string(
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substring(w, CAST(i AS INTEGER), 1)), '··') || '·'
+       |    AS sym,
+       |  cnt FROM wc),
+       |$stages""".stripMargin
+  }
 
   /** Shared q75/q79 oracle CTEs: per-(user, hour) collapse with the
     * total-ordered last-in-hour pick, per-user bounds, the hourly

@@ -718,6 +718,55 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** BPE tokenizer APPLICATION + fertility report (q245) — the
+    * evaluation that closes q244's training loop: apply the trained
+    * merge table to the corpus and report, per language, what the
+    * tokenizer actually buys — subwords per word and chars per
+    * subword (q208's whitespace fertility re-measured under the
+    * trained subword vocabulary; integer permilles, house style).
+    *
+    * The merge table is q244's [[BpeMerges]]-row artifact (bounded
+    * driver data — the broadcastable model). APPLICATION is a single
+    * projection: the merges compose into one per-row replace chain
+    * over the Heaps-bounded (lang, word, count) vocabulary in rank
+    * order — no per-round actions, no loop, one scan + one hash
+    * aggregate. At 100 TB the chain length is the real merge count
+    * (~32k) and application moves to a trie/longest-match kernel,
+    * but the vocabulary-not-corpus shape is already the right one.
+    */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val sep = "·"
+    val merges = bpeTrain(spark, dir).collect()
+    val base = Corpus.read(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"),
+        length(col("w")).cast("long").as("chars"),
+        concat(lit(sep), array_join(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          sep + sep), lit(sep)).as("sym"))
+    val applied = merges.foldLeft(base) { (df, m) =>
+      val a = m.getString(1); val b = m.getString(2)
+      df.withColumn("sym", regexp_replace(col("sym"),
+        lit(java.util.regex.Pattern.quote(s"$sep$a$sep$sep$b$sep")),
+        lit(java.util.regex.Matcher.quoteReplacement(s"$sep$a$b$sep"))))
+    }
+    applied
+      .withColumn("n_tok", size(split(
+        expr("substring(sym, 2, length(sym) - 2)"), sep + sep))
+        .cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_word_types"),
+        sum(col("cnt")).as("n_word_occurrences"),
+        sum(col("chars") * col("cnt")).as("sum_chars"),
+        sum(col("n_tok") * col("cnt")).as("sum_subwords"))
+      .withColumn("subwords_per_word_permille",
+        expr("sum_subwords * 1000 div n_word_occurrences"))
+      .withColumn("chars_per_subword_permille",
+        expr("sum_chars * 1000 div sum_subwords"))
+      .orderBy(col("lang"))
+  }
+
   /** Synthesized URL per document — deterministic arithmetic over
     * doc_id, shared verbatim (same SQL text) with the q216 oracle so
     * both engines canonicalize the SAME raw strings. Mixed-case

@@ -133,6 +133,44 @@ class Breadth15Spec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("FastSS lemma (q243's recall guarantee): strings within " +
+    "edit distance 2 ALWAYS share a depth-2 deletion variant") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def nbhd(s: String): Set[String] = {
+      val d1 = (0 until s.length).map(i =>
+        s.substring(0, i) + s.substring(i + 1)).toSet + s
+      d1 ++ d1.flatMap(t => (0 until t.length).map(i =>
+        t.substring(0, i) + t.substring(i + 1)))
+    }
+    val strGen = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'e') ++ ('0' to '3'))).map(_.mkString))
+    // Apply up to 2 random edits (insert/delete/substitute).
+    def oneEdit(cur: String): Gen[String] = {
+      val subG = Gen.zip(Gen.chooseNum(0, math.max(cur.length - 1, 0)),
+        Gen.oneOf('a' to 'e')).map { case (i, c) =>
+        if (cur.isEmpty) c.toString
+        else cur.substring(0, i) + c + cur.substring(i + 1) }
+      val insG = Gen.zip(Gen.chooseNum(0, cur.length),
+        Gen.oneOf('a' to 'e')).map { case (i, c) =>
+        cur.substring(0, i) + c + cur.substring(i) }
+      if (cur.length > 1) {
+        val delG = Gen.chooseNum(0, cur.length - 1).map(i =>
+          cur.substring(0, i) + cur.substring(i + 1))
+        Gen.oneOf(subG, insG, delG)
+      } else Gen.oneOf(subG, insG)
+    }
+    val editGen: Gen[(String, String)] = for {
+      s <- strGen
+      k <- Gen.chooseNum(0, 2)
+      t <- (0 until k).foldLeft(Gen.const(s))((g, _) => g.flatMap(oneEdit))
+    } yield (s, t)
+    val prop = Prop.forAll(editGen) { st =>
+      nbhd(st._1).intersect(nbhd(st._2)).nonEmpty
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500),
+      prop).passed)
+  }
+
   test("bpe training (q244) equals a from-scratch single-threaded " +
     "replay of Sennrich's algorithm") {
     val engine = TextAnalysis.bpeTrain(spark, sf).collect()
@@ -169,5 +207,32 @@ class Breadth15Spec extends AnyFunSuite {
       (rank.toLong, a, b, pc)
     }
     assert(engine.toSeq === expected)
+  }
+
+  test("bpe application (q245) reconciles with the corpus and with " +
+    "training: every merge strictly compresses") {
+    val rep = TextAnalysis.bpeApply(spark, sf).collect()
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+      .select(col("lang"),
+        org.apache.spark.sql.functions.explode(
+          TextAnalysis.tokens(col("text"))).as("w"))
+    val occ = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val chars = docs.selectExpr("lang", "length(w) AS c")
+      .groupBy("lang").sum("c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rep.foreach { r =>
+      val lang = r.getString(0)
+      // Word occurrences and char mass re-derive from the raw corpus.
+      assert(r.getLong(2) === occ(lang))
+      assert(r.getLong(3) === chars(lang))
+      // 8 merges applied ⇒ strictly fewer subwords than chars, and
+      // at least one subword per word.
+      assert(r.getLong(4) < r.getLong(3))
+      assert(r.getLong(4) >= r.getLong(2))
+      // permilles reconcile exactly (integer arithmetic)
+      assert(r.getLong(5) === r.getLong(4) * 1000 / r.getLong(2))
+      assert(r.getLong(6) === r.getLong(3) * 1000 / r.getLong(4))
+    }
   }
 }
