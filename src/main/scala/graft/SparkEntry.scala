@@ -361,6 +361,7 @@ object SparkEntry {
       TextAnalysis.bpeTrain(s, d)),
     "q245_bpe_apply" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeApply(s, d)),
+    "q246_snapshot_diff" -> (Relational.snapshotDiff _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6107,6 +6108,34 @@ object SparkEntry {
          |    AS chars_per_subword_permille
          |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    // q246: DuckDB re-derives snapshot B with the same deterministic
+    // modular fixture, fingerprints with its own md5, and classifies
+    // with a FULL OUTER JOIN — independent join/CASE encodings of the
+    // same CDC semantics; sum_keys is an exact-integer identity of
+    // WHICH keys landed in each class, not just how many.
+    "q246_snapshot_diff" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |base AS (SELECT doc_id, md5(text) AS fpa FROM documents),
+        |surv AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |             ELSE text END) AS fpb
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |ins AS (SELECT doc_id + m + 1 AS doc_id, md5(text) AS fpb
+        |  FROM documents, mx WHERE doc_id % 13 = 0),
+        |snap AS (SELECT * FROM surv UNION ALL SELECT * FROM ins),
+        |j AS (SELECT coalesce(base.doc_id, snap.doc_id) AS doc_id,
+        |    fpa, fpb FROM base FULL OUTER JOIN snap
+        |    ON base.doc_id = snap.doc_id),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN fpa IS NULL THEN 'insert'
+        |         WHEN fpb IS NULL THEN 'delete'
+        |         WHEN fpa = fpb THEN 'unchanged'
+        |         ELSE 'update' END AS change
+        |  FROM j)
+        |SELECT change, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_keys
+        |FROM c GROUP BY change ORDER BY change""".stripMargin,
 
     // q242: the q237 philosophy applied to z-order — the oracle
     // re-derives the 8-bit scaling, the Morton interleave (the SAME

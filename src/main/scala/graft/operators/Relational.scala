@@ -1787,4 +1787,45 @@ object Relational {
           substring(col("o_orderpriority"), 1, 1)))).cast("long")
           .as("n_prio_codes"))
       .orderBy(col("o_orderstatus"))
+
+  /** Snapshot diff / CDC row classification (q246) — the incremental-
+    * ingestion primitive a lakehouse pipeline runs between two
+    * versions of a keyed table (Delta/Iceberg change-data-feed
+    * semantics derived from plain storage): classify every key as
+    * insert / delete / update / unchanged. Snapshot B is derived
+    * DETERMINISTICALLY from the corpus in both engines (the q234
+    * dirty-fixture pattern): doc_id ≡ 0 (mod 11) deleted, ≡ 0
+    * (mod 7) revised, ≡ 0 (mod 13) re-inserted under a shifted key.
+    *
+    * Scale shape: each side collapses to (key, md5 fingerprint) IN
+    * THE SCAN PROJECTION, so the full-outer join exchanges 40-byte
+    * rows — never document payloads; the classification is a
+    * codegen'd CASE over null-ness + fingerprint equality and the
+    * report is one map-side-combinable aggregate. At 100 TB both
+    * sides hash-partition on the key (or arrive bucketed, q74) and
+    * the diff is a co-located sort-merge join.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val base = docs.select(col("doc_id"), md5(col("text")).as("fpa"))
+    val survivors = docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(col("doc_id"), md5(
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("fpb"))
+    val inserts = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+      .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
+        md5(col("text")).as("fpb"))
+    base.join(survivors.unionByName(inserts), Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("fpa").isNull, "insert")
+          .when(col("fpb").isNull, "delete")
+          .when(col("fpa") === col("fpb"), "unchanged")
+          .otherwise("update"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_keys"))
+      .orderBy(col("change"))
+  }
 }

@@ -209,6 +209,27 @@ class Breadth15Spec extends AnyFunSuite {
     assert(engine.toSeq === expected)
   }
 
+  test("snapshot diff (q246) classes partition both snapshots and " +
+    "re-derive from the modular fixture") {
+    val rep = Relational.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = graft.sources.Corpus.read(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val nBase = ids.length.toLong
+    val del = ids.count(_ % 11 == 0).toLong
+    val upd = ids.count(i => i % 7 == 0 && i % 11 != 0).toLong
+    val ins = ids.count(_ % 13 == 0).toLong
+    assert(rep("delete") === del)
+    assert(rep("update") === upd)
+    assert(rep("insert") === ins)
+    assert(rep("unchanged") === nBase - del - upd)
+    // Partition identities: every base key classified exactly once,
+    // every snapshot key likewise.
+    assert(rep("delete") + rep("update") + rep("unchanged") === nBase)
+    assert(rep("insert") + rep("update") + rep("unchanged") ===
+      (nBase - del) + ins)
+  }
+
   test("bpe application (q245) reconciles with the corpus and with " +
     "training: every merge strictly compresses") {
     val rep = TextAnalysis.bpeApply(spark, sf).collect()
