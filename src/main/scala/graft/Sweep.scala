@@ -34,6 +34,15 @@ object ScaleFixtures {
     */
   val FixtureFiles = 32
 
+  /** Fixture-GENERATOR version, baked into every prebuilt-fixture
+    * marker tag: bump whenever any `replicated*`/fixture writer's
+    * logic or config changes so later sweep sessions rebuild instead
+    * of silently reusing stale fixtures and recording wrong k× rows
+    * (r15 ADVICE). v2 = r16 (FixtureFiles=32, offset-keyed twins,
+    * rebuilt c_name namespace).
+    */
+  val FixtureGenVersion = 2
+
   /** events twin with event_id ≡ 0 (mod denom) remapped to one hot
     * user — that user then holds ~1/denom of the corpus. Returns the
     * hot user id.
@@ -353,7 +362,9 @@ object Sweep {
           // 2-query session with rebuild vs 1.40 s with prebuilt
           // fixtures). First run of a configuration still pays once.
           val marker = java.nio.file.Paths.get(d, ".fixture")
-          val tag = s"x$f:$srcDir"
+          // Tag includes the generator version so a fixture-writer
+          // change invalidates prebuilt fixtures (r15 ADVICE).
+          val tag = s"x$f:$srcDir:v${ScaleFixtures.FixtureGenVersion}"
           val fresh = !java.nio.file.Files.exists(marker) ||
             java.nio.file.Files.readString(marker) != tag
           if (fresh) {

@@ -512,16 +512,19 @@ object TextAnalysis {
     val idx = cleanIdx.join(keep, Seq("tg"))
     // Candidates dedup on the ID PAIR only — the name strings would
     // otherwise ride the explode×index fan-out through the distinct
-    // exchange (~millions of 36-byte payloads); the name lookups are
-    // table-sized and broadcast back after.
+    // exchange (~millions of 36-byte payloads); the name lookups
+    // rejoin as PLAIN equi-joins on the already-distinct pairs. The
+    // name tables are corpus-derived (they grow with the corpus), so
+    // a forced broadcast() here would be an eventual OOM at 100 TB —
+    // the r15-verdict class; AQE still picks BHJ while they are small.
     val cand = dirty
       .select(col("did"), explode(expr(trgmSql("dname"))).as("tg"))
       .join(idx.select(col("tg"), col("cid")), Seq("tg"))
       .select(col("did"), col("cid"))
       .distinct()
-      .join(broadcast(dirty), Seq("did"))
-      .join(broadcast(cust.select(col("id").as("cid"),
-        col("name").as("cname"))), Seq("cid"))
+      .join(dirty, Seq("did"))
+      .join(cust.select(col("id").as("cid"),
+        col("name").as("cname")), Seq("cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("did")).orderBy(col("dist"), col("cid"))
     // Two exact pruning rules before/inside the verify: (a) a length
@@ -619,9 +622,13 @@ object TextAnalysis {
       .join(idx, Seq("h"))
       .select(col("did"), col("cid"))
       .distinct()
-      .join(broadcast(dirty), Seq("did"))
-      .join(broadcast(cust.select(col("id").as("cid"),
-        col("name").as("cname"))), Seq("cid"))
+      // Name hydration as PLAIN equi-joins on the distinct pairs: the
+      // dirty/cust name relations are corpus-derived, so a forced
+      // broadcast() would be unbounded at 100 TB (the r15-verdict
+      // class, banned by PlanContractSpec); AQE broadcasts while small.
+      .join(dirty, Seq("did"))
+      .join(cust.select(col("id").as("cid"),
+        col("name").as("cname")), Seq("cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("did")).orderBy(col("dist"), col("cid"))
     val best = cand
@@ -2111,6 +2118,18 @@ object TextAnalysis {
     * micro-unit bucket→log-ratio table, bounded by the constant B
     * (the trained model a deployment broadcasts — e.g. the qS04
     * streaming scorer applies it at ingest).
+    *
+    * Cross-engine parity of the ONE floating step (r15 ADVICE): the
+    * bucket log-ratio uses JVM `math.log` here and DuckDB `ln` in the
+    * q240/q241/qS04 oracles; both are correct to ≤ 1 ulp, so the
+    * engines can disagree by ≤ ~2·10⁻¹⁶ relative before the shared
+    * round-to-micro. A gate flip needs a true ratio within that slack
+    * of a .5 micro boundary — odds ≈ 4·10⁻⁹ per bucket ≈ 4·10⁻⁶ per
+    * derivation over B = 1024 buckets (q241's top-k cut shares the
+    * same bound: a 1-micro flip must also land exactly on the k-th
+    * key tie). Accepted as the gate's documented flake budget — the
+    * q73/q171 parity class; a shared fixed-precision log table would
+    * remove it at the cost of no longer testing the real `ln`.
     */
   def dsirWeightTable(spark: SparkSession, dir: String,
       targetLang: String = "en", buckets: Int = 1024): Map[Int, Long] = {

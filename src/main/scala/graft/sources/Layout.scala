@@ -188,6 +188,12 @@ object Layout {
 
   private lazy val zorderScratch: String = jvmScratchDir("graft_q242_")
 
+  /** Physical file count for [[zorderHealth]]'s two scratch layouts —
+    * private because the q242 oracle's tile math is derived from it
+    * (power of two; 65536 must divide evenly).
+    */
+  private val ZorderFiles = 16
+
   /** Bit-interleave of two pre-scaled `bits`-bit integers as PURE
     * div/mod/multiply arithmetic — one text, any SQL engine (no
     * shift-operator dialect): z = Σ_i ((x div 2^i) % 2)·2^(2i+1)
@@ -226,8 +232,13 @@ object Layout {
     * range shuffle, no new operator; the stats join here is
     * file-count-bounded.
     */
-  def zorderHealth(spark: SparkSession, dir: String,
-      nFiles: Int = 16): DataFrame = {
+  def zorderHealth(spark: SparkSession, dir: String): DataFrame = {
+    // File count is a PRIVATE constant, not a parameter: the q242
+    // oracle hard-codes the matching tile math (z // 4096, 16-file
+    // layout, the [100,115] probe band), and 65536/nFiles truncates
+    // for non-power-of-two values — a caller-supplied nFiles would
+    // silently diverge from the oracle (r15 ADVICE).
+    val nFiles = ZorderFiles
     val tmp = zorderScratch
     val li = Corpus.read(spark, dir, "lineitem")
       .select(expr("CAST(l_partkey AS BIGINT)").as("x"),

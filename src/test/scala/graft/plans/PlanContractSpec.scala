@@ -1,7 +1,9 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, IsNotNull}
 import org.apache.spark.sql.catalyst.plans.InnerLike
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Range, Sample, Window}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, TestSpark}
@@ -10,7 +12,7 @@ import graft.{SparkEntry, TestSpark}
   * the e5cc33e manual plan audit turned into a permanent gate over
   * EVERY SparkEntry query.
   *
-  * Two scale-killers are banned from every optimized plan:
+  * Three scale-killers are banned from every optimized plan:
   *
   *  1. An unpartitioned Window (empty PARTITION BY): it funnels its
   *     entire input through ONE task. Rank-limit windows are exempt
@@ -25,6 +27,21 @@ import graft.{SparkEntry, TestSpark}
   *     suite writes `crossJoin(broadcast(...))`; the hint is the
   *     durable contract — size-based auto-broadcast at test SF says
   *     nothing about 100 TB.
+  *  3. An explicit BROADCAST hint over a RAW corpus-derived relation
+  *     (the r15-verdict q234/q243 class): a hinted side whose subtree
+  *     reaches a fact-table file scan through nothing but
+  *     shape-preserving nodes (Project/Sort/Repartition/Generate/…)
+  *     is a forced broadcast of a relation that grows linearly with
+  *     the corpus — an eventual driver/executor OOM that AQE cannot
+  *     undo (a HINT overrides the size check). Sides are exempt once
+  *     the walk hits an Aggregate, a Limit, a Filter, a Sample, a
+  *     Join, or a leaf that is a LocalRelation/Range/dimension scan
+  *     (region/nation — the only tables constant in SF): those are
+  *     the suite's deliberate bounded-model broadcasts. The gate
+  *     cannot prove a Filter selective or an Aggregate's group count
+  *     bounded — those exemptions are where per-query judgment (and
+  *     the 10× sweeps) take over; what it bans STRUCTURALLY is the
+  *     unfiltered-table hydration mistake.
   *
   * Allowlists are per-query and must carry a justification naming the
   * BOUND on the windowed relation; an empty-string justification
@@ -78,6 +95,43 @@ class PlanContractSpec extends AnyFunSuite {
     */
   private val MaxBoundedWindowRows = 100000L
 
+  /** Tables whose row count does NOT scale with the corpus — the only
+    * leaves a raw (unaggregated/unfiltered) broadcast hint may reach.
+    */
+  private val DimTables = Seq("region", "nation")
+
+  /** First fact-table file scan reachable from a broadcast-hinted
+    * side through shape-preserving nodes only (rule 3); None when the
+    * side is bounded by construction. Default branch descends — it
+    * covers Project/SubqueryAlias/Sort/Repartition/Window/Generate/
+    * Expand/Union, none of which bound their input's cardinality.
+    */
+  private def rawCorpusScan(p: LogicalPlan): Option[String] = p match {
+    case lr: LogicalRelation =>
+      val loc = lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case other => other.toString
+      }
+      if (DimTables.exists(d => loc.contains(d))) None else Some(loc)
+    case _: LocalRelation | _: OneRowRelation | _: Range => None
+    case f: Filter =>
+      // The optimizer inserts `isnotnull(joinkey)` under every
+      // equi-join — that is NOT a bounding predicate, so descend
+      // through filters made only of IsNotNull conjuncts; any real
+      // predicate stops the walk (per-query judgment takes over).
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      if (conjuncts(f.condition).forall(_.isInstanceOf[IsNotNull]))
+        rawCorpusScan(f.child)
+      else None
+    case _: Aggregate | _: GlobalLimit | _: LocalLimit |
+         _: Sample => None
+    case _: Join => None // itself walked by the outer foreach
+    case other => other.children.view.flatMap(rawCorpusScan).headOption
+  }
+
   test("no unpartitioned non-rank-limit Window; no unhinted " +
     "condition-less join — every query, every optimized plan") {
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -93,12 +147,23 @@ class PlanContractSpec extends AnyFunSuite {
               !w.child.maxRows.exists(_ <= MaxBoundedWindowRows) =>
             violations += s"$name: unpartitioned Window over\n  " +
               w.child.simpleString(3)
-          case j: Join if j.condition.isEmpty &&
-              j.joinType.isInstanceOf[InnerLike] &&
-              !j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
-              !j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) =>
-            violations += s"$name: condition-less ${j.joinType} join " +
-              s"without a broadcast hint\n  ${j.simpleString(3)}"
+          case j: Join =>
+            if (j.condition.isEmpty && j.joinType.isInstanceOf[InnerLike] &&
+                !j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+                !j.hint.rightHint.exists(_.strategy.contains(BROADCAST))) {
+              violations += s"$name: condition-less ${j.joinType} join " +
+                s"without a broadcast hint\n  ${j.simpleString(3)}"
+            }
+            Seq((j.hint.leftHint, j.left, "left"),
+                (j.hint.rightHint, j.right, "right")).foreach {
+              case (Some(h), side, lbl)
+                  if h.strategy.contains(BROADCAST) =>
+                rawCorpusScan(side).foreach { loc =>
+                  violations += s"$name: BROADCAST hint on the $lbl " +
+                    s"side over a raw corpus-derived scan of $loc"
+                }
+              case _ => ()
+            }
           case _ => ()
         }
       }
@@ -106,5 +171,28 @@ class PlanContractSpec extends AnyFunSuite {
     assert(violations.isEmpty,
       s"${violations.size} plan-contract violations:\n" +
         violations.mkString("\n"))
+  }
+
+  test("rule 3 detector FIRES on a raw corpus-scan broadcast and " +
+    "stays quiet once the side is aggregated (self-test)") {
+    import org.apache.spark.sql.functions.{broadcast, col, count}
+    val docs = graft.sources.Corpus.read(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("lang"))
+    val bad = docs.join(broadcast(docs.select(col("doc_id"),
+      col("lang").as("l2"))), Seq("doc_id"))
+    val badHits = bad.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.rightHint.exists(
+          _.strategy.contains(BROADCAST)) => rawCorpusScan(j.right)
+    }.flatten
+    assert(badHits.nonEmpty,
+      "rule 3 failed to flag a broadcast of a raw documents scan")
+    val dim = docs.groupBy(col("lang")).agg(count(col("doc_id")).as("n"))
+    val good = docs.join(broadcast(dim), Seq("lang"))
+    val goodHits = good.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.rightHint.exists(
+          _.strategy.contains(BROADCAST)) => rawCorpusScan(j.right)
+    }.flatten
+    assert(goodHits.isEmpty,
+      s"rule 3 flagged an aggregate-bounded broadcast: $goodHits")
   }
 }
