@@ -555,6 +555,26 @@ object TextAnalysis {
       .orderBy(col("did"))
   }
 
+  /** Declarative ≤2-deletion neighborhood (distinct variant strings):
+    * the string itself, every single-position deletion, every
+    * two-position deletion — the twin of
+    * [[graft.functions.EditDistanceKernel.deletionVariantHashes]]
+    * (which q243 runs) and the formulation the q243 oracle replays.
+    * Kept public so EditDistanceSpec can pin kernel-vs-declarative
+    * hash-set equality on randomized strings.
+    */
+  def deletionNeighborhoodSql(c: String): String =
+    s"""array_distinct(concat(
+       |  array($c),
+       |  transform(sequence(1, length($c)),
+       |    i -> concat(substring($c, 1, i - 1),
+       |                substring($c, i + 1, length($c)))),
+       |  flatten(transform(sequence(1, greatest(length($c) - 1, 1)),
+       |    i -> transform(sequence(least(i + 1, length($c)), length($c)),
+       |      j -> concat(substring($c, 1, i - 1),
+       |                  substring($c, i + 1, j - i - 1),
+       |                  substring($c, j + 1, length($c))))))))""".stripMargin
+
   /** Deletion-neighborhood fuzzy JOIN (q243) — the scale-robust
     * answer to q234's measured trigram-recall cliff (SCALING.md
     * round-15: at 150 k distinct 9-digit names every digit trigram's
@@ -590,19 +610,7 @@ object TextAnalysis {
     * q234 for side-by-side comparison.
     */
   def symspellFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    // Depth-≤2 deletion neighborhood (distinct): the string itself,
-    // every single-position deletion, every two-position deletion.
-    def delNbhd(c: String) =
-      s"""array_distinct(concat(
-         |  array($c),
-         |  transform(sequence(1, length($c)),
-         |    i -> concat(substring($c, 1, i - 1),
-         |                substring($c, i + 1, length($c)))),
-         |  flatten(transform(sequence(1, greatest(length($c) - 1, 1)),
-         |    i -> transform(sequence(least(i + 1, length($c)), length($c)),
-         |      j -> concat(substring($c, 1, i - 1),
-         |                  substring($c, i + 1, j - i - 1),
-         |                  substring($c, j + 1, length($c))))))))""".stripMargin
+    import graft.functions.EditDistanceFunctions.deletion_variant_hashes
     val cust = spread(Corpus.read(spark, dir, "customer"))
       .select(col("c_custkey").cast("long").as("id"),
         col("c_name").as("name"))
@@ -613,12 +621,18 @@ object TextAnalysis {
       expr("concat(substring(name, 1, cast(id % greatest(length(name) - 2," +
         " 1) + 1 as int)), substring(name, cast(id % greatest(length(name)" +
         " - 2, 1) + 3 as int), 1000))").as("dname"))
+    // Variant HASHES straight from the kernel (r16): the declarative
+    // sequence/transform/substring chain was the measured 10×-sweep
+    // cost (52 s — interpreter constant, not algorithm); the kernel
+    // emits the same hash SET from one byte pass per name
+    // (EditDistanceKernel's bit-identity contract, pinned by
+    // EditDistanceSpec; [[deletionNeighborhoodSql]] is the twin).
     val idx = cust
-      .select(col("id").as("cid"), explode(expr(delNbhd("name"))).as("v"))
-      .select(col("cid"), xxhash64(col("v")).as("h"))
+      .select(col("id").as("cid"),
+        explode(deletion_variant_hashes(col("name"))).as("h"))
     val cand = dirty
-      .select(col("did"), explode(expr(delNbhd("dname"))).as("v"))
-      .select(col("did"), xxhash64(col("v")).as("h"))
+      .select(col("did"),
+        explode(deletion_variant_hashes(col("dname"))).as("h"))
       .join(idx, Seq("h"))
       .select(col("did"), col("cid"))
       .distinct()
@@ -646,9 +660,26 @@ object TextAnalysis {
   }
 
   /** Merge-rule count for [[bpeTrain]] — shared with the oracle by
-    * name (the oracle unrolls one SQL stage per round).
+    * name (the oracle unrolls one SQL stage per round). 8 → 64 in
+    * r16 (the verdict's "scale BPE past the toy" ask); the per-round
+    * cost row lives in SCALING.md. A production ~32k-merge run keeps
+    * this exact per-round shape — the driver still sees one argmax
+    * row per round — and swaps the replace-chain APPLICATION for a
+    * longest-match trie kernel; at 64 rules the measured chain cost
+    * is still vocabulary-bounded-flat, so the kernel stays unshipped.
     */
-  val BpeMerges = 8
+  val BpeMerges = 64
+
+  /** Session-scoped memo of the trained merge table, keyed by
+    * (rounds, corpus dir): the merge table IS the deployable artifact
+    * a tokenizer ships, so [[bpeApply]] (q245) applies the table
+    * [[bpeTrain]] (q244) already trained instead of re-running the
+    * 64-round driver loop (the r15 verdict's ask #4). Bounded:
+    * [[BpeMerges]] rows per corpus dir ever trained in the session.
+    */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(Long, String, String, Long)]]()
 
   /** BPE tokenizer TRAINING (q244) — byte-pair-encoding merge-rule
     * induction (Sennrich et al. 2016, "Neural Machine Translation of
@@ -678,16 +709,32 @@ object TextAnalysis {
     *     Precondition: the corpus never contains U+00B7 (checked
     *     nowhere cheaper than the fixture; any fence char outside
     *     the corpus alphabet works);
-    *  3. [[BpeMerges]] rounds; per-round `localCheckpoint` cuts the
-    *     8-deep lineage (the q108b closure-loop hygiene).
+    *  3. [[BpeMerges]] rounds; per-round LAZY `localCheckpoint`
+    *     truncates the lineage every round while keeping each round
+    *     ONE Spark job (the q108b closure-loop hygiene, job-fused).
     *
     * Output: the merge table (rank, left, right, pair_count) — the
     * artifact a tokenizer ships. Driver traffic per round is ONE
     * row (the argmax); at 100 TB the corpus is read once and the
-    * loop runs on the distributed vocabulary.
+    * loop runs on the distributed vocabulary. Measured shape at 64
+    * rounds (SCALING.md r16): wall is the per-round driver
+    * plan+job floor (~0.1 s/round on local[32]), executor cpu ~1 s,
+    * volume-flat at 10× — the sequential argmax dependence is BPE's
+    * own; a production 32k-merge run amortizes it by training on the
+    * frequency-capped vocabulary the same loop shape produces.
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // q244 ALWAYS trains (its gate and bench number measure the
+    // training loop) and refreshes the memo [[bpeApply]] reads.
+    val rows = bpeTrainUncached(spark, dir)
+    bpeMemo.put(s"$BpeMerges#$dir", rows): Unit
+    rows.toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  private def bpeTrainUncached(spark: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] = {
     val sep = "·"
     var words = Corpus.read(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
@@ -696,6 +743,13 @@ object TextAnalysis {
         array_join(expr("transform(sequence(1, length(w)), " +
           "i -> substring(w, i, 1))"), sep + sep),
         lit(sep)).as("sym"), col("cnt"))
+      // The loop body re-materializes the vocabulary [[BpeMerges]]
+      // times; at 64 rounds per-round TASK overhead (not data) is the
+      // measured cost, so the Heaps-bounded vocab runs on a few fat
+      // partitions instead of shuffle.partitions thin ones. At a
+      // 100 TB corpus the vocab is still ~millions of rows — sizing
+      // stays O(vocab/partition-budget), never corpus-shaped.
+      .coalesce(8)
       .localCheckpoint()
     // Unfence: '·a··bc·' → ['a', 'bc'] (strip the outer fences, split
     // on the inter-symbol double fence).
@@ -714,15 +768,20 @@ object TextAnalysis {
         .limit(1)
         .head()
       val (a, b, pc) = (top.getString(0), top.getString(1), top.getLong(2))
+      // LAZY per-round checkpoint: lineage still truncates every
+      // round (the checkpoint materializes inside the NEXT round's
+      // argmax job), but the round runs ONE Spark job instead of two
+      // — at 64 rounds the driver job round-trip, not data, was the
+      // measured cost (6.7 s wall on 1.0 s of cpu with eager
+      // checkpoints; ~halved lazy).
       words = words
         .withColumn("sym", regexp_replace(col("sym"),
           lit(java.util.regex.Pattern.quote(s"$sep$a$sep$sep$b$sep")),
           lit(java.util.regex.Matcher.quoteReplacement(s"$sep$a$b$sep"))))
-        .localCheckpoint()
+        .localCheckpoint(false)
       (rank.toLong, a, b, pc)
     }
-    merges.toDF("rank", "lhs", "rhs", "pair_count")
-      .orderBy(col("rank"))
+    merges
   }
 
   /** BPE tokenizer APPLICATION + fertility report (q245) — the
@@ -743,7 +802,12 @@ object TextAnalysis {
     */
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
     val sep = "·"
-    val merges = bpeTrain(spark, dir).collect()
+    // The trained artifact, not a retrain: q244's memoized merge
+    // table (a session that never ran q244 trains once here — the
+    // deployment contract, where apply ships the table and never
+    // re-derives it per scoring run).
+    val merges = bpeMemo.computeIfAbsent(s"$BpeMerges#$dir", _ =>
+      bpeTrainUncached(spark, dir))
     val base = Corpus.read(spark, dir, "documents")
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
@@ -753,7 +817,7 @@ object TextAnalysis {
           "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
           sep + sep), lit(sep)).as("sym"))
     val applied = merges.foldLeft(base) { (df, m) =>
-      val a = m.getString(1); val b = m.getString(2)
+      val a = m._2; val b = m._3
       df.withColumn("sym", regexp_replace(col("sym"),
         lit(java.util.regex.Pattern.quote(s"$sep$a$sep$sep$b$sep")),
         lit(java.util.regex.Matcher.quoteReplacement(s"$sep$a$b$sep"))))

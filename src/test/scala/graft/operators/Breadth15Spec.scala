@@ -247,7 +247,7 @@ class Breadth15Spec extends AnyFunSuite {
       // Word occurrences and char mass re-derive from the raw corpus.
       assert(r.getLong(2) === occ(lang))
       assert(r.getLong(3) === chars(lang))
-      // 8 merges applied ⇒ strictly fewer subwords than chars, and
+      // BpeMerges merges applied ⇒ strictly fewer subwords than chars, and
       // at least one subword per word.
       assert(r.getLong(4) < r.getLong(3))
       assert(r.getLong(4) >= r.getLong(2))
