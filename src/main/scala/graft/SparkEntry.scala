@@ -362,6 +362,8 @@ object SparkEntry {
     "q245_bpe_apply" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeApply(s, d)),
     "q246_snapshot_diff" -> (Relational.snapshotDiff _),
+    "q247_dsir_pipeline" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirCuratedPipeline(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -369,7 +371,9 @@ object SparkEntry {
     "qS03_stream_clean" ->
       (graft.streaming.DocumentStreams.cleanedFinalized _),
     "qS04_stream_dsir" ->
-      (graft.streaming.DocumentStreams.dsirScoredFinalized _)
+      (graft.streaming.DocumentStreams.dsirScoredFinalized _),
+    "qS05_stream_cdc" ->
+      (graft.streaming.DocumentStreams.cdcClassifiedFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -6047,6 +6051,96 @@ object SparkEntry {
          |SELECT doc_id, w_micro, key_micro FROM keyed
          |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin,
 
+    // q247: the DSIR-curated pipeline — q58's CTE chain with the
+    // score + Gumbel-top-k resampling stage spliced between near-dup
+    // rep keep and mixture. The DSIR fit runs over the FULL raw
+    // corpus (the paper's raw distribution; d-prefixed CTEs — the
+    // q241 derivation verbatim), kept survivors inner-join their
+    // scores (zero-bigram docs leave the pool in both engines), and
+    // the per-split report adds a docid_sum identity so the gate
+    // pins exactly which documents survived end-to-end.
+    "q247_dsir_pipeline" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT a, b FROM j WHERE jaccard >= 0.2),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (SELECT a AS n, b AS m FROM edges
+         |  UNION SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a),
+         |reps AS (SELECT n AS doc_id, least(n, min(m)) AS rep
+         |  FROM reach GROUP BY n),
+         |dq AS (SELECT doc_id, lang, text, ' ' || text || ' ' AS padded,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |eq AS (SELECT doc_id, lang, text, n_tok, n_punct,
+         |  (${scoreSql("en")}) AS n_stop FROM dq),
+         |q AS (SELECT doc_id, lang, text, CAST(n_tok AS BIGINT) AS n_tok,
+         |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+         |    + (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 0.5
+         |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.25, 6) AS quality
+         |  FROM eq),
+         |f AS (SELECT doc_id, lang, n_tok,
+         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM q WHERE quality > 0.4),
+         |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+         |ded AS (SELECT f.doc_id, f.lang, f.n_tok FROM f JOIN k USING (fp, doc_id)),
+         |kept AS (SELECT ded.doc_id, ded.lang, ded.n_tok FROM ded
+         |  LEFT JOIN reps USING (doc_id)
+         |  WHERE reps.rep IS NULL OR reps.rep = ded.doc_id),
+         |dt AS (SELECT doc_id, lang,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |dtok AS (SELECT doc_id, lang, unnest(toks) AS tok,
+         |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS ord FROM dt),
+         |dbg AS (SELECT a.doc_id, a.lang, md5(a.tok || ' ' || b.tok) AS h
+         |  FROM dtok a JOIN dtok b
+         |    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+         |dbk AS (SELECT doc_id, lang,
+         |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+         |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1))
+         |    % 1024 AS b
+         |  FROM dbg),
+         |ddist AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS cp,
+         |    count(*) AS cq FROM dbk GROUP BY b),
+         |dtot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM ddist),
+         |dw AS (SELECT b, CAST(round((ln((2 * cp + 1) / (2.0 * np + 1024))
+         |    - ln((2 * cq + 1) / (2.0 * nq + 1024))) * 1000000)
+         |    AS BIGINT) AS lw
+         |  FROM ddist, dtot),
+         |ddoc AS (SELECT dbk.doc_id, CAST(sum(dw.lw) AS BIGINT) AS w_micro
+         |  FROM dbk JOIN dw USING (b) GROUP BY dbk.doc_id),
+         |gum AS (SELECT kept.doc_id, kept.lang, kept.n_tok, ddoc.w_micro,
+         |    md5('dsir-seed-7:' || CAST(kept.doc_id AS VARCHAR)) AS h
+         |  FROM kept JOIN ddoc USING (doc_id)),
+         |sel AS (SELECT doc_id, lang, n_tok,
+         |    CAST(round(w_micro + (-ln(-ln(
+         |      (((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576
+         |       + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536
+         |       + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)
+         |       + 0.5) / 16777216.0)))) * 1000000) AS BIGINT) AS key_micro
+         |  FROM gum
+         |  ORDER BY key_micro DESC, doc_id
+         |  LIMIT ${graft.operators.TextAnalysis.DsirPipelineK}),
+         |mx AS (SELECT doc_id, n_tok FROM sel
+         |  WHERE ${hexBucketSql("'mix:' || CAST(doc_id AS VARCHAR)")}
+         |    < ($mixtureRateCase)),
+         |sb AS (SELECT doc_id, n_tok,
+         |  CASE WHEN bkt < 204 THEN 'train' WHEN bkt < 230 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  doc_id // 64 AS shard
+         |  FROM (SELECT doc_id, n_tok,
+         |    ${hexBucketSql("CAST(doc_id AS VARCHAR)")} AS bkt
+         |    FROM mx)),
+         |c AS (SELECT split, shard, doc_id, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM sb)
+         |SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  count(DISTINCT shard * 10000 + (run - n_tok) // 2048) AS n_bins,
+         |  CAST(sum(doc_id) AS BIGINT) AS docid_sum
+         |FROM c GROUP BY split ORDER BY split""".stripMargin,
+
     // q244: DuckDB replays the whole BPE training loop as
     // [[TextAnalysis.BpeMerges]] UNROLLED stages (the q235
     // block-generation idiom) — pair counts from 1-based list
@@ -6130,6 +6224,32 @@ object SparkEntry {
         |c AS (SELECT doc_id,
         |    CASE WHEN fpa IS NULL THEN 'insert'
         |         WHEN fpb IS NULL THEN 'delete'
+        |         WHEN fpa = fpb THEN 'unchanged'
+        |         ELSE 'update' END AS change
+        |  FROM j)
+        |SELECT change, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_keys
+        |FROM c GROUP BY change ORDER BY change""".stripMargin,
+
+    // qS05: q246's CDC at ingest. Same deterministic snapshot-B
+    // fixture, but classified from the FEED's point of view — a LEFT
+    // join from arrivals to base (the stream-static shape), so only
+    // the three classes an arrival can witness exist; delete is a
+    // non-arrival and stays with the batch reconciliation (q246).
+    "qS05_stream_cdc" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |base AS (SELECT doc_id, md5(text) AS fpa FROM documents),
+        |surv AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |             ELSE text END) AS fpb
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |ins AS (SELECT doc_id + m + 1 AS doc_id, md5(text) AS fpb
+        |  FROM documents, mx WHERE doc_id % 13 = 0),
+        |snap AS (SELECT * FROM surv UNION ALL SELECT * FROM ins),
+        |j AS (SELECT snap.doc_id, fpa, fpb
+        |  FROM snap LEFT JOIN base USING (doc_id)),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN fpa IS NULL THEN 'insert'
         |         WHEN fpa = fpb THEN 'unchanged'
         |         ELSE 'update' END AS change
         |  FROM j)

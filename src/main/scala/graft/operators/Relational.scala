@@ -1805,10 +1805,20 @@ object Relational {
     * sides hash-partition on the key (or arrive bucketed, q74) and
     * the diff is a co-located sort-merge join.
     */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Corpus.read(spark, dir, "documents")
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val base = docs.select(col("doc_id"), md5(col("text")).as("fpa"))
+  /** The base side of the diff: (key, md5 fingerprint) in the scan
+    * projection — shared by q246 and the qS05 streaming twin (the
+    * static relation its stream-static join probes).
+    */
+  def baseFingerprintsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fpa"))
+
+  /** Snapshot B, derived deterministically from the corpus (the q234
+    * dirty-fixture pattern) — shared by q246 and qS05 so the batch
+    * diff and the streamed CDC feed classify the SAME second
+    * snapshot: doc_id ≡ 0 (mod 11) deleted, ≡ 0 (mod 7) revised,
+    * ≡ 0 (mod 13) re-inserted past `maxId`.
+    */
+  def snapshotBOf(docs: DataFrame, maxId: Long): DataFrame = {
     val survivors = docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
       .select(col("doc_id"), md5(
         when(pmod(col("doc_id"), lit(7L)) === 0,
@@ -1817,7 +1827,14 @@ object Relational {
     val inserts = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
       .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
         md5(col("text")).as("fpb"))
-    base.join(survivors.unionByName(inserts), Seq("doc_id"), "full_outer")
+    survivors.unionByName(inserts)
+  }
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    baseFingerprintsOf(docs)
+      .join(snapshotBOf(docs, maxId), Seq("doc_id"), "full_outer")
       .withColumn("change",
         when(col("fpa").isNull, "insert")
           .when(col("fpb").isNull, "delete")

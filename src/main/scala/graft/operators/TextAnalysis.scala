@@ -2250,16 +2250,96 @@ object TextAnalysis {
     * driver) — no global sort, no full shuffle.
     */
   def dsirResample(spark: SparkSession, dir: String,
-      k: Int = 100): DataFrame = {
-    val u = (conv(substring(md5(
-      concat(lit("dsir-seed-7:"), col("doc_id"))), 1, 6), 16, 10)
-      .cast("double") + lit(0.5)) / lit(16777216.0)
-    val g = -log(-log(u))
+      k: Int = 100): DataFrame =
     dsirWeights(spark, dir)
-      .withColumn("key_micro",
-        round(col("w_micro") + g * lit(1e6)).cast("long"))
+      .withColumn("key_micro", gumbelKeyMicro)
       .select(col("doc_id"), col("w_micro"), col("key_micro"))
       .orderBy(col("key_micro").desc, col("doc_id"))
       .limit(k)
+
+  /** The seeded Gumbel resampling key over an input carrying
+    * (doc_id, w_micro) — shared by [[dsirResample]] and
+    * [[dsirCuratedPipeline]] so the seed string, the 6-hex-digit
+    * uniform, and the micro fixing can never drift between the
+    * standalone operator and the composed pipeline (the splitCol
+    * sharing discipline).
+    */
+  private def gumbelKeyMicro: Column = {
+    val u = (conv(substring(md5(
+      concat(lit("dsir-seed-7:"), col("doc_id"))), 1, 6), 16, 10)
+      .cast("double") + lit(0.5)) / lit(16777216.0)
+    round(col("w_micro") + -log(-log(u)) * lit(1e6)).cast("long")
+  }
+
+  /** Top-k size of [[dsirCuratedPipeline]]'s resampling stage — a
+    * CONSTANT (the training-set size the curation run is budgeted
+    * for), sized under the gate corpus's post-filter survivor count
+    * (~420 of 500 docs at sf0.01) so the resample genuinely selects
+    * at every driver SF.
+    */
+  val DsirPipelineK = 256
+
+  /** The complete DSIR-curated training pipeline (q247) — q58's
+    * composition with the importance-RESAMPLING stage spliced in
+    * where a real pretraining-data run puts it (Xie et al. 2023 §3:
+    * select from the cleaned pool, then post-process): quality
+    * filter → exact dedup → near-dup representative keep → DSIR
+    * score → Gumbel top-k resample (k = [[DsirPipelineK]]) → mixture
+    * rebalance → hash split → token-budget shard packing, as ONE
+    * declarative plan. Output adds a `docid_sum` identity per split
+    * so the gate pins exactly WHICH documents survived end-to-end,
+    * not just how many.
+    *
+    * Composition cost vs q58 — the claim the plan audit
+    * (Breadth15Spec) pins: the DSIR score is a stateless projection
+    * (bucket kernel + broadcast-map-literal lookup; the fit is the
+    * bounded B=1024 [[dsirWeightTable]] artifact, reused verbatim),
+    * so it adds NO exchange; the top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, k rows out) — no global sort, no shuffle —
+    * and every operator downstream of it runs on ≤ k = O(1) rows. At
+    * 100 TB the fit and the scoring are both embarrassingly parallel
+    * single passes, and the only data-sized exchanges remain q58's
+    * own (the dedup aggregate and the near-dup join).
+    */
+  def dsirCuratedPipeline(spark: SparkSession, dir: String,
+      budget: Long = 2048, shardSize: Long = 64): DataFrame = {
+    val lw = dsirWeightTable(spark, dir)
+    val wm = typedLit(lw)
+    val scored = docQuality(spark, dir)
+      .filter(col("quality") > 0.4)
+      .withColumn("fp", fingerprintCol(col("text")))
+      .withColumn("n_tok", tokenCount(col("text")).cast("long"))
+    val deduped = keepFirstByFingerprint(scored)
+    val reps = Dedup.dedupClusters(spark, dir)
+    val kept = deduped.join(reps, Seq("doc_id"), "left")
+      .filter(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
+    // DSIR score: per-row bucket kernel + broadcast map lookup. Docs
+    // with no bigram carry no evidence and leave the pool (the q240
+    // match-sized contract).
+    val sel = kept
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("bks", dsirBuckets(1024))
+      .filter(size(col("bks")) > 0)
+      .withColumn("w_micro", aggregate(col("bks"), lit(0L), (acc, b) =>
+        acc + coalesce(element_at(wm, b), lit(0L))))
+      .withColumn("key_micro", gumbelKeyMicro)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(DsirPipelineK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    sel
+      .filter(Curation.keepCol(col("doc_id"), col("lang")))
+      .withColumn("split", splitCol(col("doc_id")))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .withColumn("run", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(run - n_tok) div $budget"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        countDistinct(col("shard") * 10000 + col("bin")).as("n_bins"),
+        sum(col("doc_id")).as("docid_sum"))
+      .orderBy(col("split"))
   }
 }

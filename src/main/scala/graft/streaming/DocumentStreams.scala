@@ -110,6 +110,69 @@ object DocumentStreams {
     spark.read.parquet(s"$tmp/data")
   }.orderBy(col("doc_id"))
 
+  /** Schema of a staged CDC snapshot feed: keyed rows carrying the
+    * arriving version's content fingerprint.
+    */
+  val snapshotSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fpb", StringType)))
+
+  /** The per-row CDC classification of an ARRIVING keyed row against
+    * the static base-snapshot fingerprints — the stateless core of
+    * [[cdcClassifiedFinalized]], shared with its batch/spec twins. A
+    * stream can only classify what arrives: insert (key unknown to
+    * base), update (fingerprint differs), unchanged. DELETE is the
+    * absence of an arrival — unobservable at ingest by definition —
+    * and stays with the batch reconciliation pass (q246), exactly
+    * like exact dedup stays out of the streaming path (see the
+    * object doc).
+    */
+  def cdcClassified(arrivals: DataFrame, base: DataFrame): DataFrame =
+    arrivals.join(base, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("fpa").isNull, "insert")
+          .when(col("fpa") === col("fpb"), "unchanged")
+          .otherwise("update").as("change"))
+
+  /** The qS05 streaming-vs-oracle gate: q246's snapshot-diff CDC at
+    * INGEST — snapshot B arrives as a keyed feed and each row is
+    * classified against the base snapshot by a STREAM-STATIC left
+    * join (the q240-fit/qS04-score deployment split applied to CDC:
+    * base fingerprints are the offline artifact, classification is
+    * per-arrival). The static side is (key, md5) in the scan
+    * projection — 40-byte rows, q246's own slim-join shape — and a
+    * stream-static join keeps no watermark and no stream-side state,
+    * so memory is flat at any ingest volume and the emitted set is
+    * trivially batch-replayable. The DuckDB oracle is q246's
+    * derivation restricted to the three classes a feed can observe
+    * (insert/update/unchanged — delete is a non-arrival).
+    */
+  def cdcClassifiedFinalized(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.stagedGate("graft-qs05-") { tmp =>
+    import graft.operators.Relational
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    Relational.snapshotBOf(docs, maxId).repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/snapshot.parquet")
+    val arrivals = spark.readStream
+      .schema(snapshotSchema)
+      .parquet(s"$tmp/in/snapshot.parquet")
+    val q = cdcClassified(arrivals, Relational.baseFingerprintsOf(docs))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data")
+  }
+    .groupBy(col("change"))
+    .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_keys"))
+    .orderBy(col("change"))
+
   /** Mixture-sample each arriving document at
     * [[Curation.mixtureRates]] — the same deterministic
     * bucket < rate predicate as the batch operator, applied at

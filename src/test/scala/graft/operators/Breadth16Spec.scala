@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Invariant specs for the round-16 composition gates (q247, the
+  * DSIR-curated pipeline): the DuckDB oracle pins the values; these
+  * pin the PLAN claims the docstring makes — that splicing the DSIR
+  * score + Gumbel resample into q58 adds no exchange and the top-k
+  * never plans as a global sort — plus a full driver-side replay of
+  * the resample→mixture→split→pack glue over the kept pool.
+  */
+class Breadth16Spec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  /** Plan-shape assertions read the STATIC physical plan, so AQE's
+    * wrapper node (which hides the tree until execution) is turned
+    * off just for plan construction.
+    */
+  private def withoutAqe[T](body: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def shuffleCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+
+  test("q247 composes DSIR into q58 with NO new exchange; the " +
+    "resample plans as a top-k heap, not a global sort") {
+    withoutAqe {
+      val p247 = TextAnalysis.dsirCuratedPipeline(spark, sf)
+      val p58 = TextAnalysis.curatedPipeline(spark, sf)
+      val heaps = p247.queryExecution.executedPlan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(heaps.nonEmpty,
+        "the Gumbel top-k should plan as TakeOrderedAndProject " +
+          "(per-partition heaps, k rows out) — a global SortExec here " +
+          "is the scale bug the docstring rules out")
+      val (s247, s58) = (shuffleCount(p247), shuffleCount(p58))
+      assert(s247 <= s58,
+        s"q247 planned $s247 shuffle exchanges vs q58's $s58 — the " +
+          "DSIR stages must be exchange-free (broadcast map literal + " +
+          "heap top-k)")
+    }
+  }
+
+  test("q247 report is well-formed, genuinely selective, and " +
+    "deterministic") {
+    def run() = TextAnalysis.dsirCuratedPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    val nSel = rows.map(_._2).sum
+    assert(nSel > 0 && nSel <= TextAnalysis.DsirPipelineK,
+      s"$nSel docs survived — the resample caps the pipeline at " +
+        s"k=${TextAnalysis.DsirPipelineK}")
+    rows.foreach { case (split, n, tok, bins, idsum) =>
+      assert(n > 0 && tok > 0 && idsum > 0, s"degenerate split $split")
+      assert(bins > 0 && bins <= n, s"split $split: $bins bins for $n docs")
+    }
+    assert(rows.toSeq === run().toSeq,
+      "seeded resample + deterministic hashes must reproduce exactly")
+  }
+
+  test("q247 equals a driver-side replay of resample → mixture → " +
+    "split → pack over the kept pool (the Breadth15 BPE-replay " +
+    "discipline)") {
+    // Kept pool from the individually-oracled stage operators.
+    val scored = TextAnalysis.docQuality(spark, sf)
+      .filter(col("quality") > 0.4)
+      .withColumn("fp", TextAnalysis.fingerprintCol(col("text")))
+    val kept = TextAnalysis.keepFirstByFingerprint(scored)
+      .join(Dedup.dedupClusters(spark, sf), Seq("doc_id"), "left")
+      .filter(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // Full-corpus scores from the q240 operator (its own oracle gate).
+    val w = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Spark's round() is HALF_UP away from zero — BigDecimal, not
+    // math.round (which is HALF_UP toward +inf for negatives).
+    def gumbelKey(id: Long, wm: Long): Long = {
+      val u = (java.lang.Long.parseLong(
+        md5hex(s"dsir-seed-7:$id").substring(0, 6), 16) + 0.5) / 16777216.0
+      BigDecimal(wm + -math.log(-math.log(u)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val sel = kept.filter(d => w.contains(d._1)) // zero-bigram docs leave
+      .map { case (id, lang, nt) => (id, lang, nt, gumbelKey(id, w(id))) }
+      .sortBy(d => (-d._4, d._1)).take(TextAnalysis.DsirPipelineK)
+    val rates = Curation.mixtureRates.toMap
+    def bucket(s: String): Int =
+      Integer.parseInt(md5hex(s).substring(0, 2), 16)
+    def splitOf(id: Long): String = {
+      val b = bucket(id.toString)
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val expected = sel
+      .filter(d => bucket(s"mix:${d._1}") < rates.getOrElse(d._2, 0))
+      .map(d => (splitOf(d._1), d._1 / 64, d._1, d._3))
+      .groupBy(x => (x._1, x._2)).toSeq
+      .flatMap { case ((sp, sh), rs) =>
+        var run = 0L
+        rs.sortBy(_._3).map { r =>
+          run += r._4; (sp, sh, r._3, r._4, (run - r._4) / 2048)
+        }
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sp, rs) =>
+        (sp, rs.size.toLong, rs.map(_._4).sum,
+          rs.map(r => r._2 * 10000 + r._5).distinct.size.toLong,
+          rs.map(_._3).sum)
+      }
+    val got = TextAnalysis.dsirCuratedPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected,
+      "the composed plan diverged from the single-threaded replay of " +
+        "its own selection semantics")
+  }
+}

@@ -67,7 +67,12 @@ class PlanContractSpec extends AnyFunSuite {
     "qS04_stream_dsir" -> ("same availableNow-pipeline shape as " +
       "qS01; DSIR scoring is a stateless per-row projection with an " +
       "offline-fit broadcast model — Breadth15Spec pins the batch " +
-      "scoring plan (no join, no explode) and stream-vs-batch parity.")
+      "scoring plan (no join, no explode) and stream-vs-batch parity."),
+    "qS05_stream_cdc" -> ("same availableNow-pipeline shape as " +
+      "qS01; the CDC classification is a stateless stream-static " +
+      "LEFT join from arrivals to the (key, md5) base projection — " +
+      "no watermark, no stream-side state; DocumentStreamsSpec pins " +
+      "stream-vs-batch parity and the arrival-classes≡q246 identity.")
   )
 
   /** Unpartitioned windows allowed because the windowed relation is

@@ -243,4 +243,47 @@ class DocumentStreamsSpec extends AnyFunSuite {
       assert(got.map(_._1).toSeq === Seq("clean", "drop", "review"))
     } finally spark.sql("drop view if exists contam_counts")
   }
+
+  test("streaming CDC classification equals the batch classification " +
+    "of the same snapshot feed (qS05 stream≡batch pin)") {
+    import org.apache.spark.sql.functions.{col, max}
+    val docs = Corpus.read(spark, TestSpark.sf, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val base = graft.operators.Relational.baseFingerprintsOf(docs)
+    val snapB = graft.operators.Relational.snapshotBOf(docs, maxId)
+    val dir = java.nio.file.Files.createTempDirectory("cdcstream").toString
+    snapB.repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/snapshot.parquet")
+    val streamed = DocumentStreams.cdcClassified(
+      spark.readStream.schema(DocumentStreams.snapshotSchema)
+        .parquet(s"$dir/snapshot.parquet"),
+      base)
+    val q = EventStreams.runToMemory(streamed, "cdc_rows", OutputMode.Append())
+    try {
+      val got = spark.table("cdc_rows").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val want = DocumentStreams.cdcClassified(snapB, base).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq,
+        "streamed per-row CDC classes diverged from the batch twin")
+      // Every arrival is classified exactly once — the feed loses and
+      // invents nothing across micro-batch boundaries.
+      assert(got.length === snapB.count())
+    } finally spark.sql("drop view if exists cdc_rows")
+  }
+
+  test("qS05 arrival classes equal q246's batch diff minus the " +
+    "delete row (delete is a non-arrival)") {
+    val streamGate = DocumentStreams
+      .cdcClassifiedFinalized(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.operators.Relational
+      .snapshotDiff(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(streamGate.map(_._1).toSeq === Seq("insert", "unchanged", "update"))
+    assert(batch.map(_._1).contains("delete"))
+    assert(streamGate.toSeq === batch.filter(_._1 != "delete").toSeq,
+      "ingest-side CDC report diverged from the batch reconciliation")
+  }
 }
