@@ -364,6 +364,8 @@ object SparkEntry {
     "q246_snapshot_diff" -> (Relational.snapshotDiff _),
     "q247_dsir_pipeline" -> ((s: SparkSession, d: String) =>
       TextAnalysis.dsirCuratedPipeline(s, d)),
+    "q248_dedup_ivm" -> (Relational.dedupIndexMaintenance _),
+    "q249_df_ivm" -> (TextAnalysis.dfMaintenance _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6230,6 +6232,43 @@ object SparkEntry {
         |SELECT change, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_keys
         |FROM c GROUP BY change ORDER BY change""".stripMargin,
+
+    // q248: incremental dedup-survivor maintenance. The oracle is
+    // deliberately NOT incremental — it rebuilds snapshot B from the
+    // fixture arithmetic and performs the FULL dedup recompute, so a
+    // hash match proves the engine's delta-only derivation equals
+    // the ground-truth recompute (the IVM correctness identity).
+    "q248_dedup_ivm" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |surv AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |             ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |ins AS (SELECT doc_id + m + 1 AS doc_id, md5(text) AS fp
+        |  FROM documents, mx WHERE doc_id % 13 = 0),
+        |b AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+        |SELECT fp, CAST(min(doc_id) AS BIGINT) AS survivor_id
+        |FROM b GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // q249: incremental document-frequency maintenance. Like q248,
+    // the oracle is the FULL recompute — snapshot B rebuilt from the
+    // fixture arithmetic, per-term distinct-doc counts from scratch —
+    // so hash-match proves the engine's signed-delta merge equals
+    // the ground truth.
+    "q249_df_ivm" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |surv AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |ins AS (SELECT doc_id + m + 1 AS doc_id, text
+        |  FROM documents, mx WHERE doc_id % 13 = 0),
+        |b AS (SELECT * FROM surv UNION ALL SELECT * FROM ins),
+        |t AS (SELECT doc_id,
+        |    unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS token
+        |  FROM b)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df
+        |FROM t GROUP BY token ORDER BY token""".stripMargin,
 
     // qS05: q246's CDC at ingest. Same deterministic snapshot-B
     // fixture, but classified from the FEED's point of view — a LEFT

@@ -1830,6 +1830,73 @@ object Relational {
     survivors.unionByName(inserts)
   }
 
+  /** Incremental dedup-survivor maintenance under CDC (q248) — the
+    * incremental-view-maintenance pattern a 100 TB lakehouse runs
+    * instead of recomputing global dedup per snapshot: the exact-dedup
+    * survivor table (fp → min key, the q26/q52 keep-first rule) is a
+    * STORED artifact, and a new snapshot's version is derived by
+    * touching only delta-affected fingerprint groups:
+    *
+    *  1. the (key, fp) index is maintained row-level — delta keys
+    *     anti-joined out, revised/inserted rows unioned in;
+    *  2. `touched` = every fingerprint any delta row leaves or enters
+    *     (old fp of deletes/updates, new fp of updates/inserts) — a
+    *     DELTA-BOUNDED relation;
+    *  3. survivors = carried (stored survivors anti-joined on touched
+    *     — untouched groups are never re-aggregated) ∪ recomputed
+    *     (index semi-joined on touched → min per group — pulls WHOLE
+    *     groups, so a delta member joining an existing group still
+    *     re-elects correctly).
+    *
+    * The delta is q246's deterministic snapshot-B fixture, so the
+    * mod-13 re-keys exercise both election branches (duplicate fp
+    * with old survivor kept; sole survivor when the original was
+    * mod-11-deleted). The gate identity IS the IVM correctness
+    * claim: the oracle performs the FULL recompute over snapshot B
+    * from first principles, so hash-match proves incremental ≡
+    * recompute across engines; Breadth16Spec additionally pins the
+    * in-engine identity against [[snapshotBOf]] and leg disjointness.
+    *
+    * Scale: every join against the corpus-sized index/survivor
+    * tables is keyed on fp or doc_id with a delta-bounded probe side
+    * (AQE broadcasts the probe; at warehouse scale both artifacts
+    * arrive bucketed on their key — the q74 layout — and the legs
+    * are co-located, shuffle-free row-level ops). No forced hints
+    * (the r16 PlanContractSpec rule).
+    */
+  def dedupIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // Stored artifacts from snapshot A (tables on disk in production).
+    val idxA = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val survA = idxA.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+    // CDC delta rows — q246's fixture arithmetic, each delta-bounded.
+    val deletes = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+      .select(col("doc_id"), md5(col("text")).as("old_fp"))
+    val updates = docs.filter(pmod(col("doc_id"), lit(7L)) === 0 &&
+        pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("old_fp"),
+        md5(concat(col("text"), lit(" [rev2]"))).as("new_fp"))
+    val inserts = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+      .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
+        md5(col("text")).as("new_fp"))
+    val touched = deletes.select(col("old_fp").as("fp"))
+      .unionByName(updates.select(col("old_fp").as("fp")))
+      .unionByName(updates.select(col("new_fp").as("fp")))
+      .unionByName(inserts.select(col("new_fp").as("fp")))
+      .distinct()
+    val removedKeys = deletes.select("doc_id")
+      .unionByName(updates.select("doc_id"))
+    val idxB = idxA.join(removedKeys, Seq("doc_id"), "left_anti")
+      .unionByName(updates.select(col("doc_id"), col("new_fp").as("fp")))
+      .unionByName(inserts.select(col("doc_id"), col("new_fp").as("fp")))
+    val carried = survA.join(touched, Seq("fp"), "left_anti")
+    val recomputed = idxB.join(touched, Seq("fp"), "left_semi")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("survivor_id"))
+    carried.unionByName(recomputed).orderBy(col("fp"))
+  }
+
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)

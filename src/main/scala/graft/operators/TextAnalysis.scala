@@ -2271,6 +2271,56 @@ object TextAnalysis {
     round(col("w_micro") + -log(-log(u)) * lit(1e6)).cast("long")
   }
 
+  /** Incremental document-frequency maintenance under CDC (q249) —
+    * [[Relational.dedupIndexMaintenance]]'s IVM pattern applied to
+    * the corpus STATISTICS a retrieval/scoring stack depends on: the
+    * (term, df) table behind tf-idf (q73) and BM25 (q151) maintained
+    * by SIGNED deltas instead of a full recompute per snapshot.
+    * Aggregates admit negative deltas, so no group membership is
+    * needed (unlike q248's min-election): df_B(t) = df_A(t)
+    * + Σ_delta ±[t ∈ doc] — deletes subtract their distinct-term
+    * sets, updates subtract the old text's and add the revision's,
+    * inserts add. One delta-sized explode-aggregate merged into the
+    * stored table by a full-outer join on the term; terms falling to
+    * df = 0 leave the vocabulary (and '[rev2]' enters it — both
+    * edges live in the fixture).
+    *
+    * The oracle is the FULL per-term distinct-doc recompute over
+    * snapshot B, so hash-match is the IVM identity across engines.
+    *
+    * Scale: the delta legs explode ONLY delta documents; the stored
+    * table is touched by one keyed merge join (bucketed-co-located
+    * at warehouse scale, q74); nothing re-reads the base corpus.
+    */
+  def dfMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    def terms(text: Column) = explode(array_distinct(tokens(text)))
+    // Stored artifact from snapshot A.
+    val dfA = docs.select(terms(col("text")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // Signed delta terms — q246's fixture arithmetic, delta-bounded.
+    val deletes = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+      .select(terms(col("text")).as("token"), lit(-1L).as("d"))
+    val updatedDocs = docs.filter(pmod(col("doc_id"), lit(7L)) === 0 &&
+      pmod(col("doc_id"), lit(11L)) =!= 0)
+    val updOld = updatedDocs
+      .select(terms(col("text")).as("token"), lit(-1L).as("d"))
+    val updNew = updatedDocs
+      .select(terms(concat(col("text"), lit(" [rev2]"))).as("token"),
+        lit(1L).as("d"))
+    val inserts = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+      .select(terms(col("text")).as("token"), lit(1L).as("d"))
+    val delta = deletes.unionByName(updOld).unionByName(updNew)
+      .unionByName(inserts)
+      .groupBy(col("token")).agg(sum(col("d")).as("d"))
+    dfA.join(delta, Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("d"), lit(0L)))
+          .as("df"))
+      .filter(col("df") > 0)
+      .orderBy(col("token"))
+  }
+
   /** Top-k size of [[dsirCuratedPipeline]]'s resampling stage — a
     * CONSTANT (the training-set size the curation run is budgeted
     * for), sized under the gate corpus's post-filter survivor count

@@ -134,4 +134,71 @@ class Breadth16Spec extends AnyFunSuite {
       "the composed plan diverged from the single-threaded replay of " +
         "its own selection semantics")
   }
+
+  test("q248 incremental dedup maintenance equals the in-engine full " +
+    "recompute over the shared snapshot-B fixture") {
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+    val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0)
+    val full = Relational.snapshotBOf(docs, maxId)
+      .groupBy(col("fpb")).agg(
+        org.apache.spark.sql.functions.min(col("doc_id")).as("survivor_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val inc = Relational.dedupIndexMaintenance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(inc.nonEmpty)
+    assert(inc.toSeq === full.toSeq,
+      "delta-only maintenance diverged from the full recompute")
+    // The fixture exercises BOTH election branches: re-keyed inserts
+    // whose original survived (old key wins the group) and whose
+    // original was deleted (the re-keyed copy is the sole survivor).
+    val rekeyed = inc.filter(_._2 > maxId).map(_._2).toSet
+    assert(rekeyed.nonEmpty,
+      "no re-keyed survivor — the delete∧re-insert branch never ran")
+    assert(inc.exists(s => s._2 % 13 == 0 && s._2 <= maxId),
+      "no surviving mod-13 original — the duplicate-group branch never ran")
+  }
+
+  test("q248's carried and recomputed legs partition the survivor set " +
+    "(no group is both carried and re-elected)") {
+    val inc = Relational.dedupIndexMaintenance(spark, sf).collect()
+      .map(r => r.getString(0))
+    assert(inc.length === inc.distinct.length,
+      "a fingerprint group was emitted by both legs")
+  }
+
+  test("q249 signed-delta DF maintenance equals the in-engine full " +
+    "recompute, retires zeroed terms and admits new ones") {
+    import org.apache.spark.sql.functions.{array_distinct, count, explode,
+      lit, max}
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // Full recompute over the SAME snapshot-B fixture, from the
+    // revised TEXTS (snapshotBOf only carries fingerprints).
+    val surv = docs
+      .filter(org.apache.spark.sql.functions.pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.pmod(col("doc_id"), lit(7L)) === 0,
+        org.apache.spark.sql.functions.concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text")).as("text"))
+    val ins = docs
+      .filter(org.apache.spark.sql.functions.pmod(col("doc_id"), lit(13L)) === 0)
+      .select(col("text"))
+    val full = surv.unionByName(ins)
+      .select(explode(array_distinct(TextAnalysis.tokens(col("text"))))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val inc = TextAnalysis.dfMaintenance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(inc.nonEmpty)
+    assert(inc.toSeq === full.toSeq,
+      "signed-delta merge diverged from the full DF recompute")
+    // Both vocabulary edges actually moved: the revision marker
+    // entered, and every df stayed strictly positive (zeroed terms
+    // retired).
+    assert(inc.exists(_._1 == "[rev2]"), "the new term never entered")
+    assert(inc.forall(_._2 > 0))
+    assert(maxId > 0)
+  }
 }
