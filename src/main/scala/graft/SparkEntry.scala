@@ -366,6 +366,8 @@ object SparkEntry {
       TextAnalysis.dsirCuratedPipeline(s, d)),
     "q248_dedup_ivm" -> (Relational.dedupIndexMaintenance _),
     "q249_df_ivm" -> (TextAnalysis.dfMaintenance _),
+    "q250_ivf_ivm" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfIndexMaintenance(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6269,6 +6271,39 @@ object SparkEntry {
         |  FROM b)
         |SELECT token, CAST(count(*) AS BIGINT) AS df
         |FROM t GROUP BY token ORDER BY token""".stripMargin,
+
+    // q250: incremental IVF maintenance. The oracle reassigns the
+    // WHOLE snapshot B from scratch against the frozen snapshot-A
+    // centroids (first-16 vectors) — the engine only assigns the
+    // delta and carries the stored index — so hash-match is the
+    // maintenance≡rebuild identity. Arrivals are negated re-keys
+    // (cosine sign flips → different cells than their originals).
+    "q250_ivf_ivm" ->
+      s"""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce
+         |  FROM embeddings WHERE vec_id < 16),
+         |surv AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 11 <> 0),
+         |arr AS (SELECT vec_id + m + 1 AS vec_id,
+         |    list_transform(embedding, x -> -x) AS embedding
+         |  FROM embeddings, mx WHERE vec_id % 13 = 0),
+         |b AS (SELECT * FROM surv UNION ALL SELECT * FROM arr),
+         |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM b v CROSS JOIN cents c),
+         |su AS (SELECT vec_id, cid,
+         |    $cosinePairSql
+         |  FROM ax GROUP BY vec_id, cid),
+         |sc AS (SELECT vec_id, cid, round(CASE WHEN na = 0 OR nb = 0
+         |    THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s
+         |  FROM su),
+         |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cid) AS rn
+         |  FROM sc) WHERE rn = 1)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM cell GROUP BY cid ORDER BY cid""".stripMargin,
 
     // qS05: q246's CDC at ingest. Same deterministic snapshot-B
     // fixture, but classified from the FEED's point of view — a LEFT

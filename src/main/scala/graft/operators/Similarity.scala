@@ -986,4 +986,48 @@ object Similarity {
         (col("sim") < col("pos_sim")).cast("long").as("is_semihard"))
       .orderBy(col("qid"), col("rk"))
   }
+
+  /** Incremental IVF index maintenance (q250) — the q248/q249 IVM
+    * pattern on the ANN side: a production IVF index is maintained by
+    * add/remove against FROZEN centroids (FAISS's `add`/`remove_ids`
+    * contract — the centroids are model parameters trained once; a
+    * re-train is a rebuild, not maintenance). The stored (vec_id,
+    * cid) assignment index is updated row-level: departed keys
+    * anti-joined out, arrivals assigned by ONE broadcast-centroid
+    * pass over the DELTA only ([[cellAssignmentsFor]] — the same
+    * argmax expression the full build uses, so maintenance and
+    * rebuild can never disagree on a cell). The fixture re-keys
+    * mod-13 vectors with NEGATED embeddings (cosine sign flips, so
+    * arrivals land in genuinely different cells than their
+    * originals — Breadth16Spec pins that) and deletes mod-11 keys.
+    *
+    * The oracle reassigns ALL of snapshot B from scratch against the
+    * same frozen centroids, so the per-cell (count, sum-of-ids) gate
+    * is the IVM identity: maintenance ≡ rebuild, cross-engine.
+    *
+    * Scale: the arrival assignment is delta-sized work against a
+    * bounded broadcast (ncells centroid rows); the index update is
+    * one keyed anti-join (bucketed-co-located at warehouse scale,
+    * q74); the stored index is never rescanned against centroids.
+    * Cell-count drift under churn is the signal to re-train — the
+    * q242 zorderHealth story applied to IVF; the per-cell report
+    * this gate emits IS that monitor.
+    */
+  def ivfIndexMaintenance(spark: SparkSession, dir: String,
+      ncells: Int = 16): DataFrame = {
+    val e = Corpus.read(spark, dir, "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val cents = firstNCentroids(e, ncells)
+    val idxA = cellAssignmentsFor(e, cents)
+    val departed = e.filter(pmod(col("vec_id"), lit(11L)) === 0)
+      .select(col("vec_id"))
+    val arrivals = e.filter(pmod(col("vec_id"), lit(13L)) === 0)
+      .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val idxB = idxA.join(departed, Seq("vec_id"), "left_anti")
+      .unionByName(cellAssignmentsFor(arrivals, cents))
+    idxB.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+      .orderBy(col("cid"))
+  }
 }

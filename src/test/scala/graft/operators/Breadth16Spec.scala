@@ -201,4 +201,41 @@ class Breadth16Spec extends AnyFunSuite {
     assert(inc.forall(_._2 > 0))
     assert(maxId > 0)
   }
+
+  test("q250 incremental IVF maintenance equals a from-scratch " +
+    "reassignment of snapshot B; negated arrivals change cells") {
+    import org.apache.spark.sql.functions.{count, lit, max, pmod, sum,
+      transform => atransform}
+    val e = graft.sources.Corpus.read(spark, sf, "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    // Rebuild snapshot B and reassign EVERYTHING via the same public
+    // assignment op the full index build uses.
+    val arrivals = e.filter(pmod(col("vec_id"), lit(13L)) === 0)
+      .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+        atransform(col("embedding"), x => -x).as("embedding"))
+    val b = e.filter(pmod(col("vec_id"), lit(11L)) =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(arrivals)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val full = Similarity.cellAssignmentsFor(b, cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val inc = Similarity.ivfIndexMaintenance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(inc.nonEmpty)
+    assert(inc.toSeq === full.toSeq,
+      "delta-only maintenance diverged from the from-scratch rebuild")
+    // The negated arrivals must land in DIFFERENT cells than their
+    // originals — otherwise the delta-assignment leg was never
+    // genuinely exercised (identical embeddings would make carrying
+    // the original's cell indistinguishable from assigning).
+    val cellOf = Similarity.cellAssignmentsFor(b, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = cellOf.keys.filter(_ > maxId)
+      .count(id => cellOf(id) != cellOf.getOrElse(id - maxId - 1, -1L))
+    assert(moved > 0, "no negated arrival changed cell vs its original")
+  }
 }
