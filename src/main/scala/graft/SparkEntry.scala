@@ -377,7 +377,9 @@ object SparkEntry {
     "qS04_stream_dsir" ->
       (graft.streaming.DocumentStreams.dsirScoredFinalized _),
     "qS05_stream_cdc" ->
-      (graft.streaming.DocumentStreams.cdcClassifiedFinalized _)
+      (graft.streaming.DocumentStreams.cdcClassifiedFinalized _),
+    "qS06_stream_ivf_assign" ->
+      (graft.streaming.EmbeddingStreams.ivfAssignedFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -6291,6 +6293,34 @@ object SparkEntry {
          |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
          |    unnest(range(1, 65)) AS i
          |  FROM b v CROSS JOIN cents c),
+         |su AS (SELECT vec_id, cid,
+         |    $cosinePairSql
+         |  FROM ax GROUP BY vec_id, cid),
+         |sc AS (SELECT vec_id, cid, round(CASE WHEN na = 0 OR nb = 0
+         |    THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s
+         |  FROM su),
+         |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cid) AS rn
+         |  FROM sc) WHERE rn = 1)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM cell GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // qS06: q250's arrival-assignment leg at ingest. The oracle is
+    // q250's from-scratch derivation RESTRICTED to the arrival set
+    // (the stateless-gate argument: per-row argmax with an
+    // offline-fit model emits the same rows streamed or batch).
+    "qS06_stream_ivf_assign" ->
+      s"""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce
+         |  FROM embeddings WHERE vec_id < 16),
+         |arr AS (SELECT vec_id + m + 1 AS vec_id,
+         |    list_transform(embedding, x -> -x) AS embedding
+         |  FROM embeddings, mx WHERE vec_id % 13 = 0),
+         |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
+         |    unnest(range(1, 65)) AS i
+         |  FROM arr v CROSS JOIN cents c),
          |su AS (SELECT vec_id, cid,
          |    $cosinePairSql
          |  FROM ax GROUP BY vec_id, cid),

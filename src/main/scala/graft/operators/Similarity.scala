@@ -1013,6 +1013,39 @@ object Similarity {
     * q242 zorderHealth story applied to IVF; the per-cell report
     * this gate emits IS that monitor.
     */
+  /** The frozen centroid model as a BOUNDED driver artifact (ncells
+    * rows — the qS04 weight-table class): (cid, centroid) pairs for
+    * [[assignCellCol]]'s per-row argmax. This is what a deployment
+    * broadcasts to the ingest path.
+    */
+  def centroidModel(spark: SparkSession, dir: String,
+      ncells: Int = 16): Seq[(Long, Seq[Float])] =
+    Corpus.read(spark, dir, "embeddings")
+      .filter(col("vec_id") < ncells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq
+
+  /** STATELESS per-row cell assignment against a centroid literal —
+    * the streaming-safe form of [[cellAssignmentsFor]] (whose
+    * groupBy/max_by is an aggregate a stream cannot run statelessly).
+    * Same score (cosine rounded at 6) and same tie-break (highest
+    * score, then LOWEST cid, encoded as max over struct(s, −cid) —
+    * struct ordering is lexicographic on both engines); Breadth16Spec
+    * pins expression≡aggregate equality on the full corpus, so the
+    * ingest path and the batch build agree on every vector's cell by
+    * construction.
+    */
+  def assignCellCol(emb: Column, model: Seq[(Long, Seq[Float])]): Column = {
+    val cents = typedLit(model)
+    val best = array_max(transform(cents, c =>
+      struct(
+        round(VectorFunctions.cosine_sim(emb, c.getField("_2")), 6).as("s"),
+        (-c.getField("_1")).as("negcid"))))
+    -best.getField("negcid")
+  }
+
   def ivfIndexMaintenance(spark: SparkSession, dir: String,
       ncells: Int = 16): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")

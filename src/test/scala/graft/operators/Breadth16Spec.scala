@@ -238,4 +238,21 @@ class Breadth16Spec extends AnyFunSuite {
       .count(id => cellOf(id) != cellOf.getOrElse(id - maxId - 1, -1L))
     assert(moved > 0, "no negated arrival changed cell vs its original")
   }
+
+  test("qS06's stateless per-row cell assignment equals the batch " +
+    "aggregate assignment on every corpus vector") {
+    val e = graft.sources.Corpus.read(spark, sf, "embeddings")
+    val model = Similarity.centroidModel(spark, sf)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val viaAgg = Similarity.cellAssignmentsFor(e, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val viaExpr = e.select(col("vec_id"),
+        Similarity.assignCellCol(col("embedding"), model).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr.toSeq === viaAgg.toSeq,
+      "the streaming-safe expression and the batch max_by aggregate " +
+        "disagreed on a cell — ingest and index build would diverge")
+  }
 }

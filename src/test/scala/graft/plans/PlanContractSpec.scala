@@ -72,7 +72,12 @@ class PlanContractSpec extends AnyFunSuite {
       "qS01; the CDC classification is a stateless stream-static " +
       "LEFT join from arrivals to the (key, md5) base projection — " +
       "no watermark, no stream-side state; DocumentStreamsSpec pins " +
-      "stream-vs-batch parity and the arrival-classes≡q246 identity.")
+      "stream-vs-batch parity and the arrival-classes≡q246 identity."),
+    "qS06_stream_ivf_assign" -> ("same availableNow-pipeline shape " +
+      "as qS01; the cell assignment is a stateless per-row argmax " +
+      "over the bounded (ncells-row) centroid literal — no join, no " +
+      "aggregate, no state; Breadth16Spec pins the expression ≡ " +
+      "cellAssignmentsFor aggregate identity on the full corpus.")
   )
 
   /** Unpartitioned windows allowed because the windowed relation is
