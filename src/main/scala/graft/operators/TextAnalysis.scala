@@ -630,16 +630,27 @@ object TextAnalysis {
     val idx = cust
       .select(col("id").as("cid"),
         explode(deletion_variant_hashes(col("name"))).as("h"))
+    // NO pair-level distinct (r16): a stage-attribution probe on the
+    // 10× namespace measured 180 M join-output rows of which 147 M
+    // are ALREADY distinct pairs (≈1000 candidates/name — the dense
+    // numeric namespace's true near-pair volume), so a distinct()
+    // here exchanges ~147 M rows to remove 18% duplicates that the
+    // best-match TopKRows heap dedups for free (duplicate pairs
+    // produce identical (dist, cid) rows; rank 1 keeps one —
+    // result-identical, oracle re-verified). Removing it deletes the
+    // plan's only candidate-volume exchange: the hydration joins
+    // below are AQE broadcast-hash (name relations are corpus-derived
+    // — no FORCED broadcast, the PlanContractSpec rule — but at any
+    // SF the per-partition name slice AQE sees is join-key-bounded)
+    // and the heap exchange carries ≤ 1 row per name per partition.
+    // The duplicate share is namespace-dependent; if a future corpus
+    // measured dup-dominated candidates, a pre-verify distinct would
+    // re-earn its exchange — that trade is this comment.
     val cand = dirty
       .select(col("did"),
         explode(deletion_variant_hashes(col("dname"))).as("h"))
       .join(idx, Seq("h"))
       .select(col("did"), col("cid"))
-      .distinct()
-      // Name hydration as PLAIN equi-joins on the distinct pairs: the
-      // dirty/cust name relations are corpus-derived, so a forced
-      // broadcast() would be unbounded at 100 TB (the r15-verdict
-      // class, banned by PlanContractSpec); AQE broadcasts while small.
       .join(dirty, Seq("did"))
       .join(cust.select(col("id").as("cid"),
         col("name").as("cname")), Seq("cid"))
