@@ -589,16 +589,18 @@ object TextAnalysis {
     *  1. explode BOTH sides to their ≤2-deletion variants
     *     (1 + L + C(L,2) ≈ 172 strings for L = 18 — per-name cost a
     *     CONSTANT in corpus size, unlike any df-capped gram index);
-    *  2. candidates = distinct id pairs sharing a variant — an
-    *     equi-join on xxhash64(variant) (8 bytes through the
-    *     exchange instead of the ~17-char string; PROVABLY
-    *     result-identical: every true dist ≤ 2 pair shares a real
-    *     variant whose hash also matches, and a hash collision can
-    *     only ADD a candidate at dist > 2, which the exact verify
-    *     rejects);
+    *  2. candidates = id pairs sharing a variant — an equi-join on
+    *     xxhash64(variant) (8 bytes through the exchange instead of
+    *     the ~17-char string; PROVABLY result-identical: every true
+    *     dist ≤ 2 pair shares a real variant whose hash also
+    *     matches, and a hash collision can only ADD a candidate at
+    *     dist > 2, which the exact verify rejects). Pairs sharing
+    *     several variants appear several times — deliberately NOT
+    *     distinct()'d; see the inline note;
     *  3. verify thresholded levenshtein ≤ 2, best match per dirty
-    *     name ((dist, cid) — plans as a TopKRows heap), LEFT join so
-    *     missed names stay loud (q234's contract).
+    *     name ((dist, cid) — plans as a TopKRows heap, which also
+    *     absorbs the duplicate candidate rows), LEFT join so missed
+    *     names stay loud (q234's contract).
     *
     * Recall is GUARANTEED (the neighborhood condition is necessary,
     * the verify is exact), so unlike q234 the 10× low-entropy
