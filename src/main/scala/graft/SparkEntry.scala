@@ -368,6 +368,7 @@ object SparkEntry {
     "q249_df_ivm" -> (TextAnalysis.dfMaintenance _),
     "q250_ivf_ivm" -> ((s: SparkSession, d: String) =>
       Similarity.ivfIndexMaintenance(s, d)),
+    "q251_lsh_ivm" -> (Dedup.lshIndexMaintenance _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -379,7 +380,9 @@ object SparkEntry {
     "qS05_stream_cdc" ->
       (graft.streaming.DocumentStreams.cdcClassifiedFinalized _),
     "qS06_stream_ivf_assign" ->
-      (graft.streaming.EmbeddingStreams.ivfAssignedFinalized _)
+      (graft.streaming.EmbeddingStreams.ivfAssignedFinalized _),
+    "qS07_stream_bpe_tokenize" ->
+      (graft.streaming.DocumentStreams.bpeTokenizedFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -1173,7 +1176,11 @@ object SparkEntry {
   /** [[minhashCtes]] rooted on an arbitrary document relation — the
     * q229 sampled-corpus oracle re-roots the WHOLE pipeline here.
     */
-  private def minhashCtesOver(rel: String): String =
+  /** The shingle→minhash→band prefix ending in `bk0` (the UNCAPPED
+    * band table — Dedup.rawBandsOf's mirror), shared by the pair
+    * pipeline below and the q251 index-maintenance oracle.
+    */
+  private def bandsCteOver(rel: String): String =
     s"""${shinglesCteOver(rel)},
        |mh AS (SELECT doc_id, lang, i,
        |    min(substring(CASE WHEN i < 4 THEN md5(shingle)
@@ -1185,7 +1192,10 @@ object SparkEntry {
        |    min(CASE WHEN i % 2 = 0 THEN mh END) AS lo,
        |    min(CASE WHEN i % 2 = 1 THEN mh END) AS hi
        |  FROM mh GROUP BY doc_id, lang, i // 2),
-       |bk0 AS (SELECT doc_id, lang, band, lo || '|' || hi AS bkey FROM bands),
+       |bk0 AS (SELECT doc_id, lang, band, lo || '|' || hi AS bkey FROM bands)""".stripMargin
+
+  private def minhashCtesOver(rel: String): String =
+    s"""${bandsCteOver(rel)},
        |bk AS (SELECT bk0.* FROM bk0 JOIN (SELECT lang, band, bkey FROM bk0
        |    GROUP BY lang, band, bkey
        |    HAVING count(*) <= ${Dedup.MaxBandDocs}) ok
@@ -6307,6 +6317,29 @@ object SparkEntry {
          |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM cell GROUP BY cid ORDER BY cid""".stripMargin,
 
+    // q251: DuckDB rebuilds the ENTIRE band index from scratch over
+    // its own snapshot-B derivation (the q246 modular fixture carried
+    // as full document rows), through the same shingle→minhash→band
+    // CTEs the q28 pair oracle uses — so hash-match on every (doc,
+    // band, bkey) row IS the IVM identity: the engine's delta-only
+    // maintenance ≡ a from-scratch rebuild, cross-engine.
+    "q251_lsh_ivm" -> {
+      val snapb =
+        """snapb AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+          |         ELSE text END AS text
+          |  FROM documents WHERE doc_id % 11 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+          |      AS doc_id, lang, text
+          |  FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+      s"""WITH $snapb,
+         |${bandsCteOver("snapb")}
+         |SELECT doc_id, lang, CAST(band AS BIGINT) AS band, bkey
+         |FROM bk0 ORDER BY doc_id, band""".stripMargin
+    },
+
     // qS06: q250's arrival-assignment leg at ingest. The oracle is
     // q250's from-scratch derivation RESTRICTED to the arrival set
     // (the stateless-gate argument: per-row argmax with an
@@ -6334,6 +6367,45 @@ object SparkEntry {
          |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM cell GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // qS07: the trained tokenizer APPLIED at ingest, per document.
+    // The oracle re-derives q244's merge chain (the shared training
+    // CTEs), applies it to the DISTINCT word types — the vocabulary
+    // route, deliberately different from the engine's per-row
+    // joined-string projection — and joins subword counts back to a
+    // doc_id-carrying token relation. Per-document totals must agree
+    // with the engine's separator-count arithmetic exactly.
+    "qS07_stream_bpe_tokenize" -> {
+      val applyChain = (1 to TextAnalysis.BpeMerges).map { k =>
+        val p = k - 1
+        s"""al$k AS MATERIALIZED (SELECT w, replace(sym,
+           |    '·' || (SELECT a FROM m$k) || '··' ||
+           |      (SELECT b FROM m$k) || '·',
+           |    '·' || (SELECT a FROM m$k) ||
+           |      (SELECT b FROM m$k) || '·') AS sym
+           |  FROM al$p)""".stripMargin
+      }.mkString(",\n")
+      val R = TextAnalysis.BpeMerges
+      s"""WITH $bpeSelectionCtes,
+         |tokd AS (SELECT doc_id, lang,
+         |    unnest(regexp_extract_all(text, '\\S+')) AS w
+         |  FROM documents),
+         |vt AS (SELECT DISTINCT w FROM tokd),
+         |al0 AS MATERIALIZED (SELECT w, '·' || array_to_string(
+         |    list_transform(range(1, length(w) + 1),
+         |      i -> substring(w, CAST(i AS INTEGER), 1)), '··') || '·'
+         |    AS sym
+         |  FROM vt),
+         |$applyChain,
+         |wt AS (SELECT w, len(string_split(
+         |    substring(sym, 2, length(sym) - 2), '··')) AS n_tok
+         |  FROM al$R)
+         |SELECT tokd.doc_id, tokd.lang,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(wt.n_tok) AS BIGINT) AS n_subwords
+         |FROM tokd JOIN wt USING (w)
+         |GROUP BY tokd.doc_id, tokd.lang ORDER BY tokd.doc_id""".stripMargin
+    },
 
     // qS05: q246's CDC at ingest. Same deterministic snapshot-B
     // fixture, but classified from the FEED's point of view — a LEFT

@@ -262,7 +262,16 @@ object Dedup {
     * later lands on, so the full and incremental paths see the same
     * bucket universe.
     */
-  private def cappedBands(docs: DataFrame): DataFrame = {
+  /** The UNCAPPED band table (doc_id, lang, band, bkey) of a document
+    * relation — one signature pass, 4 bands per signed doc. This is
+    * the relation a production pipeline MATERIALIZES between
+    * snapshots (the q168 base table) and the artifact q251 maintains
+    * incrementally; [[cappedBands]] layers the query-time hot-bucket
+    * cap on top. Factored so the stored build and the q251 arrival
+    * re-banding run the SAME kernel (the q250 `cellAssignmentsFor`
+    * argument: maintenance and rebuild cannot disagree).
+    */
+  def rawBandsOf(docs: DataFrame): DataFrame = {
     val sigs = docs.select(col("doc_id"), col("lang"),
         graft.functions.MinHashFunctions
           .minhash_signature(TextAnalysis.tokens(col("text"))).as("sig"))
@@ -273,10 +282,14 @@ object Dedup {
         concat(element_at(col("sig"), 2 * b + 1), lit("|"),
           element_at(col("sig"), 2 * b + 2)).as("bkey"))
     }
-    val bands0 = sigs.select(col("doc_id"), col("lang"),
+    sigs.select(col("doc_id"), col("lang"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("lang"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  private def cappedBands(docs: DataFrame): DataFrame = {
+    val bands0 = rawBandsOf(docs)
     // Bucket-size cap (see MaxBandDocs): the hot-bucket list is tiny
     // (it only holds pathological buckets) so the anti-join broadcasts.
     val hot = bands0.groupBy(col("lang"), col("band"), col("bkey"))
@@ -284,6 +297,65 @@ object Dedup {
       .filter(col("n_docs") > MaxBandDocs)
       .select(col("lang"), col("band"), col("bkey"))
     bands0.join(hot, Seq("lang", "band", "bkey"), "left_anti")
+  }
+
+  /** Incremental LSH band-index maintenance under CDC (q251) — the
+    * q248/q249/q250 IVM pattern on the near-dup side, completing the
+    * stored-artifact family: a 100 TB pipeline keeps the MinHash band
+    * table MATERIALIZED between snapshots (what [[deltaNearDup]]'s
+    * docstring promises; this operator IS that maintenance). On a new
+    * snapshot the stored (doc_id, lang, band, bkey) index is updated
+    * row-level:
+    *
+    *  1. departed keys (deletes AND updates — a revised text re-hashes)
+    *     anti-joined out;
+    *  2. arriving rows (revised texts under their old key, inserts
+    *     under new keys) re-banded by ONE [[rawBandsOf]] pass over the
+    *     DELTA only — the same shingle→minhash→band kernel the full
+    *     build runs, so maintenance and rebuild cannot disagree on a
+    *     band key (the q250 frozen-kernel argument).
+    *
+    * The delta is q246's deterministic snapshot-B fixture (mod-11
+    * delete / mod-7 revise / mod-13 re-key). The gate emits the FULL
+    * maintained index and the oracle rebuilds it from scratch over
+    * snapshot B, so hash-match is the IVM identity itself:
+    * maintenance ≡ rebuild, cross-engine, on every band row.
+    *
+    * Scale: in production the maintenance legs proper are delta-sized
+    * — signature hashing runs over arriving rows only and the stored
+    * index is never re-hashed; the key-level update is one anti-join,
+    * bucketed-co-located at warehouse scale (q74). The GATE derives
+    * the "stored" index in-plan (one [[rawBandsOf]] pass over the
+    * corpus — the q250 convention: embarrassingly parallel, flat at
+    * local[32]); only the delta legs are the operator under test.
+    * The hot-bucket cap stays QUERY-time ([[cappedBands]]) — the
+    * stored index is uncapped, so cap retuning never forces an index
+    * rebuild.
+    */
+  def lshIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    lshIndexMaintainCore(docs, Relational.cdcDeltaOf(docs, maxId))
+      .orderBy(col("doc_id"), col("band"))
+  }
+
+  /** The q251 maintenance legs over an already-derived delta — shared
+    * by the q251 gate and the q252 composed pass.
+    */
+  def lshIndexMaintainCore(docs: DataFrame,
+      delta: Relational.CdcDelta): DataFrame = {
+    // Stored artifact from snapshot A (a table on disk in production).
+    val idxA = rawBandsOf(docs)
+    val removedKeys = delta.deletes.select(col("doc_id"))
+      .unionByName(delta.revised.select(col("doc_id")))
+    val arrivals = delta.revised
+      .select(col("doc_id"), col("lang"), col("new_text").as("text"))
+      .unionByName(delta.inserted.select(col("doc_id"), col("lang"),
+        col("text")))
+    val idxB = idxA.join(removedKeys, Seq("doc_id"), "left_anti")
+      .unionByName(rawBandsOf(arrivals))
+    idxB.select(col("doc_id"), col("lang"),
+      col("band").cast("long").as("band"), col("bkey"))
   }
 
   def candidatePairJaccard(spark: SparkSession, dir: String): DataFrame =

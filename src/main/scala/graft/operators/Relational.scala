@@ -1830,6 +1830,49 @@ object Relational {
     survivors.unionByName(inserts)
   }
 
+  /** Snapshot B as FULL document rows (doc_id, lang, text) — the same
+    * deterministic fixture as [[snapshotBOf]] but carrying the revised
+    * texts instead of their fingerprints, for maintainers whose stored
+    * artifact is derived from content (the q251 LSH band index, and
+    * the Breadth16Spec full-recompute twins of q249/q251).
+    */
+  def snapshotBDocsOf(docs: DataFrame, maxId: Long): DataFrame = {
+    val survivors = docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+    val inserts = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+      .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
+        col("lang"), col("text"))
+    survivors.unionByName(inserts)
+  }
+
+  /** The document-side CDC delta as THREE slim keyed relations — the
+    * single derivation every maintainer consumes (q248/q249/q251 via
+    * their wrappers, q252 as one shared localCheckpoint'd trio):
+    * `deletes` (departing rows), `revised` (old and new text under
+    * the same key), `inserted` (re-keyed arrivals). All three are
+    * delta-bounded by the fixture arithmetic (q246's mod-11/7/13).
+    * In production these ARE the change-data-feed relations a
+    * Delta/Iceberg reader hands over; here they derive
+    * deterministically so every engine and the oracle see the same
+    * feed.
+    */
+  final case class CdcDelta(deletes: DataFrame, revised: DataFrame,
+      inserted: DataFrame)
+
+  def cdcDeltaOf(docs: DataFrame, maxId: Long): CdcDelta = CdcDelta(
+    deletes = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+      .select(col("doc_id"), col("lang"), col("text")),
+    revised = docs.filter(pmod(col("doc_id"), lit(7L)) === 0 &&
+        pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(col("doc_id"), col("lang"), col("text").as("old_text"),
+        concat(col("text"), lit(" [rev2]")).as("new_text")),
+    inserted = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+      .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
+        col("lang"), col("text")))
+
   /** Incremental dedup-survivor maintenance under CDC (q248) — the
     * incremental-view-maintenance pattern a 100 TB lakehouse runs
     * instead of recomputing global dedup per snapshot: the exact-dedup
@@ -1867,20 +1910,25 @@ object Relational {
   def dedupIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    dedupMaintainCore(docs, cdcDeltaOf(docs, maxId)).orderBy(col("fp"))
+  }
+
+  /** The q248 maintenance legs over an already-derived delta — shared
+    * by the q248 gate and the q252 composed pass.
+    */
+  def dedupMaintainCore(docs: DataFrame, delta: CdcDelta): DataFrame = {
     // Stored artifacts from snapshot A (tables on disk in production).
     val idxA = docs.select(col("doc_id"), md5(col("text")).as("fp"))
     val survA = idxA.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("survivor_id"))
-    // CDC delta rows — q246's fixture arithmetic, each delta-bounded.
-    val deletes = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+    // Fingerprint-level view of the delta, each leg delta-bounded.
+    val deletes = delta.deletes
       .select(col("doc_id"), md5(col("text")).as("old_fp"))
-    val updates = docs.filter(pmod(col("doc_id"), lit(7L)) === 0 &&
-        pmod(col("doc_id"), lit(11L)) =!= 0)
-      .select(col("doc_id"), md5(col("text")).as("old_fp"),
-        md5(concat(col("text"), lit(" [rev2]"))).as("new_fp"))
-    val inserts = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
-      .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
-        md5(col("text")).as("new_fp"))
+    val updates = delta.revised
+      .select(col("doc_id"), md5(col("old_text")).as("old_fp"),
+        md5(col("new_text")).as("new_fp"))
+    val inserts = delta.inserted
+      .select(col("doc_id"), md5(col("text")).as("new_fp"))
     val touched = deletes.select(col("old_fp").as("fp"))
       .unionByName(updates.select(col("old_fp").as("fp")))
       .unionByName(updates.select(col("new_fp").as("fp")))
@@ -1894,7 +1942,71 @@ object Relational {
     val carried = survA.join(touched, Seq("fp"), "left_anti")
     val recomputed = idxB.join(touched, Seq("fp"), "left_semi")
       .groupBy(col("fp")).agg(min(col("doc_id")).as("survivor_id"))
-    carried.unionByName(recomputed).orderBy(col("fp"))
+    carried.unionByName(recomputed)
+  }
+
+  /** Composed CDC maintenance pass (q252) — the IVM capstone, q247's
+    * composition proof applied to the snapshot side: when a new
+    * snapshot lands, a production pipeline derives the change feed
+    * ONCE and maintains EVERY stored document-side artifact from it —
+    * the exact-dedup survivor table (q248), the document-frequency
+    * table behind tf-idf/BM25 (q249) and the MinHash LSH band index
+    * (q251) — instead of re-deriving the delta per artifact (or
+    * worse, recomputing each artifact from the corpus). The delta
+    * trio ([[cdcDeltaOf]]) is eagerly `localCheckpoint`ed — it is
+    * delta-bounded by definition, the one relation in this plan that
+    * is ALWAYS small — and the three maintainers fan out from those
+    * materialized relations through the SAME cores their individual
+    * gates run ([[dedupMaintainCore]], [[TextAnalysis.dfMaintainCore]],
+    * [[Dedup.lshIndexMaintainCore]] — the composition cannot disagree
+    * with the pieces).
+    *
+    * Output: one summary row per artifact — row count plus an exact
+    * 60-bit content fingerprint (bit_xor of md5 over a canonical row
+    * rendering, the q157 members_fp idiom), so the gate pins the full
+    * CONTENT of every maintained artifact, not just its size; a
+    * fourth row fingerprints the shared delta feed itself. The oracle
+    * recomputes all three artifacts from scratch over snapshot B and
+    * fingerprints the same renderings — maintenance ≡ recompute for
+    * the whole artifact family, cross-engine, in one gate.
+    *
+    * Scale: per-snapshot work = one delta derivation + three
+    * delta-probe keyed updates (each artifact's own scale argument:
+    * q248/q249/q251). The gate derives the stored artifacts in-plan
+    * (the q250 convention); in production they are bucketed tables
+    * and the base corpus is never re-read.
+    */
+  def cdcMaintainAll(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val d0 = cdcDeltaOf(docs, maxId)
+    val delta = CdcDelta(d0.deletes.localCheckpoint(),
+      d0.revised.localCheckpoint(), d0.inserted.localCheckpoint())
+    def fpAgg(renderSql: String) = expr(
+      s"bit_xor(cast(conv(substring(md5($renderSql), 1, 15), 16, 10)" +
+        " as bigint))")
+    def summarize(label: String, rows: DataFrame,
+        renderSql: String): DataFrame =
+      rows.agg(count(lit(1)).as("n_rows"),
+          fpAgg(renderSql).as("content_fp"))
+        .select(lit(label).as("artifact"), col("n_rows"),
+          col("content_fp"))
+    val feed = delta.deletes
+      .select(concat(lit("D:"), col("doc_id").cast("string")).as("r"))
+      .unionByName(delta.revised
+        .select(concat(lit("U:"), col("doc_id").cast("string")).as("r")))
+      .unionByName(delta.inserted
+        .select(concat(lit("I:"), col("doc_id").cast("string")).as("r")))
+    summarize("band_index", Dedup.lshIndexMaintainCore(docs, delta),
+        "concat(cast(doc_id as string), ':', cast(band as string), " +
+          "':', bkey)")
+      .unionByName(summarize("cdc_delta", feed, "r"))
+      .unionByName(summarize("df_table",
+        TextAnalysis.dfMaintainCore(docs, delta),
+        "concat(token, ':', cast(df as string))"))
+      .unionByName(summarize("survivors", dedupMaintainCore(docs, delta),
+        "concat(fp, ':', cast(survivor_id as string))"))
+      .orderBy(col("artifact"))
   }
 
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {

@@ -851,6 +851,56 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** The trained merge table as the deployable artifact (the qS04
+    * weight-table / qS06 centroid-model class): [[BpeMerges]] rows,
+    * memoized per corpus dir — what the ingest path ships to every
+    * executor. A session that never ran q244 trains once here.
+    */
+  def bpeMergesFor(spark: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] =
+    bpeMemo.computeIfAbsent(s"$BpeMerges#$dir", _ =>
+      bpeTrainUncached(spark, dir))
+
+  /** Per-DOCUMENT subword counts under a trained merge table — the
+    * stateless projection [[graft.streaming.DocumentStreams]] deploys
+    * at ingest (qS07): every word of the document is fenced
+    * ('·a··b·', the q244 encoding), words joined by a space (outside
+    * the fence alphabet, so no merge pattern can span a word
+    * boundary), the rank-ordered replace chain applied ONCE to the
+    * joined string — per-word application and whole-string
+    * application agree because every pattern is space-free — and
+    * subwords counted without re-splitting: each word contributes
+    * (its '··' separator count + 1), so n_subwords = n_words +
+    * count('··'). One codegen pass per row: no join, no aggregate, no
+    * state — the tokenizer-apply analog of [[dsirScore]].
+    */
+  def bpeTokenCounts(docs: DataFrame,
+      merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    val sep = "·"
+    val fenced = expr(
+      """array_join(transform(regexp_extract_all(text, '\\S+', 0),
+        |  w -> concat('·', array_join(transform(sequence(1, length(w)),
+        |    i -> substring(w, i, 1)), '··'), '·')), ' ')""".stripMargin)
+    val base = docs
+      .withColumn("n_words", tokenCount(col("text")).cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("sym", fenced)
+    val applied = merges.foldLeft(base) { (df, m) =>
+      val a = m._2; val b = m._3
+      df.withColumn("sym", regexp_replace(col("sym"),
+        lit(java.util.regex.Pattern.quote(s"$sep$a$sep$sep$b$sep")),
+        lit(java.util.regex.Matcher.quoteReplacement(s"$sep$a$b$sep"))))
+    }
+    // Each '··' separator is 2 chars, so separator count = (len −
+    // len(stripped)) ÷ 2; runs of '·' are only ever 1 (word fence
+    // edge) or 2 (separator), so leftmost non-overlapping stripping
+    // counts exactly.
+    applied.select(col("doc_id"), col("lang"), col("n_words"),
+      (col("n_words") + (length(col("sym")) -
+        length(expr("replace(sym, '··', '')"))) / lit(2))
+        .cast("long").as("n_subwords"))
+  }
+
   /** Synthesized URL per document — deterministic arithmetic over
     * doc_id, shared verbatim (same SQL text) with the q216 oracle so
     * both engines canonicalize the SAME raw strings. Mixed-case
@@ -2307,31 +2357,37 @@ object TextAnalysis {
     */
   def dfMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    dfMaintainCore(docs, Relational.cdcDeltaOf(docs, maxId))
+      .orderBy(col("token"))
+  }
+
+  /** The q249 signed-delta merge over an already-derived delta —
+    * shared by the q249 gate and the q252 composed pass.
+    */
+  def dfMaintainCore(docs: DataFrame,
+      delta: Relational.CdcDelta): DataFrame = {
     def terms(text: Column) = explode(array_distinct(tokens(text)))
     // Stored artifact from snapshot A.
     val dfA = docs.select(terms(col("text")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // Signed delta terms — q246's fixture arithmetic, delta-bounded.
-    val deletes = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+    // Signed delta terms, each leg delta-bounded.
+    val deletes = delta.deletes
       .select(terms(col("text")).as("token"), lit(-1L).as("d"))
-    val updatedDocs = docs.filter(pmod(col("doc_id"), lit(7L)) === 0 &&
-      pmod(col("doc_id"), lit(11L)) =!= 0)
-    val updOld = updatedDocs
-      .select(terms(col("text")).as("token"), lit(-1L).as("d"))
-    val updNew = updatedDocs
-      .select(terms(concat(col("text"), lit(" [rev2]"))).as("token"),
-        lit(1L).as("d"))
-    val inserts = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+    val updOld = delta.revised
+      .select(terms(col("old_text")).as("token"), lit(-1L).as("d"))
+    val updNew = delta.revised
+      .select(terms(col("new_text")).as("token"), lit(1L).as("d"))
+    val inserts = delta.inserted
       .select(terms(col("text")).as("token"), lit(1L).as("d"))
-    val delta = deletes.unionByName(updOld).unionByName(updNew)
+    val signed = deletes.unionByName(updOld).unionByName(updNew)
       .unionByName(inserts)
       .groupBy(col("token")).agg(sum(col("d")).as("d"))
-    dfA.join(delta, Seq("token"), "full_outer")
+    dfA.join(signed, Seq("token"), "full_outer")
       .select(col("token"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("d"), lit(0L)))
           .as("df"))
       .filter(col("df") > 0)
-      .orderBy(col("token"))
   }
 
   /** Top-k size of [[dsirCuratedPipeline]]'s resampling stage — a

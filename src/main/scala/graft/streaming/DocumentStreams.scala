@@ -110,6 +110,39 @@ object DocumentStreams {
     spark.read.parquet(s"$tmp/data")
   }.orderBy(col("doc_id"))
 
+  /** The qS07 streaming-vs-oracle gate: BPE TOKENIZATION at INGEST —
+    * the train-offline / apply-online deployment of q244/q245 (the
+    * qS04 fit/score split applied to the tokenizer): the merge table
+    * is the frozen offline artifact ([[TextAnalysis.bpeMergesFor]] —
+    * [[TextAnalysis.BpeMerges]] rows, the broadcastable model a
+    * tokenizer ships), and every arriving document is counted by
+    * [[TextAnalysis.bpeTokenCounts]]: fence → rank-ordered replace
+    * chain → separator count, a stateless per-row projection — no
+    * watermark, no state store, constant memory, batch-replayable.
+    * The DuckDB oracle re-trains the chain (q244's shared CTEs),
+    * applies it to the distinct word types and joins counts back per
+    * document — an independent vocabulary-route derivation of the
+    * same per-document subword totals.
+    */
+  def bpeTokenizedFinalized(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.stagedGate("graft-qs07-") { tmp =>
+    val merges = TextAnalysis.bpeMergesFor(spark, dir)
+    spark.read.parquet(s"$dir/documents.parquet").repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/documents.parquet")
+    val q = TextAnalysis.bpeTokenCounts(
+        readDocumentStream(spark, s"$tmp/in"), merges)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data")
+  }.orderBy(col("doc_id"))
+
   /** Schema of a staged CDC snapshot feed: keyed rows carrying the
     * arriving version's content fingerprint.
     */

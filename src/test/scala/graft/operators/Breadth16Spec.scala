@@ -239,6 +239,46 @@ class Breadth16Spec extends AnyFunSuite {
     assert(moved > 0, "no negated arrival changed cell vs its original")
   }
 
+  test("q251 incremental LSH band-index maintenance equals a " +
+    "from-scratch rebuild over snapshot B; revised docs move bands") {
+    import org.apache.spark.sql.functions.{lit, max, pmod}
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // From-scratch rebuild via the SAME public kernel the maintainer
+    // uses for arrivals — the in-engine IVM identity (the oracle pins
+    // the cross-engine one).
+    val full = Dedup.rawBandsOf(Relational.snapshotBDocsOf(docs, maxId))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._3))
+    val inc = Dedup.lshIndexMaintenance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt,
+        r.getString(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(inc.nonEmpty)
+    assert(inc.toSeq === full.toSeq,
+      "delta-only band maintenance diverged from the full rebuild")
+    // The fixture genuinely exercised every leg: deletes absent,
+    // re-keyed inserts present, and at least one revised doc changed
+    // at least one band key (the ' [rev2]' suffix adds shingles).
+    val idxA = Dedup.rawBandsOf(docs).collect()
+      .map(r => ((r.getLong(0), r.getInt(2)), r.getString(3))).toMap
+    val incByKey = inc.map(t => ((t._1, t._3), t._4)).toMap
+    assert(!inc.exists(t => t._1 <= maxId && t._1 % 11 == 0),
+      "a deleted key survived in the maintained index")
+    assert(inc.exists(_._1 > maxId), "no re-keyed insert was banded")
+    val revised = docs
+      .filter(pmod(col("doc_id"), lit(7L)) === 0 &&
+        pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val moved = revised.count(id => (0 until 4).exists(b =>
+      idxA.get((id, b)).exists(old =>
+        incByKey.get((id, b)).exists(_ != old))))
+    assert(moved > 0,
+      "no revised document changed a band key — the re-banding leg " +
+        "was never genuinely exercised")
+  }
+
   test("qS06's stateless per-row cell assignment equals the batch " +
     "aggregate assignment on every corpus vector") {
     val e = graft.sources.Corpus.read(spark, sf, "embeddings")

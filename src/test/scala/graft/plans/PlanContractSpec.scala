@@ -77,7 +77,12 @@ class PlanContractSpec extends AnyFunSuite {
       "as qS01; the cell assignment is a stateless per-row argmax " +
       "over the bounded (ncells-row) centroid literal — no join, no " +
       "aggregate, no state; Breadth16Spec pins the expression ≡ " +
-      "cellAssignmentsFor aggregate identity on the full corpus.")
+      "cellAssignmentsFor aggregate identity on the full corpus."),
+    "qS07_stream_bpe_tokenize" -> ("same availableNow-pipeline " +
+      "shape as qS01; tokenizer application is a stateless per-row " +
+      "replace chain over the bounded (BpeMerges-row) frozen merge " +
+      "table — no join, no aggregate, no state; DocumentStreamsSpec " +
+      "pins stream-vs-batch parity and the per-word driver replay.")
   )
 
   /** Unpartitioned windows allowed because the windowed relation is

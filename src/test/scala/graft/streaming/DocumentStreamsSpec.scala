@@ -273,6 +273,63 @@ class DocumentStreamsSpec extends AnyFunSuite {
     } finally spark.sql("drop view if exists cdc_rows")
   }
 
+  test("streaming BPE token counts equal the batch projection over " +
+    "the same corpus (qS07 stream≡batch pin)") {
+    import org.apache.spark.sql.functions.col
+    val merges = graft.operators.TextAnalysis
+      .bpeMergesFor(spark, TestSpark.sf)
+    val streamed = graft.operators.TextAnalysis.bpeTokenCounts(
+      DocumentStreams.readDocumentStream(spark, streamDir), merges)
+    val q = EventStreams.runToMemory(streamed, "bpe_rows", OutputMode.Append())
+    try {
+      val got = spark.table("bpe_rows").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val want = graft.operators.TextAnalysis.bpeTokenCounts(
+          Corpus.read(spark, TestSpark.sf, "documents"), merges)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq,
+        "streamed per-doc subword counts diverged from the batch twin")
+      assert(q != null)
+    } finally spark.sql("drop view if exists bpe_rows")
+  }
+
+  test("qS07's whole-string replace chain equals a per-word driver " +
+    "replay (the separator-count arithmetic is exact)") {
+    import org.apache.spark.sql.functions.col
+    val merges = graft.operators.TextAnalysis
+      .bpeMergesFor(spark, TestSpark.sf)
+    val got = graft.operators.TextAnalysis.bpeTokenCounts(
+        Corpus.read(spark, TestSpark.sf, "documents"), merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // Driver replay of the PAPER's application: each word fenced and
+    // merged independently in rank order, subwords counted by
+    // splitting — no joined string, no separator arithmetic.
+    val docs = Corpus.read(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val words = "\\S+".r.findAllIn(text).toSeq
+      if (words.isEmpty) None
+      else {
+        val subs = words.map { w =>
+          var sym = w.map(_.toString).mkString("·", "··", "·")
+          merges.foreach { m =>
+            sym = sym.replace(s"·${m._2}··${m._3}·", s"·${m._2}${m._3}·")
+          }
+          sym.stripPrefix("·").stripSuffix("·").split("··", -1).length.toLong
+        }
+        Some((id, words.size.toLong, subs.sum))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq === want.toSeq,
+      "joined-string separator counting diverged from per-word replay")
+  }
+
   test("qS05 arrival classes equal q246's batch diff minus the " +
     "delete row (delete is a non-arrival)") {
     val streamGate = DocumentStreams
