@@ -369,6 +369,7 @@ object SparkEntry {
     "q250_ivf_ivm" -> ((s: SparkSession, d: String) =>
       Similarity.ivfIndexMaintenance(s, d)),
     "q251_lsh_ivm" -> (Dedup.lshIndexMaintenance _),
+    "q252_cdc_maintain_all" -> (Relational.cdcMaintainAll _),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -1214,6 +1215,21 @@ object SparkEntry {
        |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)""".stripMargin
 
   private val minhashCtes: String = minhashCtesOver("documents")
+
+  /** Snapshot B as full document rows — the q246 modular fixture
+    * carried with texts (Relational.snapshotBDocsOf's mirror), shared
+    * by the q251 and q252 oracles.
+    */
+  private val snapbDocsCte: String =
+    """snapb AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+      |      AS doc_id, lang, text
+      |  FROM documents WHERE doc_id % 13 = 0)""".stripMargin
 
   /** The q190/q190b duplicated-span oracle (one SQL, two engine
     * encodings — exact-set kernel and Bloom-ladder join).
@@ -6323,22 +6339,64 @@ object SparkEntry {
     // CTEs the q28 pair oracle uses — so hash-match on every (doc,
     // band, bkey) row IS the IVM identity: the engine's delta-only
     // maintenance ≡ a from-scratch rebuild, cross-engine.
-    "q251_lsh_ivm" -> {
-      val snapb =
-        """snapb AS (
-          |  SELECT doc_id, lang,
-          |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
-          |         ELSE text END AS text
-          |  FROM documents WHERE doc_id % 11 <> 0
-          |  UNION ALL
-          |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
-          |      AS doc_id, lang, text
-          |  FROM documents WHERE doc_id % 13 = 0)""".stripMargin
-      s"""WITH $snapb,
+    "q251_lsh_ivm" ->
+      s"""WITH $snapbDocsCte,
          |${bandsCteOver("snapb")}
          |SELECT doc_id, lang, CAST(band AS BIGINT) AS band, bkey
-         |FROM bk0 ORDER BY doc_id, band""".stripMargin
-    },
+         |FROM bk0 ORDER BY doc_id, band""".stripMargin,
+
+    // q252: the composed IVM gate. DuckDB recomputes ALL THREE
+    // document-side artifacts from scratch over its own snapshot-B
+    // derivation (survivor election, per-term distinct-doc DF, the
+    // full band rebuild through the shared q28 CTEs), renders each
+    // row canonically and folds it into the same 60-bit bit_xor
+    // fingerprint the engine computes over its DELTA-MAINTAINED
+    // artifacts — maintenance ≡ recompute for the whole family, plus
+    // a fingerprint of the shared change feed itself.
+    "q252_cdc_maintain_all" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         |$snapbDocsCte,
+         |sfp AS (SELECT doc_id, md5(text) AS fp FROM snapb),
+         |sv AS (SELECT fp, min(doc_id) AS sid FROM sfp GROUP BY fp),
+         |tokd2 AS (SELECT doc_id,
+         |    unnest(list_distinct(regexp_extract_all(text, '\\S+')))
+         |      AS token
+         |  FROM snapb),
+         |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM tokd2 GROUP BY token),
+         |${bandsCteOver("snapb")},
+         |feed AS (
+         |  SELECT 'D:' || CAST(doc_id AS VARCHAR) AS r
+         |  FROM documents WHERE doc_id % 11 = 0
+         |  UNION ALL
+         |  SELECT 'U:' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT 'I:' || CAST(doc_id + (SELECT m FROM mx) + 1 AS VARCHAR)
+         |  FROM documents WHERE doc_id % 13 = 0)
+         |SELECT * FROM (
+         |  SELECT 'band_index' AS artifact,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    bit_xor(CAST(concat('0x', substring(md5(
+         |      CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)
+         |        || ':' || bkey), 1, 15)) AS BIGINT)) AS content_fp
+         |  FROM bk0
+         |  UNION ALL
+         |  SELECT 'cdc_delta', CAST(count(*) AS BIGINT),
+         |    bit_xor(CAST(concat('0x', substring(md5(r), 1, 15))
+         |      AS BIGINT))
+         |  FROM feed
+         |  UNION ALL
+         |  SELECT 'df_table', CAST(count(*) AS BIGINT),
+         |    bit_xor(CAST(concat('0x', substring(md5(
+         |      token || ':' || CAST(df AS VARCHAR)), 1, 15)) AS BIGINT))
+         |  FROM dft
+         |  UNION ALL
+         |  SELECT 'survivors', CAST(count(*) AS BIGINT),
+         |    bit_xor(CAST(concat('0x', substring(md5(
+         |      fp || ':' || CAST(sid AS VARCHAR)), 1, 15)) AS BIGINT))
+         |  FROM sv)
+         |ORDER BY artifact""".stripMargin,
 
     // qS06: q250's arrival-assignment leg at ingest. The oracle is
     // q250's from-scratch derivation RESTRICTED to the arrival set

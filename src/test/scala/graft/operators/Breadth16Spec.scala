@@ -279,6 +279,39 @@ class Breadth16Spec extends AnyFunSuite {
         "was never genuinely exercised")
   }
 
+  test("q252's composed summaries equal fingerprints recomputed from " +
+    "the three individually-gated artifacts (composition consistency)") {
+    import org.apache.spark.sql.functions.{count => fcount, expr, lit}
+    def fp(df: org.apache.spark.sql.DataFrame, render: String)
+        : (Long, Long) = {
+      val r = df.agg(fcount(lit(1)), expr(
+        s"bit_xor(cast(conv(substring(md5($render), 1, 15), 16, 10)" +
+          " as bigint))")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val got = Relational.cdcMaintainAll(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wantBands = fp(Dedup.lshIndexMaintenance(spark, sf),
+      "concat(cast(doc_id as string), ':', cast(band as string), ':', bkey)")
+    val wantDf = fp(TextAnalysis.dfMaintenance(spark, sf),
+      "concat(token, ':', cast(df as string))")
+    val wantSurv = fp(Relational.dedupIndexMaintenance(spark, sf),
+      "concat(fp, ':', cast(survivor_id as string))")
+    assert(got("band_index") === wantBands,
+      "composed band-index summary diverged from the q251 gate")
+    assert(got("df_table") === wantDf,
+      "composed df-table summary diverged from the q249 gate")
+    assert(got("survivors") === wantSurv,
+      "composed survivor summary diverged from the q248 gate")
+    // The shared feed covers every delta row exactly once.
+    val docs = graft.sources.Corpus.read(spark, sf, "documents")
+    val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0)
+    val d = Relational.cdcDeltaOf(docs, maxId)
+    assert(got("cdc_delta")._1 ===
+      d.deletes.count() + d.revised.count() + d.inserted.count())
+  }
+
   test("qS06's stateless per-row cell assignment equals the batch " +
     "aggregate assignment on every corpus vector") {
     val e = graft.sources.Corpus.read(spark, sf, "embeddings")
