@@ -383,7 +383,9 @@ object SparkEntry {
     "qS06_stream_ivf_assign" ->
       (graft.streaming.EmbeddingStreams.ivfAssignedFinalized _),
     "qS07_stream_bpe_tokenize" ->
-      (graft.streaming.DocumentStreams.bpeTokenizedFinalized _)
+      (graft.streaming.DocumentStreams.bpeTokenizedFinalized _),
+    "qS08_stream_lsh_band" ->
+      (graft.streaming.DocumentStreams.lshBandedFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -6464,6 +6466,22 @@ object SparkEntry {
          |FROM tokd JOIN wt USING (w)
          |GROUP BY tokd.doc_id, tokd.lang ORDER BY tokd.doc_id""".stripMargin
     },
+
+    // qS08: q251's arrival leg at ingest. The oracle is q251's
+    // from-scratch band derivation RESTRICTED to the arrival set
+    // (revised texts under their old key + re-keyed inserts) — the
+    // same stateless-gate argument as qS06.
+    "qS08_stream_lsh_band" ->
+      s"""WITH arrb AS (
+         |  SELECT doc_id, lang, text || ' [rev2]' AS text
+         |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+         |      AS doc_id, lang, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |${bandsCteOver("arrb")}
+         |SELECT doc_id, lang, CAST(band AS BIGINT) AS band, bkey
+         |FROM bk0 ORDER BY doc_id, band""".stripMargin,
 
     // qS05: q246's CDC at ingest. Same deterministic snapshot-B
     // fixture, but classified from the FEED's point of view — a LEFT

@@ -143,6 +143,54 @@ object DocumentStreams {
     spark.read.parquet(s"$tmp/data")
   }.orderBy(col("doc_id"))
 
+  /** The qS08 streaming-vs-oracle gate: LSH BAND ASSIGNMENT at
+    * INGEST — q251's arrival leg on the ingest path (exactly the
+    * qS06/q250 split applied to the near-dup index): each arriving
+    * document (the CDC feed's revised + re-keyed rows, shared with
+    * q251 via [[graft.operators.Relational.cdcDeltaOf]]) is banded by
+    * the STATELESS per-row [[graft.operators.Dedup.rawBandsOf]]
+    * projection — MinHash signature + 4 band keys per row, no join,
+    * no aggregate, no state (banding, unlike survivor election or DF
+    * counting, needs no cross-row view — which is why THIS is the
+    * artifact whose add-path can run at ingest). The index-add then
+    * appends these rows to the stored band table; dedup candidate
+    * lookup against them is [[graft.operators.Dedup.deltaNearDup]]'s
+    * base×delta join. The oracle is q251's from-scratch band
+    * derivation RESTRICTED to the arrival set.
+    */
+  def lshBandedFinalized(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.stagedGate("graft-qs08-") { tmp =>
+    import graft.operators.{Dedup, Relational}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val delta = Relational.cdcDeltaOf(docs, maxId)
+    val arrivals = delta.revised
+      .select(col("doc_id"), col("lang"), col("new_text").as("text"))
+      .unionByName(delta.inserted.select(col("doc_id"), col("lang"),
+        col("text")))
+    arrivals.repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/arrivals.parquet")
+    val feed = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("text", StringType))))
+      .parquet(s"$tmp/in/arrivals.parquet")
+    val q = Dedup.rawBandsOf(feed)
+      .select(col("doc_id"), col("lang"),
+        col("band").cast("long").as("band"), col("bkey"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data")
+  }.orderBy(col("doc_id"), col("band"))
+
   /** Schema of a staged CDC snapshot feed: keyed rows carrying the
     * arriving version's content fingerprint.
     */

@@ -82,7 +82,12 @@ class PlanContractSpec extends AnyFunSuite {
       "shape as qS01; tokenizer application is a stateless per-row " +
       "replace chain over the bounded (BpeMerges-row) frozen merge " +
       "table — no join, no aggregate, no state; DocumentStreamsSpec " +
-      "pins stream-vs-batch parity and the per-word driver replay.")
+      "pins stream-vs-batch parity and the per-word driver replay."),
+    "qS08_stream_lsh_band" -> ("same availableNow-pipeline shape as " +
+      "qS01; band assignment is the stateless per-row rawBandsOf " +
+      "projection (signature + 4 band keys, no join, no aggregate, " +
+      "no state); DocumentStreamsSpec pins stream-vs-batch parity " +
+      "and the q251 index arrival-slice identity.")
   )
 
   /** Unpartitioned windows allowed because the windowed relation is

@@ -330,6 +330,40 @@ class DocumentStreamsSpec extends AnyFunSuite {
       "joined-string separator counting diverged from per-word replay")
   }
 
+  test("qS08 streamed band assignment equals the batch rawBandsOf " +
+    "over the same arrivals AND the q251 index's arrival slice") {
+    import org.apache.spark.sql.functions.{col, max}
+    val docs = Corpus.read(spark, TestSpark.sf, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val delta = graft.operators.Relational.cdcDeltaOf(docs, maxId)
+    val arrivals = delta.revised
+      .select(col("doc_id"), col("lang"),
+        col("new_text").as("text"))
+      .unionByName(delta.inserted
+        .select(col("doc_id"), col("lang"), col("text")))
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._3))
+    val streamed = canon(DocumentStreams
+      .lshBandedFinalized(spark, TestSpark.sf).collect())
+    val batch = canon(graft.operators.Dedup.rawBandsOf(arrivals)
+      .select(col("doc_id"), col("lang"),
+        col("band").cast("long").as("band"), col("bkey"))
+      .collect())
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "ingest-side banding diverged from the batch arrival leg")
+    // The streamed rows ARE the maintained index's arrival slice:
+    // what the ingest path appends is exactly what q251 stores.
+    val arrivalIds = streamed.map(_._1).toSet
+    val idxSlice = canon(graft.operators.Dedup
+      .lshIndexMaintenance(spark, TestSpark.sf).collect())
+      .filter(t => arrivalIds.contains(t._1))
+    assert(streamed.toSeq === idxSlice.toSeq,
+      "the ingest-banded rows differ from the q251-maintained index " +
+        "slice for the same keys")
+  }
+
   test("qS05 arrival classes equal q246's batch diff minus the " +
     "delete row (delete is a non-arrival)") {
     val streamGate = DocumentStreams
