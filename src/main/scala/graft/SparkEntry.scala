@@ -385,7 +385,9 @@ object SparkEntry {
     "qS07_stream_bpe_tokenize" ->
       (graft.streaming.DocumentStreams.bpeTokenizedFinalized _),
     "qS08_stream_lsh_band" ->
-      (graft.streaming.DocumentStreams.lshBandedFinalized _)
+      (graft.streaming.DocumentStreams.lshBandedFinalized _),
+    "qS09_stream_dedup_admit" ->
+      (graft.streaming.DocumentStreams.dedupAdmittedFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -6482,6 +6484,26 @@ object SparkEntry {
          |${bandsCteOver("arrb")}
          |SELECT doc_id, lang, CAST(band AS BIGINT) AS band, bkey
          |FROM bk0 ORDER BY doc_id, band""".stripMargin,
+
+    // qS09: content-dedup admission at ingest. DuckDB derives the
+    // same arrival feed (revised + re-keyed rows, new content on
+    // even re-keys) and admits by its own NOT IN anti-join against
+    // the distinct base fingerprint set — fingerprints never null,
+    // so NOT IN is the exact anti-join.
+    "qS09_stream_dedup_admit" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |basefp AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+        |arr AS (
+        |  SELECT doc_id, lang, text || ' [rev2]' AS text
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + m + 1 AS doc_id, lang,
+        |    CASE WHEN (doc_id + m + 1) % 2 = 0 THEN text || ' [new]'
+        |         ELSE text END AS text
+        |  FROM documents, mx WHERE doc_id % 13 = 0)
+        |SELECT doc_id, lang, md5(text) AS fp
+        |FROM arr WHERE md5(text) NOT IN (SELECT fp FROM basefp)
+        |ORDER BY doc_id""".stripMargin,
 
     // qS05: q246's CDC at ingest. Same deterministic snapshot-B
     // fixture, but classified from the FEED's point of view — a LEFT

@@ -191,6 +191,66 @@ object DocumentStreams {
     spark.read.parquet(s"$tmp/data")
   }.orderBy(col("doc_id"), col("band"))
 
+  /** The qS09 streaming-vs-oracle gate: content-dedup ADMISSION at
+    * INGEST — the honest bounded-state form of streaming exact dedup
+    * (the object doc rules out stream-SELF dedup: content
+    * fingerprints never expire, so self-dedup state grows without
+    * bound; admission against a FROZEN base-snapshot artifact is a
+    * stream-static anti-join — the static side is the fingerprint
+    * index q248 maintains between snapshots, state is zero, memory
+    * flat, every decision replayable). Each arriving row is hashed
+    * and admitted iff its content fingerprint is NOT in the base
+    * index — so a re-keyed copy of known content never lands (the
+    * mod-13 re-inserts carrying base text are dropped; genuinely new
+    * content is admitted). The feed fixture keeps BOTH branches live:
+    * revised rows carry ' [rev2]' content (all new → admitted);
+    * re-keyed inserts carry ' [new]' content on even re-keys
+    * (admitted) and verbatim base content on odd (dropped).
+    * Implemented as a left-outer join + null filter — the same
+    * anti-join semantics in the stream-static form every Spark
+    * version supports.
+    */
+  def dedupAdmittedFinalized(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.stagedGate("graft-qs09-") { tmp =>
+    import graft.operators.Relational
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val delta = Relational.cdcDeltaOf(docs, maxId)
+    val arrivals = delta.revised
+      .select(col("doc_id"), col("lang"), col("new_text").as("text"))
+      .unionByName(delta.inserted.select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(col("text"), lit(" [new]")))
+          .otherwise(col("text")).as("text")))
+    arrivals.repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/arrivals.parquet")
+    // The frozen base artifact: the DISTINCT content-fingerprint set
+    // (40-byte rows — the q246 slim-join shape).
+    val base = docs.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("known", lit(1L))
+    val feed = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("text", StringType))))
+      .parquet(s"$tmp/in/arrivals.parquet")
+    val q = feed
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+      .join(base, Seq("fp"), "left_outer")
+      .filter(col("known").isNull)
+      .select(col("doc_id"), col("lang"), col("fp"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data")
+  }.orderBy(col("doc_id"))
+
   /** Schema of a staged CDC snapshot feed: keyed rows carrying the
     * arriving version's content fingerprint.
     */

@@ -87,7 +87,13 @@ class PlanContractSpec extends AnyFunSuite {
       "qS01; band assignment is the stateless per-row rawBandsOf " +
       "projection (signature + 4 band keys, no join, no aggregate, " +
       "no state); DocumentStreamsSpec pins stream-vs-batch parity " +
-      "and the q251 index arrival-slice identity.")
+      "and the q251 index arrival-slice identity."),
+    "qS09_stream_dedup_admit" -> ("same availableNow-pipeline shape " +
+      "as qS01; admission is a stateless stream-static anti-join " +
+      "(left outer + null filter) against the frozen base " +
+      "fingerprint index — no watermark, no stream-side state; " +
+      "DocumentStreamsSpec pins stream-vs-batch parity and both " +
+      "admit/drop branches.")
   )
 
   /** Unpartitioned windows allowed because the windowed relation is

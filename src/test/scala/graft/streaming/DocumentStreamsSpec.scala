@@ -364,6 +364,44 @@ class DocumentStreamsSpec extends AnyFunSuite {
         "slice for the same keys")
   }
 
+  test("qS09 ingest admission equals the batch anti-join and both " +
+    "admit/drop branches are live") {
+    import org.apache.spark.sql.functions.{col, concat, lit, max, md5,
+      pmod, when}
+    val docs = Corpus.read(spark, TestSpark.sf, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val delta = graft.operators.Relational.cdcDeltaOf(docs, maxId)
+    val arrivals = delta.revised
+      .select(col("doc_id"), col("lang"), col("new_text").as("text"))
+      .unionByName(delta.inserted.select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(col("text"), lit(" [new]")))
+          .otherwise(col("text")).as("text")))
+    val base = docs.select(md5(col("text")).as("fp")).distinct()
+    val want = arrivals
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+      .join(base, Seq("fp"), "left_anti")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(0)))
+      .sortBy(_._1)
+    val got = DocumentStreams.dedupAdmittedFinalized(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq,
+      "ingest-side admission diverged from the batch anti-join")
+    // Branch liveness: every revised row admitted (new content), at
+    // least one re-key admitted (' [new]' content) and at least one
+    // re-key dropped (verbatim base content).
+    val revisedIds = delta.revised.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val rekeyedIds = delta.inserted.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val admitted = got.map(_._1).toSet
+    assert(revisedIds.subsetOf(admitted))
+    assert((rekeyedIds & admitted).nonEmpty, "no re-key was admitted")
+    assert((rekeyedIds -- admitted).nonEmpty, "no re-key was dropped")
+  }
+
   test("qS05 arrival classes equal q246's batch diff minus the " +
     "delete row (delete is a non-arrival)") {
     val streamGate = DocumentStreams
