@@ -114,8 +114,22 @@ class PagilaLiveSpec extends AnyFunSuite {
     assert(back.count() == 5000)
     assert(back.columns.toSet == staged.columns.toSet)
     assert(back.filter(col("col6").isNull).count() == 20)
-    val a = staged.orderBy("col2").collect().map(_.toSeq)
-    val b = back.orderBy("col2").collect().map(_.toSeq)
+    // col5 goes out as an instant (TimestampType → PG `timestamp`)
+    // and comes back TZ-NAIVE (TimestampNTZType) — that is the
+    // dialect's DOCUMENTED reference mapping (lib.rs:283-303: PG
+    // timestamp-without-tz loads as a naive value), not drift, so the
+    // value compare canonicalizes both sides to the same naive form
+    // under the UTC session before collecting. (First live run, r16:
+    // the dormant spec's raw Row equality compared Timestamp to
+    // LocalDateTime and could never pass under its own dialect.)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("col5", col("col5").cast("timestamp_ntz"))
+        .orderBy("col2").collect().map(_.toSeq)
+    val a = canon(staged)
+    val b = canon(back)
+    a.zip(b).find { case (x, y) => x != y }.foreach { case (x, y) =>
+      info(s"first diff:\n  staged: $x\n  back:   $y")
+    }
     assert(a.sameElements(b), "values drifted across the PG round-trip")
   }
 }
