@@ -1,0 +1,111 @@
+package graft.jdbc
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+
+import graft.{Flaco, SparkEntry, TestSpark}
+import graft.sources.Corpus
+
+/** THE reference contract, executed end-to-end: flaco's entire query
+  * model is "hand PostgreSQL an arbitrary SQL string, let PG plan and
+  * execute it, ingest the rows" (`/root/reference/src/lib.rs:188-195`).
+  * This suite runs this repo's own DuckDB ORACLE SQL texts through a
+  * LIVE PostgreSQL via [[Flaco.readSqlToDataFrame]] (the
+  * [[MiniPgDriver]] wire) and compares the rows against the native
+  * Spark operators — a THIRD independent engine agreeing on the same
+  * answers: engine ≡ DuckDB (the driver's gate) ≡ PostgreSQL (the
+  * reference's backend, this gate).
+  *
+  * Env-gated like PagilaLiveSpec: cancels without `FLACO_PG_URI`;
+  * `scripts/pg_provision.sh` provisions the cluster. The suite loads
+  * the sf corpus tables it needs into PG itself (df.write.jdbc), and
+  * installs one compatibility shim in the throwaway DB: PG has no
+  * `round(double precision, int)` overload (DuckDB and Spark both do),
+  * so a 2-line SQL function routes it through numeric — rounding the
+  * exact decimal expansion of the double, the same half-up the other
+  * two engines apply at these call sites.
+  *
+  * Query pick: oracle texts that are ANSI-portable to PG verbatim —
+  * scan/filter/project (q02), full aggregate (q01), correlated EXISTS
+  * (q04), selective aggregate (q06). The oracle STRINGS are read from
+  * [[SparkEntry.oracleSql]] — not copies — so drift between the gates
+  * is impossible.
+  */
+class PgDelegationParitySpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val uriOpt: Option[String] = sys.env.get("FLACO_PG_URI")
+
+  private def uri: String = {
+    assume(uriOpt.isDefined,
+      "FLACO_PG_URI not set — live-PG delegation gate dormant offline")
+    graft.types.FlacoPostgresDialect.register()
+    MiniPgDriver.ensureRegistered()
+    uriOpt.get
+  }
+
+  /** Load the needed corpus tables into PG once per armed run, and
+    * install the round(float8, int) shim.
+    */
+  private lazy val loaded: Boolean = {
+    val u = uri
+    val conn = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE OR REPLACE FUNCTION round(double precision, integer) " +
+          "RETURNS double precision AS " +
+          "'SELECT round($1::numeric, $2)::double precision' " +
+          "LANGUAGE SQL IMMUTABLE")
+      st.close()
+    } finally conn.close()
+    Seq("lineitem", "orders").foreach { t =>
+      Corpus.read(spark, TestSpark.sf, t)
+        .write.mode("overwrite")
+        .jdbc(u, t, new java.util.Properties())
+    }
+    true
+  }
+
+  /** Canonical collect: columns sorted by name, rows sorted by their
+    * stringified form — the driver gate's comparison discipline.
+    */
+  private def canon(df: DataFrame): Seq[Seq[String]] = {
+    val cols = df.columns.sorted.toSeq
+    df.selectExpr(cols.map(c => s"`$c`"): _*).collect()
+      .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString).toSeq)
+      .toSeq.sortBy(_.mkString("|"))
+  }
+
+  Seq("q01_pricing_summary", "q02_filter_project", "q04_order_priority",
+    "q06_forecast_revenue").foreach { name =>
+    test(s"$name: PostgreSQL executing the oracle SQL equals the " +
+      "native Spark operator") {
+      val u = uri
+      assert(loaded)
+      val viaPg = Flaco.readSqlToDataFrame(spark, u,
+        SparkEntry.oracleSql(name))
+      val native = SparkEntry.queries(name)(spark, TestSpark.sf)
+      val a = canon(viaPg)
+      val b = canon(native)
+      assert(a.nonEmpty, "PG returned no rows — tables not loaded?")
+      assert(a === b,
+        s"$name: PostgreSQL's answer diverged from the native operator")
+    }
+  }
+
+  test("4-way partitioned wire read returns exactly the full table " +
+    "(per-partition WHERE pushdown over concurrent connections)") {
+    val u = uri
+    assert(loaded)
+    val whole = Flaco.readSqlToDataFrame(spark, u,
+      "select l_orderkey, l_linenumber, l_quantity from lineitem")
+    val parts = Flaco.readSqlToDataFrame(spark, u,
+      "select l_orderkey, l_linenumber, l_quantity from lineitem",
+      partitionColumn = Some(("l_orderkey", 0L, 6200L, 4)))
+    assert(parts.rdd.getNumPartitions === 4)
+    assert(canon(parts) === canon(whole),
+      "partitioned read lost or duplicated rows")
+  }
+}
