@@ -405,8 +405,16 @@ object MiniPgJdbc {
         if (v == null) null
         else {
           val c = col(a(0).asInstanceOf[Integer])
-          if (c.oid == 1184) parseTimestamptz(v)
-          else java.sql.Timestamp.valueOf(parseTimestampNtz(v))
+          c.oid match {
+            case 1184 => parseTimestamptz(v)
+            // time / timetz: pgjdbc's convention — a timestamp on the
+            // epoch date (PgTypeMap.timeAsMicros then re-derives
+            // µs-since-midnight from it, base date irrelevant).
+            case 1083 =>
+              java.sql.Timestamp.valueOf(parseTimestampNtz(s"1970-01-01 $v"))
+            case 1266 => parseTimestamptz(s"1970-01-01 $v")
+            case _ => java.sql.Timestamp.valueOf(parseTimestampNtz(v))
+          }
         }
       case ("getObject", a) if a.length == 2 &&
           a(1) == classOf[LocalDateTime] =>
@@ -415,6 +423,18 @@ object MiniPgJdbc {
       case ("getObject", a) if a.length == 2 && a(1) == classOf[LocalDate] =>
         val v = cell(a(0).asInstanceOf[Integer])
         if (v == null) null else LocalDate.parse(v)
+      case ("getTime", a) if a.length == 1 =>
+        // Spark's TIME getter. java.sql.Time is millis-precision; the
+        // value is the UTC instant of 1970-01-01T<time> (timetz
+        // offsets applied), which Spark then reads as an instant.
+        val v = cell(a(0).asInstanceOf[Integer])
+        if (v == null) null
+        else {
+          val c = col(a(0).asInstanceOf[Integer])
+          val ts = if (c.oid == 1266) parseTimestamptz(s"1970-01-01 $v")
+            else java.sql.Timestamp.valueOf(parseTimestampNtz(s"1970-01-01 $v"))
+          new java.sql.Time(ts.getTime)
+        }
       case ("setFetchSize", _) => null
       case ("getFetchSize", _) => I(0)
       case ("getWarnings", _) => null
