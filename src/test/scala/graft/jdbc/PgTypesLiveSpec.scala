@@ -113,6 +113,29 @@ class PgTypesLiveSpec extends AnyFunSuite {
     assert(byId(3) === '0'.toByte)
   }
 
+  test("an interval column degrades to PG's text rendering (Spark " +
+    "4.1 maps Types.OTHER to string — delegation, not the abort)") {
+    // First live run recorded the REAL contract here: where the
+    // reference aborts on interval (`unimplemented!`, lib.rs:367-374)
+    // and the dialect docstring anticipated a catchable load error,
+    // Spark 4.1's JDBC source loads Types.OTHER columns as their text
+    // rendering — strictly better delegation (the same rows an
+    // explicit ::text cast yields; [[graft.functions.DecodeInterval]]
+    // remains the exact-decode path, q46).
+    val u = uri
+    assert(loaded)
+    val df = Flaco.readSqlToDataFrame(spark, u,
+      "select id, make_interval(days => id) AS iv from flaco_types_live")
+    assert(df.schema("iv").dataType === StringType)
+    val byId = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byId(2) === "2 days")
+    val txt = Flaco.readSqlToDataFrame(spark, u,
+      "select id, make_interval(days => id)::text AS iv " +
+        "from flaco_types_live")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byId === txt, "OTHER-as-string diverged from explicit ::text")
+  }
+
   test("numeric loads as float8 under default parity and as exact " +
     "DECIMAL in exact mode") {
     val u = uri
