@@ -46,7 +46,11 @@ import scala.collection.mutable.ArrayBuffer
   *    catchable-error contract, `lib.rs:382-385`).
   *
   * NOT a general-purpose driver: no extended protocol, no binary
-  * format, no cursors, no cancellation, no SSL. It exists so the
+  * format, no cursors, no cancellation, no SSL — and each statement's
+  * result is fully buffered in client memory before the ResultSet is
+  * handed back (no fetchSize streaming), which bounds it to
+  * test-harness scales by construction (PgIngestProbe measures the
+  * cost honestly at 600k rows). It exists so the
   * reference's integration surface (live PG round-trips) is
   * executable in-sandbox; production deployments would put the real
   * pgjdbc on the classpath and never load this class (DriverManager

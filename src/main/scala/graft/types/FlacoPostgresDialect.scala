@@ -26,9 +26,13 @@ import graft.ParityOptions
   *     `Types.TIMESTAMP` and distinguishes only by type NAME, so the
   *     timestamptz arm must match by name first or instants would be
   *     silently loaded as naive values.
-  *   - unknown types surface as None → Spark raises a catchable
-  *     error instead of the reference's `unimplemented!` abort
-  *     (`src/lib.rs:382-385`)
+  *   - unknown types surface as None → what happens next is Spark's
+  *     default: `Types.OTHER` columns (interval, and any PG type
+  *     pgjdbc reports as OTHER) load as their TEXT rendering under
+  *     Spark 4.1 (measured live, PgTypesLiveSpec — delegation rather
+  *     than the reference's `unimplemented!` abort at
+  *     `src/lib.rs:382-385`), while genuinely unmappable sqlTypes
+  *     raise a catchable error
   *
   * Mappings that CANNOT go through this layer, because Spark's
   * JdbcUtils getter for the target type would call the wrong
