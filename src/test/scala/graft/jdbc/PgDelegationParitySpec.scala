@@ -95,6 +95,37 @@ class PgDelegationParitySpec extends AnyFunSuite {
     }
   }
 
+  test("federated join: the PG wire relation joins the parquet corpus " +
+    "in one Catalyst plan and matches the all-parquet twin") {
+    // The lakehouse + operational-store shape: lineitem lives in
+    // PostgreSQL (loaded above), orders in parquet; one declarative
+    // plan joins across the two sources. Parity: the same join with
+    // both sides parquet.
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    val u = uri
+    assert(loaded)
+    def revenueBySeg(li: DataFrame): Seq[(String, Long, Double)] = {
+      val o = Corpus.read(spark, TestSpark.sf, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("rev"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    }
+    val viaPg = revenueBySeg(Flaco.readSqlToDataFrame(spark, u,
+      "select l_orderkey, l_extendedprice, l_discount from lineitem"))
+    val viaParquet = revenueBySeg(
+      Corpus.read(spark, TestSpark.sf, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+    assert(viaPg.nonEmpty)
+    assert(viaPg === viaParquet,
+      "the federated (PG ⋈ parquet) aggregate diverged from the " +
+        "all-parquet twin")
+  }
+
   test("4-way partitioned wire read returns exactly the full table " +
     "(per-partition WHERE pushdown over concurrent connections)") {
     val u = uri
