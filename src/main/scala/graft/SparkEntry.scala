@@ -6046,8 +6046,8 @@ object SparkEntry {
 
     // q241: DSIR Gumbel top-k resampling over q240's weights. The
     // seeded noise is re-derived independently: 6-hex md5 prefix →
-    // uniform → −ln(−ln(u)), fixed to micro-units ON TOP of the
-    // integer weight, so both engines rank by the same BIGINT key.
+    // u = (2h+1)/2^25 → the two FixedLog integer ln evaluations —
+    // both engines rank by the same BIGINT key by construction.
     "q241_dsir_resample" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
@@ -6065,25 +6065,13 @@ object SparkEntry {
          |dist AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS cp,
          |    count(*) AS cq FROM bk GROUP BY b),
          |tot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM dist),
-         |w AS (SELECT b, CAST(round((ln((2 * cp + 1) / (2.0 * np + 1024))
-         |    - ln((2 * cq + 1) / (2.0 * nq + 1024))) * 1000000)
-         |    AS BIGINT) AS lw
-         |  FROM dist, tot),
+         |${dsirLwCtes("", "dist", "tot")},
          |doc AS (SELECT bk.doc_id, CAST(sum(w.lw) AS BIGINT) AS w_micro
          |  FROM bk JOIN w USING (b) GROUP BY bk.doc_id),
          |gum AS (SELECT doc_id, w_micro,
          |    md5('dsir-seed-7:' || CAST(doc_id AS VARCHAR)) AS h
          |  FROM doc),
-         |keyed AS (SELECT doc_id, w_micro,
-         |    CAST(round(w_micro + (-ln(-ln(
-         |      (((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576
-         |       + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536
-         |       + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096
-         |       + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 256
-         |       + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
-         |       + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)
-         |       + 0.5) / 16777216.0)))) * 1000000) AS BIGINT) AS key_micro
-         |  FROM gum)
+         |${gumbelKeyCtes("doc_id")}
          |SELECT doc_id, w_micro, key_micro FROM keyed
          |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin,
 
@@ -6138,25 +6126,14 @@ object SparkEntry {
          |ddist AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS cp,
          |    count(*) AS cq FROM dbk GROUP BY b),
          |dtot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM ddist),
-         |dw AS (SELECT b, CAST(round((ln((2 * cp + 1) / (2.0 * np + 1024))
-         |    - ln((2 * cq + 1) / (2.0 * nq + 1024))) * 1000000)
-         |    AS BIGINT) AS lw
-         |  FROM ddist, dtot),
+         |${dsirLwCtes("d", "ddist", "dtot")},
          |ddoc AS (SELECT dbk.doc_id, CAST(sum(dw.lw) AS BIGINT) AS w_micro
          |  FROM dbk JOIN dw USING (b) GROUP BY dbk.doc_id),
          |gum AS (SELECT kept.doc_id, kept.lang, kept.n_tok, ddoc.w_micro,
          |    md5('dsir-seed-7:' || CAST(kept.doc_id AS VARCHAR)) AS h
          |  FROM kept JOIN ddoc USING (doc_id)),
-         |sel AS (SELECT doc_id, lang, n_tok,
-         |    CAST(round(w_micro + (-ln(-ln(
-         |      (((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576
-         |       + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536
-         |       + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096
-         |       + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 256
-         |       + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
-         |       + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)
-         |       + 0.5) / 16777216.0)))) * 1000000) AS BIGINT) AS key_micro
-         |  FROM gum
+         |${gumbelKeyCtes("doc_id, lang, n_tok")},
+         |sel AS (SELECT doc_id, lang, n_tok, key_micro FROM keyed
          |  ORDER BY key_micro DESC, doc_id
          |  LIMIT ${graft.operators.TextAnalysis.DsirPipelineK}),
          |mx AS (SELECT doc_id, n_tok FROM sel
@@ -6659,12 +6636,54 @@ object SparkEntry {
         |ORDER BY user_id, start_us""".stripMargin
   )
 
+  /** The DSIR bucket-weight CTE pair shared by every DSIR oracle:
+    * the smoothed log-ratio as ONE rational, its ln taken by
+    * [[graft.functions.FixedLog.sqlExpr]] — the exact integer
+    * algorithm the engine runs in Scala, so the micro-unit BIGINTs
+    * agree by construction (no float `ln` left in any DSIR gate;
+    * the r16 verdict's flake-class kill). `dist`/`tot` carry
+    * (b, cp, cq) and (np, nq); emits `<p>wr` and `<p>w`.
+    */
+  private def dsirLwCtes(p: String, dist: String, tot: String): String =
+    s"""${p}wr AS (SELECT b, (2 * cp + 1) * (2 * nq + 1024) AS lnum,
+       |    (2 * np + 1024) * (2 * cq + 1) AS lden FROM $dist, $tot),
+       |${p}w AS (SELECT b,
+       |  ${graft.functions.FixedLog.sqlExpr("lnum", "lden", 6)} AS lw
+       |  FROM ${p}wr)""".stripMargin
+
+  /** The integer-exact seeded Gumbel key CTEs shared by q241/q247:
+    * 6-hex md5 prefix h → u = (2h+1)/2^25, inner −ln(u) in PICO
+    * units, outer −ln(inner) in micro — both [[FixedLog.sqlExpr]]
+    * integer evaluations, mirroring the engine's gumbelKeyMicro.
+    * Input `gum` carries (h, w_micro, $carry); emits `gh`/`gi`/
+    * `keyed` with key_micro = w_micro + g_micro.
+    */
+  private def gumbelKeyCtes(carry: String): String =
+    s"""gh AS (SELECT $carry, w_micro,
+       |    2 * ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576
+       |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536
+       |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096
+       |     + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 256
+       |     + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)) + 1
+       |      AS hden
+       |  FROM gum),
+       |gi AS (SELECT $carry, w_micro,
+       |    ${graft.functions.FixedLog.sqlExpr("33554432", "hden", 12)}
+       |      AS ipico
+       |  FROM gh),
+       |keyed AS (SELECT $carry, w_micro, w_micro -
+       |    ${graft.functions.FixedLog.sqlExpr("ipico", "1000000000000", 6)}
+       |      AS key_micro
+       |  FROM gi)""".stripMargin
+
   /** Shared q240/qS04 oracle: DSIR importance weights re-derived
     * from first principles (the q114 ordinality idiom for bigram
     * adjacency, the q47 md5 bucket hash, micro-unit integer
-    * log-ratios). qS04's streamed scorer is a stateless projection
-    * of an offline-fit model over the same corpus, so its emitted
-    * set equals the batch scoring — ONE oracle text, two gates.
+    * log-ratios via the FixedLog integer algorithm). qS04's streamed
+    * scorer is a stateless projection of an offline-fit model over
+    * the same corpus, so its emitted set equals the batch scoring —
+    * ONE oracle text, two gates.
     */
   private val dsirWeightsOracle: String =
     s"""WITH t AS (SELECT doc_id, lang,
@@ -6683,10 +6702,7 @@ object SparkEntry {
        |dist AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS cp,
        |    count(*) AS cq FROM bk GROUP BY b),
        |tot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM dist),
-       |w AS (SELECT b, CAST(round((ln((2 * cp + 1) / (2.0 * np + 1024))
-       |    - ln((2 * cq + 1) / (2.0 * nq + 1024))) * 1000000)
-       |    AS BIGINT) AS lw
-       |  FROM dist, tot)
+       |${dsirLwCtes("", "dist", "tot")}
        |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        |  CAST(sum(w.lw) AS BIGINT) AS w_micro
        |FROM bk JOIN w USING (b)

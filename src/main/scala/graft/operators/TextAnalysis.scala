@@ -2246,17 +2246,15 @@ object TextAnalysis {
     * (the trained model a deployment broadcasts — e.g. the qS04
     * streaming scorer applies it at ingest).
     *
-    * Cross-engine parity of the ONE floating step (r15 ADVICE): the
-    * bucket log-ratio uses JVM `math.log` here and DuckDB `ln` in the
-    * q240/q241/qS04 oracles; both are correct to ≤ 1 ulp, so the
-    * engines can disagree by ≤ ~2·10⁻¹⁶ relative before the shared
-    * round-to-micro. A gate flip needs a true ratio within that slack
-    * of a .5 micro boundary — odds ≈ 4·10⁻⁹ per bucket ≈ 4·10⁻⁶ per
-    * derivation over B = 1024 buckets (q241's top-k cut shares the
-    * same bound: a 1-micro flip must also land exactly on the k-th
-    * key tie). Accepted as the gate's documented flake budget — the
-    * q73/q171 parity class; a shared fixed-precision log table would
-    * remove it at the cost of no longer testing the real `ln`.
+    * Cross-engine parity of the log step (r16 verdict "kill the ln
+    * flake class"): the bucket log-ratio is computed by
+    * [[graft.functions.FixedLog.lnScaled]] — EXACT integer arithmetic
+    * on the rational (2cp+1)(2Nq+B) / (2Np+B)(2cq+1) — and the
+    * oracles run [[graft.functions.FixedLog.sqlExpr]], the same
+    * integer algorithm in DuckDB SQL. Both engines therefore produce
+    * the SAME micro-unit BIGINT on every input: no float `log`
+    * anywhere in the gated artifact, no ulp flake budget left (the
+    * result is still ln to within ~4·10⁻⁹ + the .5-micro rounding).
     */
   def dsirWeightTable(spark: SparkSession, dir: String,
       targetLang: String = "en", buckets: Int = 1024): Map[Int, Long] = {
@@ -2272,9 +2270,12 @@ object TextAnalysis {
     val nq = dist.map(_.getLong(2)).sum
     dist.map { r =>
       val cp = r.getLong(1); val cq = r.getLong(2)
-      val v = math.log((2.0 * cp + 1) / (2.0 * np + buckets)) -
-        math.log((2.0 * cq + 1) / (2.0 * nq + buckets))
-      r.getInt(0) -> math.round(v * 1e6)
+      // ln(p/q) of the smoothed ratio as ONE rational — BigInt
+      // products, so the arithmetic is overflow-free at any corpus
+      // size (count products exceed 2^63 well below 100 TB).
+      val num = (BigInt(2) * cp + 1) * (BigInt(2) * nq + buckets)
+      val den = (BigInt(2) * np + buckets) * (BigInt(2) * cq + 1)
+      r.getInt(0) -> graft.functions.FixedLog.lnScaled(num, den, 6)
     }.toMap
   }
 
@@ -2326,12 +2327,26 @@ object TextAnalysis {
     * uniform, and the micro fixing can never drift between the
     * standalone operator and the composed pipeline (the splitCol
     * sharing discipline).
+    *
+    * The noise is integer-exact end to end (the q240 FixedLog
+    * discipline): u = (2h+1)/2^25 from the 6-hex md5 prefix h, so
+    * −ln(u) = lnScaled(2^25, 2h+1) fixed to PICO units (pico, not
+    * micro, keeps relative precision when u → 1 and −ln u → 3·10⁻⁸),
+    * then g_micro = −lnScaled(inner_pico, 10^12) — two integer log
+    * evaluations both engines reproduce bit-identically. The key is
+    * a deterministic seeded pseudo-Gumbel accurate to ~10⁻⁴ of true
+    * −ln(−ln u) at the extreme u; distribution-indistinguishable for
+    * resampling, and (the property the gate needs) the same BIGINT
+    * in both engines.
     */
   private def gumbelKeyMicro: Column = {
-    val u = (conv(substring(md5(
+    import graft.functions.FixedLog.ln_scaled
+    val h = conv(substring(md5(
       concat(lit("dsir-seed-7:"), col("doc_id"))), 1, 6), 16, 10)
-      .cast("double") + lit(0.5)) / lit(16777216.0)
-    round(col("w_micro") + -log(-log(u)) * lit(1e6)).cast("long")
+      .cast("long")
+    val innerPico = ln_scaled(lit(33554432L), h * 2L + 1L, 12)
+    val gMicro = -ln_scaled(innerPico, lit(1000000000000L), 6)
+    (col("w_micro") + gMicro).cast("long")
   }
 
   /** Incremental document-frequency maintenance under CDC (q249) —

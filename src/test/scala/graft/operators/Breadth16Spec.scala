@@ -93,13 +93,15 @@ class Breadth16Spec extends AnyFunSuite {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // Spark's round() is HALF_UP away from zero — BigDecimal, not
-    // math.round (which is HALF_UP toward +inf for negatives).
+    // The r17 integer-exact Gumbel key: u = (2h+1)/2^25, inner
+    // −ln(u) in pico units, outer −ln(inner) in micro — both via
+    // FixedLog, the same integers the engine and the oracle compute.
     def gumbelKey(id: Long, wm: Long): Long = {
-      val u = (java.lang.Long.parseLong(
-        md5hex(s"dsir-seed-7:$id").substring(0, 6), 16) + 0.5) / 16777216.0
-      BigDecimal(wm + -math.log(-math.log(u)) * 1e6)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val h = java.lang.Long.parseLong(
+        md5hex(s"dsir-seed-7:$id").substring(0, 6), 16)
+      val innerPico =
+        graft.functions.FixedLog.lnScaledLong(33554432L, 2 * h + 1, 12)
+      wm - graft.functions.FixedLog.lnScaledLong(innerPico, 1000000000000L, 6)
     }
     val sel = kept.filter(d => w.contains(d._1)) // zero-bigram docs leave
       .map { case (id, lang, nt) => (id, lang, nt, gumbelKey(id, w(id))) }
