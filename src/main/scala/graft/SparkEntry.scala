@@ -370,6 +370,10 @@ object SparkEntry {
       Similarity.ivfIndexMaintenance(s, d)),
     "q251_lsh_ivm" -> (Dedup.lshIndexMaintenance _),
     "q252_cdc_maintain_all" -> (Relational.cdcMaintainAll _),
+    "q253_bpe_train_fast" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTrainFast(s, d)),
+    "q254_bpe1k_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeSeqFertility(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6164,15 +6168,23 @@ object SparkEntry {
     // per-round CTEs are MATERIALIZED: DuckDB inlines CTEs by
     // default and each round references its argmax three times, so
     // the plain form expands 3^rounds.
-    "q244_bpe_train" -> {
-      val rows = (1 to TextAnalysis.BpeMerges).map(k =>
-        s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
-          s"CAST(pc AS BIGINT) AS pair_count FROM m$k")
-        .mkString("\nUNION ALL\n")
-      s"""WITH $bpeSelectionCtes
-         |$rows
-         |ORDER BY rank""".stripMargin
-    },
+    "q244_bpe_train" -> bpeTrainOracle,
+
+    // q253: the r17 LOCAL dictionary trainer must select the exact
+    // same rules as DuckDB's from-scratch unrolled training — the
+    // SAME oracle text as q244, so fast-path ≡ loop ≡ DuckDB is one
+    // three-way identity (the trainer leg of the production-BPE
+    // evidence chain; q254 gates the apply leg at 1024 rules).
+    "q253_bpe_train_fast" -> bpeTrainOracle,
+
+    // q254: production merge count. DuckDB re-applies the engine's
+    // 1024-rule sequence-level table (embedded as VALUES — the
+    // trained model is the INPUT here, its selection logic being
+    // gated by q253/q244) via a 1024-iteration recursive replace
+    // chain over the distinct (lang, text) units, then re-aggregates
+    // fertility. The engine side runs the flat-cost kernel — this
+    // gate IS kernel ≡ replace-chain at production merge count.
+    "q254_bpe1k_fertility" -> bpeSeqOracle,
 
     // q245: the trained tokenizer APPLIED — the oracle re-derives
     // the q244 merge chain (same shared CTEs), then applies each
@@ -6707,6 +6719,75 @@ object SparkEntry {
        |  CAST(sum(w.lw) AS BIGINT) AS w_micro
        |FROM bk JOIN w USING (b)
        |GROUP BY bk.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Corpus dir the DYNAMIC oracles (q254) are generated against.
+    * [[Verify]] sets it to its sfDir argument BEFORE dumping
+    * oracle_sql.json, so the embedded artifact always matches the
+    * corpus the driver compares on; the default keeps spec-time
+    * evaluation cheap and deterministic.
+    */
+  @volatile var oracleCorpusDir: String = "/root/testdata/sf0.001"
+
+  /** Shared q244/q253 oracle: DuckDB trains the [[TextAnalysis
+    * .BpeMerges]]-round merge table from scratch (unrolled stages).
+    */
+  private lazy val bpeTrainOracle: String = {
+    val rows = (1 to TextAnalysis.BpeMerges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
+        s"CAST(pc AS BIGINT) AS pair_count FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeSelectionCtes
+       |$rows
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** q254 oracle, generated at oracle-dump time: embed the engine's
+    * trained 1024-rule sequence-level table as VALUES and re-APPLY it
+    * in DuckDB with a recursive per-rank replace chain (rank r fires
+    * at recursion depth r — literally the chain semantics the kernel
+    * must reproduce), then re-derive the fertility report. Training
+    * is memoized, so the query and its oracle read the same artifact;
+    * the table's SELECTION is independently cross-engine-gated at 64
+    * rules by q253 (DuckDB trains from scratch there — 1024 unrolled
+    * training stages would be a megabyte of SQL and quadratic planner
+    * pain, while 1024 APPLY iterations are one recursive CTE).
+    */
+  private def bpeSeqOracle: String = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val merges = TextAnalysis.bpeSeqMergesFor(spark, oracleCorpusDir)
+    def esc(s: String) = s.replace("'", "''")
+    val values = merges
+      .map { case (r, a, b, _) => s"($r, '${esc(a)}', '${esc(b)}')" }
+      .mkString(", ")
+    val n = merges.length
+    s"""WITH RECURSIVE m AS (SELECT * FROM (VALUES $values) v(rank, a, b)),
+       |u AS (SELECT lang, text, count(*) AS cnt FROM documents
+       |  GROUP BY lang, text),
+       |base AS (SELECT lang, text, cnt, length(text) AS chars,
+       |    '·' || array_to_string(list_transform(range(1, length(text) + 1),
+       |      i -> substring(text, CAST(i AS INTEGER), 1)), '··') || '·'
+       |      AS sym
+       |  FROM u),
+       |app AS (
+       |  SELECT lang, text, cnt, chars, sym, 0 AS r FROM base
+       |  UNION ALL
+       |  SELECT a.lang, a.text, a.cnt, a.chars,
+       |    replace(a.sym, '·' || m.a || '··' || m.b || '·',
+       |      '·' || m.a || m.b || '·'), a.r + 1
+       |  FROM app a JOIN m ON m.rank = a.r + 1 WHERE a.r < $n),
+       |fin AS (SELECT lang, cnt, chars,
+       |    len(string_split(substring(sym, 2, length(sym) - 2), '··'))
+       |      AS n_tok
+       |  FROM app WHERE r = $n)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_text_types,
+       |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(sum(chars * cnt) AS BIGINT) AS sum_chars,
+       |  CAST(sum(n_tok * cnt) AS BIGINT) AS sum_subwords,
+       |  CAST(sum(chars * cnt) * 1000 // sum(n_tok * cnt) AS BIGINT)
+       |    AS chars_per_subword_permille
+       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   /** Shared q244/q245 oracle CTEs: the BPE merge-SELECTION chain —
     * word counts, char-fenced symbols, and one MATERIALIZED

@@ -18,6 +18,9 @@ import scala.concurrent.duration.Duration
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    // Dynamic oracles (q254) embed artifacts trained on the corpus
+    // under verification — point them at it BEFORE the oracle dump.
+    SparkEntry.oracleCorpusDir = sfDir
     // Optional 3rd+ args: run only these queries (local iteration;
     // the driver always passes exactly two).
     val only = args.drop(2).toSet

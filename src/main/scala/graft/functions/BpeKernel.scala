@@ -1,0 +1,365 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Production-scale BPE: a local merge-table trainer plus a per-unit
+  * APPLY kernel whose cost is flat in the merge count — the r16
+  * verdict's #1 ask (the per-round replace chain costs O(merges) per
+  * row and cannot reach real tokenizer merge counts; this kernel
+  * applies a 64-rule and a 32k-rule table at the same per-row cost).
+  *
+  * Semantics — "rank-monotone chain": BOTH the trainer and the kernel
+  * implement exactly the replace-chain application the q244/q245
+  * gates defined (for rank 1..R in order, one leftmost-
+  * non-overlapping merge pass of that rank's pair), so a table
+  * trained here segments its own training corpus identically to the
+  * per-round Spark loop, and the kernel is bit-identical to DuckDB's
+  * per-rank `replace()` recursion at ANY merge count (the q254
+  * oracle). This is deliberately the CHAIN order, not Sennrich's
+  * min-rank-anywhere priority order: chain apply reproduces the
+  * training-time segmentation by construction, and the two coincide
+  * except when a later merge re-creates an earlier rank's pair (the
+  * floor rule below decides those cases the chain way). The BPE
+  * reference surface this re-expresses is the tokenizer-training loop
+  * flaco-era pipelines delegate to an offline tool.
+  *
+  * The kernel's trick: applying ranks in order only needs, at each
+  * step, the MINIMUM rank present among adjacent pairs that is not
+  * below the phase floor (ranks re-created by later merges stay
+  * unmerged — chain passed them already). Small units use an O(L·A)
+  * rescan (A = merges applied ≤ L); long units a pair-heap with
+  * per-position versions, O(L log L) — both exact, cross-checked in
+  * BpeKernelSpec, so per-unit cost never depends on the table size.
+  */
+object BpeKernel {
+
+  /** Split into the per-code-point symbols Spark's
+    * `substring(w, i, 1)` / DuckDB's `substring` produce (NOT UTF-16
+    * chars — astral code points stay whole).
+    */
+  def splitSymbols(s: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Unsigned UTF-8 byte order — Spark's UTF8String / DuckDB binary
+    * VARCHAR collation, the tie-break both trainers and the argmax
+    * SQL share.
+    */
+  def byteLt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** One leftmost-non-overlapping merge pass of (a, b) — exactly one
+    * `replace('·a··b·' → '·ab·')` round on the fenced encoding.
+    */
+  def mergePass(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Train `rounds` merge rules over (unit, count) dictionary rows —
+    * the SAME selection the q244 Spark loop and its unrolled DuckDB
+    * oracle make (overlapping adjacent-pair counts weighted by unit
+    * count; argmax by count desc then pair bytes asc; chain merge),
+    * run locally over the collected dictionary with an incremental
+    * pair-count/occurrence index. One distributed pass builds the
+    * dictionary (Heaps-bounded); every round after that is
+    * driver-local — the industrial dictionary-BPE shape, removing the
+    * per-round Spark-job floor that capped the q244 loop at 64.
+    * Stops early if the dictionary runs out of adjacent pairs
+    * (returns fewer rows). Cited reference behavior: Sennrich et al.
+    * 2016 §3.2 dictionary training.
+    */
+  def trainLocal(units: Seq[(String, Long)],
+      rounds: Int): IndexedSeq[(Long, String, String, Long)] = {
+    val syms: Array[Array[String]] = units.map(u => splitSymbols(u._1)).toArray
+    val cnts: Array[Long] = units.map(_._2).toArray
+    val pairCnt = mutable.HashMap[(String, String), Long]()
+    val occ = mutable.HashMap[(String, String), mutable.BitSet]()
+    def account(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nv = pairCnt.getOrElse(p, 0L) + sign * cnts(i)
+        if (nv == 0L) pairCnt.remove(p) else pairCnt(p) = nv
+        if (sign > 0) occ.getOrElseUpdate(p, mutable.BitSet()) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { account(i, 1L); i += 1 }
+    val merges = mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var rank = 1
+    while (rank <= rounds && pairCnt.nonEmpty) {
+      var bp: (String, String) = null
+      var bc = Long.MinValue
+      pairCnt.foreach { case (p, c) =>
+        if (c > bc || (c == bc && (byteLt(p._1, bp._1) ||
+            (p._1 == bp._1 && byteLt(p._2, bp._2))))) { bp = p; bc = c }
+      }
+      val (a, b) = bp
+      merges += ((rank.toLong, a, b, bc))
+      // Occurrence sets are lazily stale (a unit may have lost the
+      // pair to an earlier merge); re-accounting is a net no-op for
+      // those, so no validation pass is needed.
+      occ.remove(bp).foreach(_.foreach { u =>
+        account(u, -1L)
+        syms(u) = mergePass(syms(u), a, b)
+        account(u, 1L)
+      })
+      rank += 1
+    }
+    merges.toIndexedSeq
+  }
+
+  private val SmallUnit = 48
+
+  /** Chain-apply a trained table to one unit; returns the merged
+    * symbol sequence. Dispatches scan/heap on unit length; both are
+    * exact chain semantics (BpeKernelSpec cross-checks them against
+    * each other and against the literal per-rank replace chain).
+    */
+  def segment(unit: String, t: BpeRankTable): Array[String] = {
+    val s0 = splitSymbols(unit)
+    if (s0.length < 2) s0
+    else if (s0.length <= SmallUnit) segmentScan(s0, t)
+    else segmentHeap(s0, t)
+  }
+
+  /** O(L·A) rescan: find the minimum present rank at or above the
+    * phase floor, run that rank's single merge pass, raise the floor.
+    */
+  private[functions] def segmentScan(s0: Array[String], t: BpeRankTable): Array[String] = {
+    var syms = s0
+    var floor = 0
+    var done = false
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = t.rankOf(syms(i), syms(i + 1))
+        if (r >= floor && r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val p = t.pairAt(best)
+        syms = mergePass(syms, p._1, p._2)
+        floor = best + 1
+      }
+    }
+    syms
+  }
+
+  private final class Entry(val rank: Int, val pos: Int, val ver: Int,
+      val born: Int) extends Comparable[Entry] {
+    override def compareTo(o: Entry): Int = {
+      val c = Integer.compare(rank, o.rank)
+      if (c != 0) c else Integer.compare(pos, o.pos)
+    }
+  }
+
+  /** O(L log L) heap kernel for long units (the 100 TB path: a
+    * 100k-char document costs ~L log L, not L²). Linked-list symbol
+    * nodes; heap ordered by (rank, position) so each rank's
+    * occurrences merge leftmost-first; per-position versions kill
+    * stale entries; the `born` phase stamp implements the chain
+    * floor (a pair re-created during phase r with rank ≤ r was
+    * already passed by the chain and must stay unmerged).
+    */
+  private[functions] def segmentHeap(s0: Array[String], t: BpeRankTable): Array[String] = {
+    val n = s0.length
+    val sym = new Array[String](n)
+    System.arraycopy(s0, 0, sym, 0, n)
+    val nxt = new Array[Int](n)
+    val prv = new Array[Int](n)
+    val ver = new Array[Int](n)
+    val alive = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      nxt(i) = if (i == n - 1) -1 else i + 1
+      prv(i) = i - 1
+      alive(i) = true
+      i += 1
+    }
+    val heap = new java.util.PriorityQueue[Entry]()
+    def push(pos: Int, born: Int): Unit = {
+      val j = nxt(pos)
+      if (j >= 0) {
+        val r = t.rankOf(sym(pos), sym(j))
+        if (r != Int.MaxValue) heap.add(new Entry(r, pos, ver(pos), born)): Unit
+      }
+    }
+    i = 0
+    while (i < n - 1) { push(i, 0); i += 1 }
+    while (!heap.isEmpty) {
+      val e = heap.poll()
+      // Stale (the pair starting here changed) or floor-excluded
+      // (created during a phase the chain already passed).
+      if (alive(e.pos) && ver(e.pos) == e.ver && e.born < e.rank) {
+        val p = e.pos; val j = nxt(p)
+        sym(p) = sym(p) + sym(j)
+        alive(j) = false; ver(j) += 1
+        val k = nxt(j)
+        nxt(p) = k
+        if (k >= 0) prv(k) = p
+        ver(p) += 1
+        if (prv(p) >= 0) { ver(prv(p)) += 1; push(prv(p), e.rank) }
+        push(p, e.rank)
+      }
+    }
+    val out = new mutable.ArrayBuffer[String](n)
+    var c = 0
+    while (c != -1) { if (alive(c)) out += sym(c); c = nxt(c) }
+    out.toArray
+  }
+
+  /** Subword count of one unit under a trained table. */
+  def subwordCount(unit: String, t: BpeRankTable): Int =
+    segment(unit, t).length
+
+  /** Per-document subword total under a WORD-level table: split on
+    * the regex-\s whitespace class `tokens()` uses, chain-apply each
+    * word. The qS07 ingest projection (and the q245 vocabulary route
+    * share the same per-word kernel, so stream and batch cannot
+    * drift).
+    */
+  def docSubwordCount(text: String, t: BpeRankTable): Long = {
+    var total = 0L
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(text.charAt(i))) i += 1
+      if (i > start) total += subwordCount(text.substring(start, i), t)
+    }
+    total
+  }
+
+  /** Java regex \s — the exact class behind `tokens()`'s '\\S+'. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}
+
+/** A trained merge table as a plan-embeddable model: `pairs(i)` is
+  * rank i+1's "lhs rhs". Built lazily into a hash map per
+  * executor; Seq equality gives the owning expressions sane plan
+  * canonicalization (the dsirScore broadcast-map-literal class —
+  * bounded driver data, ≤ the trained merge count).
+  */
+final class BpeRankTable(val pairs: IndexedSeq[String]) extends Serializable {
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) { m.put(pairs(i), Integer.valueOf(i + 1)); i += 1 }
+    m
+  }
+  @transient lazy val pairAt: Array[(String, String)] = {
+    val a = new Array[(String, String)](pairs.length + 1)
+    var i = 0
+    while (i < pairs.length) {
+      val s = pairs(i); val k = s.indexOf(' ')
+      a(i + 1) = (s.substring(0, k), s.substring(k + 1))
+      i += 1
+    }
+    a
+  }
+  /** Rank of (a, b), or Int.MaxValue when unmergeable. */
+  def rankOf(a: String, b: String): Int = {
+    val r = ranks.get(a + " " + b)
+    if (r == null) Int.MaxValue else r.intValue()
+  }
+  override def equals(o: Any): Boolean = o match {
+    case t: BpeRankTable => t.pairs == pairs
+    case _ => false
+  }
+  override def hashCode(): Int = pairs.hashCode()
+}
+
+object BpeRankTable {
+  def fromMerges(merges: Seq[(Long, String, String, Long)]): BpeRankTable =
+    new BpeRankTable(merges.sortBy(_._1)
+      .map(m => m._2 + " " + m._3).toIndexedSeq)
+}
+
+/** `bpe_subword_count(unit)` — chain-apply subword count of ONE unit
+  * (a word for the 64-rule gates, a whole document for the
+  * sequence-level q254 table).
+  */
+case class BpeSubwordCount(child: Expression, table: BpeRankTable)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    BpeKernel.subwordCount(input.asInstanceOf[UTF8String].toString, table).toLong
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeRankTable].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (long) graft.functions.BpeKernel.subwordCount($c.toString(), $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `bpe_doc_subword_count(text)` — per-document subword total under a
+  * word-level table (the qS07 stateless ingest projection).
+  */
+case class BpeDocSubwordCount(child: Expression, table: BpeRankTable)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    BpeKernel.docSubwordCount(input.asInstanceOf[UTF8String].toString, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeRankTable].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeKernel.docSubwordCount($c.toString(), $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeFunctions {
+  def bpe_subword_count(unit: Column, table: BpeRankTable): Column =
+    GraftSqlBridge.column(BpeSubwordCount(GraftSqlBridge.expression(unit), table))
+  def bpe_doc_subword_count(text: Column, table: BpeRankTable): Column =
+    GraftSqlBridge.column(BpeDocSubwordCount(GraftSqlBridge.expression(text), table))
+}

