@@ -3,6 +3,7 @@ package graft.jdbc
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 import java.lang.reflect.{InvocationHandler, Method, Proxy}
 import java.net.Socket
+import java.nio.charset.StandardCharsets
 import java.nio.charset.StandardCharsets.UTF_8
 import java.sql.{SQLException, SQLFeatureNotSupportedException}
 import java.time.{LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
@@ -64,11 +65,151 @@ object MiniPgWire {
   /** One column of a RowDescription: name, type OID, type modifier. */
   final case class Col(name: String, oid: Int, typmod: Int)
 
-  /** One result of a simple query: columns (empty for command-only
-    * statements), rows of nullable text cells, and the command tag.
+  object ColumnStore {
+    val KindString = 0
+    val KindLong = 1
+    val KindDouble = 2
+    val KindBool = 3
+    /** OID → decode kind: the wire layer's row→columnar dispatch
+      * (the reference's 19-arm switch shape, lib.rs:197-389). int2/
+      * int4/int8 parse straight from the payload bytes — no per-cell
+      * String; float4/float8 via one ASCII String (parseDouble takes
+      * only String); everything else keeps its text form for the
+      * typed getters to interpret (numeric → BigDecimal, date/ts →
+      * java.time, bytea → hex decode).
+      */
+    def kindOf(oid: Int): Int = oid match {
+      case 20 | 23 | 21 => KindLong
+      case 700 | 701 => KindDouble
+      case 16 => KindBool
+      case _ => KindString
+    }
+  }
+
+  /** Per-column TYPED vectors decoded once at message-read time — the
+    * buffer a [[MiniPgResultSet]] serves without further parsing or
+    * boxing (the r17 wire-decode fast path; see MiniPgResultSet's
+    * docstring for the measured motivation).
     */
-  final case class Result(cols: Array[Col],
-      rows: ArrayBuffer[Array[String]], tag: String)
+  final class ColumnStore(cols: Array[Col]) {
+    import ColumnStore._
+    private val n = cols.length
+    private val kinds: Array[Int] = cols.map(c => kindOf(c.oid))
+    val nulls: Array[java.util.BitSet] = Array.fill(n)(new java.util.BitSet())
+    private val longCols: Array[Array[Long]] = kinds.map(k =>
+      if (k == KindLong || k == KindBool) new Array[Long](64) else null)
+    private val dblCols: Array[Array[Double]] = kinds.map(k =>
+      if (k == KindDouble) new Array[Double](64) else null)
+    private val strCols: Array[Array[String]] = kinds.map(k =>
+      if (k == KindString) new Array[String](64) else null)
+    var size = 0
+
+    def kind(c: Int): Int = kinds(c)
+    def kindLong(c: Int): Array[Long] = longCols(c)
+    def kindDouble(c: Int): Array[Double] = dblCols(c)
+
+    /** Text view of a cell (null-cell → null) — the fallback getters
+      * (BigDecimal, date/time, bytea, json…) and getString.
+      */
+    def text(c: Int, r: Int): String =
+      if (nulls(c).get(r)) null
+      else kinds(c) match {
+        case KindString => strCols(c)(r)
+        case KindLong => String.valueOf(longCols(c)(r))
+        case KindDouble => String.valueOf(dblCols(c)(r))
+        case _ => if (longCols(c)(r) != 0L) "t" else "f"
+      }
+
+    private def grown[T <: AnyRef](a: T, len: Int): T = {
+      val out = java.lang.reflect.Array.newInstance(
+        a.getClass.getComponentType, len)
+      System.arraycopy(a, 0, out, 0, size)
+      out.asInstanceOf[T]
+    }
+    private def ensure(c: Int): Unit = kinds(c) match {
+      case KindString =>
+        if (size == strCols(c).length) strCols(c) = grown(strCols(c), size * 2)
+      case KindDouble =>
+        if (size == dblCols(c).length) dblCols(c) = grown(dblCols(c), size * 2)
+      case _ =>
+        if (size == longCols(c).length) longCols(c) = grown(longCols(c), size * 2)
+    }
+
+    /** Decode one cell of the current row (len == -1 → SQL NULL). */
+    def put(c: Int, payload: Array[Byte], off: Int, len: Int): Unit = {
+      ensure(c)
+      if (len < 0) { nulls(c).set(size); return }
+      kinds(c) match {
+        case KindLong =>
+          var v = 0L
+          var i = off
+          val end = off + len
+          var neg = false
+          if (payload(i) == '-') { neg = true; i += 1 }
+          while (i < end) { v = v * 10 + (payload(i) - '0'); i += 1 }
+          longCols(c)(size) = if (neg) -v else v
+        case KindDouble =>
+          dblCols(c)(size) = parseDoubleCell(payload, off, len)
+        case KindBool =>
+          longCols(c)(size) = if (payload(off) == 't') 1L else 0L
+        case _ =>
+          strCols(c)(size) = new String(payload, off, len, UTF_8)
+      }
+    }
+
+    def rowDone(): Unit = size += 1
+
+    /** Exact no-allocation parse of the common float render
+      * `[-]ddd[.ddd]`: with ≤ 15 significant digits the mantissa is
+      * exact in a long and one division by an exact power of ten is
+      * correctly rounded — bit-identical to parseDouble. Exponents,
+      * specials (NaN/Infinity) and longer digit strings take the
+      * String + parseDouble fallback (exactness over speed).
+      */
+    private def parseDoubleCell(payload: Array[Byte], off: Int,
+        len: Int): Double = {
+      val end = off + len
+      var i = off
+      var neg = false
+      if (i < end && payload(i) == '-') { neg = true; i += 1 }
+      var m = 0L
+      var digits = 0
+      var frac = -1
+      var simple = i < end
+      while (i < end && simple) {
+        val b = payload(i)
+        if (b >= '0' && b <= '9') {
+          m = m * 10 + (b - '0'); digits += 1
+          if (frac >= 0) frac += 1
+          i += 1
+        } else if (b == '.' && frac < 0) { frac = 0; i += 1 }
+        else simple = false
+      }
+      if (simple && digits > 0 && digits <= 15) {
+        val d0 = if (frac <= 0) m.toDouble else m / Pow10(frac)
+        if (neg) -d0 else d0
+      } else java.lang.Double.parseDouble(
+        new String(payload, off, len, StandardCharsets.US_ASCII))
+    }
+  }
+
+  /** Exact powers of ten — built by repeated ×10 so every entry is
+    * the EXACT double (10^k is representable for k ≤ 22; math.pow's
+    * 1-ulp license would break the correctly-rounded-division
+    * argument).
+    */
+  private val Pow10: Array[Double] = {
+    val a = new Array[Double](23)
+    a(0) = 1.0
+    var i = 1
+    while (i < a.length) { a(i) = a(i - 1) * 10.0; i += 1 }
+    a
+  }
+
+  /** One result of a simple query: columns (empty for command-only
+    * statements), the decoded column store, and the command tag.
+    */
+  final case class Result(cols: Array[Col], data: ColumnStore, tag: String)
 
   /** OID → pgjdbc-style type name (what
     * `ResultSetMetaData.getColumnTypeName` reports — the name-first
@@ -118,8 +259,58 @@ object MiniPgWire {
     java.sql.Timestamp.from(OffsetDateTime.parse(fixed, t).toInstant)
   }
 
-  def parseTimestampNtz(s: String): LocalDateTime =
+  /** Fast manual parse of PG's standard render
+    * `yyyy-MM-dd HH:mm:ss[.f{1,6}]` (the shape every row of a bulk
+    * read carries — a DateTimeFormatter here costs ~1 µs/cell, which
+    * alone put the 600k-row probe ~0.5 s over budget); anything else
+    * (BC era, special values) falls back to the lenient formatter.
+    */
+  def parseTimestampNtz(s: String): LocalDateTime = {
+    if (s.length >= 19 && s.charAt(4) == '-' && s.charAt(7) == '-' &&
+        s.charAt(10) == ' ' && s.charAt(13) == ':' && s.charAt(16) == ':') {
+      var ok = true
+      def d(i: Int): Int = {
+        val c = s.charAt(i) - '0'
+        if (c < 0 || c > 9) ok = false
+        c
+      }
+      val y = d(0) * 1000 + d(1) * 100 + d(2) * 10 + d(3)
+      val mo = d(5) * 10 + d(6)
+      val dd = d(8) * 10 + d(9)
+      val h = d(11) * 10 + d(12)
+      val mi = d(14) * 10 + d(15)
+      val se = d(17) * 10 + d(18)
+      var nano = 0
+      if (s.length > 19) {
+        if (s.charAt(19) == '.' && s.length <= 26) {
+          var scale = 100000000
+          var i = 20
+          while (i < s.length && ok) {
+            nano += d(i) * scale; scale /= 10; i += 1
+          }
+        } else ok = false
+      }
+      if (ok) return LocalDateTime.of(y, mo, dd, h, mi, se, nano)
+    }
     LocalDateTime.parse(s, TsFmt)
+  }
+
+  /** Fast `yyyy-MM-dd` parse with ISO fallback (same rationale). */
+  def parseDateFast(s: String): LocalDate = {
+    if (s.length == 10 && s.charAt(4) == '-' && s.charAt(7) == '-') {
+      var ok = true
+      def d(i: Int): Int = {
+        val c = s.charAt(i) - '0'
+        if (c < 0 || c > 9) ok = false
+        c
+      }
+      val y = d(0) * 1000 + d(1) * 100 + d(2) * 10 + d(3)
+      val mo = d(5) * 10 + d(6)
+      val dd = d(8) * 10 + d(9)
+      if (ok) return LocalDate.of(y, mo, dd)
+    }
+    LocalDate.parse(s)
+  }
 
   def parseByteaHex(s: String): Array[Byte] = {
     require(s.startsWith("\\x"), s"unexpected bytea literal: $s")
@@ -138,15 +329,27 @@ object MiniPgWire {
 
   /** SQL string literal under standard_conforming_strings. */
   def quote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Default blocking-read bound (seconds) — see the class doc. */
+  val DefaultSocketTimeoutSec = 300
 }
 
-/** One live wire session (socket + startup + simple queries). */
+/** One live wire session (socket + startup + simple queries).
+  *
+  * `socketTimeoutSec` (URL param `socketTimeout`, pgjdbc's name and
+  * seconds unit; 0 disables) bounds every blocking read — without it
+  * a stalled server parks a Spark task forever with no cancel path
+  * (r16 ADVICE). The default is generous: this is a hang breaker,
+  * not a statement timeout.
+  */
 final class MiniPgWire(host: String, port: Int, database: String,
-    user: String, password: Option[String]) {
+    user: String, password: Option[String],
+    socketTimeoutSec: Int = MiniPgWire.DefaultSocketTimeoutSec) {
   import MiniPgWire._
 
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
+  socket.setSoTimeout(math.max(0, socketTimeoutSec) * 1000)
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
   @volatile private var open = true
@@ -195,13 +398,23 @@ final class MiniPgWire(host: String, port: Int, database: String,
     }
   }
 
-  private def readMessage(): (Char, Array[Byte]) = {
-    val tpe = in.readByte().toChar
-    val len = in.readInt() - 4
-    val payload = new Array[Byte](len)
-    in.readFully(payload)
-    (tpe, payload)
-  }
+  private def readMessage(): (Char, Array[Byte]) =
+    try {
+      val tpe = in.readByte().toChar
+      val len = in.readInt() - 4
+      val payload = new Array[Byte](len)
+      in.readFully(payload)
+      (tpe, payload)
+    } catch {
+      case e: java.net.SocketTimeoutException =>
+        // Mid-message timeout leaves the stream unsynchronizable —
+        // kill the session and surface a typed error (r16 ADVICE:
+        // a stalled server must not park a Spark task forever).
+        close()
+        throw new SQLException("socket read timed out after " +
+          s"$socketTimeoutSec s (tune with the socketTimeout URL " +
+          "param; 0 disables)", "57014", e)
+    }
 
   private def errorFrom(payload: Array[Byte]): SQLException = {
     // ErrorResponse: sequence of (code byte, cstring) fields.
@@ -227,7 +440,7 @@ final class MiniPgWire(host: String, port: Int, database: String,
     send('Q'.toByte, cstr(sql))
     val results = ArrayBuffer.empty[Result]
     var cols: Array[Col] = Array.empty
-    var rows = ArrayBuffer.empty[Array[String]]
+    var store: ColumnStore = new ColumnStore(Array.empty)
     var err: SQLException = null
     var done = false
     while (!done) {
@@ -251,27 +464,29 @@ final class MiniPgWire(host: String, port: Int, database: String,
             c += 1
           }
           cols = cs
-          rows = ArrayBuffer.empty
+          store = new ColumnStore(cs)
         case 'D' =>
+          // Decode straight into the typed column store — no per-cell
+          // String for int/bool columns (the r17 fast path).
           val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-          val row = new Array[String](n)
           var off = 2
           var c = 0
           while (c < n) {
             val len = ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
               ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
             off += 4
-            if (len == -1) row(c) = null
-            else { row(c) = new String(payload, off, len, UTF_8); off += len }
+            store.put(c, payload, off, len)
+            if (len > 0) off += len
             c += 1
           }
-          rows += row
+          store.rowDone()
         case 'C' =>
           val tag = new String(payload, 0, payload.length - 1, UTF_8)
-          results += Result(cols, rows, tag)
+          results += Result(cols, store, tag)
           cols = Array.empty
-          rows = ArrayBuffer.empty
-        case 'I' => results += Result(Array.empty, ArrayBuffer.empty, "EMPTY")
+          store = new ColumnStore(Array.empty)
+        case 'I' =>
+          results += Result(Array.empty, new ColumnStore(Array.empty), "EMPTY")
         case 'E' => err = errorFrom(payload) // drain until ReadyForQuery
         case 'N' | 'S' => ()
         case 'Z' => done = true
@@ -328,125 +543,13 @@ object MiniPgJdbc {
 
   // ---- result set ----
 
-  def resultSet(res: MiniPgWire.Result): java.sql.ResultSet = {
-    var cursor = -1
-    var nullFlag = false
-    var closed = false
-    def cell(i: Int): String = {
-      val v = res.rows(cursor)(i - 1)
-      nullFlag = v == null
-      v
-    }
-    def col(i: Int): MiniPgWire.Col = res.cols(i - 1)
-    lazy val meta: java.sql.ResultSetMetaData =
-      proxy(classOf[java.sql.ResultSetMetaData]) {
-        case ("getColumnCount", _) => I(res.cols.length)
-        case ("getColumnLabel", a) => col(a(0).asInstanceOf[Integer]).name
-        case ("getColumnName", a) => col(a(0).asInstanceOf[Integer]).name
-        case ("getColumnType", a) =>
-          I(JdbcType.getOrElse(col(a(0).asInstanceOf[Integer]).oid,
-            java.sql.Types.OTHER))
-        case ("getColumnTypeName", a) =>
-          TypeName.getOrElse(col(a(0).asInstanceOf[Integer]).oid, "unknown")
-        case ("getPrecision", a) =>
-          val c = col(a(0).asInstanceOf[Integer])
-          I(if (c.oid == 1700 && c.typmod >= 4) (c.typmod - 4) >> 16
-            else if ((c.oid == 1042 || c.oid == 1043) && c.typmod >= 4) c.typmod - 4
-            else 0)
-        case ("getScale", a) =>
-          val c = col(a(0).asInstanceOf[Integer])
-          I(if (c.oid == 1700 && c.typmod >= 4) (c.typmod - 4) & 0xffff else 0)
-        case ("isNullable", a) => I(java.sql.ResultSetMetaData.columnNullableUnknown)
-        case ("isSigned", a) =>
-          B(Set(20, 21, 23, 700, 701, 1700).contains(col(a(0).asInstanceOf[Integer]).oid))
-        case ("getColumnDisplaySize", _) => I(0)
-        case ("isCaseSensitive", _) => B(true)
-        case ("isCurrency", _) => B(false)
-        case ("isAutoIncrement", _) => B(false)
-        case ("getCatalogName", _) => ""
-        case ("getSchemaName", _) => ""
-        case ("getTableName", _) => ""
-      }
-    proxy(classOf[java.sql.ResultSet]) {
-      case ("next", _) =>
-        cursor += 1
-        B(cursor < res.rows.length)
-      case ("close", _) => closed = true; null
-      case ("isClosed", _) => B(closed)
-      case ("wasNull", _) => B(nullFlag)
-      case ("getMetaData", _) => meta
-      case ("getString", a) => cell(a(0).asInstanceOf[Integer])
-      case ("getInt", a) =>
-        val v = cell(a(0).asInstanceOf[Integer]); I(if (v == null) 0 else v.toInt)
-      case ("getLong", a) =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        java.lang.Long.valueOf(if (v == null) 0L else v.toLong)
-      case ("getShort", a) =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        java.lang.Short.valueOf(if (v == null) 0.toShort else v.toShort)
-      case ("getByte", a) =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        java.lang.Byte.valueOf(if (v == null) 0.toByte else v.toByte)
-      case ("getDouble", a) =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        java.lang.Double.valueOf(if (v == null) 0.0 else v.toDouble)
-      case ("getFloat", a) =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        java.lang.Float.valueOf(if (v == null) 0.0f else v.toFloat)
-      case ("getBoolean", a) =>
-        val v = cell(a(0).asInstanceOf[Integer]); B(v == "t" || v == "true")
-      case ("getBigDecimal", a) if a.length == 1 =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        if (v == null) null else new java.math.BigDecimal(v)
-      case ("getBytes", a) =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        if (v == null) null else parseByteaHex(v)
-      case ("getDate", a) if a.length == 1 =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        if (v == null) null else java.sql.Date.valueOf(LocalDate.parse(v))
-      case ("getTimestamp", a) if a.length == 1 =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        if (v == null) null
-        else {
-          val c = col(a(0).asInstanceOf[Integer])
-          c.oid match {
-            case 1184 => parseTimestamptz(v)
-            // time / timetz: pgjdbc's convention — a timestamp on the
-            // epoch date (PgTypeMap.timeAsMicros then re-derives
-            // µs-since-midnight from it, base date irrelevant).
-            case 1083 =>
-              java.sql.Timestamp.valueOf(parseTimestampNtz(s"1970-01-01 $v"))
-            case 1266 => parseTimestamptz(s"1970-01-01 $v")
-            case _ => java.sql.Timestamp.valueOf(parseTimestampNtz(v))
-          }
-        }
-      case ("getObject", a) if a.length == 2 &&
-          a(1) == classOf[LocalDateTime] =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        if (v == null) null else parseTimestampNtz(v)
-      case ("getObject", a) if a.length == 2 && a(1) == classOf[LocalDate] =>
-        val v = cell(a(0).asInstanceOf[Integer])
-        if (v == null) null else LocalDate.parse(v)
-      case ("getTime", a) if a.length == 1 =>
-        // Spark's TIME getter. java.sql.Time is millis-precision; the
-        // value is the UTC instant of 1970-01-01T<time> (timetz
-        // offsets applied), which Spark then reads as an instant.
-        val v = cell(a(0).asInstanceOf[Integer])
-        if (v == null) null
-        else {
-          val c = col(a(0).asInstanceOf[Integer])
-          val ts = if (c.oid == 1266) parseTimestamptz(s"1970-01-01 $v")
-            else java.sql.Timestamp.valueOf(parseTimestampNtz(s"1970-01-01 $v"))
-          new java.sql.Time(ts.getTime)
-        }
-      case ("setFetchSize", _) => null
-      case ("getFetchSize", _) => I(0)
-      case ("getWarnings", _) => null
-      case ("clearWarnings", _) => null
-      case ("getHoldability", _) => I(java.sql.ResultSet.CLOSE_CURSORS_AT_COMMIT)
-      case ("getType", _) => I(java.sql.ResultSet.TYPE_FORWARD_ONLY)
-    }
-  }
+  /** Served by the CONCRETE [[MiniPgResultSet]] since r17 — the one
+    * JDBC face on the per-cell hot path, so it alone is exempt from
+    * the proxy pattern (Connection/Statement/DatabaseMetaData are
+    * called a handful of times per query and stay reflective).
+    */
+  def resultSet(res: MiniPgWire.Result): java.sql.ResultSet =
+    new MiniPgResultSet(res)
 
   private def updateCount(tag: String): Int = {
     val parts = tag.split(' ')
@@ -495,12 +598,21 @@ object MiniPgJdbc {
     }
     def setP(i: Int, v: String): AnyRef = { params(i - 1) = v; null }
     def tsRender(ts: java.sql.Timestamp): String = {
+      // Rendered in the JVM DEFAULT zone, like pgjdbc (r16 ADVICE):
+      // for `timestamp` (no tz) PG keeps the wall-clock and drops the
+      // offset, and the read path (Timestamp.valueOf) re-interprets
+      // that wall-clock in the JVM zone — symmetric only if the
+      // writer rendered in the same zone. For `timestamptz` the
+      // explicit offset makes the instant exact under any zone.
       // Explicit HH:mm:ss — LocalTime.toString drops ':00' seconds
       // ('00:01' for one minute), which PG then mis-parses.
-      val odt = OffsetDateTime.ofInstant(ts.toInstant, ZoneOffset.UTC)
+      val odt = OffsetDateTime.ofInstant(ts.toInstant,
+        java.time.ZoneId.systemDefault())
       val micros = odt.getNano / 1000
+      val off = odt.getOffset
+      val offTxt = if (off == ZoneOffset.UTC) "+00" else off.getId
       quote(f"${odt.toLocalDate}%s ${odt.getHour}%02d:${odt.getMinute}%02d:" +
-        f"${odt.getSecond}%02d.$micros%06d+00")
+        f"${odt.getSecond}%02d.$micros%06d$offTxt%s")
     }
 
     proxy(classOf[java.sql.PreparedStatement]) {
@@ -525,8 +637,22 @@ object MiniPgJdbc {
         null
       case ("clearBatch", _) => batch.clear(); null
       case ("executeBatch", _) =>
-        if (batch.nonEmpty) { wire.query(batch.mkString(";\n")): Unit }
-        val out = Array.fill(batch.length)(1)
+        // ALL-OR-NOTHING batch semantics (documented contract): the
+        // batch is one multi-statement simple query = ONE implicit
+        // transaction, so a failing row aborts and rolls back the
+        // whole batch (the SQLException propagates; there is no
+        // per-row BatchUpdateException). Spark's savePartition treats
+        // any exception as a partition retry, so the coarse grain is
+        // correct for the one caller this driver serves. Update
+        // counts come from the per-statement command tags (r16
+        // ADVICE — not fabricated 1s).
+        val counts =
+          if (batch.isEmpty) Array.empty[Int]
+          else wire.query(batch.mkString(";\n"))
+            .map(r => updateCount(r.tag)).toArray
+        val out =
+          if (counts.length == batch.length) counts
+          else java.util.Arrays.copyOf(counts, batch.length)
         batch.clear()
         out
       case ("clearParameters", _) =>
@@ -656,7 +782,10 @@ class MiniPgDriver extends java.sql.Driver {
     def opt(k: String): Option[String] =
       Option(if (info == null) null else info.getProperty(k)).orElse(params.get(k))
     val user = opt("user").getOrElse("postgres")
-    val wire = new MiniPgWire(host, port, db, user, opt("password"))
+    val timeoutSec = opt("socketTimeout").map(_.toInt)
+      .getOrElse(MiniPgWire.DefaultSocketTimeoutSec)
+    val wire = new MiniPgWire(host, port, db, user, opt("password"),
+      timeoutSec)
     MiniPgJdbc.connection(wire, url, user)
   }
 
@@ -685,6 +814,15 @@ object MiniPgDriver {
   /** `jdbc:postgresql://host[:port]/db[?k=v&…]` (pgjdbc URL shape). */
   def parseUrl(url: String): (String, Int, String, Map[String, String]) = {
     val u = new java.net.URI(url.stripPrefix("jdbc:"))
+    // URI.getHost is null for authorities it cannot parse (e.g. a
+    // hostname with an underscore) — failing loudly beats silently
+    // connecting to localhost instead of the intended server (r16
+    // ADVICE). A genuinely authority-less URL (jdbc:postgresql:db)
+    // still defaults to localhost, like pgjdbc.
+    if (u.getRawAuthority != null && u.getRawAuthority.nonEmpty &&
+        u.getHost == null)
+      throw new SQLException(
+        s"cannot parse host from JDBC URL authority '${u.getRawAuthority}'")
     val host = Option(u.getHost).getOrElse("localhost")
     val port = if (u.getPort > 0) u.getPort else 5432
     val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
