@@ -374,6 +374,8 @@ object SparkEntry {
       TextAnalysis.bpeTrainFast(s, d)),
     "q254_bpe1k_fertility" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeSeqFertility(s, d)),
+    "q255_stored_ivf_maint" -> ((s: SparkSession, d: String) =>
+      Similarity.storedIvfMaintenance(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6299,32 +6301,16 @@ object SparkEntry {
     // delta and carries the stored index — so hash-match is the
     // maintenance≡rebuild identity. Arrivals are negated re-keys
     // (cosine sign flips → different cells than their originals).
-    "q250_ivf_ivm" ->
-      s"""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, embedding AS ce
-         |  FROM embeddings WHERE vec_id < 16),
-         |surv AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id % 11 <> 0),
-         |arr AS (SELECT vec_id + m + 1 AS vec_id,
-         |    list_transform(embedding, x -> -x) AS embedding
-         |  FROM embeddings, mx WHERE vec_id % 13 = 0),
-         |b AS (SELECT * FROM surv UNION ALL SELECT * FROM arr),
-         |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
-         |    unnest(range(1, 65)) AS i
-         |  FROM b v CROSS JOIN cents c),
-         |su AS (SELECT vec_id, cid,
-         |    $cosinePairSql
-         |  FROM ax GROUP BY vec_id, cid),
-         |sc AS (SELECT vec_id, cid, round(CASE WHEN na = 0 OR nb = 0
-         |    THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s
-         |  FROM su),
-         |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY s DESC, cid) AS rn
-         |  FROM sc) WHERE rn = 1)
-         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
-         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
-         |FROM cell GROUP BY cid ORDER BY cid""".stripMargin,
+    "q250_ivf_ivm" -> ivfIvmOracle(11, 13),
+
+    // q255: the STORED-index twin of q250 — same logical index, but
+    // the engine maintains cid-partitioned FILES through dynamic
+    // partition overwrite and reports from the read-back. The oracle
+    // is q250's from-scratch logical recompute VERBATIM, so
+    // hash-match is the physical-maintenance ≡ logical-rebuild
+    // identity (Breadth17Spec adds the write-path half SQL cannot
+    // see: untouched partitions byte-identical, touched set exact).
+    "q255_stored_ivf_maint" -> ivfIvmOracle(97, 101),
 
     // q251: DuckDB rebuilds the ENTIRE band index from scratch over
     // its own snapshot-B derivation (the q246 modular fixture carried
@@ -6719,6 +6705,41 @@ object SparkEntry {
        |  CAST(sum(w.lw) AS BIGINT) AS w_micro
        |FROM bk JOIN w USING (b)
        |GROUP BY bk.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shared q250/q255 oracle: the maintained IVF index re-derived
+    * from scratch over DuckDB's own snapshot-B (survivors + re-keyed
+    * negated arrivals, assigned to the frozen first-16 centroids) —
+    * the maintenance ≡ rebuild identity, consumed by the logical IVM
+    * gate (q250, moduli 11/13) and the stored-partitioned
+    * write-path gate (q255, sparser 97/101 so churn touches a strict
+    * subset of cells — the partial-rewrite story being gated).
+    */
+  private def ivfIvmOracle(depMod: Int, arrMod: Int): String =
+    s"""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < 16),
+       |surv AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $depMod <> 0),
+       |arr AS (SELECT vec_id + m + 1 AS vec_id,
+       |    list_transform(embedding, x -> -x) AS embedding
+       |  FROM embeddings, mx WHERE vec_id % $arrMod = 0),
+       |b AS (SELECT * FROM surv UNION ALL SELECT * FROM arr),
+       |ax AS (SELECT v.vec_id, c.cid, v.embedding AS ea, c.ce AS eb,
+       |    unnest(range(1, 65)) AS i
+       |  FROM b v CROSS JOIN cents c),
+       |su AS (SELECT vec_id, cid,
+       |    $cosinePairSql
+       |  FROM ax GROUP BY vec_id, cid),
+       |sc AS (SELECT vec_id, cid, round(CASE WHEN na = 0 OR nb = 0
+       |    THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s
+       |  FROM su),
+       |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, cid) AS rn
+       |  FROM sc) WHERE rn = 1)
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+       |FROM cell GROUP BY cid ORDER BY cid""".stripMargin
 
   /** Corpus dir the DYNAMIC oracles (q254) are generated against.
     * [[Verify]] sets it to its sfDir argument BEFORE dumping

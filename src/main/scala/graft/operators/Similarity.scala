@@ -1063,4 +1063,95 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
       .orderBy(col("cid"))
   }
+
+  private lazy val maintScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_maint")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString
+  }
+
+  /** Outcome of one stored-index maintenance pass, for the
+    * write-path audit (Breadth17Spec): the on-disk index root, the
+    * cid partitions the delta touched, and the per-cell report.
+    */
+  private[graft] final case class StoredMaint(path: String,
+      touched: Array[Int], result: DataFrame)
+
+  /** STORED-index maintenance under CDC (q255) — q250's IVM composed
+    * with q195's physical layout (the r16 verdict's "stored-index
+    * write-path" ask): the index lives on disk partitioned by cid,
+    * and maintenance REWRITES ONLY THE TOUCHED cid PARTITIONS via
+    * dynamic partition overwrite — the lakehouse write path
+    * (`spark.sql.sources.partitionOverwriteMode=dynamic`, passed as a
+    * per-write option so concurrent writers are untouched). Untouched
+    * partitions keep their exact files (byte-identical — Breadth17Spec
+    * snapshots them between build and maintain via `afterBuild`).
+    *
+    * Flow: full build of snapshot A (q195's partitionBy("cid")
+    * layout, embeddings as payload) → q250's delta fixture (mod-11
+    * departures, re-keyed negated mod-13 arrivals) → touched cells =
+    * departures' cells ∪ arrivals' cells (≤ ncells driver rows — the
+    * probedCells collect class) → one write containing the NEW
+    * contents of exactly those partitions. The per-cell report reads
+    * the MAINTAINED FILES back, and the oracle is q250's from-scratch
+    * logical recompute — hash-match proves physical-maintenance ≡
+    * logical-rebuild across engines.
+    *
+    * At 100 TB: the write is delta-cell-bounded (churn touches few
+    * cells between retrains), the read-back prunes to partitions, and
+    * nothing rescans the stored index against centroids. Cited
+    * reference behavior: flaco's Parquet sink contract (lib.rs:116-148)
+    * — here extended to an incrementally-maintained partitioned sink.
+    */
+  def storedIvfMaintenance(spark: SparkSession, dir: String,
+      ncells: Int = 16): DataFrame =
+    storedIvfMaintenanceCore(spark, dir, ncells).result
+
+  private[graft] def storedIvfMaintenanceCore(spark: SparkSession,
+      dir: String, ncells: Int = 16,
+      afterBuild: String => Unit = _ => ()): StoredMaint = {
+    val path = s"$maintScratch/ivf"
+    val e = Corpus.read(spark, dir, "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val cents = firstNCentroids(e, ncells)
+    // Snapshot-A stored index: the q195 cid-partitioned layout with
+    // the vector payload in place.
+    cellAssignmentsFor(e, cents)
+      .withColumn("cid", col("cid").cast("int"))
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    afterBuild(path)
+    // q250's CDC fixture SHAPE with sparser churn moduli (97/101):
+    // realistic maintenance touches a strict subset of cells, which
+    // is the whole point of the partition-scoped write (the q250
+    // moduli churn every one of the 16 cells at gate scale, which
+    // would degenerate this into a full rewrite); the oracle carries
+    // the same moduli.
+    val departed = e.filter(pmod(col("vec_id"), lit(97L)) === 0)
+      .select(col("vec_id"))
+    val arrivals = e.filter(pmod(col("vec_id"), lit(101L)) === 0)
+      .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val arrCells = cellAssignmentsFor(arrivals, cents)
+      .withColumn("cid", col("cid").cast("int"))
+    val stored = spark.read.parquet(path)
+    val touched = stored.join(departed, Seq("vec_id"))
+      .select(col("cid"))
+      .union(arrCells.select(col("cid"))).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cols = stored.columns.map(col).toIndexedSeq
+    val newParts = stored
+      .where(col("cid").isin(touched.map(Integer.valueOf): _*))
+      .join(departed, Seq("vec_id"), "left_anti")
+      .unionByName(arrCells.join(arrivals, Seq("vec_id")).select(cols: _*))
+    newParts.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(path)
+    val report = spark.read.parquet(path)
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+      .orderBy(col("cid"))
+    StoredMaint(path, touched, report)
+  }
 }
