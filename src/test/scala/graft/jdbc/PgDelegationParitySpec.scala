@@ -26,9 +26,15 @@ import graft.sources.Corpus
   * exact decimal expansion of the double, the same half-up the other
   * two engines apply at these call sites.
   *
-  * Query pick: oracle texts that are ANSI-portable to PG verbatim —
-  * scan/filter/project (q02), full aggregate (q01), correlated EXISTS
-  * (q04), selective aggregate (q06). The oracle STRINGS are read from
+  * Query pick (r17, the "widen the triple-engine differential" ask):
+  * every oracle text live PostgreSQL can parse AND value-match over
+  * the TPC-H tables — 46 of them, selected by an exhaustive sweep of
+  * the full oracle map (EXPLAIN for parseability, then a PG-vs-DuckDB
+  * value compare; the 28 drops are DuckDB-only surface — QUALIFY,
+  * GROUP BY ALL, UNPIVOT, strftime/date_diff/year, boolean::BIGINT
+  * casts, grouping_id arity, double type name — plus every oracle
+  * over documents/events/embeddings, whose list/regexp/epoch
+  * functions PG spells differently). The oracle STRINGS are read from
   * [[SparkEntry.oracleSql]] — not copies — so drift between the gates
   * is impossible.
   */
@@ -60,7 +66,8 @@ class PgDelegationParitySpec extends AnyFunSuite {
           "LANGUAGE SQL IMMUTABLE")
       st.close()
     } finally conn.close()
-    Seq("lineitem", "orders").foreach { t =>
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
       Corpus.read(spark, TestSpark.sf, t)
         .write.mode("overwrite")
         .jdbc(u, t, new java.util.Properties())
@@ -78,8 +85,22 @@ class PgDelegationParitySpec extends AnyFunSuite {
       .toSeq.sortBy(_.mkString("|"))
   }
 
-  Seq("q01_pricing_summary", "q02_filter_project", "q04_order_priority",
-    "q06_forecast_revenue").foreach { name =>
+  Seq("q01_pricing_summary", "q02_filter_project", "q03_topk_revenue",
+    "q04_order_priority", "q05_region_revenue", "q06_forecast_revenue",
+    "q07_anti_join", "q08_segment_stats", "q09_window_topn",
+    "q10_window_running", "q11_setops", "q12_top_orders", "q13_rollup",
+    "q14_cube", "q34_asof_join", "q36_grouping_sets", "q37_pivot",
+    "q46_interval_decode", "q51_correlated_subquery", "q57_salted_join",
+    "q63_window_suite", "q63b_window_dist", "q64_setops_all",
+    "q65_full_outer", "q65b_right_join", "q68_null_semantics",
+    "q74_bucketed_join", "q77_string_agg", "q104_filter_agg",
+    "q105_nulls_order", "q106_federated", "q109_lateral_join",
+    "q117_named_window", "q119_limit_offset", "q125_distinct_aggs",
+    "q126_named_params", "q140_bit_aggs", "q145_collation",
+    "q146_cyclic_closure", "q147_join_using", "q150_keyset_page",
+    "q183_having_subquery", "q199_window_over_agg",
+    "q218_schema_evolution", "q222_hypothetical_rank",
+    "q236_table_profile").foreach { name =>
     test(s"$name: PostgreSQL executing the oracle SQL equals the " +
       "native Spark operator") {
       val u = uri
