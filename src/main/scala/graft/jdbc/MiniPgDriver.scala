@@ -29,8 +29,13 @@ import scala.collection.mutable.ArrayBuffer
   * `df.write.jdbc` — runs against a live server.
   *
   * Deliberately minimal, like the reference's client usage:
-  *  - v3 SIMPLE QUERY protocol only (`Q` messages, TEXT results) —
-  *    exactly the surface `client.query_raw` exercises;
+  *  - v3 SIMPLE QUERY protocol (`Q` messages, TEXT results) for
+  *    execute/update/batch, plus ONE extended-protocol shape for
+  *    reads (`executeQuery` → unnamed Parse/Bind/Execute with
+  *    per-column BINARY result formats for the types in
+  *    [[MiniPgWire.BinaryOids]] — the same binary typed reads the
+  *    reference's rust-postgres client performs; disable with
+  *    `?binaryTransfer=false`, pgjdbc's param name);
   *  - trust / cleartext-password auth (the provisioned test cluster
   *    uses trust; no SCRAM);
   *  - `PreparedStatement` parameters are bound client-side as SQL
@@ -46,8 +51,9 @@ import scala.collection.mutable.ArrayBuffer
   *    named [[SQLFeatureNotSupportedException]] for the rest (the
   *    catchable-error contract, `lib.rs:382-385`).
   *
-  * NOT a general-purpose driver: no extended protocol, no binary
-  * format, no cursors, no cancellation, no SSL — and each statement's
+  * NOT a general-purpose driver: no named statements/portals or
+  * server-side parameters, no cursors, no cancellation, no SSL — and
+  * each statement's
   * result is fully buffered in client memory before the ResultSet is
   * handed back (no fetchSize streaming), which bounds it to
   * test-harness scales by construction (PgIngestProbe measures the
@@ -70,6 +76,26 @@ object MiniPgWire {
     val KindLong = 1
     val KindDouble = 2
     val KindBool = 3
+    /** Binary-format date: int4 days since 2000-01-01, stored as
+      * epoch-day in the long vector.
+      */
+    val KindDate = 4
+    /** Binary-format timestamp (NTZ): int8 µs since 2000-01-01 00:00
+      * wall-clock, stored raw in the long vector.
+      */
+    val KindTs = 5
+    /** Binary-format timestamptz: int8 µs since 2000-01-01T00:00Z
+      * (an instant), stored raw in the long vector.
+      */
+    val KindTstz = 6
+    /** Binary-format numeric: decoded to java.math.BigDecimal (or
+      * the literal text for NaN/±Infinity) in the object vector.
+      */
+    val KindDecimal = 7
+    /** Binary-format bytea: the raw payload bytes in the object
+      * vector (no hex round-trip).
+      */
+    val KindBytes = 8
     /** OID → decode kind: the wire layer's row→columnar dispatch
       * (the reference's 19-arm switch shape, lib.rs:197-389). int2/
       * int4/int8 parse straight from the payload bytes — no per-cell
@@ -84,6 +110,124 @@ object MiniPgWire {
       case 16 => KindBool
       case _ => KindString
     }
+
+    /** OID → decode kind for BINARY result format (the extended-
+      * protocol fast path): the wire value parses straight into its
+      * typed vector with no intermediate text at all. Only OIDs in
+      * [[MiniPgWire.BinaryOids]] reach here.
+      */
+    def binKindOf(oid: Int): Int = oid match {
+      case 20 | 23 | 21 => KindLong
+      case 700 | 701 => KindDouble
+      case 16 => KindBool
+      case 1082 => KindDate
+      case 1114 => KindTs
+      case 1184 => KindTstz
+      case 1700 => KindDecimal
+      case 17 => KindBytes
+      case 2950 => KindString // decoded to the canonical text render
+      case _ => KindString
+    }
+
+    /** PG epoch (2000-01-01) as a Unix epoch-day / epoch-second. */
+    val PgEpochDay = 10957L
+    val PgEpochSec = 946684800L
+
+    private def be16(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    private def be32(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    private def be64(p: Array[Byte], o: Int): Long =
+      (be32(p, o).toLong << 32) | (be32(p, o + 4).toLong & 0xffffffffL)
+
+    /** Binary `numeric` → BigDecimal (NaN/±Infinity → their text
+      * forms, matching PG's text render so the text/binary paths
+      * agree): ndigits base-10000 groups, a group-aligned weight and
+      * a display scale. The unscaled integer is the digit groups read
+      * as one base-10000 number shifted to the dscale grid — exact by
+      * construction (value × 10^dscale is integral whenever dscale
+      * covers the fractional groups, which PG guarantees).
+      */
+    def decodeNumericBinary(p: Array[Byte], off: Int): AnyRef = {
+      val ndigits = be16(p, off)
+      val weight = be16(p, off + 2).toShort.toInt
+      val sign = be16(p, off + 4)
+      val dscale = be16(p, off + 6)
+      sign match {
+        case 0xC000 => "NaN"
+        case 0xD000 => "Infinity"
+        case 0xF000 => "-Infinity"
+        case _ =>
+          val neg = sign == 0x4000
+          if (ndigits == 0)
+            java.math.BigDecimal.ZERO.setScale(dscale)
+          else {
+            // Digit groups as one base-10000 integer…
+            var acc = java.math.BigInteger.ZERO
+            val tenK = java.math.BigInteger.valueOf(10000L)
+            var i = 0
+            var accL = 0L
+            val fitsLong = ndigits <= 4
+            while (i < ndigits) {
+              val d = be16(p, off + 8 + 2 * i)
+              if (fitsLong) accL = accL * 10000 + d
+              else acc = acc.multiply(tenK)
+                .add(java.math.BigInteger.valueOf(d.toLong))
+              i += 1
+            }
+            if (fitsLong) acc = java.math.BigInteger.valueOf(accL)
+            // …aligned: the last group sits at 10^(4·(weight−ndigits+1)).
+            val exp10 = 4 * (weight - ndigits + 1)
+            val bd = new java.math.BigDecimal(acc, -exp10)
+            val scaled = bd.setScale(dscale)
+            if (neg) scaled.negate() else scaled
+          }
+      }
+    }
+
+    /** Binary `uuid` (16 bytes) → the canonical lowercase-hex render
+      * PG's text format uses.
+      */
+    def decodeUuidBinary(p: Array[Byte], off: Int): String = {
+      val hi = be64(p, off)
+      val lo = be64(p, off + 8)
+      new java.util.UUID(hi, lo).toString
+    }
+
+    /** µs since the PG epoch → wall-clock LocalDateTime (the binary
+      * `timestamp` payload; interpretation zone is the CALLER's
+      * choice, exactly like the text render).
+      */
+    def microsToLocalDateTime(us: Long): LocalDateTime =
+      LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L) + PgEpochSec,
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+
+    /** µs since the PG epoch (as an instant) → java.sql.Timestamp
+      * (the binary `timestamptz` payload).
+      */
+    def microsToTimestamptz(us: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L) + PgEpochSec,
+        Math.floorMod(us, 1000000L) * 1000L))
+
+    /** PG-style text render of a wall-clock timestamp: fraction
+      * digits only when non-zero, trailing zeros trimmed (what
+      * `timestamp::text` produces, so getString agrees across
+      * formats).
+      */
+    def renderTsText(ldt: LocalDateTime): String = {
+      val base = f"${ldt.toLocalDate}%s ${ldt.getHour}%02d:" +
+        f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      val us = ldt.getNano / 1000
+      if (us == 0) base
+      else {
+        var frac = f"$us%06d"
+        while (frac.endsWith("0")) frac = frac.dropRight(1)
+        s"$base.$frac"
+      }
+    }
   }
 
   /** Per-column TYPED vectors decoded once at message-read time — the
@@ -91,22 +235,37 @@ object MiniPgWire {
     * boxing (the r17 wire-decode fast path; see MiniPgResultSet's
     * docstring for the measured motivation).
     */
-  final class ColumnStore(cols: Array[Col]) {
+  final class ColumnStore(cols: Array[Col], formats: Array[Byte]) {
     import ColumnStore._
+
+    /** Simple-protocol (all-text) store. */
+    def this(cols: Array[Col]) = this(cols, new Array[Byte](cols.length))
+
     private val n = cols.length
-    private val kinds: Array[Int] = cols.map(c => kindOf(c.oid))
+    private val bin: Array[Boolean] = formats.map(_ == 1.toByte)
+    private val oids: Array[Int] = cols.map(_.oid)
+    private val kinds: Array[Int] = Array.tabulate(n)(c =>
+      if (bin(c)) binKindOf(oids(c)) else kindOf(oids(c)))
     val nulls: Array[java.util.BitSet] = Array.fill(n)(new java.util.BitSet())
+    private def longBacked(k: Int): Boolean =
+      k == KindLong || k == KindBool || k == KindDate || k == KindTs ||
+        k == KindTstz
+    private def objBacked(k: Int): Boolean =
+      k == KindDecimal || k == KindBytes
     private val longCols: Array[Array[Long]] = kinds.map(k =>
-      if (k == KindLong || k == KindBool) new Array[Long](64) else null)
+      if (longBacked(k)) new Array[Long](64) else null)
     private val dblCols: Array[Array[Double]] = kinds.map(k =>
       if (k == KindDouble) new Array[Double](64) else null)
     private val strCols: Array[Array[String]] = kinds.map(k =>
       if (k == KindString) new Array[String](64) else null)
+    private val objCols: Array[Array[AnyRef]] = kinds.map(k =>
+      if (objBacked(k)) new Array[AnyRef](64) else null)
     var size = 0
 
     def kind(c: Int): Int = kinds(c)
     def kindLong(c: Int): Array[Long] = longCols(c)
     def kindDouble(c: Int): Array[Double] = dblCols(c)
+    def kindObj(c: Int): Array[AnyRef] = objCols(c)
 
     /** Text view of a cell (null-cell → null) — the fallback getters
       * (BigDecimal, date/time, bytea, json…) and getString.
@@ -117,6 +276,33 @@ object MiniPgWire {
         case KindString => strCols(c)(r)
         case KindLong => String.valueOf(longCols(c)(r))
         case KindDouble => String.valueOf(dblCols(c)(r))
+        case KindBool => if (longCols(c)(r) != 0L) "t" else "f"
+        case KindDate => LocalDate.ofEpochDay(longCols(c)(r)).toString
+        case KindTs =>
+          renderTsText(microsToLocalDateTime(longCols(c)(r)))
+        case KindTstz =>
+          // Rendered at UTC with the bare '+00' PG uses under the
+          // UTC session zone (the provisioned test cluster's zone);
+          // typed access goes through getTimestamp, which is
+          // zone-exact regardless.
+          renderTsText(LocalDateTime.ofInstant(
+            microsToTimestamptz(longCols(c)(r)).toInstant,
+            ZoneOffset.UTC)) + "+00"
+        case KindDecimal => objCols(c)(r) match {
+          case bd: java.math.BigDecimal => bd.toPlainString
+          case s => s.asInstanceOf[String]
+        }
+        case KindBytes =>
+          val b = objCols(c)(r).asInstanceOf[Array[Byte]]
+          val sb = new java.lang.StringBuilder(2 + 2 * b.length)
+          sb.append("\\x")
+          var i = 0
+          while (i < b.length) {
+            sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(b(i) & 0xf, 16))
+            i += 1
+          }
+          sb.toString
         case _ => if (longCols(c)(r) != 0L) "t" else "f"
       }
 
@@ -131,15 +317,28 @@ object MiniPgWire {
         if (size == strCols(c).length) strCols(c) = grown(strCols(c), size * 2)
       case KindDouble =>
         if (size == dblCols(c).length) dblCols(c) = grown(dblCols(c), size * 2)
+      case KindDecimal | KindBytes =>
+        if (size == objCols(c).length) objCols(c) = grown(objCols(c), size * 2)
       case _ =>
         if (size == longCols(c).length) longCols(c) = grown(longCols(c), size * 2)
+    }
+
+    private def be32At(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    private def beLong(p: Array[Byte], o: Int, len: Int): Long = len match {
+      case 2 => (((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)).toShort.toLong
+      case 4 => be32At(p, o).toLong
+      case _ => (be32At(p, o).toLong << 32) |
+        (be32At(p, o + 4).toLong & 0xffffffffL)
     }
 
     /** Decode one cell of the current row (len == -1 → SQL NULL). */
     def put(c: Int, payload: Array[Byte], off: Int, len: Int): Unit = {
       ensure(c)
       if (len < 0) { nulls(c).set(size); return }
-      kinds(c) match {
+      if (bin(c)) putBinary(c, payload, off, len)
+      else kinds(c) match {
         case KindLong =>
           var v = 0L
           var i = off
@@ -155,6 +354,36 @@ object MiniPgWire {
         case _ =>
           strCols(c)(size) = new String(payload, off, len, UTF_8)
       }
+    }
+
+    /** Binary-format cell decode (extended-protocol fast path): the
+      * network byte order payloads of PG's `send` functions, straight
+      * into the typed vectors — zero text, zero boxing.
+      */
+    private def putBinary(c: Int, payload: Array[Byte], off: Int,
+        len: Int): Unit = kinds(c) match {
+      case KindLong =>
+        longCols(c)(size) = beLong(payload, off, len)
+      case KindDouble =>
+        dblCols(c)(size) =
+          if (len == 4)
+            java.lang.Float.intBitsToFloat(be32At(payload, off)).toDouble
+          else java.lang.Double.longBitsToDouble(beLong(payload, off, 8))
+      case KindBool =>
+        longCols(c)(size) = if (payload(off) == 1) 1L else 0L
+      case KindDate =>
+        longCols(c)(size) = be32At(payload, off).toLong + PgEpochDay
+      case KindTs | KindTstz =>
+        longCols(c)(size) = beLong(payload, off, 8)
+      case KindDecimal =>
+        objCols(c)(size) = decodeNumericBinary(payload, off)
+      case KindBytes =>
+        objCols(c)(size) =
+          java.util.Arrays.copyOfRange(payload, off, off + len)
+      case _ =>
+        strCols(c)(size) =
+          if (oids(c) == 2950) decodeUuidBinary(payload, off)
+          else new String(payload, off, len, UTF_8)
     }
 
     def rowDone(): Unit = size += 1
@@ -332,6 +561,38 @@ object MiniPgWire {
 
   /** Default blocking-read bound (seconds) — see the class doc. */
   val DefaultSocketTimeoutSec = 300
+
+  /** OIDs requested in BINARY result format on the extended-protocol
+    * read path (everything else stays text, chosen per column in the
+    * Bind message): the types whose binary decode is (a) cheaper than
+    * text parse and (b) value-identical to it through the typed
+    * getters Spark calls. Notably ABSENT: time/timetz/interval/json/
+    * jsonb (text decode is already the contract the dialect parities
+    * pin) and float-adjacent types where only the getter-level value
+    * is pinned (float4 IS here — getFloat is bit-identical either
+    * way; see the parity spec).
+    */
+  val BinaryOids: Set[Int] =
+    Set(16, 17, 20, 21, 23, 700, 701, 1082, 1114, 1184, 1700, 2950)
+
+  /** True when `sql` is a single statement (no top-level ';' except
+    * a trailing one) — the extended protocol rejects multi-statement
+    * strings, so those take the simple-query path.
+    */
+  def singleStatement(sql: String): Boolean = {
+    var inS = false
+    var inD = false
+    var i = 0
+    var semi = -1
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (ch == '\'' && !inD) inS = !inS
+      else if (ch == '"' && !inS) inD = !inD
+      else if (ch == ';' && !inS && !inD) semi = i
+      i += 1
+    }
+    semi < 0 || sql.substring(semi + 1).forall(_.isWhitespace)
+  }
 }
 
 /** One live wire session (socket + startup + simple queries).
@@ -344,7 +605,8 @@ object MiniPgWire {
   */
 final class MiniPgWire(host: String, port: Int, database: String,
     user: String, password: Option[String],
-    socketTimeoutSec: Int = MiniPgWire.DefaultSocketTimeoutSec) {
+    socketTimeoutSec: Int = MiniPgWire.DefaultSocketTimeoutSec,
+    val binaryTransfer: Boolean = true) {
   import MiniPgWire._
 
   private val socket = new Socket(host, port)
@@ -356,11 +618,12 @@ final class MiniPgWire(host: String, port: Int, database: String,
 
   startup()
 
-  private def send(tpe: Byte, body: Array[Byte]): Unit = {
+  private def send(tpe: Byte, body: Array[Byte],
+      flushNow: Boolean = true): Unit = {
     if (tpe != 0) out.writeByte(tpe.toInt)
     out.writeInt(body.length + 4)
     out.write(body)
-    out.flush()
+    if (flushNow) out.flush()
   }
 
   private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
@@ -447,24 +710,8 @@ final class MiniPgWire(host: String, port: Int, database: String,
       val (tpe, payload) = readMessage()
       tpe match {
         case 'T' =>
-          val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-          val cs = new Array[Col](n)
-          var off = 2
-          var c = 0
-          while (c < n) {
-            val end = payload.indexOf(0.toByte, off)
-            val name = new String(payload, off, end - off, UTF_8)
-            off = end + 1
-            def i32(o: Int) = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
-              ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
-            val oid = i32(off + 6)
-            val typmod = i32(off + 12)
-            off += 18
-            cs(c) = Col(name, oid, typmod)
-            c += 1
-          }
-          cols = cs
-          store = new ColumnStore(cs)
+          cols = parseRowDescription(payload)
+          store = new ColumnStore(cols)
         case 'D' =>
           // Decode straight into the typed column store — no per-cell
           // String for int/bool columns (the r17 fast path).
@@ -496,6 +743,125 @@ final class MiniPgWire(host: String, port: Int, database: String,
     }
     if (err != null) throw err
     results.toSeq
+  }
+
+  private def parseRowDescription(payload: Array[Byte]): Array[Col] = {
+    val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+    val cs = new Array[Col](n)
+    var off = 2
+    var c = 0
+    while (c < n) {
+      val end = payload.indexOf(0.toByte, off)
+      val name = new String(payload, off, end - off, UTF_8)
+      off = end + 1
+      def i32(o: Int) = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+      val oid = i32(off + 6)
+      val typmod = i32(off + 12)
+      off += 18
+      cs(c) = Col(name, oid, typmod)
+      c += 1
+    }
+    cs
+  }
+
+  private def i16bytes(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Drain the stream to ReadyForQuery after an extended-protocol
+    * error (the server discards messages until Sync; Sync must
+    * already have been sent).
+    */
+  private def drainToReady(): Unit = {
+    var done = false
+    while (!done) {
+      val (tpe, _) = readMessage()
+      if (tpe == 'Z') done = true
+    }
+  }
+
+  /** Run ONE statement over the EXTENDED protocol with per-column
+    * result formats — BINARY for [[MiniPgWire.BinaryOids]], text for
+    * everything else. Two phases on the wire: Parse+Describe+Flush
+    * learns the result shape (OIDs) so the Bind that follows can
+    * request binary only where the decode is implemented and
+    * value-identical; Bind+Execute+Sync then streams DataRows
+    * straight into the typed [[ColumnStore]]. This is the r17 wire
+    * fast path: binary int/float/date/timestamp/numeric cells skip
+    * text entirely (an int8 is 8 bytes + one shift-or instead of up
+    * to 20 ASCII digits through a parse loop), which is how the
+    * reference's native client reads too (rust-postgres requests
+    * binary format for typed reads).
+    */
+  def queryExtended(sql: String): Seq[Result] = synchronized {
+    if (!open) throw new SQLException("connection is closed")
+    // Phase 1: Parse (unnamed statement, no param types) + Describe.
+    send('P'.toByte, cstr("") ++ cstr(sql) ++ i16bytes(0), flushNow = false)
+    send('D'.toByte, 'S'.toByte +: cstr(""), flushNow = false)
+    send('H'.toByte, Array.empty) // Flush
+    var cols: Array[Col] = Array.empty
+    var described = false
+    while (!described) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case '1' | 't' => () // ParseComplete / ParameterDescription
+        case 'T' => cols = parseRowDescription(payload); described = true
+        case 'n' => described = true // NoData (command-only statement)
+        case 'E' =>
+          val e = errorFrom(payload)
+          send('S'.toByte, Array.empty) // Sync → server re-syncs
+          drainToReady()
+          throw e
+        case 'N' | 'S' => ()
+        case other =>
+          throw new SQLException(s"unexpected describe reply '${other.toChar}'")
+      }
+    }
+    // Phase 2: Bind with per-column result formats, Execute, Sync.
+    val formats: Array[Byte] =
+      cols.map(c => if (BinaryOids(c.oid)) 1.toByte else 0.toByte)
+    val bind = new ArrayBuffer[Byte]()
+    bind ++= cstr("") // portal
+    bind ++= cstr("") // statement
+    bind ++= i16bytes(0) // no param format codes
+    bind ++= i16bytes(0) // no params
+    bind ++= i16bytes(formats.length)
+    formats.foreach(f => bind ++= i16bytes(f.toInt))
+    send('B'.toByte, bind.toArray, flushNow = false)
+    send('E'.toByte, cstr("") ++ Array[Byte](0, 0, 0, 0), flushNow = false)
+    send('S'.toByte, Array.empty) // Sync
+    val store = new ColumnStore(cols, formats)
+    var tag = "SELECT"
+    var err: SQLException = null
+    var done = false
+    while (!done) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case '2' => () // BindComplete
+        case 'D' =>
+          val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+          var off = 2
+          var c = 0
+          while (c < n) {
+            val len = ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+              ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+            off += 4
+            store.put(c, payload, off, len)
+            if (len > 0) off += len
+            c += 1
+          }
+          store.rowDone()
+        case 'C' => tag = new String(payload, 0, payload.length - 1, UTF_8)
+        case 'I' => tag = "EMPTY"
+        case 'E' => err = errorFrom(payload) // drain until ReadyForQuery
+        case 'N' | 'S' => ()
+        case 'Z' => done = true
+        case other =>
+          throw new SQLException(s"unexpected message '${other.toChar}'")
+      }
+    }
+    if (err != null) throw err
+    Seq(Result(cols, store, tag))
   }
 
   def close(): Unit = synchronized {
@@ -618,7 +984,15 @@ object MiniPgJdbc {
     proxy(classOf[java.sql.PreparedStatement]) {
       case ("executeQuery", a) =>
         val q = if (a.nonEmpty) a(0).asInstanceOf[String] else render()
-        val res = wire.query(q)
+        // The READ path takes the extended protocol (binary result
+        // formats for the types in MiniPgWire.BinaryOids) unless
+        // disabled via ?binaryTransfer=false (pgjdbc's param name)
+        // or the text is multi-statement (extended Parse rejects
+        // those; JDBC executeQuery is single-statement anyway).
+        val res =
+          if (wire.binaryTransfer && MiniPgWire.singleStatement(q))
+            wire.queryExtended(q)
+          else wire.query(q)
         val withRows = res.find(_.cols.nonEmpty).getOrElse(res.last)
         lastResult = Some(withRows)
         resultSet(withRows)
@@ -784,8 +1158,9 @@ class MiniPgDriver extends java.sql.Driver {
     val user = opt("user").getOrElse("postgres")
     val timeoutSec = opt("socketTimeout").map(_.toInt)
       .getOrElse(MiniPgWire.DefaultSocketTimeoutSec)
+    val binary = opt("binaryTransfer").forall(_.toBoolean)
     val wire = new MiniPgWire(host, port, db, user, opt("password"),
-      timeoutSec)
+      timeoutSec, binary)
     MiniPgJdbc.connection(wire, url, user)
   }
 

@@ -43,6 +43,8 @@ final class MiniPgResultSet(res: MiniPgWire.Result) extends java.sql.ResultSet {
     if (isNull(i)) 0.0 else store.kindDouble(i - 1)(cursor)
   private def strAt(i: Int): String =
     if (isNull(i)) null else store.text(i - 1, cursor)
+  private def objAt(i: Int): AnyRef =
+    if (isNull(i)) null else store.kindObj(i - 1)(cursor)
 
   override def next(): Boolean = { cursor += 1; cursor < nRows }
   override def close(): Unit = closed = true
@@ -65,6 +67,11 @@ final class MiniPgResultSet(res: MiniPgWire.Result) extends java.sql.ResultSet {
   override def getLong(i: Int): Long = store.kind(i - 1) match {
     case ColumnStore.KindLong | ColumnStore.KindBool => longAt(i)
     case ColumnStore.KindDouble => dblAt(i).toLong
+    case ColumnStore.KindDecimal => objAt(i) match {
+      case null => 0L
+      case bd: java.math.BigDecimal => bd.longValueExact()
+      case s => s.asInstanceOf[String].toLong
+    }
     case _ => val v = strAt(i); if (v == null) 0L else v.toLong
   }
   override def getLong(l: String): Long = getLong(findColumn(l))
@@ -77,6 +84,13 @@ final class MiniPgResultSet(res: MiniPgWire.Result) extends java.sql.ResultSet {
   override def getDouble(i: Int): Double = store.kind(i - 1) match {
     case ColumnStore.KindDouble => dblAt(i)
     case ColumnStore.KindLong | ColumnStore.KindBool => longAt(i).toDouble
+    case ColumnStore.KindDecimal => objAt(i) match {
+      case null => 0.0
+      // OpenJDK BigDecimal.doubleValue is correctly rounded, so this
+      // equals the text path's parseDouble of the same decimal.
+      case bd: java.math.BigDecimal => bd.doubleValue
+      case s => s.asInstanceOf[String].toDouble
+    }
     case _ => val v = strAt(i); if (v == null) 0.0 else v.toDouble
   }
   override def getDouble(l: String): Double = getDouble(findColumn(l))
@@ -87,23 +101,46 @@ final class MiniPgResultSet(res: MiniPgWire.Result) extends java.sql.ResultSet {
     case _ => val v = strAt(i); v == "t" || v == "true"
   }
   override def getBoolean(l: String): Boolean = getBoolean(findColumn(l))
-  override def getBigDecimal(i: Int): java.math.BigDecimal = {
-    val v = strAt(i)
-    if (v == null) null else new java.math.BigDecimal(v)
-  }
+  override def getBigDecimal(i: Int): java.math.BigDecimal =
+    if (store.kind(i - 1) == ColumnStore.KindDecimal) objAt(i) match {
+      case null => null
+      case bd: java.math.BigDecimal => bd
+      case s => new java.math.BigDecimal(s.asInstanceOf[String]) // throws on NaN, like the text path
+    } else {
+      val v = strAt(i)
+      if (v == null) null else new java.math.BigDecimal(v)
+    }
   override def getBigDecimal(l: String): java.math.BigDecimal =
     getBigDecimal(findColumn(l))
-  override def getBytes(i: Int): Array[Byte] = {
-    val v = strAt(i)
-    if (v == null) null else parseByteaHex(v)
-  }
+  override def getBytes(i: Int): Array[Byte] =
+    if (store.kind(i - 1) == ColumnStore.KindBytes) objAt(i) match {
+      case null => null
+      case b => b.asInstanceOf[Array[Byte]].clone()
+    } else {
+      val v = strAt(i)
+      if (v == null) null else parseByteaHex(v)
+    }
   override def getBytes(l: String): Array[Byte] = getBytes(findColumn(l))
-  override def getDate(i: Int): java.sql.Date = {
-    val v = strAt(i)
-    if (v == null) null else java.sql.Date.valueOf(parseDateFast(v))
-  }
+  override def getDate(i: Int): java.sql.Date =
+    if (store.kind(i - 1) == ColumnStore.KindDate) {
+      if (isNull(i)) null
+      else java.sql.Date.valueOf(LocalDate.ofEpochDay(longAt(i)))
+    } else {
+      val v = strAt(i)
+      if (v == null) null else java.sql.Date.valueOf(parseDateFast(v))
+    }
   override def getDate(l: String): java.sql.Date = getDate(findColumn(l))
-  override def getTimestamp(i: Int): java.sql.Timestamp = {
+  override def getTimestamp(i: Int): java.sql.Timestamp = store.kind(i - 1) match {
+    case ColumnStore.KindTs =>
+      // Binary wall-clock µs → the same Timestamp.valueOf semantics
+      // as the text path (wall-clock re-interpreted in the JVM zone).
+      if (isNull(i)) null
+      else java.sql.Timestamp.valueOf(
+        ColumnStore.microsToLocalDateTime(longAt(i)))
+    case ColumnStore.KindTstz =>
+      if (isNull(i)) null
+      else ColumnStore.microsToTimestamptz(longAt(i))
+    case _ =>
     val v = strAt(i)
     if (v == null) null
     else col(i).oid match {
@@ -129,12 +166,20 @@ final class MiniPgResultSet(res: MiniPgWire.Result) extends java.sql.ResultSet {
   }
   override def getTime(l: String): java.sql.Time = getTime(findColumn(l))
   override def getObject[T](i: Int, cls: Class[T]): T = {
-    val v = strAt(i)
+    val k = store.kind(i - 1)
     val out: AnyRef =
-      if (v == null) null
-      else if (cls == classOf[LocalDateTime]) parseTimestampNtz(v)
-      else if (cls == classOf[LocalDate]) parseDateFast(v)
-      else nope(s"getObject(${cls.getName})")
+      if (k == ColumnStore.KindTs && cls == classOf[LocalDateTime]) {
+        if (isNull(i)) null
+        else ColumnStore.microsToLocalDateTime(longAt(i))
+      } else if (k == ColumnStore.KindDate && cls == classOf[LocalDate]) {
+        if (isNull(i)) null else LocalDate.ofEpochDay(longAt(i))
+      } else {
+        val v = strAt(i)
+        if (v == null) null
+        else if (cls == classOf[LocalDateTime]) parseTimestampNtz(v)
+        else if (cls == classOf[LocalDate]) parseDateFast(v)
+        else nope(s"getObject(${cls.getName})")
+      }
     out.asInstanceOf[T]
   }
   override def getObject[T](l: String, cls: Class[T]): T =

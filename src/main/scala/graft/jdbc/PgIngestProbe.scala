@@ -9,8 +9,10 @@ import graft.sources.Corpus
   * (`/root/reference/benchmarks/README.md`: full-table ingest of
   * ~600k rows from PostgreSQL into client memory, ≈0.6 s for flaco's
   * native wire client) measured over THIS repo's wire path:
-  * PostgreSQL 15 → [[MiniPgDriver]] (v3 simple-query, text format) →
-  * Spark JDBC source → DataFrame, fully materialized.
+  * PostgreSQL 15 → [[MiniPgDriver]] (extended-protocol reads with
+  * binary result formats since r17; the text-transfer control is
+  * timed alongside) → Spark JDBC source → DataFrame, fully
+  * materialized.
   *
   * Context for the number this prints (recorded in SCALING.md): the
   * production path for PG ingest is pgjdbc (binary-capable, buffered,
@@ -69,15 +71,72 @@ object PgIngestProbe {
     // Warm one small read (driver/codegen init out of the timing).
     materialize(Flaco.readSqlToDataFrame(spark, uri,
       "select * from lineitem_probe limit 10")): Unit
+    val textUri = uri +
+      (if (uri.contains("?")) "&" else "?") + "binaryTransfer=false"
     val (r1, t1) = timed(materialize(Flaco.readSqlToDataFrame(spark, uri,
       "select * from lineitem_probe")))
     val (r4, t4) = timed(materialize(Flaco.readSqlToDataFrame(spark, uri,
       "select * from lineitem_probe",
       partitionColumn = Some(("l_orderkey", 0L, 6000000L, 4)))))
-    require(r1 == n && r4 == n, s"row drift: $n vs $r1/$r4")
+    // Text-transfer control (the pre-r17 wire path) — same shape,
+    // extended protocol off, so the delta IS the binary decode.
+    val (rT, tT) = timed(materialize(Flaco.readSqlToDataFrame(spark,
+      textUri, "select * from lineitem_probe")))
+    require(r1 == n && r4 == n && rT == n, s"row drift: $n vs $r1/$r4/$rT")
+
+    // RAW wire→columnar ingest, no Spark: the exact shape the
+    // reference's headline measures (server → client columnar
+    // buffers, rust-postgres + Arrow builders; lib.rs:188-389). The
+    // Spark numbers above additionally pay JDBC row materialization
+    // + InternalRow conversion + the hash aggregate — work the
+    // reference's 0.6 s does not include. Cells are touched through
+    // the typed vectors so decode cannot be lazily skipped.
+    val (host, port, db, _) = MiniPgDriver.parseUrl(uri)
+    def rawIngest(binary: Boolean): (Long, Double) = {
+      val wire = new MiniPgWire(host, port, db, "postgres", None,
+        binaryTransfer = binary)
+      try {
+        val t0 = System.nanoTime()
+        val res =
+          if (binary) wire.queryExtended("select * from lineitem_probe")
+          else wire.query("select * from lineitem_probe")
+        val store = res.head.data
+        var acc = 0L
+        var c = 0
+        while (c < res.head.cols.length) {
+          val k = store.kind(c)
+          var r = 0
+          import MiniPgWire.ColumnStore._
+          while (r < store.size) {
+            if (!store.nulls(c).get(r)) {
+              acc ^= (k match {
+                case KindLong | KindBool | KindDate | KindTs | KindTstz =>
+                  store.kindLong(c)(r)
+                case KindDouble =>
+                  java.lang.Double.doubleToLongBits(store.kindDouble(c)(r))
+                case KindDecimal | KindBytes =>
+                  store.kindObj(c)(r).hashCode().toLong
+                case _ => store.text(c, r).length.toLong
+              }) * (r + 1)
+            }
+            r += 1
+          }
+          c += 1
+        }
+        require(acc != 42L) // keep the checksum alive
+        (store.size.toLong, (System.nanoTime() - t0) / 1e9)
+      } finally wire.close()
+    }
+    rawIngest(binary = true): Unit // warm
+    val (rawN, tRawB) = rawIngest(binary = true)
+    val (_, tRawT) = rawIngest(binary = false)
+    require(rawN == n, s"raw row drift: $n vs $rawN")
+
     println(s"""{"metric":"pg_ingest","rows":$n,""" +
       f""""load_via_wire_sec":$tLoad%.2f,"read_1conn_sec":$t1%.2f,""" +
-      f""""read_4part_sec":$t4%.2f}""")
+      f""""read_4part_sec":$t4%.2f,"read_1conn_text_sec":$tT%.2f,""" +
+      f""""raw_wire_columnar_sec":$tRawB%.2f,""" +
+      f""""raw_wire_columnar_text_sec":$tRawT%.2f}""")
     spark.stop()
   }
 }

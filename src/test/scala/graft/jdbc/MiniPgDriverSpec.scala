@@ -72,6 +72,141 @@ class MiniPgDriverSpec extends AnyFunSuite {
       "java.time contract changed — revisit the renderer comment")
   }
 
+  // ---- binary-format decoders (the r17 extended-protocol read
+  //      path) — pure codec, no server needed ----
+
+  test("singleStatement: top-level ';' splits, quoted ';' and a " +
+    "trailing ';' don't") {
+    import MiniPgWire.singleStatement
+    assert(singleStatement("select 1"))
+    assert(singleStatement("select 1;"))
+    assert(singleStatement("select ';' as s; "))
+    assert(!singleStatement("select 1; select 2"))
+    assert(singleStatement("""select ";" from "t;bl""""))
+  }
+
+  test("binary numeric decodes to the exact BigDecimal the text " +
+    "render parses to (scale preserved, base-10000 groups aligned)") {
+    import MiniPgWire.ColumnStore.decodeNumericBinary
+    def enc(ndigits: Int, weight: Int, sign: Int, dscale: Int,
+        digits: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + 2 * digits.length)
+      b.putShort(ndigits.toShort).putShort(weight.toShort)
+        .putShort(sign.toShort).putShort(dscale.toShort)
+      digits.foreach(d => b.putShort(d.toShort))
+      b.array()
+    }
+    def dec(p: Array[Byte]) = decodeNumericBinary(p, 0)
+    assert(dec(enc(2, 0, 0, 4, 1234, 5678)) ===
+      new java.math.BigDecimal("1234.5678"))
+    assert(dec(enc(1, -1, 0x4000, 4, 1)) ===
+      new java.math.BigDecimal("-0.0001"))
+    // dscale narrower than the group grid: 1.500 stores [1, 5000].
+    assert(dec(enc(2, 0, 0, 3, 1, 5000)) ===
+      new java.math.BigDecimal("1.500"))
+    // Zero with display scale, and the bare zero.
+    assert(dec(enc(0, 0, 0, 2)) === new java.math.BigDecimal("0.00"))
+    assert(dec(enc(0, 0, 0, 0)) === java.math.BigDecimal.ZERO)
+    // Wide value through the BigInteger path (> 4 groups).
+    assert(dec(enc(6, 4, 0, 2, 1234, 5678, 9012, 3456, 7890, 1200)) ===
+      new java.math.BigDecimal("12345678901234567890.12"))
+    // Integral with positive weight: 20000 = [2] at weight 1.
+    assert(dec(enc(1, 1, 0, 0, 2)) === new java.math.BigDecimal("20000"))
+    // Specials carry PG's text forms.
+    assert(dec(enc(0, 0, 0xC000, 0)) === "NaN")
+    assert(dec(enc(0, 0, 0xD000, 0)) === "Infinity")
+    assert(dec(enc(0, 0, 0xF000, 0)) === "-Infinity")
+  }
+
+  test("binary timestamp/date epoch conversions round the PG epoch " +
+    "exactly (negative µs floor-divide)") {
+    import MiniPgWire.ColumnStore.{microsToLocalDateTime, microsToTimestamptz}
+    assert(microsToLocalDateTime(0L).toString === "2000-01-01T00:00")
+    assert(microsToLocalDateTime(-1L).toString ===
+      "1999-12-31T23:59:59.999999")
+    assert(microsToLocalDateTime(86400L * 1000000 + 1500000).toString ===
+      "2000-01-02T00:00:01.500")
+    assert(microsToTimestamptz(0L).toInstant.toString ===
+      "2000-01-01T00:00:00Z")
+    assert(microsToTimestamptz(-2L).toInstant.toString ===
+      "1999-12-31T23:59:59.999998Z")
+  }
+
+  test("binary uuid decodes to PG's canonical lowercase text render") {
+    import MiniPgWire.ColumnStore.decodeUuidBinary
+    val u = java.util.UUID.fromString(
+      "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+    val b = java.nio.ByteBuffer.allocate(16)
+      .putLong(u.getMostSignificantBits)
+      .putLong(u.getLeastSignificantBits).array()
+    assert(decodeUuidBinary(b, 0) === "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+  }
+
+  test("a binary-format ColumnStore serves the same getter values " +
+    "as a text-format one for every BinaryOids type") {
+    import MiniPgWire.{Col, ColumnStore, Result}
+    val cols = Array(
+      Col("i8", 20, -1), Col("i4", 23, -1), Col("i2", 21, -1),
+      Col("b", 16, -1), Col("f4", 700, -1), Col("f8", 701, -1),
+      Col("d", 1082, -1), Col("ts", 1114, -1), Col("tz", 1184, -1),
+      Col("n", 1700, ((10 << 16) | 4) + 4), Col("by", 17, -1))
+    def put(store: ColumnStore, c: Int, bytes: Array[Byte]): Unit =
+      store.put(c, bytes, 0, bytes.length)
+    val text = new ColumnStore(cols)
+    Seq("-9007199254740993", "42", "-7", "t", "1.5", "-2.25",
+      "2021-03-14", "2021-03-14 01:02:03.25",
+      "2021-03-14 01:02:03.25+00", "1234.5678", "\\x0001ff")
+      .zipWithIndex.foreach { case (s, c) =>
+        put(text, c, s.getBytes("UTF-8")) }
+    text.rowDone()
+    val binF = Array.fill[Byte](cols.length)(1)
+    val bb = java.nio.ByteBuffer.allocate(64)
+    def bytesOf(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      bb.clear(); f(bb); java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val binary = new ColumnStore(cols, binF)
+    put(binary, 0, bytesOf(_.putLong(-9007199254740993L)))
+    put(binary, 1, bytesOf(_.putInt(42)))
+    put(binary, 2, bytesOf(_.putShort(-7)))
+    put(binary, 3, Array[Byte](1))
+    put(binary, 4, bytesOf(_.putFloat(1.5f)))
+    put(binary, 5, bytesOf(_.putDouble(-2.25)))
+    // 2021-03-14 = 7743 days after 2000-01-01.
+    put(binary, 6, bytesOf(_.putInt(
+      java.time.LocalDate.of(2021, 3, 14).toEpochDay.toInt - 10957)))
+    val us = (java.time.LocalDateTime.of(2021, 3, 14, 1, 2, 3)
+      .toEpochSecond(java.time.ZoneOffset.UTC) - 946684800L) *
+      1000000L + 250000L
+    put(binary, 7, bytesOf(_.putLong(us)))
+    put(binary, 8, bytesOf(_.putLong(us)))
+    put(binary, 9, bytesOf { b =>
+      b.putShort(2).putShort(0).putShort(0).putShort(4)
+        .putShort(1234).putShort(5678): Unit
+    })
+    put(binary, 10, Array[Byte](0, 1, -1))
+    binary.rowDone()
+    val rsT = new MiniPgResultSet(Result(cols, text, "SELECT 1"))
+    val rsB = new MiniPgResultSet(Result(cols, binary, "SELECT 1"))
+    assert(rsT.next() && rsB.next())
+    assert(rsB.getLong(1) === rsT.getLong(1))
+    assert(rsB.getInt(2) === rsT.getInt(2))
+    assert(rsB.getShort(3) === rsT.getShort(3))
+    assert(rsB.getBoolean(4) === rsT.getBoolean(4))
+    assert(rsB.getFloat(5) === rsT.getFloat(5))
+    assert(rsB.getDouble(6) === rsT.getDouble(6))
+    assert(rsB.getDate(7) === rsT.getDate(7))
+    assert(rsB.getTimestamp(8) === rsT.getTimestamp(8))
+    assert(rsB.getTimestamp(9) === rsT.getTimestamp(9))
+    assert(rsB.getBigDecimal(10) === rsT.getBigDecimal(10))
+    assert(rsB.getDouble(10) === rsT.getDouble(10))
+    assert(rsB.getBytes(11).toSeq === rsT.getBytes(11).toSeq)
+    // getString agrees too (the text() renders mirror PG's under
+    // the UTC session zone the provisioned cluster uses).
+    (1 to 11).foreach { i =>
+      assert(rsB.getString(i) === rsT.getString(i), s"col $i")
+    }
+  }
+
   test("driver steps aside for non-postgres URLs and parses pgjdbc " +
     "URL shapes") {
     val d = new MiniPgDriver
