@@ -376,6 +376,8 @@ object SparkEntry {
       TextAnalysis.bpeSeqFertility(s, d)),
     "q255_stored_ivf_maint" -> ((s: SparkSession, d: String) =>
       Similarity.storedIvfMaintenance(s, d)),
+    "q256_pii_scrub" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.piiScrub(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6311,6 +6313,47 @@ object SparkEntry {
     // identity (Breadth17Spec adds the write-path half SQL cannot
     // see: untouched partitions byte-identical, touched set exact).
     "q255_stored_ivf_maint" -> ivfIvmOracle(97, 101),
+
+    // q256: DuckDB re-derives the deterministic PII fixture (the
+    // q246 modular-fixture philosophy — doc_id-derived email/phone/
+    // IPv4 appended to 2/3 of documents), then runs the IDENTICAL
+    // pattern text through ITS regex engine (RE2) — cross-engine
+    // agreement on the match semantics is part of the gate. The
+    // redacted_fp bit_xor pins the rewrite itself: a single
+    // mis-redacted character anywhere in the corpus flips the hash.
+    "q256_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id % 3 = 0 THEN text ELSE
+         |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.org or +1-555-'
+         |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+         |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+         |      || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+         |    END AS pii_text
+         |  FROM documents),
+         |scrub AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(pii_text,
+         |      '${TextAnalysis.PiiEmailRe}')) AS e,
+         |    len(regexp_extract_all(pii_text,
+         |      '${TextAnalysis.PiiPhoneRe}')) AS p,
+         |    len(regexp_extract_all(pii_text,
+         |      '${TextAnalysis.PiiIpv4Re}')) AS i,
+         |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |      '${TextAnalysis.PiiEmailRe}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.PiiPhoneRe}', '<PHONE>', 'g'),
+         |      '${TextAnalysis.PiiIpv4Re}', '<IP>', 'g') AS redacted
+         |  FROM aug)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(e) AS BIGINT) AS n_emails,
+         |  CAST(sum(p) AS BIGINT) AS n_phones,
+         |  CAST(sum(i) AS BIGINT) AS n_ips,
+         |  bit_xor(CAST(concat('0x', substring(md5(redacted), 1, 15))
+         |    AS BIGINT)) AS redacted_fp
+         |FROM scrub GROUP BY source ORDER BY source""".stripMargin,
 
     // q251: DuckDB rebuilds the ENTIRE band index from scratch over
     // its own snapshot-B derivation (the q246 modular fixture carried

@@ -2569,4 +2569,68 @@ object TextAnalysis {
         sum(col("doc_id")).as("docid_sum"))
       .orderBy(col("split"))
   }
+
+  // ---- PII scrub (q256) ----
+
+  /** PII detection + redaction patterns — the three classes every
+    * production scrub pass (C4, CCNet, Dolma-style) handles with
+    * rule-based matching: emails, international-format phone
+    * numbers, IPv4 addresses. RE2-safe subset (no backreferences or
+    * lookaround) so the DuckDB oracle runs the IDENTICAL pattern
+    * text through its own regex engine — the cross-engine agreement
+    * is part of the gate, not an assumption.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+  val PiiIpv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII scrub (q256) — rule-based detect + redact over the corpus,
+    * reported as per-source counts plus a fingerprint of the
+    * REDACTED text (so the gate pins the rewrite itself, not just
+    * the match counts).
+    *
+    * The synthetic corpus carries no PII, so the operator runs over
+    * a deterministic fixture: 2/3 of documents get an email, a
+    * phone and an IPv4 whose digits derive from doc_id appended to
+    * their text (the q246 modular-fixture philosophy — the oracle
+    * re-derives the exact same corpus and the counts are exact, not
+    * statistical), 1/3 stay clean so the no-match path is exercised.
+    *
+    * 100 TB shape: one codegen'd regexp pass per row (three
+    * regexp_count + three chained regexp_replace in a single
+    * projection — no explode, no UDF), then ONE partial-aggregable
+    * groupBy over ~20 source keys. Embarrassingly parallel; the
+    * shuffle carries |sources| rows per task. Redaction order is
+    * fixed (email → phone → ip) and part of the contract.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.read(spark, dir, "documents")
+    val aug = docs.withColumn("pii_text",
+      when(col("doc_id") % 3 === 0, col("text")).otherwise(concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example.org or +1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), col("doc_id") % 256, lit("."),
+        (col("doc_id") * 3) % 256, lit("."), (col("doc_id") * 5) % 256)))
+    val scrubbed = aug.select(
+      col("source"),
+      regexp_count(col("pii_text"), lit(PiiEmailRe)).as("e"),
+      regexp_count(col("pii_text"), lit(PiiPhoneRe)).as("p"),
+      regexp_count(col("pii_text"), lit(PiiIpv4Re)).as("i"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("pii_text"), PiiEmailRe, "<EMAIL>"),
+          PiiPhoneRe, "<PHONE>"),
+        PiiIpv4Re, "<IP>").as("redacted"))
+    scrubbed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).cast("long").as("n_emails"),
+        sum(col("p")).cast("long").as("n_phones"),
+        sum(col("i")).cast("long").as("n_ips"),
+        expr("bit_xor(cast(conv(substring(md5(redacted), 1, 15), 16, 10) " +
+          "as bigint))").as("redacted_fp"))
+      .orderBy(col("source"))
+  }
 }
