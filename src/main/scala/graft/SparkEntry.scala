@@ -395,7 +395,9 @@ object SparkEntry {
     "qS08_stream_lsh_band" ->
       (graft.streaming.DocumentStreams.lshBandedFinalized _),
     "qS09_stream_dedup_admit" ->
-      (graft.streaming.DocumentStreams.dedupAdmittedFinalized _)
+      (graft.streaming.DocumentStreams.dedupAdmittedFinalized _),
+    "qS10_stream_pii" ->
+      (graft.streaming.DocumentStreams.piiScrubbedFinalized _)
   )
 
   // ---- oracle SQL builders (shared fragments) ----
@@ -6522,6 +6524,40 @@ object SparkEntry {
         |SELECT doc_id, lang, md5(text) AS fp
         |FROM arr WHERE md5(text) NOT IN (SELECT fp FROM basefp)
         |ORDER BY doc_id""".stripMargin,
+
+    // qS10: q256's scrub at ingest, gated at ROW grain — the same
+    // fixture + detect/redact CTEs, emitted per document with the
+    // md5 of the redacted text (the batch gate's aggregate folds the
+    // same values per source; this one pins every row's rewrite).
+    "qS10_stream_pii" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 0 THEN text ELSE
+         |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.org or +1-555-'
+         |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+         |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+         |      || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+         |    END AS pii_text
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '${graft.operators.TextAnalysis.PiiEmailRe}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '${graft.operators.TextAnalysis.PiiPhoneRe}')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '${graft.operators.TextAnalysis.PiiIpv4Re}')) AS BIGINT)
+         |    AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '${graft.operators.TextAnalysis.PiiEmailRe}', '<EMAIL>', 'g'),
+         |    '${graft.operators.TextAnalysis.PiiPhoneRe}', '<PHONE>', 'g'),
+         |    '${graft.operators.TextAnalysis.PiiIpv4Re}', '<IP>', 'g'))
+         |    AS redacted_fp
+         |FROM aug ORDER BY doc_id""".stripMargin,
 
     // qS05: q246's CDC at ingest. Same deterministic snapshot-B
     // fixture, but classified from the FEED's point of view — a LEFT

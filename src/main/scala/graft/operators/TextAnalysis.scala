@@ -2604,7 +2604,24 @@ object TextAnalysis {
     * fixed (email → phone → ip) and part of the contract.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Corpus.read(spark, dir, "documents")
+    val scrubbed = piiScrubProjection(Corpus.read(spark, dir, "documents"))
+    scrubbed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).cast("long").as("n_emails"),
+        sum(col("p")).cast("long").as("n_phones"),
+        sum(col("i")).cast("long").as("n_ips"),
+        expr("bit_xor(cast(conv(substring(md5(redacted), 1, 15), 16, 10) " +
+          "as bigint))").as("redacted_fp"))
+      .orderBy(col("source"))
+  }
+
+  /** The per-row half of [[piiScrub]] — fixture injection + the
+    * three-class detect/redact projection, emitting
+    * (doc_id, source, e, p, i, redacted). Stateless and
+    * batch/stream-agnostic: q256 aggregates it per source; the qS10
+    * ingest twin streams it row-by-row (no watermark, no state).
+    */
+  def piiScrubProjection(docs: DataFrame): DataFrame = {
     val aug = docs.withColumn("pii_text",
       when(col("doc_id") % 3 === 0, col("text")).otherwise(concat(
         col("text"),
@@ -2614,8 +2631,8 @@ object TextAnalysis {
         lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
         lit(" from 10."), col("doc_id") % 256, lit("."),
         (col("doc_id") * 3) % 256, lit("."), (col("doc_id") * 5) % 256)))
-    val scrubbed = aug.select(
-      col("source"),
+    aug.select(
+      col("doc_id"), col("source"),
       regexp_count(col("pii_text"), lit(PiiEmailRe)).as("e"),
       regexp_count(col("pii_text"), lit(PiiPhoneRe)).as("p"),
       regexp_count(col("pii_text"), lit(PiiIpv4Re)).as("i"),
@@ -2624,13 +2641,5 @@ object TextAnalysis {
           regexp_replace(col("pii_text"), PiiEmailRe, "<EMAIL>"),
           PiiPhoneRe, "<PHONE>"),
         PiiIpv4Re, "<IP>").as("redacted"))
-    scrubbed.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("e")).cast("long").as("n_emails"),
-        sum(col("p")).cast("long").as("n_phones"),
-        sum(col("i")).cast("long").as("n_ips"),
-        expr("bit_xor(cast(conv(substring(md5(redacted), 1, 15), 16, 10) " +
-          "as bigint))").as("redacted_fp"))
-      .orderBy(col("source"))
   }
 }

@@ -251,6 +251,43 @@ object DocumentStreams {
     spark.read.parquet(s"$tmp/data")
   }.orderBy(col("doc_id"))
 
+  /** The qS10 streaming-vs-oracle gate: PII scrub at INGEST — q256's
+    * detect/redact projection ([[TextAnalysis.piiScrubProjection]],
+    * shared verbatim with the batch gate) run as the stateless
+    * arrival leg: staged multi-file feed → three regexp_count +
+    * three chained regexp_replace per arriving row → append-mode
+    * parquet sink with checkpoint, Trigger.AvailableNow, read back.
+    * No watermark, no state store, constant memory — scrubbing is
+    * per-row by construction, so the emitted set is trivially
+    * batch-replayable and the DuckDB oracle is the per-document
+    * fixture + scrub SQL (q256's CTEs without the final aggregate).
+    * Each emitted row carries the per-class counts and the md5 of
+    * the REDACTED text, so the gate pins the rewrite at row grain.
+    */
+  def piiScrubbedFinalized(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.stagedGate("graft-qs10-") { tmp =>
+    spark.read.parquet(s"$dir/documents.parquet").repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/documents.parquet")
+    val scrubbed =
+      TextAnalysis.piiScrubProjection(readDocumentStream(spark, s"$tmp/in"))
+        .select(col("doc_id"), col("source"),
+          col("e").cast("long").as("n_emails"),
+          col("p").cast("long").as("n_phones"),
+          col("i").cast("long").as("n_ips"),
+          md5(col("redacted")).as("redacted_fp"))
+    val q = scrubbed
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data")
+  }.orderBy(col("doc_id"))
+
   /** Schema of a staged CDC snapshot feed: keyed rows carrying the
     * arriving version's content fingerprint.
     */

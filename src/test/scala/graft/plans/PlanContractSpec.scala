@@ -88,6 +88,11 @@ class PlanContractSpec extends AnyFunSuite {
       "projection (signature + 4 band keys, no join, no aggregate, " +
       "no state); DocumentStreamsSpec pins stream-vs-batch parity " +
       "and the q251 index arrival-slice identity."),
+    "qS10_stream_pii" -> ("same availableNow-pipeline shape as " +
+      "qS01; PII scrub is a stateless per-row projection (three " +
+      "regexp_count + three chained regexp_replace) — no join, no " +
+      "aggregate, no state; DocumentStreamsSpec pins stream-vs-batch " +
+      "parity and the per-source fold ≡ q256's aggregate."),
     "qS09_stream_dedup_admit" -> ("same availableNow-pipeline shape " +
       "as qS01; admission is a stateless stream-static anti-join " +
       "(left outer + null filter) against the frozen base " +

@@ -415,4 +415,38 @@ class DocumentStreamsSpec extends AnyFunSuite {
     assert(streamGate.toSeq === batch.filter(_._1 != "delete").toSeq,
       "ingest-side CDC report diverged from the batch reconciliation")
   }
+
+  test("qS10 ingest scrub equals the batch projection row-for-row " +
+    "and its per-source fold equals q256's aggregate") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val got = DocumentStreams.piiScrubbedFinalized(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    val want = graft.operators.TextAnalysis
+      .piiScrubProjection(Corpus.read(spark, TestSpark.sf, "documents"))
+      .select(col("doc_id"), col("source"), col("e").cast("long"),
+        col("p").cast("long"), col("i").cast("long"),
+        md5(col("redacted")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq,
+      "ingest-side scrub diverged from the batch projection")
+    // The per-source fold of the streamed rows must agree with the
+    // batch gate's aggregate on counts (the fp folds differ by
+    // construction: 60-bit bit_xor vs per-row md5).
+    val folded = got.groupBy(_._2).map { case (s, rs) =>
+      (s, rs.length.toLong, rs.map(_._3).sum, rs.map(_._4).sum,
+        rs.map(_._5).sum)
+    }.toSeq.sortBy(_._1)
+    val agg = graft.operators.TextAnalysis.piiScrub(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(folded === agg,
+      "per-source fold of streamed rows diverged from q256")
+  }
 }
