@@ -195,6 +195,21 @@ object MiniPgWire {
       new java.util.UUID(hi, lo).toString
     }
 
+    /** PG's binary ±infinity timestamp sentinels (Long.MAX/MIN µs).
+      * The typed getters map them to pgjdbc's convention (a
+      * Timestamp at Long.MAX/MIN ms); text() renders PG's
+      * 'infinity'/'-infinity'. The TEXT path throws on these at
+      * parse time, so binary is strictly more faithful here.
+      */
+    val TsPosInfinity: Long = Long.MaxValue
+    val TsNegInfinity: Long = Long.MinValue
+
+    /** Binary ±infinity DATE sentinels (Int.MAX/MIN days), stored
+      * epoch-day-shifted like every other date cell.
+      */
+    val DatePosInfinity: Long = Int.MaxValue.toLong + PgEpochDay
+    val DateNegInfinity: Long = Int.MinValue.toLong + PgEpochDay
+
     /** µs since the PG epoch → wall-clock LocalDateTime (the binary
       * `timestamp` payload; interpretation zone is the CALLER's
       * choice, exactly like the text render).
@@ -277,16 +292,26 @@ object MiniPgWire {
         case KindLong => String.valueOf(longCols(c)(r))
         case KindDouble => String.valueOf(dblCols(c)(r))
         case KindBool => if (longCols(c)(r) != 0L) "t" else "f"
-        case KindDate => LocalDate.ofEpochDay(longCols(c)(r)).toString
+        case KindDate =>
+          val d = longCols(c)(r)
+          if (d == DatePosInfinity) "infinity"
+          else if (d == DateNegInfinity) "-infinity"
+          else LocalDate.ofEpochDay(d).toString
         case KindTs =>
-          renderTsText(microsToLocalDateTime(longCols(c)(r)))
+          val us = longCols(c)(r)
+          if (us == TsPosInfinity) "infinity"
+          else if (us == TsNegInfinity) "-infinity"
+          else renderTsText(microsToLocalDateTime(us))
         case KindTstz =>
           // Rendered at UTC with the bare '+00' PG uses under the
           // UTC session zone (the provisioned test cluster's zone);
           // typed access goes through getTimestamp, which is
           // zone-exact regardless.
-          renderTsText(LocalDateTime.ofInstant(
-            microsToTimestamptz(longCols(c)(r)).toInstant,
+          val us = longCols(c)(r)
+          if (us == TsPosInfinity) "infinity"
+          else if (us == TsNegInfinity) "-infinity"
+          else renderTsText(LocalDateTime.ofInstant(
+            microsToTimestamptz(us).toInstant,
             ZoneOffset.UTC)) + "+00"
         case KindDecimal => objCols(c)(r) match {
           case bd: java.math.BigDecimal => bd.toPlainString

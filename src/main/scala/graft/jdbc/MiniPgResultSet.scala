@@ -124,7 +124,11 @@ final class MiniPgResultSet(res: MiniPgWire.Result) extends java.sql.ResultSet {
   override def getDate(i: Int): java.sql.Date =
     if (store.kind(i - 1) == ColumnStore.KindDate) {
       if (isNull(i)) null
-      else java.sql.Date.valueOf(LocalDate.ofEpochDay(longAt(i)))
+      else longAt(i) match {
+        case ColumnStore.DatePosInfinity => new java.sql.Date(Long.MaxValue)
+        case ColumnStore.DateNegInfinity => new java.sql.Date(Long.MinValue)
+        case d => java.sql.Date.valueOf(LocalDate.ofEpochDay(d))
+      }
     } else {
       val v = strAt(i)
       if (v == null) null else java.sql.Date.valueOf(parseDateFast(v))
@@ -134,12 +138,22 @@ final class MiniPgResultSet(res: MiniPgWire.Result) extends java.sql.ResultSet {
     case ColumnStore.KindTs =>
       // Binary wall-clock µs → the same Timestamp.valueOf semantics
       // as the text path (wall-clock re-interpreted in the JVM zone).
+      // PG ±infinity sentinels map to pgjdbc's convention (a
+      // Timestamp at Long.MAX/MIN ms).
       if (isNull(i)) null
-      else java.sql.Timestamp.valueOf(
-        ColumnStore.microsToLocalDateTime(longAt(i)))
+      else longAt(i) match {
+        case ColumnStore.TsPosInfinity => new java.sql.Timestamp(Long.MaxValue)
+        case ColumnStore.TsNegInfinity => new java.sql.Timestamp(Long.MinValue)
+        case us => java.sql.Timestamp.valueOf(
+          ColumnStore.microsToLocalDateTime(us))
+      }
     case ColumnStore.KindTstz =>
       if (isNull(i)) null
-      else ColumnStore.microsToTimestamptz(longAt(i))
+      else longAt(i) match {
+        case ColumnStore.TsPosInfinity => new java.sql.Timestamp(Long.MaxValue)
+        case ColumnStore.TsNegInfinity => new java.sql.Timestamp(Long.MinValue)
+        case us => ColumnStore.microsToTimestamptz(us)
+      }
     case _ =>
     val v = strAt(i)
     if (v == null) null

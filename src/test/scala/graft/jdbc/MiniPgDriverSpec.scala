@@ -207,6 +207,35 @@ class MiniPgDriverSpec extends AnyFunSuite {
     }
   }
 
+  test("binary ±infinity timestamp/date sentinels map to pgjdbc's " +
+    "convention and render PG's text forms") {
+    import MiniPgWire.{Col, ColumnStore, Result}
+    val cols = Array(Col("ts", 1114, -1), Col("tz", 1184, -1),
+      Col("d", 1082, -1))
+    val store = new ColumnStore(cols, Array.fill[Byte](3)(1))
+    def put(c: Int, bytes: Array[Byte]): Unit =
+      store.put(c, bytes, 0, bytes.length)
+    def i64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    put(0, i64(Long.MaxValue)); put(1, i64(Long.MinValue))
+    put(2, i32(Int.MaxValue)); store.rowDone()
+    put(0, i64(Long.MinValue)); put(1, i64(Long.MaxValue))
+    put(2, i32(Int.MinValue)); store.rowDone()
+    val rs = new MiniPgResultSet(Result(cols, store, "SELECT 2"))
+    assert(rs.next())
+    assert(rs.getTimestamp(1).getTime === Long.MaxValue)
+    assert(rs.getTimestamp(2).getTime === Long.MinValue)
+    assert(rs.getDate(3).getTime === Long.MaxValue)
+    assert(rs.getString(1) === "infinity")
+    assert(rs.getString(2) === "-infinity")
+    assert(rs.getString(3) === "infinity")
+    assert(rs.next())
+    assert(rs.getTimestamp(1).getTime === Long.MinValue)
+    assert(rs.getTimestamp(2).getTime === Long.MaxValue)
+    assert(rs.getDate(3).getTime === Long.MinValue)
+    assert(rs.getString(3) === "-infinity")
+  }
+
   test("driver steps aside for non-postgres URLs and parses pgjdbc " +
     "URL shapes") {
     val d = new MiniPgDriver

@@ -129,6 +129,25 @@ class PgBinaryParitySpec extends AnyFunSuite {
     } finally { cb.close(); ct.close() }
   }
 
+  test("binary transfer serves PG's ±infinity timestamps/dates via " +
+    "pgjdbc's sentinel convention (the text path throws at parse — " +
+    "binary is strictly more faithful here)") {
+    val u = uri
+    val c = java.sql.DriverManager.getConnection(u)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "select 'infinity'::timestamp, '-infinity'::timestamptz, " +
+          "'infinity'::date, '-infinity'::date")
+      assert(rs.next())
+      assert(rs.getTimestamp(1).getTime === Long.MaxValue)
+      assert(rs.getTimestamp(2).getTime === Long.MinValue)
+      assert(rs.getDate(3).getTime === Long.MaxValue)
+      assert(rs.getDate(4).getTime === Long.MinValue)
+      assert(rs.getString(1) === "infinity")
+      assert(rs.getString(2) === "-infinity")
+    } finally c.close()
+  }
+
   test("Spark's whole JDBC read is row-identical across transfer " +
     "modes on a pagila-shaped bulk table") {
     val u = uri
