@@ -227,6 +227,17 @@ object MiniPgWire {
         Math.floorDiv(us, 1000000L) + PgEpochSec,
         Math.floorMod(us, 1000000L) * 1000L))
 
+    /** PG's offset spelling: '+00' / '-07' for whole hours, ':MM'
+      * appended only when the zone offset carries minutes ('+05:30').
+      */
+    def renderPgOffset(off: ZoneOffset): String = {
+      val total = off.getTotalSeconds
+      val sign = if (total < 0) "-" else "+"
+      val abs = math.abs(total)
+      val base = f"$sign${abs / 3600}%02d"
+      if (abs % 3600 == 0) base else f"$base:${(abs % 3600) / 60}%02d"
+    }
+
     /** PG-style text render of a wall-clock timestamp: fraction
       * digits only when non-zero, trailing zeros trimmed (what
       * `timestamp::text` produces, so getString agrees across
@@ -248,10 +259,18 @@ object MiniPgWire {
   /** Per-column TYPED vectors decoded once at message-read time — the
     * buffer a [[MiniPgResultSet]] serves without further parsing or
     * boxing (the r17 wire-decode fast path; see MiniPgResultSet's
-    * docstring for the measured motivation).
+    * docstring for the measured motivation). `tz` is the SERVER's
+    * session TimeZone (tracked from ParameterStatus messages): binary
+    * `timestamptz` payloads are zone-less instants, so re-rendering
+    * the text form PG would have sent needs the zone PG would have
+    * used.
     */
-  final class ColumnStore(cols: Array[Col], formats: Array[Byte]) {
+  final class ColumnStore(cols: Array[Col], formats: Array[Byte],
+      tz: java.time.ZoneId) {
     import ColumnStore._
+
+    def this(cols: Array[Col], formats: Array[Byte]) =
+      this(cols, formats, ZoneOffset.UTC)
 
     /** Simple-protocol (all-text) store. */
     def this(cols: Array[Col]) = this(cols, new Array[Byte](cols.length))
@@ -303,16 +322,19 @@ object MiniPgWire {
           else if (us == TsNegInfinity) "-infinity"
           else renderTsText(microsToLocalDateTime(us))
         case KindTstz =>
-          // Rendered at UTC with the bare '+00' PG uses under the
-          // UTC session zone (the provisioned test cluster's zone);
-          // typed access goes through getTimestamp, which is
-          // zone-exact regardless.
+          // Re-rendered in the SERVER's session zone with PG's own
+          // offset spelling ('+00', '+05:30'), so getString agrees
+          // with what the text wire would have carried; typed access
+          // goes through getTimestamp, which is zone-exact
+          // regardless.
           val us = longCols(c)(r)
           if (us == TsPosInfinity) "infinity"
           else if (us == TsNegInfinity) "-infinity"
-          else renderTsText(LocalDateTime.ofInstant(
-            microsToTimestamptz(us).toInstant,
-            ZoneOffset.UTC)) + "+00"
+          else {
+            val inst = microsToTimestamptz(us).toInstant
+            renderTsText(LocalDateTime.ofInstant(inst, tz)) +
+              renderPgOffset(tz.getRules.getOffset(inst))
+          }
         case KindDecimal => objCols(c)(r) match {
           case bd: java.math.BigDecimal => bd.toPlainString
           case s => s.asInstanceOf[String]
@@ -641,6 +663,30 @@ final class MiniPgWire(host: String, port: Int, database: String,
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
   @volatile private var open = true
 
+  /** The server's session TimeZone, tracked from ParameterStatus
+    * messages (TimeZone is GUC_REPORT: the server announces it at
+    * startup and after every SET that changes it). Used to re-render
+    * binary `timestamptz` instants in the text form PG itself would
+    * have sent.
+    */
+  @volatile private var serverZone: java.time.ZoneId = ZoneOffset.UTC
+
+  /** ParameterStatus payload: cstring name + cstring value. */
+  private def onParameterStatus(payload: Array[Byte]): Unit = {
+    val nameEnd = payload.indexOf(0.toByte)
+    if (nameEnd > 0) {
+      val name = new String(payload, 0, nameEnd, UTF_8)
+      if (name == "TimeZone") {
+        val valEnd = payload.indexOf(0.toByte, nameEnd + 1)
+        val v = new String(payload, nameEnd + 1,
+          (if (valEnd < 0) payload.length else valEnd) - nameEnd - 1, UTF_8)
+        serverZone =
+          try java.time.ZoneId.of(v, java.time.ZoneId.SHORT_IDS)
+          catch { case _: Exception => ZoneOffset.UTC }
+      }
+    }
+  }
+
   startup()
 
   private def send(tpe: Byte, body: Array[Byte],
@@ -677,7 +723,8 @@ final class MiniPgWire(host: String, port: Int, database: String,
                 s"unsupported auth method $other (provision the test " +
                   "cluster with trust or password auth)")
           }
-        case 'S' | 'K' | 'N' => () // ParameterStatus / BackendKeyData / Notice
+        case 'S' => onParameterStatus(payload)
+        case 'K' | 'N' => () // BackendKeyData / Notice
         case 'Z' => ready = true
         case 'E' => throw errorFrom(payload)
         case other =>
@@ -760,7 +807,8 @@ final class MiniPgWire(host: String, port: Int, database: String,
         case 'I' =>
           results += Result(Array.empty, new ColumnStore(Array.empty), "EMPTY")
         case 'E' => err = errorFrom(payload) // drain until ReadyForQuery
-        case 'N' | 'S' => ()
+        case 'S' => onParameterStatus(payload)
+        case 'N' => ()
         case 'Z' => done = true
         case other =>
           throw new SQLException(s"unexpected message '${other.toChar}'")
@@ -837,7 +885,8 @@ final class MiniPgWire(host: String, port: Int, database: String,
           send('S'.toByte, Array.empty) // Sync → server re-syncs
           drainToReady()
           throw e
-        case 'N' | 'S' => ()
+        case 'S' => onParameterStatus(payload)
+        case 'N' => ()
         case other =>
           throw new SQLException(s"unexpected describe reply '${other.toChar}'")
       }
@@ -855,7 +904,7 @@ final class MiniPgWire(host: String, port: Int, database: String,
     send('B'.toByte, bind.toArray, flushNow = false)
     send('E'.toByte, cstr("") ++ Array[Byte](0, 0, 0, 0), flushNow = false)
     send('S'.toByte, Array.empty) // Sync
-    val store = new ColumnStore(cols, formats)
+    val store = new ColumnStore(cols, formats, serverZone)
     var tag = "SELECT"
     var err: SQLException = null
     var done = false
@@ -879,7 +928,8 @@ final class MiniPgWire(host: String, port: Int, database: String,
         case 'C' => tag = new String(payload, 0, payload.length - 1, UTF_8)
         case 'I' => tag = "EMPTY"
         case 'E' => err = errorFrom(payload) // drain until ReadyForQuery
-        case 'N' | 'S' => ()
+        case 'S' => onParameterStatus(payload)
+        case 'N' => ()
         case 'Z' => done = true
         case other =>
           throw new SQLException(s"unexpected message '${other.toChar}'")

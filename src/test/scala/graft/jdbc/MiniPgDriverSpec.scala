@@ -207,6 +207,39 @@ class MiniPgDriverSpec extends AnyFunSuite {
     }
   }
 
+  test("binary timestamptz renders getString in the server's session " +
+    "zone with PG's offset spelling") {
+    import MiniPgWire.{Col, ColumnStore, Result}
+    val cols = Array(Col("tz", 1184, -1))
+    def storeWith(zone: String): MiniPgResultSet = {
+      val s = new ColumnStore(cols, Array[Byte](1),
+        java.time.ZoneId.of(zone))
+      // 2021-03-13T19:32:03.25Z as µs since the PG epoch.
+      val us = (java.time.Instant.parse("2021-03-13T19:32:03.25Z")
+        .getEpochSecond - 946684800L) * 1000000L + 250000L
+      s.put(0, java.nio.ByteBuffer.allocate(8).putLong(us).array(), 0, 8)
+      s.rowDone()
+      val rs = new MiniPgResultSet(Result(cols, s, "SELECT 1"))
+      rs.next(); rs
+    }
+    assert(storeWith("UTC").getString(1) === "2021-03-13 19:32:03.25+00")
+    assert(storeWith("Asia/Kolkata").getString(1) ===
+      "2021-03-14 01:02:03.25+05:30")
+    assert(storeWith("America/New_York").getString(1) ===
+      "2021-03-13 14:32:03.25-05")
+    // getTimestamp stays zone-exact regardless of the render zone.
+    assert(storeWith("Asia/Kolkata").getTimestamp(1).toInstant ===
+      java.time.Instant.parse("2021-03-13T19:32:03.250Z"))
+    // PG's offset spelling drops ':00' minutes.
+    import MiniPgWire.ColumnStore.renderPgOffset
+    assert(renderPgOffset(java.time.ZoneOffset.ofHours(-7)) === "-07")
+    assert(renderPgOffset(java.time.ZoneOffset.ofHoursMinutes(5, 30)) ===
+      "+05:30")
+    assert(renderPgOffset(
+      java.time.ZoneOffset.ofHoursMinutes(-3, -30)) === "-03:30")
+    assert(renderPgOffset(java.time.ZoneOffset.UTC) === "+00")
+  }
+
   test("binary ±infinity timestamp/date sentinels map to pgjdbc's " +
     "convention and render PG's text forms") {
     import MiniPgWire.{Col, ColumnStore, Result}

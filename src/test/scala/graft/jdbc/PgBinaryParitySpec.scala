@@ -148,6 +148,26 @@ class PgBinaryParitySpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("binary timestamptz getString tracks the session TimeZone the " +
+    "server reports (ParameterStatus), matching the text wire's own " +
+    "render after SET TIME ZONE") {
+    val u = uri
+    val cb = java.sql.DriverManager.getConnection(u)
+    val ct = java.sql.DriverManager.getConnection(textUri)
+    try {
+      val q = "select '2021-03-13 19:32:03.25+00'::timestamptz"
+      Seq("Asia/Kolkata", "America/New_York", "UTC").foreach { z =>
+        cb.createStatement().executeUpdate(s"SET TIME ZONE '$z'"): Unit
+        ct.createStatement().executeUpdate(s"SET TIME ZONE '$z'"): Unit
+        val rb = cb.createStatement().executeQuery(q)
+        val rt = ct.createStatement().executeQuery(q)
+        assert(rb.next() && rt.next())
+        assert(rb.getString(1) === rt.getString(1), s"zone $z")
+        assert(rb.getTimestamp(1) === rt.getTimestamp(1), s"zone $z")
+      }
+    } finally { cb.close(); ct.close() }
+  }
+
   test("Spark's whole JDBC read is row-identical across transfer " +
     "modes on a pagila-shaped bulk table") {
     val u = uri
