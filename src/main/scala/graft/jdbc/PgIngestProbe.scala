@@ -132,11 +132,39 @@ object PgIngestProbe {
     val (_, tRawT) = rawIngest(binary = false)
     require(rawN == n, s"raw row drift: $n vs $rawN")
 
+    // Raw wire, 4 CONNECTIONS (the reference's partitioned-read
+    // benchmark shape, connectorx-style): each connection reads one
+    // l_orderkey range over its own extended-protocol session; the
+    // per-connection stores ARE the partitioned columnar result (no
+    // merge needed — exactly Spark's JDBC partition model).
+    def rawPartitioned(parts: Int): (Long, Double) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val step = 6000000L / parts
+      val t0 = System.nanoTime()
+      val counts = Await.result(Future.sequence((0 until parts).map(k =>
+        Future {
+          val wire = new MiniPgWire(host, port, db, "postgres", None)
+          try {
+            val lo = k * step
+            val hi = if (k == parts - 1) Long.MaxValue else (k + 1) * step
+            val res = wire.queryExtended("select * from lineitem_probe " +
+              s"where l_orderkey >= $lo and l_orderkey < $hi")
+            res.head.data.size.toLong
+          } finally wire.close()
+        })), Duration.Inf).sum
+      (counts, (System.nanoTime() - t0) / 1e9)
+    }
+    val (rawPN, tRawP) = rawPartitioned(4)
+    require(rawPN == n, s"raw partitioned row drift: $n vs $rawPN")
+
     println(s"""{"metric":"pg_ingest","rows":$n,""" +
       f""""load_via_wire_sec":$tLoad%.2f,"read_1conn_sec":$t1%.2f,""" +
       f""""read_4part_sec":$t4%.2f,"read_1conn_text_sec":$tT%.2f,""" +
       f""""raw_wire_columnar_sec":$tRawB%.2f,""" +
-      f""""raw_wire_columnar_text_sec":$tRawT%.2f}""")
+      f""""raw_wire_columnar_text_sec":$tRawT%.2f,""" +
+      f""""raw_wire_columnar_4part_sec":$tRawP%.2f}""")
     spark.stop()
   }
 }
