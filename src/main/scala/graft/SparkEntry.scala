@@ -2407,11 +2407,16 @@ object SparkEntry {
 
     // q167: the KL drift replayed from first principles — DuckDB
     // derives the same top-32 vocab (count DESC, tok tie-break),
-    // grid, add-one smoothing, and folds the double terms in the
-    // SAME sorted-token order via sum(term ORDER BY tok) (vs the
-    // engine's array_sort fold) so association order can't drift.
+    // grid and add-one smoothing; since r17 the per-token terms are
+    // EXACT INTEGERS through the shared FixedLog kernel ((c+1) ×
+    // lnScaled of the integer-product rational), so the sum is
+    // order-free integer arithmetic and the single float division
+    // before round() sees bit-identical inputs in both engines —
+    // the 10×-scale audit caught the previous double-fold flipping
+    // a 6-decimal .5 boundary at sf0.1 (JVM-vs-DuckDB ln ulp, the
+    // DSIR flake class).
     "q167_source_drift" ->
-      """WITH d AS (SELECT source, regexp_extract_all(text, '\S+') AS toks
+      s"""WITH d AS (SELECT source, regexp_extract_all(text, '\\S+') AS toks
         |  FROM documents),
         |cnt AS (SELECT tok, count(*) AS n FROM
         |  (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
@@ -2426,15 +2431,18 @@ object SparkEntry {
         |    s.tot_s, g.cg, gt.tot_g
         |  FROM st s CROSS JOIN g CROSS JOIN gt
         |  LEFT JOIN occ o ON o.source = s.source AND o.tok = g.tok),
-        |terms AS (SELECT source, tok, tot_s,
-        |    ((c + 1.0) / (tot_s + 32)) *
-        |      ln(((c + 1.0) / (tot_s + 32)) / ((cg + 1.0) / (tot_g + 32)))
-        |      AS term
-        |  FROM grid)
+        |nd AS MATERIALIZED (SELECT source, tok, tot_s,
+        |    CAST(c + 1 AS BIGINT) AS c1,
+        |    CAST((c + 1) * (tot_g + 32) AS BIGINT) AS lnum,
+        |    CAST((cg + 1) * (tot_s + 32) AS BIGINT) AS lden
+        |  FROM grid),
+        |${graft.functions.FixedLog.sqlStagedCtes("nd", "lnum", "lden", 9, "lnr")._1},
+        |terms AS (SELECT source, tok, tot_s, c1 * ln_s AS term_i
+        |  FROM ${graft.functions.FixedLog.sqlStagedCtes("nd", "lnum", "lden", 9, "lnr")._2})
         |SELECT source, CAST(max(tot_s) AS BIGINT) AS n_occ,
-        |  round(sum(term ORDER BY tok), 6) AS kl,
-        |  arg_max(tok, term) AS top_tok,
-        |  round(max(term), 6) AS top_term
+        |  round(sum(term_i) / ((max(tot_s) + 32) * 1e9), 6) AS kl,
+        |  struct_extract(max(row(term_i, tok)), 2) AS top_tok,
+        |  round(max(term_i) / ((max(tot_s) + 32) * 1e9), 6) AS top_term
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     // q169: exact per-pair intersections + the same ±5%-of-exact-

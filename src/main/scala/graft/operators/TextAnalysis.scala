@@ -1173,13 +1173,22 @@ object TextAnalysis {
     * biggest-contributor token — the "what changed" a drift alert
     * needs.
     *
-    * Cross-engine determinism (the q130 problem, solved the q130
-    * way): per-token KL terms are doubles, and an unordered SUM of
-    * doubles is association-order-nondeterministic — so BOTH engines
-    * fold the terms in sorted-token order (Spark: `aggregate` over
-    * `array_sort(collect_list(struct(tok, term)))`; oracle: DuckDB's
-    * `sum(term ORDER BY tok)`), rounding once at the end. ln
-    * bit-parity across engines is the q130/q67 precedent.
+    * Cross-engine determinism, r17 form: the per-token KL terms are
+    * EXACT INTEGERS. KL·(tot_s+V) = Σ (c+1)·ln((c+1)(tot_g+V) /
+    * ((cg+1)(tot_s+V))) — every log argument is a positive rational
+    * of integer products, so each term is (c+1)·lnScaled(num, den, 9)
+    * via [[graft.functions.FixedLog]] (the same integer ln in both
+    * engines BY CONSTRUCTION), the sum is an order-free integer sum
+    * (no sorted fold needed), and ONE float division of identical
+    * integers precedes the single round. This replaces the r16 shape
+    * (sorted-order double fold + assumed JVM-vs-DuckDB `ln`
+    * bit-parity), which the 10×-scale audit caught flipping a
+    * 6-decimal .5 boundary at sf0.1 — the exact ulp-flake class the
+    * DSIR gates eliminated, eliminated here the same way.
+    * Fixed-point error ≤ ~5e-9 in kl units — three orders below the
+    * 1e-6 rounding grid. Integer bound: (c+1)·(tot_g+V) must stay in
+    * BIGINT — fine to ~3e9×3e9 occurrence scales; past that the
+    * BigInt `lnScaled` overload is the documented path.
     *
     * Scale: the vocabulary is a global top-V `TakeOrderedAndProject`
     * heap (constant size, the q84 broadcast idiom); occurrences
@@ -1207,15 +1216,16 @@ object TextAnalysis {
       .crossJoin(broadcast(globTot))
       .join(occ, Seq("source", "tok"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
-      .withColumn("term", expr(
-        s"((c + 1.0) / (tot_s + $v)) * " +
-          s"ln(((c + 1.0) / (tot_s + $v)) / ((cg + 1.0) / (tot_g + $v)))"))
+      .withColumn("term_i", (col("c") + 1L) *
+        graft.functions.FixedLog.ln_scaled(
+          (col("c") + 1L) * (col("tot_g") + v),
+          (col("cg") + 1L) * (col("tot_s") + v), 9))
     grid.groupBy(col("source"))
       .agg(max(col("tot_s")).as("n_occ"),
-        round(expr("aggregate(array_sort(collect_list(struct(tok, term)))," +
-          " cast(0 as double), (a, x) -> a + x.term)"), 6).as("kl"),
-        max_by(col("tok"), struct(col("term"), col("tok"))).as("top_tok"),
-        round(max(struct(col("term"), col("tok"))).getField("term"), 6)
+        round(sum(col("term_i")) / ((max(col("tot_s")) + v) * lit(1e9)), 6)
+          .as("kl"),
+        max_by(col("tok"), struct(col("term_i"), col("tok"))).as("top_tok"),
+        round(max(col("term_i")) / ((max(col("tot_s")) + v) * lit(1e9)), 6)
           .as("top_term"))
       .orderBy(col("source"))
   }
