@@ -3712,14 +3712,20 @@ object SparkEntry {
          |big AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bp),
          |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
          |       ORDER BY c2 DESC, w1, w2 LIMIT $v),
-         |s AS (SELECT big.doc_id,
-         |    ln((coalesce(bc.c2, 0) + 1.0) / (uni.c1 + v.vsz)) AS logp
+         |lnin AS MATERIALIZED (SELECT p.w1, p.w2,
+         |    CAST(coalesce(bc.c2, 0) + 1 AS BIGINT) AS lnum,
+         |    CAST(uni.c1 + v.vsz AS BIGINT) AS lden
+         |  FROM (SELECT DISTINCT w1, w2 FROM big) p
+         |  LEFT JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+         |  JOIN uni ON p.w1 = uni.w1
+         |  CROSS JOIN v),
+         |${graft.functions.FixedLog.sqlStagedCtes("lnin", "lnum", "lden", 9, "lnq67_")._1},
+         |s AS (SELECT big.doc_id, fl.ln_s AS logp_i
          |  FROM big
-         |  LEFT JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
-         |  JOIN uni ON big.w1 = uni.w1
-         |  CROSS JOIN v)
+         |  JOIN ${graft.functions.FixedLog.sqlStagedCtes("lnin", "lnum", "lden", 9, "lnq67_")._2} fl
+         |  ON big.w1 = fl.w1 AND big.w2 = fl.w2)
          |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(avg(logp), 6) AS logprob
+         |  round(sum(logp_i) / (count(*) * 1e9), 6) AS logprob
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
@@ -3778,25 +3784,31 @@ object SparkEntry {
          |FROM i ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // tf computed over (doc, term) pairs appearing once each; df is
-    // the count of docs per term; N counts all documents. Ranking by
-    // the UNROUNDED score (ties by term) — score is one ln and one
-    // multiply from exact integers in both engines.
+    // the count of docs per term; N counts all documents. Since r17
+    // the score is the exact integer tf × lnScaled(N, df, 9) through
+    // the shared FixedLog staged-CTE chain (one ln per DISTINCT term,
+    // joined back) — ranking and the rounded output derive from the
+    // same integer in both engines (the q167 discipline).
     "q73_tfidf" ->
       s"""WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
          |  FROM documents),
          |tok AS (SELECT doc_id, unnest(l) AS term FROM d),
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
          |  FROM tok GROUP BY doc_id, term),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
-         |  GROUP BY term),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
-         |s AS (SELECT doc_id, term, tf, df,
-         |    tf * ln(n_docs / df) AS score FROM tf
-         |  JOIN df USING (term) CROSS JOIN n),
-         |r AS (SELECT doc_id, term, tf, df, score,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |dfr AS MATERIALIZED (SELECT term,
+         |    CAST(count(*) AS BIGINT) AS df, n_docs
+         |  FROM tf CROSS JOIN n GROUP BY term, n_docs),
+         |${graft.functions.FixedLog.sqlStagedCtes("dfr", "n_docs", "df", 9, "lnq73_")._1},
+         |s AS (SELECT doc_id, tf.term AS term, tf, df,
+         |    tf * ln_s AS score_i FROM tf
+         |  JOIN ${graft.functions.FixedLog.sqlStagedCtes("dfr", "n_docs", "df", 9, "lnq73_")._2} fl
+         |  ON tf.term = fl.term),
+         |r AS (SELECT doc_id, term, tf, df, score_i,
          |    CAST(row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score DESC, term) AS BIGINT) AS rk FROM s)
-         |SELECT doc_id, rk, term, tf, df, round(score, 6) AS score
+         |      ORDER BY score_i DESC, term) AS BIGINT) AS rk FROM s)
+         |SELECT doc_id, rk, term, tf, df,
+         |  round(score_i / 1e9, 6) AS score
          |FROM r WHERE rk <= ${TextAnalysis.TfidfTopK}
          |ORDER BY doc_id, rk""".stripMargin,
 

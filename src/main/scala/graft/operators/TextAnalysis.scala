@@ -1767,17 +1767,21 @@ object TextAnalysis {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Corpus.read(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
+    // score as an exact integer (tf × lnScaled(N, df, 9)): ranking
+    // and the rounded output both derive from the same integer in
+    // both engines — no JVM-log-vs-DuckDB-ln ulp in the gate (the
+    // q167 discipline; values shift < 1e-9·tf from the float form).
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
+      .orderBy(col("score_i").desc, col("term"))
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
-      .withColumn("score",
-        col("tf").cast("double") *
-          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("score_i", col("tf") *
+        graft.functions.FixedLog.ln_scaled(col("n_docs"), col("df"), 9))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TfidfTopK)
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
-        col("tf"), col("df"), round(col("score"), 6).as("score"))
+        col("tf"), col("df"),
+        round(col("score_i") / lit(1e9), 6).as("score"))
       .orderBy(col("doc_id"), col("rk"))
   }
 
@@ -1959,8 +1963,12 @@ object TextAnalysis {
     *     per-doc aggregate.
     *
     * logp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1) + |V|)): exact-integer
-    * numerator and denominator, one double division and one ln in
-    * both engines, mean rounded at 6.
+    * numerator and denominator — and since r17 the ln itself is the
+    * exact integer lnScaled(num, den, 9) through the shared FixedLog
+    * kernel, so the per-doc MEAN is an integer sum over one float
+    * division (the q167 discipline). This also removes an
+    * association-order hazard the float form carried: avg() over
+    * per-bigram doubles folds in engine-chosen order.
     *
     * The tokenize+explode lineage is DELIBERATELY evaluated twice —
     * once under the fit aggregates, once under the score scan. The
@@ -1994,12 +2002,13 @@ object TextAnalysis {
       .join(broadcast(bigramTable), Seq("w1", "w2"), "left")
       .join(broadcast(uni), Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("logp", log(
-        (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
-          (col("c1") + col("vsz")).cast("double")))
+      .withColumn("logp_i", graft.functions.FixedLog.ln_scaled(
+        coalesce(col("c2"), lit(0L)) + lit(1L),
+        col("c1") + col("vsz"), 9))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("logp")), 6).as("logprob"))
+        round(sum(col("logp_i")) / (count(lit(1)) * lit(1e9)), 6)
+          .as("logprob"))
       .orderBy(col("doc_id"))
   }
 
