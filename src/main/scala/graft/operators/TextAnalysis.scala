@@ -941,6 +941,25 @@ object TextAnalysis {
     */
   val BpeSeqUnitCap = 1 << 16
 
+  /** Per-unit length cap (code points) for the sequence dictionary —
+    * the r17 verdict's #3: [[BpeSeqUnitCap]] bounds unit COUNT but a
+    * production document is 100 KB+, so without a length bound the
+    * collected dictionary is multi-GB of driver heap. Truncating each
+    * unit to its first 2^10 code points BEFORE the distinct-collapse
+    * bounds the driver artifact at Cap × MaxChars × 4 B ≤ 256 MiB
+    * worst-case UTF-8 (~64 MiB ASCII) at ANY document size —
+    * SentencePiece's max_sentence_length / subword-nmt's line-based
+    * dictionary play the same role. Spark `substring` and DuckDB
+    * `substring` are both code-point-based, so the cap is mirrorable
+    * verbatim if an oracle ever re-derives the dictionary (today the
+    * q254 oracle embeds the TRAINED table, so the cap flows through
+    * it by construction). Every gate corpus' max document length is
+    * 577 chars — far under the cap — so gate dictionaries, trained
+    * tables, and oracle hashes are unchanged; BpeKernelSpec proves
+    * the cap live on a synthetic oversized unit.
+    */
+  val BpeSeqMaxUnitChars = 1 << 10
+
   private val bpeSeqMemo =
     new java.util.concurrent.ConcurrentHashMap[
       String, IndexedSeq[(Long, String, String, Long)]]()
@@ -958,6 +977,9 @@ object TextAnalysis {
       dir: String): IndexedSeq[(Long, String, String, Long)] =
     bpeSeqMemo.computeIfAbsent(dir, _ => {
       val units = Corpus.read(spark, dir, "documents")
+        // Byte-bounding truncation BEFORE the collapse — see
+        // [[BpeSeqMaxUnitChars]]. A no-op on every gate corpus.
+        .select(substring(col("text"), 1, BpeSeqMaxUnitChars).as("text"))
         .groupBy(col("text")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("text")).limit(BpeSeqUnitCap)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -103,6 +103,47 @@ class BpeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence dictionary is byte-bounded: oversized units are " +
+    "code-point-truncated before the collapse (r17 verdict #3)") {
+    val ss = spark
+    import ss.implicits._
+    val cap = TextAnalysis.BpeSeqMaxUnitChars
+    // One unit far over the cap, with an astral code point (2 UTF-16
+    // chars) placed as exactly the cap-th CODE POINT: code-point
+    // truncation keeps it whole as the last symbol; a UTF-16
+    // truncation would split the surrogate pair and train a
+    // different table. Other units stay under the cap.
+    val astral = new String(Character.toChars(0x1F600))
+    val huge = ("ab" * ((cap - 1) / 2)) + "x" + astral + ("cd" * cap)
+    assert(huge.codePointCount(0, huge.length) > cap)
+    val docs = Seq(
+      (1L, huge, "en", "web", huge.length.toLong),
+      (2L, "the quick brown fox " * 8, "en", "web", 160L),
+      (3L, "la zorra veloz " * 6, "es", "web", 90L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpeseq_cap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = TextAnalysis.bpeSeqMergesFor(spark, dir)
+    // Expected: trainLocal over the dictionary with the huge unit
+    // truncated at cap CODE POINTS (ends exactly at the astral char).
+    def truncCp(s: String, n: Int): String =
+      if (s.codePointCount(0, s.length) <= n) s
+      else s.substring(0, s.offsetByCodePoints(0, n))
+    val truncated = truncCp(huge, cap)
+    assert(!Character.isHighSurrogate(truncated.last),
+      "truncation split a surrogate pair")
+    assert(truncated.codePointCount(0, truncated.length) === cap)
+    assert(truncated.endsWith(astral))
+    val dict = Seq(truncated, "the quick brown fox " * 8,
+      "la zorra veloz " * 6).sorted.map((_, 1L))
+    val expected = BpeKernel.trainLocal(dict, TextAnalysis.BpeSeqMerges)
+    assert(merges === expected)
+    // The collected artifact is byte-bounded by construction.
+    assert(dict.map(_._1.getBytes("UTF-8").length.toLong).sum <=
+      TextAnalysis.BpeSeqUnitCap.toLong * cap * 4)
+  }
+
   test("apply cost is flat in merge count: kernel merge-pass counts " +
     "are bounded by unit length while the chain replays all R ranks " +
     "per unit — exact structural counts, load-independent") {
