@@ -228,14 +228,18 @@ object MiniPgWire {
         Math.floorMod(us, 1000000L) * 1000L))
 
     /** PG's offset spelling: '+00' / '-07' for whole hours, ':MM'
-      * appended only when the zone offset carries minutes ('+05:30').
+      * appended when the offset carries minutes ('+05:30'), ':SS'
+      * appended when it carries seconds ('+05:53:28' — historic LMT
+      * zones predate offset standardization; r17 ADVICE).
       */
     def renderPgOffset(off: ZoneOffset): String = {
       val total = off.getTotalSeconds
       val sign = if (total < 0) "-" else "+"
       val abs = math.abs(total)
       val base = f"$sign${abs / 3600}%02d"
-      if (abs % 3600 == 0) base else f"$base:${(abs % 3600) / 60}%02d"
+      if (abs % 3600 == 0) base
+      else if (abs % 60 == 0) f"$base:${(abs % 3600) / 60}%02d"
+      else f"$base:${(abs % 3600) / 60}%02d:${abs % 60}%02d"
     }
 
     /** PG-style text render of a wall-clock timestamp: fraction
@@ -413,9 +417,19 @@ object MiniPgWire {
         longCols(c)(size) = beLong(payload, off, len)
       case KindDouble =>
         dblCols(c)(size) =
-          if (len == 4)
-            java.lang.Float.intBitsToFloat(be32At(payload, off)).toDouble
-          else java.lang.Double.longBitsToDouble(beLong(payload, off, 8))
+          if (len == 4) {
+            // float4: widen through the shortest-roundtrip decimal
+            // render, NOT the raw bit widen — PG's text path sends
+            // '0.1' (parsed to 0.1d) where (double)0.1f is
+            // 0.10000000149…; Float.toString is the same shortest
+            // render, so getDouble/getString are transfer-mode
+            // independent (r17 ADVICE). getFloat round-trips exactly
+            // either way.
+            val f = java.lang.Float.intBitsToFloat(be32At(payload, off))
+            if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+              f.toDouble
+            else java.lang.Double.parseDouble(java.lang.Float.toString(f))
+          } else java.lang.Double.longBitsToDouble(beLong(payload, off, 8))
       case KindBool =>
         longCols(c)(size) = if (payload(off) == 1) 1L else 0L
       case KindDate =>
@@ -622,21 +636,86 @@ object MiniPgWire {
   val BinaryOids: Set[Int] =
     Set(16, 17, 20, 21, 23, 700, 701, 1082, 1114, 1184, 1700, 2950)
 
-  /** True when `sql` is a single statement (no top-level ';' except
-    * a trailing one) — the extended protocol rejects multi-statement
-    * strings, so those take the simple-query path.
+  /** True when `sql` is PROVABLY a single statement (no top-level
+    * ';' except a trailing one) — the extended protocol rejects
+    * multi-statement strings, so those take the simple-query path.
+    * The scanner understands all four PG lexical forms that can hide
+    * a ';': standard `''`-escaped literals, `E''` literals with
+    * backslash escapes, `$tag$…$tag$` dollar quotes, and `--`/nested
+    * `/* */` comments (r17 ADVICE: the old form tracked only plain
+    * quotes, and a backslash-escaped quote INVERTED its in-string
+    * state, mis-routing a real multi-statement string to Parse).
+    * Anything unterminated/ambiguous returns false — the safe
+    * direction, since the simple-query path executes every statement
+    * form.
     */
   def singleStatement(sql: String): Boolean = {
-    var inS = false
-    var inD = false
+    val n = sql.length
     var i = 0
     var semi = -1
-    while (i < sql.length) {
+    while (i < n) {
       val ch = sql.charAt(i)
-      if (ch == '\'' && !inD) inS = !inS
-      else if (ch == '"' && !inS) inD = !inD
-      else if (ch == ';' && !inS && !inD) semi = i
-      i += 1
+      if (ch == '\'') {
+        // E'…' iff the quote is preceded by a lone E/e (not part of
+        // an identifier like TABLE_E).
+        val eStyle = i > 0 &&
+          (sql.charAt(i - 1) == 'E' || sql.charAt(i - 1) == 'e') &&
+          (i < 2 || !(Character.isLetterOrDigit(sql.charAt(i - 2)) ||
+            sql.charAt(i - 2) == '_'))
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val c = sql.charAt(i)
+          if (eStyle && c == '\\') i += 2
+          else if (c == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        if (!closed) return false
+      } else if (ch == '"') {
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (sql.charAt(i) == '"') {
+            if (i + 1 < n && sql.charAt(i + 1) == '"') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        if (!closed) return false
+      } else if (ch == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (ch == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        var depth = 1
+        i += 2
+        while (i < n && depth > 0) {
+          if (sql.charAt(i) == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (sql.charAt(i) == '*' && i + 1 < n &&
+              sql.charAt(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+        if (depth > 0) return false
+      } else if (ch == '$') {
+        // $tag$ opener: tag is empty or [A-Za-z_][A-Za-z0-9_]* (a
+        // digit-first "$1$" is a parameter ref followed by '$', not
+        // a quote). Unclosed tag → not provably single.
+        var j = i + 1
+        while (j < n && (sql.charAt(j) == '_' ||
+            Character.isLetterOrDigit(sql.charAt(j)))) j += 1
+        val validTag = j < n && sql.charAt(j) == '$' &&
+          (j == i + 1 || !Character.isDigit(sql.charAt(i + 1)))
+        if (validTag) {
+          val tag = sql.substring(i, j + 1)
+          val end = sql.indexOf(tag, j + 1)
+          if (end < 0) return false
+          i = end + tag.length
+        } else i += 1
+      } else {
+        if (ch == ';') semi = i
+        i += 1
+      }
     }
     semi < 0 || sql.substring(semi + 1).forall(_.isWhitespace)
   }
@@ -888,7 +967,15 @@ final class MiniPgWire(host: String, port: Int, database: String,
         case 'S' => onParameterStatus(payload)
         case 'N' => ()
         case other =>
-          throw new SQLException(s"unexpected describe reply '${other.toChar}'")
+          // Same recovery as the Execute-phase branch: re-sync (Sync
+          // not yet sent in the Describe phase) or close.
+          val e = new SQLException(
+            s"unexpected describe reply '${other.toChar}'")
+          try {
+            send('S'.toByte, Array.empty)
+            drainToReady()
+          } catch { case _: Exception => close() }
+          throw e
       }
     }
     // Phase 2: Bind with per-column result formats, Execute, Sync.
@@ -932,7 +1019,23 @@ final class MiniPgWire(host: String, port: Int, database: String,
         case 'N' => ()
         case 'Z' => done = true
         case other =>
-          throw new SQLException(s"unexpected message '${other.toChar}'")
+          // Recover protocol sync before throwing (r17 ADVICE: the
+          // old throw left the shared connection desynchronized for
+          // subsequent statements). Sync was already sent, so the
+          // server emits ReadyForQuery once this command ends;
+          // CopyInResponse additionally awaits copy data, so fail
+          // the copy first or the drain never terminates. If
+          // recovery itself fails, close the wire — a dead
+          // connection beats a desynchronized one.
+          val e = new SQLException(
+            s"unexpected message '${other.toChar}' in extended-protocol " +
+              "result stream (use executeUpdate/copyIn for COPY)")
+          try {
+            if (other == 'G')
+              send('f'.toByte, cstr("not supported via queryExtended"))
+            drainToReady()
+          } catch { case _: Exception => close() }
+          throw e
       }
     }
     if (err != null) throw err

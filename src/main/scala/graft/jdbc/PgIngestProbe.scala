@@ -91,9 +91,14 @@ object PgIngestProbe {
     // + InternalRow conversion + the hash aggregate — work the
     // reference's 0.6 s does not include. Cells are touched through
     // the typed vectors so decode cannot be lazily skipped.
-    val (host, port, db, _) = MiniPgDriver.parseUrl(uri)
+    // Credentials come from the probe URI, same as the Spark JDBC
+    // legs — a hardcoded 'postgres' made the raw legs fail on any
+    // cluster provisioned with another user (r17 ADVICE).
+    val (host, port, db, params) = MiniPgDriver.parseUrl(uri)
+    val pgUser = params.getOrElse("user", "postgres")
+    val pgPassword = params.get("password")
     def rawIngest(binary: Boolean): (Long, Double) = {
-      val wire = new MiniPgWire(host, port, db, "postgres", None,
+      val wire = new MiniPgWire(host, port, db, pgUser, pgPassword,
         binaryTransfer = binary)
       try {
         val t0 = System.nanoTime()
@@ -145,7 +150,7 @@ object PgIngestProbe {
       val t0 = System.nanoTime()
       val counts = Await.result(Future.sequence((0 until parts).map(k =>
         Future {
-          val wire = new MiniPgWire(host, port, db, "postgres", None)
+          val wire = new MiniPgWire(host, port, db, pgUser, pgPassword)
           try {
             val lo = k * step
             val hi = if (k == parts - 1) Long.MaxValue else (k + 1) * step

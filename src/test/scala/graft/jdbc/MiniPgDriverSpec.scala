@@ -85,6 +85,33 @@ class MiniPgDriverSpec extends AnyFunSuite {
     assert(singleStatement("""select ";" from "t;bl""""))
   }
 
+  test("singleStatement: dollar quotes, comments, and E-string " +
+    "backslash escapes (r17 ADVICE) — ambiguity errs multi-statement") {
+    import MiniPgWire.singleStatement
+    // E'…' backslash-escaped quote must NOT invert in-string state:
+    // this genuinely multi-statement string routed to Parse pre-r18.
+    assert(!singleStatement("""select E'a\'b'; select 2"""))
+    assert(singleStatement("""select E'a\'b; not a split'"""))
+    assert(singleStatement("""select 'E''s plain literal; kept'"""))
+    // Identifier ending in E is not an E-string prefix.
+    assert(!singleStatement("""select TABLE_E'x'; select 2"""))
+    // Dollar quotes, tagged and bare.
+    assert(singleStatement("select $$a; b$$"))
+    assert(singleStatement("select $tag$ ; $notit$ ; $tag$"))
+    assert(!singleStatement("select $$a$$; select 2"))
+    // $1 is a parameter ref, not a dollar-quote opener.
+    assert(!singleStatement("select $1; select $2"))
+    // Comments hide semicolons.
+    assert(singleStatement("select 1 -- ; not a split"))
+    assert(singleStatement("select /* ; */ 1"))
+    assert(singleStatement("select /* outer /* nested ; */ ; */ 1"))
+    assert(!singleStatement("select 1 /* c */; select 2"))
+    // Unterminated forms are not provably single → simple protocol.
+    assert(!singleStatement("select 'unterminated"))
+    assert(!singleStatement("select $$unterminated"))
+    assert(!singleStatement("select /* unterminated"))
+  }
+
   test("binary numeric decodes to the exact BigDecimal the text " +
     "render parses to (scale preserved, base-10000 groups aligned)") {
     import MiniPgWire.ColumnStore.decodeNumericBinary
@@ -238,6 +265,14 @@ class MiniPgDriverSpec extends AnyFunSuite {
     assert(renderPgOffset(
       java.time.ZoneOffset.ofHoursMinutes(-3, -30)) === "-03:30")
     assert(renderPgOffset(java.time.ZoneOffset.UTC) === "+00")
+    // Historic LMT offsets carry seconds (r17 ADVICE): PG renders
+    // them, e.g. Asia/Kolkata pre-1880 is +05:53:28.
+    assert(renderPgOffset(
+      java.time.ZoneOffset.ofHoursMinutesSeconds(5, 53, 28)) ===
+      "+05:53:28")
+    assert(renderPgOffset(
+      java.time.ZoneOffset.ofHoursMinutesSeconds(-5, -53, -28)) ===
+      "-05:53:28")
   }
 
   test("binary ±infinity timestamp/date sentinels map to pgjdbc's " +
@@ -267,6 +302,34 @@ class MiniPgDriverSpec extends AnyFunSuite {
     assert(rs.getTimestamp(2).getTime === Long.MaxValue)
     assert(rs.getDate(3).getTime === Long.MinValue)
     assert(rs.getString(3) === "-infinity")
+  }
+
+  test("binary float4 widens through the shortest-roundtrip render: " +
+    "getDouble/getString match the text path, getFloat is exact " +
+    "(r17 ADVICE)") {
+    import MiniPgWire.{Col, ColumnStore, Result}
+    val cols = Array(Col("f", 700, -1))
+    val store = new ColumnStore(cols, Array[Byte](1))
+    def putF(f: Float): Unit = {
+      val b = java.nio.ByteBuffer.allocate(4)
+        .putInt(java.lang.Float.floatToIntBits(f)).array()
+      store.put(0, b, 0, 4); store.rowDone()
+    }
+    val vals = Seq(0.1f, -2.5f, 3.4e38f, 1.1754944e-38f, 0.0f, -0.0f,
+      Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)
+    vals.foreach(putF)
+    val rs = new MiniPgResultSet(Result(cols, store, "SELECT"))
+    vals.foreach { f =>
+      assert(rs.next())
+      val got = rs.getFloat(1)
+      if (f.isNaN) assert(got.isNaN) else assert(got === f)
+      if (!f.isNaN && !f.isInfinite) {
+        // The text wire sends the shortest decimal render; parsing it
+        // as double is what the text path stores — binary must agree.
+        assert(rs.getDouble(1) ===
+          java.lang.Float.toString(f).toDouble)
+      }
+    }
   }
 
   test("driver steps aside for non-postgres URLs and parses pgjdbc " +
