@@ -897,6 +897,72 @@ final class MiniPgWire(host: String, port: Int, database: String,
     results.toSeq
   }
 
+  /** `COPY … FROM STDIN` (text format) over the simple protocol —
+    * the bulk write path (r17 verdict #4: the rendered-literal batch
+    * paid ~17 s to load 600k rows; COPY streams them in one command).
+    * `rows` yields COPY-text-rendered lines WITHOUT the trailing
+    * newline (tab-separated cells, `\N` nulls, backslash escapes —
+    * [[MiniPgCopy.copyCell]] renders them). Rows are packed into
+    * ~64 KiB CopyData messages. One implicit transaction: any bad row
+    * aborts the whole COPY (the server replies ErrorResponse after
+    * CopyDone; we drain to ReadyForQuery and throw). Returns the row
+    * count from the server's `COPY n` command tag.
+    */
+  def copyIn(sql: String, rows: Iterator[String]): Long = synchronized {
+    if (!open) throw new SQLException("connection is closed")
+    send('Q'.toByte, cstr(sql))
+    var started = false
+    while (!started) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'G' => started = true // CopyInResponse
+        case 'E' =>
+          val e = errorFrom(payload)
+          drainToReady()
+          throw e
+        case 'S' => onParameterStatus(payload)
+        case 'N' => ()
+        case other =>
+          throw new SQLException(
+            s"unexpected copy-start reply '${other.toChar}' — " +
+              "copyIn requires a COPY … FROM STDIN statement")
+      }
+    }
+    val chunk = new java.io.ByteArrayOutputStream(1 << 16)
+    def flushChunk(): Unit = if (chunk.size() > 0) {
+      send('d'.toByte, chunk.toByteArray, flushNow = false)
+      chunk.reset()
+    }
+    while (rows.hasNext) {
+      chunk.write(rows.next().getBytes(UTF_8))
+      chunk.write('\n')
+      if (chunk.size() >= (1 << 16) - 4096) flushChunk()
+    }
+    flushChunk()
+    send('c'.toByte, Array.empty) // CopyDone
+    var tag = ""
+    var err: SQLException = null
+    var done = false
+    while (!done) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'C' => tag = new String(payload, 0, payload.length - 1, UTF_8)
+        case 'E' => err = errorFrom(payload) // drain until ReadyForQuery
+        case 'S' => onParameterStatus(payload)
+        case 'N' => ()
+        case 'Z' => done = true
+        case other =>
+          throw new SQLException(
+            s"unexpected copy-end message '${other.toChar}'")
+      }
+    }
+    if (err != null) throw err
+    tag.split(' ') match {
+      case Array("COPY", n) => n.toLong
+      case _ => throw new SQLException(s"unexpected COPY tag '$tag'")
+    }
+  }
+
   private def parseRowDescription(payload: Array[Byte]): Array[Col] = {
     val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
     val cs = new Array[Col](n)
@@ -1059,6 +1125,64 @@ final class MiniPgWire(host: String, port: Int, database: String,
   * [[SQLFeatureNotSupportedException]] so a widened calling surface
   * fails loudly instead of silently misbehaving.
   */
+/** COPY-text rendering + INSERT→COPY rewrite for the bulk write path
+  * (r17 verdict #4: the rendered-literal batch paid ~17 s to load the
+  * 600k-row probe corpus; COPY is PG's bulk-load protocol). PG COPY
+  * text format: tab-delimited cells, `\N` for NULL, backslash escapes
+  * for the four characters structural to the format (backslash, tab,
+  * newline, carriage return) — everything else passes raw.
+  */
+object MiniPgCopy {
+
+  /** Escape one non-null string cell for COPY text format. */
+  def copyEscape(s: String): String = {
+    var i = 0
+    var needs = false
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      needs = c == '\\' || c == '\t' || c == '\n' || c == '\r'
+      i += 1
+    }
+    if (!needs) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c => sb.append(c): Unit
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  private val InsertRe =
+    ("""(?is)\s*INSERT\s+INTO\s+([^()?;]+?)\s*(\([^()?;]*\))?""" +
+      """\s*VALUES\s*\(\s*\?(?:\s*,\s*\?)*\s*\)\s*;?\s*""").r.pattern
+
+  /** `INSERT INTO t [(cols)] VALUES (?,…)` → `COPY t [(cols)] FROM
+    * STDIN` — exactly the statement shape Spark's JDBC writer
+    * generates. Anything else (expressions among the VALUES,
+    * multi-row VALUES, ON CONFLICT, quoted identifiers containing
+    * parentheses, …) returns None and the batch keeps the
+    * literal-render path — the safe direction.
+    */
+  def insertToCopy(sql: String): Option[String] = {
+    val m = InsertRe.matcher(sql)
+    if (!m.matches()) None
+    else {
+      val table = m.group(1).trim
+      val cols = Option(m.group(2)).map(" " + _).getOrElse("")
+      Some(s"COPY $table$cols FROM STDIN")
+    }
+  }
+}
+
 object MiniPgJdbc {
   import MiniPgWire._
 
@@ -1095,7 +1219,8 @@ object MiniPgJdbc {
   def resultSet(res: MiniPgWire.Result): java.sql.ResultSet =
     new MiniPgResultSet(res)
 
-  private def updateCount(tag: String): Int = {
+  /** Rows-affected count from a command tag ('INSERT 0 5' → 5). */
+  def updateCountOf(tag: String): Int = {
     val parts = tag.split(' ')
     parts.lastOption.flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
   }
@@ -1124,151 +1249,51 @@ object MiniPgJdbc {
     segs.toArray
   }
 
+  /** The write/read statement face — served by the CONCRETE
+    * [[MiniPgPreparedStatement]] since r18 (the bulk-write hot path:
+    * one typed setter per cell; see that class's doc).
+    */
   def statement(wire: MiniPgWire, conn: java.sql.Connection,
-      sql: Option[String]): java.sql.PreparedStatement = {
-    val segs = sql.map(splitParams).getOrElse(Array.empty)
-    val params = new Array[String](math.max(0, segs.length - 1))
-    val batch = ArrayBuffer.empty[String]
-    var closed = false
-    var lastResult: Option[MiniPgWire.Result] = None
-
-    def render(): String = {
-      require(params.forall(_ != null),
-        "not all parameters bound before execute")
-      val sb = new StringBuilder(segs(0))
-      var i = 0
-      while (i < params.length) { sb.append(params(i)); sb.append(segs(i + 1)); i += 1 }
-      sb.toString
-    }
-    def setP(i: Int, v: String): AnyRef = { params(i - 1) = v; null }
-    def tsRender(ts: java.sql.Timestamp): String = {
-      // Rendered in the JVM DEFAULT zone, like pgjdbc (r16 ADVICE):
-      // for `timestamp` (no tz) PG keeps the wall-clock and drops the
-      // offset, and the read path (Timestamp.valueOf) re-interprets
-      // that wall-clock in the JVM zone — symmetric only if the
-      // writer rendered in the same zone. For `timestamptz` the
-      // explicit offset makes the instant exact under any zone.
-      // Explicit HH:mm:ss — LocalTime.toString drops ':00' seconds
-      // ('00:01' for one minute), which PG then mis-parses.
-      val odt = OffsetDateTime.ofInstant(ts.toInstant,
-        java.time.ZoneId.systemDefault())
-      val micros = odt.getNano / 1000
-      val off = odt.getOffset
-      val offTxt = if (off == ZoneOffset.UTC) "+00" else off.getId
-      quote(f"${odt.toLocalDate}%s ${odt.getHour}%02d:${odt.getMinute}%02d:" +
-        f"${odt.getSecond}%02d.$micros%06d$offTxt%s")
-    }
-
-    proxy(classOf[java.sql.PreparedStatement]) {
-      case ("executeQuery", a) =>
-        val q = if (a.nonEmpty) a(0).asInstanceOf[String] else render()
-        // The READ path takes the extended protocol (binary result
-        // formats for the types in MiniPgWire.BinaryOids) unless
-        // disabled via ?binaryTransfer=false (pgjdbc's param name)
-        // or the text is multi-statement (extended Parse rejects
-        // those; JDBC executeQuery is single-statement anyway).
-        val res =
-          if (wire.binaryTransfer && MiniPgWire.singleStatement(q))
-            wire.queryExtended(q)
-          else wire.query(q)
-        val withRows = res.find(_.cols.nonEmpty).getOrElse(res.last)
-        lastResult = Some(withRows)
-        resultSet(withRows)
-      case ("executeUpdate", a) =>
-        val q = if (a.nonEmpty) a(0).asInstanceOf[String] else render()
-        I(updateCount(wire.query(q).last.tag))
-      case ("execute", a) =>
-        val q = if (a.nonEmpty) a(0).asInstanceOf[String] else render()
-        val res = wire.query(q)
-        lastResult = res.find(_.cols.nonEmpty)
-        B(lastResult.isDefined)
-      case ("getResultSet", _) => lastResult.map(resultSet).orNull
-      case ("getUpdateCount", _) => I(-1)
-      case ("addBatch", a) =>
-        batch += (if (a.nonEmpty) a(0).asInstanceOf[String] else render())
-        null
-      case ("clearBatch", _) => batch.clear(); null
-      case ("executeBatch", _) =>
-        // ALL-OR-NOTHING batch semantics (documented contract): the
-        // batch is one multi-statement simple query = ONE implicit
-        // transaction, so a failing row aborts and rolls back the
-        // whole batch (the SQLException propagates; there is no
-        // per-row BatchUpdateException). Spark's savePartition treats
-        // any exception as a partition retry, so the coarse grain is
-        // correct for the one caller this driver serves. Update
-        // counts come from the per-statement command tags (r16
-        // ADVICE — not fabricated 1s).
-        val counts =
-          if (batch.isEmpty) Array.empty[Int]
-          else wire.query(batch.mkString(";\n"))
-            .map(r => updateCount(r.tag)).toArray
-        val out =
-          if (counts.length == batch.length) counts
-          else java.util.Arrays.copyOf(counts, batch.length)
-        batch.clear()
-        out
-      case ("clearParameters", _) =>
-        java.util.Arrays.fill(params.asInstanceOf[Array[AnyRef]], null); null
-      case ("setNull", a) => setP(a(0).asInstanceOf[Integer], "NULL")
-      case ("setInt", a) => setP(a(0).asInstanceOf[Integer], a(1).toString)
-      case ("setLong", a) => setP(a(0).asInstanceOf[Integer], a(1).toString)
-      case ("setShort", a) => setP(a(0).asInstanceOf[Integer], a(1).toString)
-      case ("setByte", a) => setP(a(0).asInstanceOf[Integer], a(1).toString)
-      case ("setDouble", a) => setP(a(0).asInstanceOf[Integer],
-        s"'${a(1)}'::float8")
-      case ("setFloat", a) => setP(a(0).asInstanceOf[Integer],
-        s"'${a(1)}'::float4")
-      case ("setBoolean", a) => setP(a(0).asInstanceOf[Integer], a(1).toString)
-      case ("setString", a) => setP(a(0).asInstanceOf[Integer],
-        quote(a(1).asInstanceOf[String]))
-      case ("setBigDecimal", a) => setP(a(0).asInstanceOf[Integer],
-        a(1).asInstanceOf[java.math.BigDecimal].toPlainString)
-      case ("setBytes", a) => setP(a(0).asInstanceOf[Integer],
-        renderBytea(a(1).asInstanceOf[Array[Byte]]))
-      case ("setTimestamp", a) => setP(a(0).asInstanceOf[Integer],
-        tsRender(a(1).asInstanceOf[java.sql.Timestamp]))
-      case ("setDate", a) => setP(a(0).asInstanceOf[Integer],
-        quote(a(1).asInstanceOf[java.sql.Date].toString) + "::date")
-      case ("setObject", a) if a.length == 2 => a(1) match {
-        case s: String => setP(a(0).asInstanceOf[Integer], quote(s))
-        case n: java.lang.Number => setP(a(0).asInstanceOf[Integer], n.toString)
-        case ldt: LocalDateTime =>
-          setP(a(0).asInstanceOf[Integer], quote(ldt.toString.replace('T', ' ')))
-        case other => throw new SQLFeatureNotSupportedException(
-          s"setObject(${other.getClass.getName})")
-      }
-      case ("setQueryTimeout", _) => null
-      case ("setFetchSize", _) => null
-      case ("getFetchSize", _) => I(0)
-      case ("setMaxRows", _) => null
-      case ("cancel", _) => null
-      case ("close", _) => closed = true; null
-      case ("isClosed", _) => B(closed)
-      case ("getConnection", _) => conn
-      case ("getWarnings", _) => null
-      case ("clearWarnings", _) => null
-      case ("getMoreResults", _) => B(false)
-      case ("getMetaData", _) => null // unknown before execution; Spark tolerates
-    }
-  }
+      sql: Option[String]): java.sql.PreparedStatement =
+    new MiniPgPreparedStatement(wire, conn, sql)
 
   // ---- connection ----
 
   def connection(wire: MiniPgWire, url: String, user: String): java.sql.Connection = {
     var closed = false
+    // Real transaction demarcation (r18, part of the COPY write
+    // path): autoCommit=false opens an explicit BEGIN so Spark's
+    // savePartition commits a partition's worth of COPY batches as
+    // ONE transaction (one fsync) instead of one implicit commit per
+    // executeBatch — the difference between ~600 WAL flushes and one
+    // on the 600k-row probe load. commit/rollback immediately reopen
+    // the next transaction, mirroring JDBC's txn-chaining contract;
+    // an idle trailing BEGIN is discarded by the server at
+    // disconnect.
+    var autoCommit = true
     lazy val self: java.sql.Connection = proxy(classOf[java.sql.Connection]) {
       case ("prepareStatement", a) =>
         statement(wire, self, Some(a(0).asInstanceOf[String]))
       case ("createStatement", _) => statement(wire, self, None)
       case ("getMetaData", _) => dbMeta(url, user)
       case ("close", _) =>
+        // Mid-transaction disconnect rolls back server-side.
         if (!closed) { closed = true; wire.close() }; null
       case ("isClosed", _) => B(closed || !wire.isOpen)
       case ("isValid", _) => B(!closed && wire.isOpen)
-      case ("setAutoCommit", _) => null // simple protocol autocommits
-      case ("getAutoCommit", _) => B(true)
-      case ("commit", _) => null
-      case ("rollback", _) => null
+      case ("setAutoCommit", a) =>
+        val v = a(0).asInstanceOf[java.lang.Boolean].booleanValue
+        if (autoCommit && !v) wire.query("BEGIN"): Unit
+        else if (!autoCommit && v) wire.query("COMMIT"): Unit
+        autoCommit = v
+        null
+      case ("getAutoCommit", _) => B(autoCommit)
+      case ("commit", _) =>
+        if (!autoCommit) wire.query("COMMIT; BEGIN"): Unit
+        null
+      case ("rollback", _) =>
+        if (!autoCommit) wire.query("ROLLBACK; BEGIN"): Unit
+        null
       case ("setTransactionIsolation", _) => null
       case ("getTransactionIsolation", _) =>
         I(java.sql.Connection.TRANSACTION_READ_COMMITTED)
@@ -1286,12 +1311,19 @@ object MiniPgJdbc {
 
   private def dbMeta(url: String, user: String): java.sql.DatabaseMetaData =
     proxy(classOf[java.sql.DatabaseMetaData]) {
-      // No transaction surface: the simple protocol autocommits each
-      // query, so Spark's savePartition skips setAutoCommit/commit
-      // entirely (its documented non-transactional path).
-      case ("supportsTransactions", _) => B(false)
+      // Transactions ARE supported (r18): savePartition wraps each
+      // partition's COPY batches in one BEGIN…COMMIT — see
+      // connection()'s autoCommit handling.
+      case ("supportsTransactions", _) => B(true)
       case ("supportsDataManipulationTransactionsOnly", _) => B(false)
-      case ("supportsDataDefinitionAndDataManipulationTransactions", _) => B(false)
+      case ("supportsDataDefinitionAndDataManipulationTransactions", _) => B(true)
+      case ("getDefaultTransactionIsolation", _) =>
+        I(java.sql.Connection.TRANSACTION_READ_COMMITTED)
+      // PG accepts all four standard levels (READ UNCOMMITTED
+      // executes as READ COMMITTED), like pgjdbc reports.
+      case ("supportsTransactionIsolationLevel", a) =>
+        B(a(0).asInstanceOf[Integer].intValue !=
+          java.sql.Connection.TRANSACTION_NONE)
       case ("getDatabaseProductName", _) => "PostgreSQL"
       case ("getDatabaseProductVersion", _) => "15"
       case ("getDatabaseMajorVersion", _) => I(15)

@@ -48,9 +48,22 @@ object PgIngestProbe {
 
     val li = Corpus.read(spark, sf, "lineitem")
     val n = li.count()
-    val tLoad0 = System.nanoTime()
-    li.write.mode("overwrite").jdbc(uri, "lineitem_probe",
+    // Warm the write path too (JIT on the setter/render/COPY loop and
+    // the writer's task setup), mirroring the small read warm-up
+    // below — the timed load measures the pipeline, not cold
+    // compilation.
+    li.limit(5000).write.mode("overwrite").jdbc(uri, "lineitem_warm",
       new java.util.Properties())
+    val tLoad0 = System.nanoTime()
+    // Production write shape: partitioned parallel COPY (Spark's JDBC
+    // writer opens one connection per partition; MiniPgDriver ships
+    // each batch as `COPY … FROM STDIN` since r18 — concurrent COPY
+    // into one table is ordinary PG MVCC). Large batches amortize the
+    // per-COPY command round-trip.
+    val loadProps = new java.util.Properties()
+    loadProps.setProperty("batchsize", "20000")
+    li.repartition(8).write.mode("overwrite").jdbc(uri, "lineitem_probe",
+      loadProps)
     val tLoad = (System.nanoTime() - tLoad0) / 1e9
 
     // Count via a row hash over EVERY column so Spark cannot prune

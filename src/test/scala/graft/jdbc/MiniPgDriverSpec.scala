@@ -332,6 +332,32 @@ class MiniPgDriverSpec extends AnyFunSuite {
     }
   }
 
+  test("COPY text rendering: structural characters escaped, NULLs as " +
+    "\\N, and the Spark-writer INSERT shape rewrites to COPY") {
+    import MiniPgCopy.{copyEscape, insertToCopy}
+    assert(copyEscape("plain text") === "plain text")
+    assert(copyEscape("a\tb\nc\rd\\e") === "a\\tb\\nc\\rd\\\\e")
+    assert(copyEscape("") === "")
+    // Unicode and quote characters pass raw (only the four
+    // structural characters are escaped in COPY text format).
+    assert(copyEscape("it's \"quoted\" → ünïcode") ===
+      "it's \"quoted\" → ünïcode")
+    // The exact statement shape Spark's JDBC writer generates.
+    assert(insertToCopy(
+      """INSERT INTO lineitem_probe ("l_orderkey","l_comment") VALUES (?,?)""")
+      === Some("""COPY lineitem_probe ("l_orderkey","l_comment") FROM STDIN"""))
+    assert(insertToCopy("insert into t values (?, ?, ?)") ===
+      Some("COPY t FROM STDIN"))
+    assert(insertToCopy("INSERT INTO s.t (a) VALUES (?);") ===
+      Some("COPY s.t (a) FROM STDIN"))
+    // Non-convertible shapes fall back to the literal path.
+    assert(insertToCopy("INSERT INTO t (a) VALUES (1)").isEmpty)
+    assert(insertToCopy("INSERT INTO t (a) VALUES (?), (?)").isEmpty)
+    assert(insertToCopy("INSERT INTO t (a) VALUES (?) ON CONFLICT DO NOTHING").isEmpty)
+    assert(insertToCopy("INSERT INTO t (a) VALUES (upper(?))").isEmpty)
+    assert(insertToCopy("UPDATE t SET a = ?").isEmpty)
+  }
+
   test("driver steps aside for non-postgres URLs and parses pgjdbc " +
     "URL shapes") {
     val d = new MiniPgDriver

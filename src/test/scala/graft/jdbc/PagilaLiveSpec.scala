@@ -132,4 +132,38 @@ class PagilaLiveSpec extends AnyFunSuite {
     }
     assert(a.sameElements(b), "values drifted across the PG round-trip")
   }
+
+  test("COPY-structural characters round-trip the bulk write path " +
+    "(tab/newline/CR/backslash, literal \\N text, bytea)") {
+    // The r18 write path ships Spark JDBC batches as COPY … FROM
+    // STDIN; these are exactly the values its text-format escaping
+    // must protect (a bug here silently corrupts, not errors).
+    val u = uri
+    val ss = spark
+    import ss.implicits._
+    val tricky = Seq(
+      (1L, "tab\there", Array[Byte](0, 1, 92, 10)),
+      (2L, "newline\nhere", Array[Byte]()),
+      (3L, "cr\rhere", Array[Byte](-1, -128)),
+      (4L, "backslash\\here", Array[Byte](92, 92)),
+      (5L, "\\N", Array[Byte](0x5c, 0x4e)),
+      (6L, null, null),
+      (7L, "mixed\t\\\n\r\\N|end", Array[Byte](9, 10, 13)),
+      (8L, "plain", Array[Byte](42)))
+      .toDF("id", "s", "b")
+    tricky.write.mode("overwrite")
+      .jdbc(u, "flaco_copy_escape", new java.util.Properties())
+    val back = Flaco.readSqlToDataFrame(spark, u,
+      "select * from flaco_copy_escape").orderBy("id").collect()
+    val staged = tricky.orderBy("id").collect()
+    assert(back.length === staged.length)
+    staged.zip(back).foreach { case (x, y) =>
+      assert(x.getLong(0) === y.getLong(0))
+      assert(Option(x.getString(1)) === Option(y.getString(1)),
+        s"string drift for id ${x.getLong(0)}")
+      val xb = Option(x.getAs[Array[Byte]](2)).map(_.toSeq)
+      val yb = Option(y.getAs[Array[Byte]](2)).map(_.toSeq)
+      assert(xb === yb, s"bytea drift for id ${x.getLong(0)}")
+    }
+  }
 }
