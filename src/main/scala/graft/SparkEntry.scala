@@ -378,6 +378,8 @@ object SparkEntry {
       Similarity.storedIvfMaintenance(s, d)),
     "q256_pii_scrub" -> ((s: SparkSession, d: String) =>
       TextAnalysis.piiScrub(s, d)),
+    "q257_theta_intersect" -> ((s: SparkSession, d: String) =>
+      Events.thetaIntersections(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6376,6 +6378,36 @@ object SparkEntry {
          |  bit_xor(CAST(concat('0x', substring(md5(redacted), 1, 15))
          |    AS BIGINT)) AS redacted_fp
          |FROM scrub GROUP BY source ORDER BY source""".stripMargin,
+
+    // q257: Theta/KMV native set algebra (the q20/q169 gate idiom).
+    // DuckDB replays the exact twin for every pair; the k=4096
+    // estimates are emitted as BIGINTs that must EQUAL the exact
+    // values (KMV is exact while unsaturated — every gate corpus has
+    // ≤1500 distinct users/type), and the saturated k=128 legs pin
+    // their in-band bits to 1. Set-algebra correctness is in the row
+    // hash; the saturated accuracy contract is the spec's 5σ
+    // randomized test.
+    "q257_theta_intersect" ->
+      """WITH ut AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |nd AS (SELECT day, count(*) AS nd FROM ut GROUP BY day),
+        |ix AS (SELECT a.day AS day_a, b.day AS day_b,
+        |    count(*) AS exact_inter
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND b.day = a.day + INTERVAL 1 DAY
+        |  GROUP BY a.day, b.day)
+        |SELECT ix.day_a, ix.day_b,
+        |  CAST(exact_inter AS BIGINT) AS exact_inter,
+        |  CAST(na.nd - exact_inter AS BIGINT) AS exact_anotb,
+        |  CAST(na.nd + nb.nd - exact_inter AS BIGINT) AS exact_union,
+        |  CAST(exact_inter AS BIGINT) AS hi_inter,
+        |  CAST(na.nd - exact_inter AS BIGINT) AS hi_anotb,
+        |  CAST(na.nd + nb.nd - exact_inter AS BIGINT) AS hi_union,
+        |  CAST(1 AS BIGINT) AS lo_inter_in_band,
+        |  CAST(1 AS BIGINT) AS lo_union_in_band
+        |FROM ix JOIN nd na ON na.day = ix.day_a
+        |        JOIN nd nb ON nb.day = ix.day_b
+        |ORDER BY day_a""".stripMargin,
 
     // q251: DuckDB rebuilds the ENTIRE band index from scratch over
     // its own snapshot-B derivation (the q246 modular fixture carried

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The KMV/Theta sketch contract (q257): bottom-k maintenance,
+  * exactness while unsaturated, the native-intersection identity,
+  * lossless mergeability (the property that makes it a warehouse
+  * sketch), and estimation accuracy in the saturated regime.
+  */
+class ThetaSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def pos(x: Any): Long =
+    // Any deterministic uniform-ish 63-bit hash works for the unit
+    // tests; the query side uses codegen'd xxhash64.
+    scala.util.hashing.MurmurHash3.stringHash(x.toString).toLong
+      .*(2654435761L) & Long.MaxValue
+
+  test("insert/merge keep the k smallest distinct positions (vs " +
+    "brute force, randomized)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val k = 1 + rnd.nextInt(12)
+      val xs = Seq.fill(200)(rnd.nextInt(60).toLong * 977L)
+      val sk = xs.foldLeft(Seq.empty[Long])(ThetaSketch.insert(_, _, k))
+      val brute = xs.distinct.sorted.take(k)
+      assert(sk === brute)
+      // Merge of random splits equals the sketch of the whole — KMV
+      // union is LOSSLESS (bottom-k of a union is derivable from the
+      // two bottom-ks).
+      val (l, r) = xs.splitAt(rnd.nextInt(xs.length))
+      val a = l.foldLeft(Seq.empty[Long])(ThetaSketch.insert(_, _, k))
+      val b = r.foldLeft(Seq.empty[Long])(ThetaSketch.insert(_, _, k))
+      assert(ThetaSketch.merge(a, b, k) === brute)
+      assert(ThetaSketch.merge(b, a, k) === brute)
+    }
+  }
+
+  test("unsaturated sketches are exact for estimate, intersect, " +
+    "a-not-b, and union") {
+    val rnd = new scala.util.Random(11)
+    val k = 4096
+    (1 to 10).foreach { _ =>
+      val ua = (1 to 300).map(_ => rnd.nextInt(500)).distinct
+      val ub = (1 to 300).map(_ => rnd.nextInt(500)).distinct
+      val sa = ua.map(pos).foldLeft(Seq.empty[Long])(
+        ThetaSketch.insert(_, _, k))
+      val sb = ub.map(pos).foldLeft(Seq.empty[Long])(
+        ThetaSketch.insert(_, _, k))
+      assert(ThetaSketch.estimateOf(sa, k) === ua.size.toDouble)
+      assert(ThetaSketch.intersectEstimate(sa, sb, k) ===
+        ua.toSet.intersect(ub.toSet).size.toDouble)
+      assert(ThetaSketch.aNotBEstimate(sa, sb, k) ===
+        ua.toSet.diff(ub.toSet).size.toDouble)
+      assert(ThetaSketch.estimateOf(ThetaSketch.merge(sa, sb, k), k) ===
+        ua.toSet.union(ub.toSet).size.toDouble)
+    }
+  }
+
+  test("native-intersection identity: intersect + aNotB counts = " +
+    "A's retained-below-minθ count, exactly, saturated or not") {
+    val rnd = new scala.util.Random(13)
+    (1 to 10).foreach { _ =>
+      val k = 64
+      val sa = (1 to 5000).map(i => pos(rnd.nextInt(3000)))
+        .foldLeft(Seq.empty[Long])(ThetaSketch.insert(_, _, k))
+      val sb = (1 to 5000).map(i => pos(rnd.nextInt(3000) + 1500))
+        .foldLeft(Seq.empty[Long])(ThetaSketch.insert(_, _, k))
+      val (ni, ti) = ThetaSketch.intersectCount(sa, sb, k)
+      val (nd, td) = ThetaSketch.aNotBCount(sa, sb, k)
+      assert(ti === td)
+      assert(ni + nd === ThetaSketch.countBelow(sa, ti))
+    }
+  }
+
+  test("saturated regime: estimate and native intersection land " +
+    "within 5 sigma on a randomized universe") {
+    val rnd = new scala.util.Random(17)
+    val k = 256
+    (1 to 5).foreach { round =>
+      val n = 5000 + rnd.nextInt(20000)
+      val overlap = n / (2 + rnd.nextInt(3))
+      val ua = (0 until n).map(i => s"a$round-$i")
+      val ub = (0 until overlap).map(i => s"a$round-$i") ++
+        (0 until n).map(i => s"b$round-$i")
+      val sa = ua.map(pos).foldLeft(Seq.empty[Long])(
+        ThetaSketch.insert(_, _, k))
+      val sb = ub.map(pos).foldLeft(Seq.empty[Long])(
+        ThetaSketch.insert(_, _, k))
+      val estA = ThetaSketch.estimateOf(sa, k)
+      val sigmaA = ua.size / math.sqrt(k - 1)
+      assert(math.abs(estA - ua.size) <= 5 * sigmaA,
+        s"estimate ${estA} vs ${ua.size}")
+      val (c, t) = ThetaSketch.intersectCount(sa, sb, k)
+      val estI = ThetaSketch.intersectEstimate(sa, sb, k)
+      // Error scales with the RETAINED MATCH count c (≈est/√c) — the
+      // property q169's inclusion–exclusion lacks.
+      val sigmaI = if (c > 0) estI / math.sqrt(c) else overlap.toDouble
+      assert(math.abs(estI - overlap) <= 5 * sigmaI + 1,
+        s"intersection $estI vs $overlap (c=$c)")
+    }
+  }
+
+  test("q257 on the corpus: unsaturated estimates equal the exact " +
+    "twin; saturated bands hold") {
+    val out = graft.operators.Events.thetaIntersections(spark, sf)
+      .collect()
+    assert(out.length >= 5, "expected consecutive-day pairs")
+    // The day fixture must exercise PARTIAL overlap — a degenerate
+    // complete-overlap pairing (A\B = 0 everywhere) would leave the
+    // difference leg untested.
+    assert(out.exists(_.getLong(3) > 0), "no pair with a non-empty A\\B")
+    out.foreach { r =>
+      assert(r.getLong(5) === r.getLong(2),
+        s"hi_inter != exact_inter in $r")
+      assert(r.getLong(6) === r.getLong(3),
+        s"hi_anotb != exact_anotb in $r")
+      assert(r.getLong(7) === r.getLong(4),
+        s"hi_union != exact_union in $r")
+      assert(r.getLong(8) === 1L, s"lo_inter out of band in $r")
+      assert(r.getLong(9) === 1L, s"lo_union out of band in $r")
+    }
+  }
+}
