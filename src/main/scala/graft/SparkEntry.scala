@@ -2148,6 +2148,14 @@ object SparkEntry {
       val Seq(t1, t2, t3) = TextAnalysis.SearchTerms
       val k = Similarity.RrfK
       val depth = Similarity.RrfDepth
+      // r18: the BM25 idf chains (shared with q171, relation `st`).
+      val fl = graft.functions.FixedLog
+      val ql179CteA = fl.sqlStagedCtes("st", "(2*n_docs + 2)",
+        "(2*df_a + 1)", 9, "lnq179a_")
+      val ql179CteB = fl.sqlStagedCtes("sta", "(2*n_docs + 2)",
+        "(2*df_b + 1)", 9, "lnq179b_")
+      val ql179CteC = fl.sqlStagedCtes("stb", "(2*n_docs + 2)",
+        "(2*df_c + 1)", 9, "lnq179c_")
       s"""WITH c AS (SELECT doc_id,
          |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
          |      x -> x = '$t1')) AS BIGINT) AS tf_a,
@@ -2167,27 +2175,33 @@ object SparkEntry {
          |      AS df_c,
          |    count(*) AS n_docs,
          |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM c),
+         |${ql179CteA._1},
+         |sta AS (SELECT * EXCLUDE (ln_s), ln_s AS ln_a
+         |        FROM ${ql179CteA._2}),
+         |${ql179CteB._1},
+         |stb AS (SELECT * EXCLUDE (ln_s), ln_s AS ln_b
+         |        FROM ${ql179CteB._2}),
+         |${ql179CteC._1},
+         |stc AS (SELECT * EXCLUDE (ln_s), ln_s AS ln_c
+         |        FROM ${ql179CteC._2}),
          |tr AS (SELECT doc_id,
-         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_a AS DOUBLE)
-         |        + 0.5) / (CAST(df_a AS DOUBLE) + 0.5))
+         |    (ln_a / 1e9)
          |      * (CAST(tf_a AS DOUBLE) * 2.2)
          |      / (CAST(tf_a AS DOUBLE) + 1.2 * (0.25 + 0.75
          |        * (CAST(dl AS DOUBLE)
          |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_b AS DOUBLE)
-         |        + 0.5) / (CAST(df_b AS DOUBLE) + 0.5))
+         |    + (ln_b / 1e9)
          |      * (CAST(tf_b AS DOUBLE) * 2.2)
          |      / (CAST(tf_b AS DOUBLE) + 1.2 * (0.25 + 0.75
          |        * (CAST(dl AS DOUBLE)
          |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_c AS DOUBLE)
-         |        + 0.5) / (CAST(df_c AS DOUBLE) + 0.5))
+         |    + (ln_c / 1e9)
          |      * (CAST(tf_c AS DOUBLE) * 2.2)
          |      / (CAST(tf_c AS DOUBLE) + 1.2 * (0.25 + 0.75
          |        * (CAST(dl AS DOUBLE)
          |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
          |    AS raw
-         |  FROM c, st WHERE tf_a + tf_b + tf_c > 0),
+         |  FROM c, stc WHERE tf_a + tf_b + tf_c > 0),
          |tl AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY raw DESC,
          |    doc_id) AS BIGINT) AS rank_text
          |  FROM tr ORDER BY raw DESC, doc_id LIMIT $depth),
@@ -4758,8 +4772,15 @@ object SparkEntry {
     // double contributions would be association-order-nondeterministic
     // for equal-profile docs); selection by raw score, rounded only
     // in the output.
+    // q130 (r18): the three idf logs are FixedLog staged chains over
+    // the single-row normalizer — raw_i is an exact integer on both
+    // engines; no libm anywhere in the gate.
     "q130_ranked_search" -> {
       val Seq(t1, t2, t3) = TextAnalysis.SearchTerms
+      val fl = graft.functions.FixedLog
+      val (ca, fa) = fl.sqlStagedCtes("s", "n_docs", "df_a", 9, "lnq130a_")
+      val (cb, fb) = fl.sqlStagedCtes("sa", "n_docs", "df_b", 9, "lnq130b_")
+      val (cc, fc) = fl.sqlStagedCtes("sb", "n_docs", "df_c", 9, "lnq130c_")
       s"""WITH c AS (SELECT doc_id,
          |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
          |      x -> x = '$t1')) AS BIGINT) AS tf_a,
@@ -4776,22 +4797,36 @@ object SparkEntry {
          |    CAST(sum(CASE WHEN tf_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |      AS df_c,
          |    count(*) AS n_docs FROM c),
+         |$ca,
+         |sa AS (SELECT * EXCLUDE (ln_s), ln_s AS ln_a FROM $fa),
+         |$cb,
+         |sb AS (SELECT * EXCLUDE (ln_s), ln_s AS ln_b FROM $fb),
+         |$cc,
+         |sc AS (SELECT * EXCLUDE (ln_s), ln_s AS ln_c FROM $fc),
          |r AS (SELECT doc_id, tf_a, tf_b, tf_c,
-         |    tf_a * ln(CAST(n_docs AS DOUBLE) / df_a)
-         |      + tf_b * ln(CAST(n_docs AS DOUBLE) / df_b)
-         |      + tf_c * ln(CAST(n_docs AS DOUBLE) / df_c) AS raw
-         |  FROM c, s WHERE tf_a + tf_b + tf_c > 0)
-         |SELECT doc_id, tf_a, tf_b, tf_c, round(raw, 6) AS score
-         |FROM r ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin
+         |    tf_a * ln_a + tf_b * ln_b + tf_c * ln_c AS raw_i
+         |  FROM c, sc WHERE tf_a + tf_b + tf_c > 0)
+         |SELECT doc_id, tf_a, tf_b, tf_c, round(raw_i / 1e9, 6) AS score
+         |FROM r ORDER BY raw_i DESC, doc_id LIMIT 10""".stripMargin
     },
 
     // q171: DuckDB replays BM25 from its own list primitives — the
     // q130 counters plus non-empty-token doc length, the same
     // fixed-order three-term score with identical decimal literals
     // (k1 = 1.2, b = 0.75, k1+1 = 2.2, 1−b = 0.25 — both parsers bind
-    // them to the same doubles), selection by raw score.
+    // them to the same doubles), selection by raw score. r18: the idf
+    // is the FixedLog integer ln of (2N+2)/(2df+1) — the only libm
+    // call is gone; the remaining float factor is identical IEEE
+    // arithmetic on identical integers.
     "q171_bm25_search" -> {
       val Seq(t1, t2, t3) = TextAnalysis.SearchTerms
+      val fl = graft.functions.FixedLog
+      val (ca, fa) = fl.sqlStagedCtes("s", "(2*n_docs + 2)", "(2*df_a + 1)",
+        9, "lnq171a_")
+      val (cb, fb) = fl.sqlStagedCtes("sa", "(2*n_docs + 2)", "(2*df_b + 1)",
+        9, "lnq171b_")
+      val (cc, fc) = fl.sqlStagedCtes("sb", "(2*n_docs + 2)", "(2*df_c + 1)",
+        9, "lnq171c_")
       s"""WITH c AS (SELECT doc_id,
          |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
          |      x -> x = '$t1')) AS BIGINT) AS tf_a,
@@ -4811,27 +4846,30 @@ object SparkEntry {
          |      AS df_c,
          |    count(*) AS n_docs,
          |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM c),
+         |$ca,
+         |sa AS (SELECT * EXCLUDE (ln_s), ln_s AS ln_a FROM $fa),
+         |$cb,
+         |sb AS (SELECT * EXCLUDE (ln_s), ln_s AS ln_b FROM $fb),
+         |$cc,
+         |sc AS (SELECT * EXCLUDE (ln_s), ln_s AS ln_c FROM $fc),
          |r AS (SELECT doc_id, tf_a, tf_b, tf_c, dl,
-         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_a AS DOUBLE)
-         |        + 0.5) / (CAST(df_a AS DOUBLE) + 0.5))
+         |    (ln_a / 1e9)
          |      * (CAST(tf_a AS DOUBLE) * 2.2)
          |      / (CAST(tf_a AS DOUBLE) + 1.2 * (0.25 + 0.75
          |        * (CAST(dl AS DOUBLE)
          |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_b AS DOUBLE)
-         |        + 0.5) / (CAST(df_b AS DOUBLE) + 0.5))
+         |    + (ln_b / 1e9)
          |      * (CAST(tf_b AS DOUBLE) * 2.2)
          |      / (CAST(tf_b AS DOUBLE) + 1.2 * (0.25 + 0.75
          |        * (CAST(dl AS DOUBLE)
          |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-         |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_c AS DOUBLE)
-         |        + 0.5) / (CAST(df_c AS DOUBLE) + 0.5))
+         |    + (ln_c / 1e9)
          |      * (CAST(tf_c AS DOUBLE) * 2.2)
          |      / (CAST(tf_c AS DOUBLE) + 1.2 * (0.25 + 0.75
          |        * (CAST(dl AS DOUBLE)
          |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
          |    AS raw
-         |  FROM c, s WHERE tf_a + tf_b + tf_c > 0)
+         |  FROM c, sc WHERE tf_a + tf_b + tf_c > 0)
          |SELECT doc_id, tf_a, tf_b, tf_c, dl, round(raw, 6) AS score
          |FROM r ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin
     },

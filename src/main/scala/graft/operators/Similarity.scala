@@ -683,9 +683,13 @@ object Similarity {
       sum((col("tf_b") > 0).cast("long")).as("df_b"),
       sum((col("tf_c") > 0).cast("long")).as("df_c"),
       count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // Integer-rational idf via FixedLog — (2N+2)/(2df+1), the r18
+    // conversion shared with q171 (see bm25Search's doc): no libm in
+    // the text leg; the remaining float factor is identical IEEE
+    // arithmetic on both engines.
     def idf(dfc: Column) =
-      log(lit(1.0) + (col("n_docs").cast("double") - dfc.cast("double")
-        + lit(0.5)) / (dfc.cast("double") + lit(0.5)))
+      graft.functions.FixedLog.ln_scaled(col("n_docs") * 2 + lit(2L),
+        dfc * 2 + lit(1L), 9).cast("double") / lit(1e9)
     def part(tfc: Column, dfc: Column) =
       idf(dfc) * (tfc.cast("double") * lit(2.2)) /
         (tfc.cast("double") + lit(1.2) *

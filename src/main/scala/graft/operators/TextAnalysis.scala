@@ -1712,14 +1712,11 @@ object TextAnalysis {
     * `TakeOrderedAndProject` (per-partition heaps, k rows to the
     * driver — never a full sort). Two corpus scans total (df pass +
     * score pass); the indexed alternative at interactive latency is
-    * the q99 inverted index. FP discipline: the score is ONE
-    * fixed-order expression a·ln+b·ln+c·ln, not an unordered SUM of
-    * per-term rows — docs with identical tf profiles get
-    * bit-identical scores on both engines, so the (score DESC,
-    * doc_id) order is total and the selected set is deterministic;
-    * a selection flip would need two distinct profiles within ~1 ulp
-    * (ln is the only cross-engine difference), and the emitted score
-    * is rounded at 6 digits regardless.
+    * the q99 inverted index. FP discipline (r18, the q167/FixedLog
+    * conversion): the score IS AN EXACT INTEGER — Σ tf·lnScaled(N,
+    * df, 9) via [[graft.functions.FixedLog]] — so ranking, selection,
+    * and the rounded emitted score all derive from the same integers
+    * in both engines; no libm call remains anywhere in the gate.
     */
   def rankedSearch(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
@@ -1734,18 +1731,18 @@ object TextAnalysis {
       sum((col("tf_b") > 0).cast("long")).as("df_b"),
       sum((col("tf_c") > 0).cast("long")).as("df_c"),
       count(lit(1)).as("n_docs"))
-    def idf(dfc: Column) =
-      log(col("n_docs").cast("double") / dfc.cast("double"))
+    def idfScaled(dfc: Column) =
+      graft.functions.FixedLog.ln_scaled(col("n_docs"), dfc, 9)
     counted.crossJoin(broadcast(norms))
       .filter(col("tf_a") + col("tf_b") + col("tf_c") > 0)
-      .withColumn("raw",
-        col("tf_a").cast("double") * idf(col("df_a"))
-          + col("tf_b").cast("double") * idf(col("df_b"))
-          + col("tf_c").cast("double") * idf(col("df_c")))
-      .orderBy(col("raw").desc, col("doc_id"))
+      .withColumn("raw_i",
+        col("tf_a") * idfScaled(col("df_a"))
+          + col("tf_b") * idfScaled(col("df_b"))
+          + col("tf_c") * idfScaled(col("df_c")))
+      .orderBy(col("raw_i").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("tf_a"), col("tf_b"), col("tf_c"),
-        round(col("raw"), 6).as("score"))
+        round(col("raw_i") / lit(1e9), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
   }
 
@@ -1771,8 +1768,17 @@ object TextAnalysis {
     * as ONE fixed-order a+b+c expression (bit-identical for
     * equal-profile docs — an unordered SUM of per-term rows would
     * not be), global top-k via `TakeOrderedAndProject`. Two corpus
-    * scans total; ln is the only cross-engine ulp risk and the
-    * emitted score is rounded at 6 digits.
+    * scans total.
+    *
+    * FP discipline (r18, the verdict-#8 conversion): the idf
+    * simplifies to an INTEGER RATIONAL — 1 + (N−df+0.5)/(df+0.5) =
+    * (2N+2)/(2df+1) — so the ln takes
+    * [[graft.functions.FixedLog.ln_scaled]] (the same integer in
+    * both engines by construction) and NO libm call remains in the
+    * gate. The tf/length-normalization factor stays float BY DESIGN:
+    * it is pure IEEE +,−,×,÷ over identical integers and identical
+    * decimal literals (k1 = 1.2, b = 0.75), which both engines
+    * evaluate bit-identically — only transcendentals ever differed.
     */
   def bm25Search(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
@@ -1790,8 +1796,8 @@ object TextAnalysis {
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     def idf(dfc: Column) =
-      log(lit(1.0) + (col("n_docs").cast("double") - dfc.cast("double")
-        + lit(0.5)) / (dfc.cast("double") + lit(0.5)))
+      graft.functions.FixedLog.ln_scaled(col("n_docs") * 2 + lit(2L),
+        dfc * 2 + lit(1L), 9).cast("double") / lit(1e9)
     // norm shared across terms: k1·(1−b + b·dl/avgdl), avgdl = Σdl/N.
     def part(tfc: Column, dfc: Column) =
       idf(dfc) * (tfc.cast("double") * lit(2.2)) /
