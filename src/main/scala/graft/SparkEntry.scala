@@ -6418,13 +6418,15 @@ object SparkEntry {
          |FROM scrub GROUP BY source ORDER BY source""".stripMargin,
 
     // q257: Theta/KMV native set algebra (the q20/q169 gate idiom).
-    // DuckDB replays the exact twin for every pair; the k=4096
-    // estimates are emitted as BIGINTs that must EQUAL the exact
-    // values (KMV is exact while unsaturated — every gate corpus has
-    // ≤1500 distinct users/type), and the saturated k=128 legs pin
-    // their in-band bits to 1. Set-algebra correctness is in the row
-    // hash; the saturated accuracy contract is the spec's 5σ
-    // randomized test.
+    // DuckDB replays the exact twin for every pair; BOTH sketch
+    // implementations' estimates are emitted as BIGINTs that must
+    // EQUAL the exact values — the transparent KMV at k=4096
+    // (unsaturated ⇒ exact by construction) AND Spark 4.1's native
+    // DataSketches Theta at lgk=12 (exact mode below 4096 entries;
+    // every gate corpus has ≤1500 distinct users/day) — and the
+    // saturated k=128 KMV legs pin their in-band bits to 1.
+    // Set-algebra correctness is in the row hash; the saturated
+    // accuracy contract is the spec's 5σ randomized test.
     "q257_theta_intersect" ->
       """WITH ut AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |            FROM events),
@@ -6441,6 +6443,9 @@ object SparkEntry {
         |  CAST(exact_inter AS BIGINT) AS hi_inter,
         |  CAST(na.nd - exact_inter AS BIGINT) AS hi_anotb,
         |  CAST(na.nd + nb.nd - exact_inter AS BIGINT) AS hi_union,
+        |  CAST(exact_inter AS BIGINT) AS nat_inter,
+        |  CAST(na.nd - exact_inter AS BIGINT) AS nat_anotb,
+        |  CAST(na.nd + nb.nd - exact_inter AS BIGINT) AS nat_union,
         |  CAST(1 AS BIGINT) AS lo_inter_in_band,
         |  CAST(1 AS BIGINT) AS lo_union_in_band
         |FROM ix JOIN nd na ON na.day = ix.day_a

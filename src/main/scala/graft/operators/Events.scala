@@ -422,8 +422,11 @@ object Events {
     * absolute error scales with |A∪B|, not with the intersection, so
     * a small overlap of two large sets is unrecoverable from HLL
     * (production uses Theta sketches for set ops precisely because
-    * they intersect natively; Spark 4 ships only HLL, so this is the
-    * Spark-expressible form and the gate's band is ±3·rsd·|A∪B|).
+    * they intersect natively — q257 IS that operator, via both
+    * Spark 4.1's native DataSketches theta_* functions and the
+    * transparent KMV in [[graft.functions.ThetaSketch]]; this query
+    * keeps the HLL inclusion–exclusion form alive as the documented
+    * contrast, band ±3·rsd·|A∪B|).
     * The fixture's overlaps are union-sized, so the band is tight in
     * relative terms too. All sketches build in one pass over events
     * (map-side-combinable); the pairing is an INEQUALITY self-join
@@ -479,7 +482,9 @@ object Events {
     * sketches from the distinct (day, user) collapse (the q102
     * discipline); consecutive days pair via an equi-join on the
     * derived day key over the ≤days-row sketch relation. Estimates
-    * come from [[graft.functions.ThetaSketch]] at TWO sketch sizes:
+    * come from Spark 4.1's NATIVE DataSketches theta functions
+    * (lgk=12 — exact mode at gate cardinality, value-pinned) and
+    * from [[graft.functions.ThetaSketch]] at TWO sketch sizes:
     *   - k=4096 — unsaturated on every gate corpus, where KMV is
     *     EXACT by construction; those estimates are emitted as
     *     BIGINT columns the oracle replays as the exact twin —
@@ -502,9 +507,19 @@ object Events {
     // difference, and union legs are all non-degenerate.
     val ut = Corpus.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    // Native DataSketches Theta (Spark 4.1 ships theta_sketch_agg /
+    // theta_union / theta_intersection / theta_difference): the
+    // production sketch column, validated alongside the transparent
+    // KMV. lgk=12 ⇒ 4096 nominal entries — exact mode on every gate
+    // corpus, so its estimates pin EQUAL to the exact twin. (The
+    // wildcard `functions._` at file scope also exports these names;
+    // the method-local ThetaSketch._ import shadows them, so the
+    // native ones are reached via the F alias.)
+    val F = org.apache.spark.sql.functions
     val sk = ut.groupBy(col("day"))
       .agg(theta_sketch_agg(positionOf(col("user_id")), 4096).as("sk_hi"),
         theta_sketch_agg(positionOf(col("user_id")), 128).as("sk_lo"),
+        F.theta_sketch_agg(col("user_id"), 12).as("sk_nat"),
         countDistinct(col("user_id")).as("nd"))
     val pairs = sk.as("x").join(sk.as("y"),
         col("y.day") === date_add(col("x.day"), 1))
@@ -517,6 +532,12 @@ object Events {
           .cast("long").as("hi_anotb"),
         theta_estimate(theta_union(col("x.sk_hi"), col("y.sk_hi"), 4096),
           4096).cast("long").as("hi_union"),
+        F.theta_sketch_estimate(F.theta_intersection(col("x.sk_nat"),
+          col("y.sk_nat"))).cast("long").as("nat_inter"),
+        F.theta_sketch_estimate(F.theta_difference(col("x.sk_nat"),
+          col("y.sk_nat"))).cast("long").as("nat_anotb"),
+        F.theta_sketch_estimate(F.theta_union(col("x.sk_nat"),
+          col("y.sk_nat"))).cast("long").as("nat_union"),
         theta_intersect_estimate(col("x.sk_lo"), col("y.sk_lo"), 128)
           .as("lo_inter"),
         theta_estimate(theta_union(col("x.sk_lo"), col("y.sk_lo"), 128),
@@ -537,6 +558,7 @@ object Events {
       .select(col("day_a"), col("day_b"),
         col("exact_inter"), col("exact_anotb"), col("exact_union"),
         col("hi_inter"), col("hi_anotb"), col("hi_union"),
+        col("nat_inter"), col("nat_anotb"), col("nat_union"),
         (col("lo_inter") >= col("exact_inter") - col("slack_inter") &&
           col("lo_inter") <= col("exact_inter") + col("slack_inter"))
           .cast("long").as("lo_inter_in_band"),

@@ -39,6 +39,29 @@ class ThetaSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregator buffer (append log + compaction) finishes to the " +
+    "exact bottom-k on duplicate-heavy streams") {
+    val rnd = new scala.util.Random(23)
+    (1 to 20).foreach { _ =>
+      val k = 1 + rnd.nextInt(20)
+      val agg = new KmvAgg(k)
+      // Duplicate-heavy, adversarially ordered: repeats of the
+      // minimum pad the unsorted tail — the shape that made an r18
+      // draft's per-row threshold skip drop genuinely-new distinct
+      // values (caught by this test before it ever reached a gate).
+      val xs = Seq.fill(500)(rnd.nextInt(40).toLong) ++
+        Seq.fill(100)(0L) ++ Seq.fill(50)(rnd.nextInt(1000).toLong)
+      val shuffled = rnd.shuffle(xs)
+      val direct = shuffled.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(direct) === xs.distinct.sorted.take(k))
+      // Partition splits merge to the same sketch.
+      val (l, r) = shuffled.splitAt(rnd.nextInt(shuffled.length))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === xs.distinct.sorted.take(k))
+    }
+  }
+
   test("unsaturated sketches are exact for estimate, intersect, " +
     "a-not-b, and union") {
     val rnd = new scala.util.Random(11)
@@ -120,8 +143,16 @@ class ThetaSketchSpec extends AnyFunSuite {
         s"hi_anotb != exact_anotb in $r")
       assert(r.getLong(7) === r.getLong(4),
         s"hi_union != exact_union in $r")
-      assert(r.getLong(8) === 1L, s"lo_inter out of band in $r")
-      assert(r.getLong(9) === 1L, s"lo_union out of band in $r")
+      // Spark 4.1's native DataSketches Theta leg (lgk=12, exact
+      // mode at this cardinality) must agree with the exact twin too.
+      assert(r.getLong(8) === r.getLong(2),
+        s"nat_inter != exact_inter in $r")
+      assert(r.getLong(9) === r.getLong(3),
+        s"nat_anotb != exact_anotb in $r")
+      assert(r.getLong(10) === r.getLong(4),
+        s"nat_union != exact_union in $r")
+      assert(r.getLong(11) === 1L, s"lo_inter out of band in $r")
+      assert(r.getLong(12) === 1L, s"lo_union out of band in $r")
     }
   }
 }
