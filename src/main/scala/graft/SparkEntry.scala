@@ -380,6 +380,8 @@ object SparkEntry {
       TextAnalysis.piiScrub(s, d)),
     "q257_theta_intersect" -> ((s: SparkSession, d: String) =>
       Events.thetaIntersections(s, d)),
+    "q258_kll_quantiles" -> ((s: SparkSession, d: String) =>
+      Events.kllQuantiles(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6451,6 +6453,34 @@ object SparkEntry {
         |FROM ix JOIN nd na ON na.day = ix.day_a
         |        JOIN nd nb ON nb.day = ix.day_b
         |ORDER BY day_a""".stripMargin,
+
+    // q258: the q96 exact-bracket idiom for the native KLL family —
+    // DuckDB replays the exact percentile_disc brackets and counts;
+    // sketch_n (the stream length) is exact and deterministic, so it
+    // pins as n; the three in-band bits pin to 1 (the raw KLL values
+    // are randomized-compaction outputs and may never enter a hash).
+    "q258_kll_quantiles" -> {
+      import graft.operators.Events.{KllDelta, discP}
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+         |p AS (SELECT event_type,
+         |    CAST(percentile_disc(${discP(0.5 - KllDelta)}) WITHIN GROUP (ORDER BY x) AS BIGINT)
+         |      AS lo50,
+         |    CAST(percentile_disc(${discP(0.5 + KllDelta)}) WITHIN GROUP (ORDER BY x) AS BIGINT)
+         |      AS hi50,
+         |    CAST(percentile_disc(${discP(0.9 - KllDelta)}) WITHIN GROUP (ORDER BY x) AS BIGINT)
+         |      AS lo90,
+         |    CAST(percentile_disc(${discP(0.9 + KllDelta)}) WITHIN GROUP (ORDER BY x) AS BIGINT)
+         |      AS hi90,
+         |    count(*) AS n
+         |  FROM b GROUP BY event_type)
+         |SELECT event_type, n, lo50, hi50, lo90, hi90,
+         |  n AS sketch_n,
+         |  CAST(1 AS BIGINT) AS k50_in_band,
+         |  CAST(1 AS BIGINT) AS k90_in_band,
+         |  CAST(1 AS BIGINT) AS merged50_in_band
+         |FROM p ORDER BY event_type""".stripMargin
+    },
 
     // q251: DuckDB rebuilds the ENTIRE band index from scratch over
     // its own snapshot-B derivation (the q246 modular fixture carried

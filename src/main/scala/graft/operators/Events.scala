@@ -568,6 +568,74 @@ object Events {
       .orderBy(col("day_a"))
   }
 
+  /** KLL sketch size for [[kllQuantiles]]: normalized rank error at
+    * k=800 ≈ 0.45% (99% confidence, DataSketches KLL) — the ±2%-rank
+    * exact bracket below is ≈11σ away, so the pinned in-band bits
+    * hold at any realistic odds even though KLL compaction is
+    * RANDOMIZED (measured: two runs over identical input differ in
+    * the raw quantile — unlike HLL/approx_percentile, the sketch
+    * VALUE is not even run-reproducible, so only bracket bits may
+    * enter the row hash; the raw-value accuracy contract lives in
+    * the AnalyticsSpec-style randomized test instead).
+    */
+  val KllK = 800
+  val KllDelta = 0.02
+
+  /** Native DataSketches KLL quantiles (q258) — Spark 4.1 ships the
+    * KLL family (`kll_sketch_agg_/merge_/get_quantile_bigint`), the
+    * production quantile sketch (mergeable, proven bounds; Karnin,
+    * Lang, Liberty 2016) next to q96's older `approx_percentile`
+    * (Greenwald–Khanna). Gate idiom = q96's exact-bracket: the
+    * sketched p50/p90 per event type must land inside the exact
+    * `percentile_disc` bracket [p−δ, p+δ] (δ = [[KllDelta]] rank),
+    * in-band bits pinned to 1. The MERGE leg is the warehouse
+    * contract (the q166/q173 re-aggregation story for quantiles):
+    * two half-corpus sketches (event_id parity split, built in the
+    * SAME one-pass aggregate) merge via `kll_sketch_merge_bigint`
+    * and the merged p50 must sit in the same bracket; the sketch's
+    * stream length n is exact and deterministic, pinned equal to the
+    * group count. One corpus scan for sketches + exact brackets
+    * together (one sort per group serves every percentile_disc cut —
+    * the q115b argument); at 100 TB the exact twin drops and the
+    * mergeable sketch IS the path.
+    */
+  def kllQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.Flaco.sql(spark, dir,
+      s"""WITH b AS (SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+         |sk AS (SELECT event_type,
+         |    kll_sketch_agg_bigint(x, $KllK) AS sk,
+         |    kll_sketch_agg_bigint(CASE WHEN event_id % 2 = 0 THEN x END,
+         |      $KllK) AS sk_even,
+         |    kll_sketch_agg_bigint(CASE WHEN event_id % 2 = 1 THEN x END,
+         |      $KllK) AS sk_odd,
+         |    CAST(percentile_disc(${discP(0.5 - KllDelta)})
+         |      WITHIN GROUP (ORDER BY x) AS BIGINT) AS lo50,
+         |    CAST(percentile_disc(${discP(0.5 + KllDelta)})
+         |      WITHIN GROUP (ORDER BY x) AS BIGINT) AS hi50,
+         |    CAST(percentile_disc(${discP(0.9 - KllDelta)})
+         |      WITHIN GROUP (ORDER BY x) AS BIGINT) AS lo90,
+         |    CAST(percentile_disc(${discP(0.9 + KllDelta)})
+         |      WITHIN GROUP (ORDER BY x) AS BIGINT) AS hi90,
+         |    count(*) AS n
+         |  FROM b GROUP BY event_type),
+         |q AS (SELECT event_type, n, lo50, hi50, lo90, hi90,
+         |    kll_sketch_get_quantile_bigint(sk, 0.5) AS k50,
+         |    kll_sketch_get_quantile_bigint(sk, 0.9) AS k90,
+         |    kll_sketch_get_quantile_bigint(
+         |      kll_sketch_merge_bigint(sk_even, sk_odd), 0.5) AS m50,
+         |    kll_sketch_get_n_bigint(sk) AS sketch_n
+         |  FROM sk)
+         |SELECT event_type, n, lo50, hi50, lo90, hi90,
+         |  CAST(sketch_n AS BIGINT) AS sketch_n,
+         |  CAST(CASE WHEN k50 BETWEEN lo50 AND hi50
+         |    THEN 1 ELSE 0 END AS BIGINT) AS k50_in_band,
+         |  CAST(CASE WHEN k90 BETWEEN lo90 AND hi90
+         |    THEN 1 ELSE 0 END AS BIGINT) AS k90_in_band,
+         |  CAST(CASE WHEN m50 BETWEEN lo50 AND hi50
+         |    THEN 1 ELSE 0 END AS BIGINT) AS merged50_in_band
+         |FROM q ORDER BY event_type""".stripMargin)
+
   /** Exact interpolated percentiles of event value per type (Spark
     * `percentile` == DuckDB `quantile_cont`: sort + linear
     * interpolation). For sketched quantiles at scale, swap in

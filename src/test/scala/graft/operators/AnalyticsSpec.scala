@@ -333,6 +333,45 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q258 native KLL: sketch_n exact, all bracket bits in-band, " +
+    "and the raw sketch honors a 5x rank-error bound") {
+    val out = Events.kllQuantiles(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(6) === r.getLong(1), s"sketch_n != n in $r")
+      assert(r.getLong(7) === 1L, s"k50 out of band in $r")
+      assert(r.getLong(8) === 1L, s"k90 out of band in $r")
+      assert(r.getLong(9) === 1L, s"merged p50 out of band in $r")
+      // The bracket itself is ordered and non-degenerate.
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(4) <= r.getLong(5))
+    }
+    // Raw accuracy on the actual corpus distribution: KLL k=800's
+    // normalized rank error is ≈0.45% at 99% confidence; assert a
+    // generous 5× bound (2.3%) — far inside the gate's ±2%-rank
+    // bracket argument, and checked on the RAW randomized value the
+    // gate deliberately keeps out of the hash.
+    val byType = graft.sources.Corpus.read(spark, sf, "events")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val raw = graft.Flaco.sql(spark, sf,
+      s"""SELECT event_type,
+         |  kll_sketch_get_quantile_bigint(
+         |    kll_sketch_agg_bigint(CAST(round(value * 100) AS BIGINT),
+         |      ${Events.KllK}), 0.5) AS k50
+         |FROM events GROUP BY event_type""".stripMargin).collect()
+    raw.foreach { r =>
+      val vs = byType(r.getString(0))
+      val n = vs.length
+      val slack = math.max((0.023 * n).toInt, 1)
+      val r0 = math.max(0, (0.5 * (n - 1)).toInt - slack)
+      val r1 = math.min(n - 1, (0.5 * (n - 1)).toInt + slack)
+      assert(r.getLong(1) >= vs(r0) && r.getLong(1) <= vs(r1),
+        s"${r.getString(0)} raw k50 ${r.getLong(1)} outside " +
+          s"[${vs(r0)}, ${vs(r1)}]")
+    }
+  }
+
   test("approx percentile detail plans a mergeable sketch, no exact percentile") {
     // The 100 TB contract: approxPercentilesDetail (and approxUsers'
     // HLL++ twin) is the PRODUCTION path precisely because the sketch
