@@ -382,6 +382,8 @@ object SparkEntry {
       Events.thetaIntersections(s, d)),
     "q258_kll_quantiles" -> ((s: SparkSession, d: String) =>
       Events.kllQuantiles(s, d)),
+    "q259_variant_shred" -> ((s: SparkSession, d: String) =>
+      Relational.variantShred(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6481,6 +6483,44 @@ object SparkEntry {
          |  CAST(1 AS BIGINT) AS merged50_in_band
          |FROM p ORDER BY event_type""".stripMargin
     },
+
+    // q259: the oracle parses the SAME synthesized JSON bytes
+    // (VariantJsonSynth, shared verbatim) with DuckDB's native JSON
+    // functions and CASE-builds the observed-schema label from the
+    // same mod arithmetic — pinning Spark's schema_of_variant render
+    // (alphabetical fields, BIGINT ints, VOID null) as contract.
+    "q259_variant_shred" ->
+      s"""WITH j AS (SELECT event_id, user_id, event_type,
+         |    ${graft.operators.Relational.VariantJsonSynth} AS js
+         |  FROM events),
+         |f AS (SELECT js,
+         |    event_id % 7 = 0 AS no_value,
+         |    event_id % 5 = 0 AS code_str,
+         |    event_id % 3 = 0 AS has_tags,
+         |    event_id % 4 = 0 AS has_note
+         |  FROM j),
+         |s AS (SELECT js, concat('OBJECT<code: ',
+         |    CASE WHEN code_str THEN 'STRING' ELSE 'BIGINT' END,
+         |    ', id: BIGINT',
+         |    CASE WHEN has_note THEN ', note: VOID' ELSE '' END,
+         |    CASE WHEN has_tags THEN ', tags: ARRAY<STRING>' ELSE '' END,
+         |    ', user: OBJECT<tier: STRING, uid: BIGINT>',
+         |    CASE WHEN no_value THEN '' ELSE ', value: BIGINT' END,
+         |    '>') AS schema
+         |  FROM f)
+         |SELECT schema, count(*) AS n,
+         |  CAST(sum(CAST(json_extract(js, '$$.user.uid') AS BIGINT))
+         |    AS BIGINT) AS sum_uid,
+         |  count(CAST(json_extract(js, '$$.value') AS BIGINT)) AS n_value,
+         |  CAST(sum(CAST(json_extract(js, '$$.value') AS BIGINT))
+         |    AS BIGINT) AS sum_value,
+         |  count(CASE WHEN json_extract_string(js, '$$.code') LIKE 'c%'
+         |    THEN 1 END) AS n_code_str,
+         |  count(json_extract_string(js, '$$.tags[1]')) AS n_tag2,
+         |  count(CASE WHEN json_type(js, '$$.note') = 'NULL'
+         |    THEN 1 END) AS n_note_null,
+         |  min(json_extract_string(js, '$$.tags[0]')) AS first_tag
+         |FROM s GROUP BY schema ORDER BY schema""".stripMargin,
 
     // q251: DuckDB rebuilds the ENTIRE band index from scratch over
     // its own snapshot-B derivation (the q246 modular fixture carried

@@ -1115,6 +1115,74 @@ object Relational {
         col("x.id").as("id"), col("x.tag").as("tag"))
       .orderBy(col("o_orderkey"), col("ord"))
 
+  /** Deterministic drifting-JSON synthesis for [[variantShred]] —
+    * SHARED VERBATIM (same SQL text) with the q259 oracle, so both
+    * engines parse the SAME bytes (the q216 idiom): every function
+    * used (concat/CASE/CAST AS STRING/round/%) parses identically in
+    * Spark SQL and DuckDB. Four independent drift axes off event_id
+    * mod arithmetic: a MISSING field (`value`, absent on %7=0), a
+    * TYPE-DRIFTED field (`code`, JSON string on %5=0 vs number
+    * otherwise — the silent producer change that breaks rigid
+    * schemas), an OPTIONAL nested array (`tags` on %3=0), and an
+    * EXPLICIT JSON null (`note` on %4=0 — distinct from absent).
+    */
+  val VariantJsonSynth: String =
+    """concat('{"id": ', CAST(event_id AS STRING),
+      |  ', "user": {"uid": ', CAST(user_id AS STRING),
+      |  ', "tier": "', event_type, '"}',
+      |  CASE WHEN event_id % 7 = 0 THEN ''
+      |    ELSE concat(', "value": ',
+      |      CAST(CAST(round(value * 100) AS BIGINT) AS STRING)) END,
+      |  CASE WHEN event_id % 5 = 0
+      |    THEN concat(', "code": "c', CAST(user_id % 10 AS STRING), '"')
+      |    ELSE concat(', "code": ', CAST(user_id % 10 AS STRING)) END,
+      |  CASE WHEN event_id % 3 = 0 THEN concat(', "tags": ["',
+      |    event_type, '", "t', CAST(user_id % 5 AS STRING), '"]')
+      |    ELSE '' END,
+      |  CASE WHEN event_id % 4 = 0 THEN ', "note": null' ELSE '' END,
+      |  '}')""".stripMargin
+
+  /** VARIANT semi-structured ingestion (q259) — Spark 4's VARIANT
+    * type driven end to end: `parse_json` → binary variant,
+    * `variant_get`/`try_variant_get` typed extraction under schema
+    * drift (missing fields null out, the type-drifted `code` reads
+    * uniformly as STRING, explicit JSON null distinguished from
+    * absent via `is_variant_null`), and `schema_of_variant` as the
+    * per-row observed-schema label — the output IS the schema-drift
+    * census a semi-structured ingest pipeline runs before committing
+    * a shred plan (grouped by observed schema: row counts + typed
+    * aggregates per shape). At scale this is the point of VARIANT:
+    * one binary column absorbs producer drift, extraction is
+    * schema-on-read per path, and the census is one
+    * map-side-combinable aggregate over a codegen projection.
+    *
+    * Cross-engine: the synthesis text is shared verbatim; the oracle
+    * extracts with DuckDB's native JSON functions and CASE-builds
+    * the schema label from the same mod arithmetic — which pins
+    * Spark's `schema_of_variant` RENDER (alphabetical fields, BIGINT
+    * for JSON integers, VOID for null) as part of the contract.
+    */
+  def variantShred(spark: SparkSession, dir: String): DataFrame =
+    graft.Flaco.sql(spark, dir,
+      s"""WITH j AS (SELECT event_id, user_id, event_type,
+         |    $VariantJsonSynth AS js FROM events),
+         |v AS (SELECT *, parse_json(js) AS v FROM j)
+         |SELECT schema_of_variant(v) AS schema,
+         |  count(*) AS n,
+         |  CAST(sum(variant_get(v, '$$.user.uid', 'bigint')) AS BIGINT)
+         |    AS sum_uid,
+         |  count(try_variant_get(v, '$$.value', 'bigint')) AS n_value,
+         |  CAST(sum(try_variant_get(v, '$$.value', 'bigint')) AS BIGINT)
+         |    AS sum_value,
+         |  count(CASE WHEN try_variant_get(v, '$$.code', 'string')
+         |    LIKE 'c%' THEN 1 END) AS n_code_str,
+         |  count(try_variant_get(v, '$$.tags[1]', 'string')) AS n_tag2,
+         |  count(CASE WHEN is_variant_null(try_variant_get(v, '$$.note'))
+         |    THEN 1 END) AS n_note_null,
+         |  min(try_variant_get(v, '$$.tags[0]', 'string')) AS first_tag
+         |FROM v GROUP BY schema_of_variant(v)
+         |ORDER BY schema""".stripMargin)
+
   /** PG array-operator battery (q165) — `@>` contains, `<@`
     * contained-by, `&&` overlap, `array_position`, `array_remove`:
     * the intarray-style surface PG users reach for tag filtering and
