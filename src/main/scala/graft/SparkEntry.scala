@@ -402,6 +402,8 @@ object SparkEntry {
       (graft.streaming.DocumentStreams.lshBandedFinalized _),
     "qS09_stream_dedup_admit" ->
       (graft.streaming.DocumentStreams.dedupAdmittedFinalized _),
+    "qS11_stream_variant" ->
+      (graft.streaming.EventStreams.variantShreddedFinalized _),
     "qS10_stream_pii" ->
       (graft.streaming.DocumentStreams.piiScrubbedFinalized _)
   )
@@ -6521,6 +6523,36 @@ object SparkEntry {
          |    THEN 1 END) AS n_note_null,
          |  min(json_extract_string(js, '$$.tags[0]')) AS first_tag
          |FROM s GROUP BY schema ORDER BY schema""".stripMargin,
+
+    // qS11: q259's extraction at ingest, gated at ROW grain — the
+    // oracle replays every arriving row's typed extraction and
+    // schema label from the shared synthesis text.
+    "qS11_stream_variant" ->
+      s"""WITH j AS (SELECT event_id, user_id, event_type,
+         |    ${graft.operators.Relational.VariantJsonSynth} AS js
+         |  FROM events),
+         |f AS (SELECT event_id, js,
+         |    event_id % 7 = 0 AS no_value,
+         |    event_id % 5 = 0 AS code_str,
+         |    event_id % 3 = 0 AS has_tags,
+         |    event_id % 4 = 0 AS has_note
+         |  FROM j)
+         |SELECT event_id,
+         |  concat('OBJECT<code: ',
+         |    CASE WHEN code_str THEN 'STRING' ELSE 'BIGINT' END,
+         |    ', id: BIGINT',
+         |    CASE WHEN has_note THEN ', note: VOID' ELSE '' END,
+         |    CASE WHEN has_tags THEN ', tags: ARRAY<STRING>' ELSE '' END,
+         |    ', user: OBJECT<tier: STRING, uid: BIGINT>',
+         |    CASE WHEN no_value THEN '' ELSE ', value: BIGINT' END,
+         |    '>') AS schema,
+         |  CAST(json_extract(js, '$$.user.uid') AS BIGINT) AS uid,
+         |  CAST(json_extract(js, '$$.value') AS BIGINT) AS value_cents,
+         |  json_extract_string(js, '$$.code') AS code,
+         |  json_extract_string(js, '$$.tags[1]') AS tag2,
+         |  CAST(CASE WHEN json_type(js, '$$.note') = 'NULL'
+         |    THEN 1 ELSE 0 END AS BIGINT) AS note_is_null
+         |FROM f ORDER BY event_id""".stripMargin,
 
     // q251: DuckDB rebuilds the ENTIRE band index from scratch over
     // its own snapshot-B derivation (the q246 modular fixture carried

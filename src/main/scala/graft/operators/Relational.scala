@@ -1162,6 +1162,25 @@ object Relational {
     * Spark's `schema_of_variant` RENDER (alphabetical fields, BIGINT
     * for JSON integers, VOID for null) as part of the contract.
     */
+  /** The q259 extraction as stream-composable columns — the
+    * STATELESS per-row leg qS11 runs at ingest and Breadth18Spec
+    * replays in batch (shared fragments: the same synthesis text and
+    * the same variant paths, so stream and batch cannot drift).
+    * Row-grain output: one row per event with its observed-schema
+    * label and every typed extraction.
+    */
+  def variantShredProjection(df: DataFrame): DataFrame =
+    df.withColumn("js", expr(VariantJsonSynth))
+      .withColumn("v", expr("parse_json(js)"))
+      .select(col("event_id"),
+        expr("schema_of_variant(v)").as("schema"),
+        expr("variant_get(v, '$.user.uid', 'bigint')").as("uid"),
+        expr("try_variant_get(v, '$.value', 'bigint')").as("value_cents"),
+        expr("try_variant_get(v, '$.code', 'string')").as("code"),
+        expr("try_variant_get(v, '$.tags[1]', 'string')").as("tag2"),
+        expr("is_variant_null(try_variant_get(v, '$.note'))")
+          .cast("long").as("note_is_null"))
+
   def variantShred(spark: SparkSession, dir: String): DataFrame =
     graft.Flaco.sql(spark, dir,
       s"""WITH j AS (SELECT event_id, user_id, event_type,

@@ -464,4 +464,50 @@ object EventStreams {
     q.awaitTermination()
     q
   }
+
+  /** The qS11 streaming-vs-oracle gate: VARIANT schema-drift
+    * classification at INGEST — q259's extraction
+    * ([[graft.operators.Relational.variantShredProjection]], shared
+    * fragments with the batch census so stream and batch cannot
+    * drift) run as the stateless per-row arrival leg: staged
+    * multi-file feed → parse_json + typed variant_get extraction +
+    * per-row schema_of_variant label → append-mode parquet sink with
+    * checkpoint, Trigger.AvailableNow, read back. No watermark, no
+    * state store, constant memory — exactly where VARIANT earns its
+    * keep at ingest: one binary column absorbs producer drift
+    * per-row, the census (q259) is then an ordinary downstream
+    * aggregate. The oracle replays every row's extraction from the
+    * shared synthesis text with DuckDB's native JSON functions (row
+    * grain — stronger than the census: any single mis-extraction or
+    * schema-label drift flips the hash).
+    */
+  def variantShreddedFinalized(spark: SparkSession, dir: String): DataFrame =
+    stagedGate("graft-qs11-") { tmp =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Stage only the columns the projection reads — ts (the
+    // nanos-typed column) stays out of the feed entirely.
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in/events.parquet")
+    val feed = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .parquet(s"$tmp/in/events.parquet")
+    val q = graft.operators.Relational.variantShredProjection(feed)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(s"$tmp/data")
+  }.orderBy(col("event_id"))
 }

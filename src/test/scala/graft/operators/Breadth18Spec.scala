@@ -71,4 +71,26 @@ class Breadth18Spec extends AnyFunSuite {
     assert(out.exists(!_.getString(0).contains("value")))
     assert(out.exists(_.getString(0).contains("note: VOID")))
   }
+
+  test("qS11 stream == batch: the streamed variant shredding equals " +
+    "the shared projection run in batch, row for row") {
+    val streamed = graft.streaming.EventStreams
+      .variantShreddedFinalized(spark, sf).collect()
+    val batch = Relational.variantShredProjection(
+        graft.sources.Corpus.read(spark, sf, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")))
+      .orderBy(col("event_id")).collect()
+    assert(streamed.length === batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq, s"row drift at ${a.get(0)}")
+    }
+    // The census (q259) is exactly the downstream aggregate of this
+    // row grain: group counts agree.
+    val censusN = Relational.variantShred(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val fromRows = streamed.groupBy(_.getString(1))
+      .view.mapValues(_.length.toLong).toMap
+    assert(fromRows === censusN)
+  }
 }

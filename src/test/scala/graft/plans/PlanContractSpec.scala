@@ -98,7 +98,12 @@ class PlanContractSpec extends AnyFunSuite {
       "(left outer + null filter) against the frozen base " +
       "fingerprint index — no watermark, no stream-side state; " +
       "DocumentStreamsSpec pins stream-vs-batch parity and both " +
-      "admit/drop branches.")
+      "admit/drop branches."),
+    "qS11_stream_variant" -> ("same availableNow-pipeline shape as " +
+      "qS01; VARIANT shredding is a stateless per-row projection " +
+      "(parse_json + typed variant_get + schema_of_variant) — no " +
+      "join, no aggregate, no state; Breadth18Spec pins " +
+      "stream-vs-batch parity against the shared projection.")
   )
 
   /** Unpartitioned windows allowed because the windowed relation is
