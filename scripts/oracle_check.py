@@ -18,8 +18,6 @@ for t in ("region nation customer supplier part orders lineitem events "
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = sorted(oracle)
 fails, no_oracle = [], []
-for name in sorted(os.listdir(outdir)):
-    pass
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -33,8 +31,11 @@ missing = [n for n in names if n not in spark_outs]
 checked = 0
 for name in names:
     sql = oracle[name]
-    if not sql or name not in spark_outs:
+    if not sql:
         no_oracle.append(name)
+        continue
+    if name not in spark_outs:
+        fails.append((name, "oracle entry has no Spark output (query dropped from Verify run?)"))
         continue
     try:
         o = con.execute(sql).df()
@@ -58,7 +59,9 @@ for name in names:
         continue
     checked += 1
 
-print(f"checked={checked} pass={checked - len(fails)} fail={len(fails)} "
+# checked counts fully passing queries; compared = everything we attempted
+compared = checked + len(fails)
+print(f"checked={compared} pass={checked} fail={len(fails)} "
       f"no_oracle={len(no_oracle)} spark_outputs={len(spark_outs)}")
 for n, why in fails:
     print(f"FAIL {n}: {why}")

@@ -923,6 +923,12 @@ final class MiniPgWire(host: String, port: Int, database: String,
         case 'S' => onParameterStatus(payload)
         case 'N' => ()
         case other =>
+          // A non-COPY statement (e.g. a SELECT replying RowDescription)
+          // still runs to completion server-side; drain its results to
+          // ReadyForQuery so the shared wire stays in sync — the same
+          // drain-or-close recovery queryExtended applies (r18 ADVICE).
+          try drainToReady()
+          catch { case _: Throwable => close() }
           throw new SQLException(
             s"unexpected copy-start reply '${other.toChar}' — " +
               "copyIn requires a COPY … FROM STDIN statement")
@@ -952,6 +958,9 @@ final class MiniPgWire(host: String, port: Int, database: String,
         case 'N' => ()
         case 'Z' => done = true
         case other =>
+          // Unknown message mid-drain: the wire state is unknowable —
+          // close rather than leave a desynchronized shared connection.
+          close()
           throw new SQLException(
             s"unexpected copy-end message '${other.toChar}'")
       }

@@ -175,8 +175,12 @@ final class MiniPgPreparedStatement(wire: MiniPgWire, conn: Connection,
     * the COPY path distributes the `COPY n` tag as n per-row 1s
     * after checking n against the batch size).
     */
-  override def executeBatch(): Array[Int] = {
-    val out =
+  override def executeBatch(): Array[Int] =
+    // Clear in finally: pgjdbc clears the batch on failure too, so a
+    // caller that catches and re-executes never resends stale rows
+    // (r18 ADVICE; Spark's savePartition retries with a fresh
+    // statement, but the JDBC surface shouldn't depend on that).
+    try {
       if (copyRows.nonEmpty) {
         val n = wire.copyIn(copyStmt.get, copyRows.iterator)
         if (n != copyRows.length)
@@ -190,9 +194,7 @@ final class MiniPgPreparedStatement(wire: MiniPgWire, conn: Connection,
         if (counts.length == textBatch.length) counts
         else java.util.Arrays.copyOf(counts, textBatch.length)
       }
-    clearBatch()
-    out
-  }
+    } finally clearBatch()
 
   // ---- typed setters (Spark's makeSetter surface) ----
 
