@@ -384,6 +384,12 @@ object SparkEntry {
       Events.kllQuantiles(s, d)),
     "q259_variant_shred" -> ((s: SparkSession, d: String) =>
       Relational.variantShred(s, d)),
+    "q260_theta_rollup" -> ((s: SparkSession, d: String) =>
+      Events.thetaWeeklyRollup(s, d)),
+    "q261_variant_shred_write" -> ((s: SparkSession, d: String) =>
+      Relational.variantShredWrite(s, d)),
+    "q262_time_native" -> ((s: SparkSession, d: String) =>
+      Events.timeOfDayProfile(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6523,6 +6529,90 @@ object SparkEntry {
          |    THEN 1 END) AS n_note_null,
          |  min(json_extract_string(js, '$$.tags[0]')) AS first_tag
          |FROM s GROUP BY schema ORDER BY schema""".stripMargin,
+
+    // q260: the theta warehouse roll-up — DuckDB replays the exact
+    // weekly twin; both sketch implementations' weekly estimates are
+    // exact at gate cardinality (native lgk=12 exact mode, KMV k=4096
+    // unsaturated) so they pin EQUAL, and the saturated k=128 leg
+    // pins its in-band bit (the q257 idiom at the next grain up).
+    "q260_theta_rollup" ->
+      """WITH ut AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |wk AS (SELECT (day - DATE '1970-01-01') // 7 AS week, day,
+        |    user_id FROM ut),
+        |d AS (SELECT week, count(DISTINCT day) AS n_days,
+        |    count(DISTINCT user_id) AS exact_nd
+        |  FROM wk GROUP BY week)
+        |SELECT week, n_days, exact_nd,
+        |  exact_nd AS nat_weekly,
+        |  exact_nd AS hi_weekly,
+        |  CAST(1 AS BIGINT) AS lo_in_band
+        |FROM d ORDER BY week""".stripMargin,
+
+    // q261: the shredded-write identity gate — the oracle replays the
+    // schema census from the SAME synthesized bytes (the q259 CASE-
+    // built label) and pins every read-back match count at the group
+    // size: the files-on-disk identity is Spark-side physics the
+    // oracle states as n.
+    "q261_variant_shred_write" ->
+      s"""WITH j AS (SELECT event_id, user_id, event_type,
+         |    ${graft.operators.Relational.VariantJsonSynth} AS js
+         |  FROM events),
+         |f AS (SELECT js,
+         |    event_id % 7 = 0 AS no_value,
+         |    event_id % 5 = 0 AS code_str,
+         |    event_id % 3 = 0 AS has_tags,
+         |    event_id % 4 = 0 AS has_note
+         |  FROM j),
+         |s AS (SELECT js, concat('OBJECT<code: ',
+         |    CASE WHEN code_str THEN 'STRING' ELSE 'BIGINT' END,
+         |    ', id: BIGINT',
+         |    CASE WHEN has_note THEN ', note: VOID' ELSE '' END,
+         |    CASE WHEN has_tags THEN ', tags: ARRAY<STRING>' ELSE '' END,
+         |    ', user: OBJECT<tier: STRING, uid: BIGINT>',
+         |    CASE WHEN no_value THEN '' ELSE ', value: BIGINT' END,
+         |    '>') AS schema
+         |  FROM f)
+         |SELECT schema, count(*) AS n,
+         |  CAST(sum(CAST(json_extract(js, '$$.user.uid') AS BIGINT))
+         |    AS BIGINT) AS sum_uid_stored,
+         |  CAST(sum(CAST(json_extract(js, '$$.user.uid') AS BIGINT))
+         |    AS BIGINT) AS sum_uid_reparsed,
+         |  count(*) AS n_match_uid,
+         |  count(*) AS n_match_value,
+         |  count(*) AS n_match_code,
+         |  count(*) AS n_match_tag2,
+         |  count(*) AS n_match_note,
+         |  count(*) AS n_match_schema
+         |FROM s GROUP BY schema ORDER BY schema""".stripMargin,
+
+    // q262: native TIME(6) profile — TIME-typed columns ride the row
+    // hash as values (Spark Parquet TIME(µs) and DuckDB TIME both
+    // surface as datetime.time in the comparator); DuckDB builds its
+    // TIMEs by exact string parse of the zero-padded µs render, and
+    // replays every integer twin column from the same µs arithmetic.
+    "q262_time_native" ->
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(ts) % 86400000000 AS us FROM events),
+        |a AS (SELECT event_type, us // 3600000000 AS h,
+        |    count(*) AS n, min(us) AS mn, max(us) AS mx,
+        |    CAST(sum(us % 60000000) AS BIGINT) AS sec_us
+        |  FROM b GROUP BY event_type, h)
+        |SELECT event_type,
+        |  CAST(printf('%02d:00:00', h) AS TIME) AS hour_t,
+        |  n,
+        |  CAST(printf('%02d:%02d:%02d.%06d', mn // 3600000000,
+        |    (mn // 60000000) % 60, (mn // 1000000) % 60,
+        |    mn % 1000000) AS TIME) AS min_t,
+        |  CAST(printf('%02d:%02d:%02d.%06d', mx // 3600000000,
+        |    (mx // 60000000) % 60, (mx // 1000000) % 60,
+        |    mx % 1000000) AS TIME) AS max_t,
+        |  mn AS min_us_nat,
+        |  mn AS min_us,
+        |  sec_us AS sec_us_nat,
+        |  sec_us AS sec_us,
+        |  n AS n_recon
+        |FROM a ORDER BY event_type, hour_t""".stripMargin,
 
     // qS11: q259's extraction at ingest, gated at ROW grain — the
     // oracle replays every arriving row's typed extraction and

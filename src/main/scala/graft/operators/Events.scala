@@ -505,8 +505,15 @@ object Events {
     // every user), which would leave A\B = 0 everywhere; day-on-day
     // audiences overlap partially (~88%), so the intersection,
     // difference, and union legs are all non-degenerate.
+    // One corpus pass serves BOTH legs (r18 verdict #2: the gate
+    // paid ~3.3 s re-deriving this distinct for the sketch aggregate
+    // and again for the exact twin): persist the (day, user)
+    // collapse, eagerly materialize the two ≤days-row leg outputs,
+    // release the cache, and return a trivial join over them — the
+    // cache-release discipline candidatePairJaccard uses.
     val ut = Corpus.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .persist()
     // Native DataSketches Theta (Spark 4.1 ships theta_sketch_agg /
     // theta_union / theta_intersection / theta_difference): the
     // production sketch column, validated alongside the transparent
@@ -521,6 +528,10 @@ object Events {
         theta_sketch_agg(positionOf(col("user_id")), 128).as("sk_lo"),
         F.theta_sketch_agg(col("user_id"), 12).as("sk_nat"),
         countDistinct(col("user_id")).as("nd"))
+      // Eager, ≤days rows (sketch arrays bounded by 2k+4 longs):
+      // materializes from the cached collapse, truncates lineage so
+      // the final join never re-reads the corpus.
+      .localCheckpoint()
     val pairs = sk.as("x").join(sk.as("y"),
         col("y.day") === date_add(col("x.day"), 1))
       .select(col("x.day").as("day_a"),
@@ -547,6 +558,8 @@ object Events {
           col("b.day") === date_add(col("a.day"), 1))
       .groupBy(col("a.day").as("day_a"), col("b.day").as("day_b"))
       .agg(count(lit(1)).as("exact_inter"))
+      .localCheckpoint() // eager, ≤days rows — see sk above
+    ut.unpersist(false)  // both legs materialized; release the collapse
     pairs.join(exact, Seq("day_a", "day_b"))
       .withColumn("exact_anotb", col("nd_a") - col("exact_inter"))
       .withColumn("exact_union",
@@ -566,6 +579,69 @@ object Events {
           col("lo_union") <= col("exact_union") + col("slack_union"))
           .cast("long").as("lo_union_in_band"))
       .orderBy(col("day_a"))
+  }
+
+  /** Theta warehouse roll-up (q260) — the r18 verdict's #4: q258's
+    * merge leg pins the KLL re-aggregation contract; this is the same
+    * contract for SET sketches (the q166/q173 re-aggregatable-
+    * warehouse story). Daily audience sketches roll up to WEEK grain
+    * inside an aggregate — never re-touching the corpus — on BOTH
+    * implementations:
+    *   - native DataSketches Theta via Spark 4.1's `theta_union_agg`
+    *     (lgk=12 — exact mode at gate cardinality, so the weekly
+    *     estimate pins EQUAL to the exact weekly twin);
+    *   - transparent KMV: bottom-k merge is pure SQL over the sorted
+    *     `array<bigint>` sketch columns
+    *     (`slice(array_sort(array_distinct(flatten(collect_list(…)))), 1, k)`
+    *     — the bottom-k of a union of bottom-k sketches IS the
+    *     union's bottom-k), at k=4096 (unsaturated ⇒ exact, pinned
+    *     equal) and k=128 (saturated — the real estimation regime,
+    *     banded with the in-band bit pinned to 1, the q20/q169 gate
+    *     idiom).
+    * The exact weekly twin is a second pass over the SAME persisted
+    * (day, user) collapse (the q257 cache-release discipline); at
+    * 100 TB the twin drops and the sketch warehouse IS the path —
+    * per-week partials are ≤ 7 bounded sketch arrays.
+    */
+  def thetaWeeklyRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch.{positionOf, theta_estimate}
+    val F = org.apache.spark.sql.functions
+    val weekExpr = "CAST(datediff(day, DATE'1970-01-01') div 7 AS BIGINT)"
+    val ut = Corpus.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .persist()
+    val daily = ut.groupBy(col("day"))
+      .agg(graft.functions.ThetaSketch
+          .theta_sketch_agg(positionOf(col("user_id")), 4096).as("sk_hi"),
+        graft.functions.ThetaSketch
+          .theta_sketch_agg(positionOf(col("user_id")), 128).as("sk_lo"),
+        F.theta_sketch_agg(col("user_id"), 12).as("sk_nat"))
+      .localCheckpoint() // eager, ≤days rows — the q257 discipline
+    val exact = ut.select(expr(weekExpr).as("week"), col("user_id"))
+      .distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("exact_nd"))
+      .localCheckpoint()
+    ut.unpersist(false)
+    val rolled = daily.withColumn("week", expr(weekExpr))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"),
+        F.theta_sketch_estimate(F.theta_union_agg(col("sk_nat"), 12))
+          .cast("long").as("nat_weekly"),
+        expr("slice(array_sort(array_distinct(flatten(" +
+          "collect_list(sk_hi)))), 1, 4096)").as("sk_hi_w"),
+        expr("slice(array_sort(array_distinct(flatten(" +
+          "collect_list(sk_lo)))), 1, 128)").as("sk_lo_w"))
+    rolled.join(exact, Seq("week"))
+      .withColumn("hi_weekly",
+        theta_estimate(col("sk_hi_w"), 4096).cast("long"))
+      .withColumn("lo_weekly", theta_estimate(col("sk_lo_w"), 128))
+      .withColumn("slack", expr("exact_nd * 35 div 100 + 4"))
+      .select(col("week"), col("n_days"), col("exact_nd"),
+        col("nat_weekly"), col("hi_weekly"),
+        (col("lo_weekly") >= col("exact_nd") - col("slack") &&
+          col("lo_weekly") <= col("exact_nd") + col("slack"))
+          .cast("long").as("lo_in_band"))
+      .orderBy(col("week"))
   }
 
   /** KLL sketch size for [[kllQuantiles]]: normalized rank error at
@@ -635,6 +711,58 @@ object Events {
          |  CAST(CASE WHEN m50 BETWEEN lo50 AND hi50
          |    THEN 1 ELSE 0 END AS BIGINT) AS merged50_in_band
          |FROM q ORDER BY event_type""".stripMargin)
+
+  /** Native TIME(6) time-of-day profile (q262) — the r18 verdict's #1
+    * adopted at query level: Spark 4.1 ships a real TIME type (the
+    * typed form of the reference's `Time64(Microsecond)` output arm,
+    * reference `src/lib.rs:350-366`), and this gate exercises its
+    * whole surface over the corpus — construction (`to_time` from the
+    * integer µs-of-day twin), bucketing (`time_trunc('HOUR')`),
+    * ordering (min/max on TIME), field access (`extract(SECOND)`,
+    * `hour`/`minute`), reconstruction (`make_time` round-trip pinned
+    * per row), and the TIME→DECIMAL seconds cast — against integer-µs
+    * twin columns the oracle replays exactly. TIME-typed columns ride
+    * the row hash natively: Spark's Parquet TIME(µs) output and
+    * DuckDB's TIME both reach the comparator as `datetime.time`
+    * values, so the comparison is value-level, not render-level
+    * (DuckDB constructs its TIMEs by casting a zero-padded
+    * `printf('%02d:%02d:%02d.%06d')` — exact string parse, never
+    * float `make_time`). One scan, one hash aggregate on
+    * (event_type, hour) — stateless per-row kernel the cores absorb;
+    * at 100 TB the group count is bounded by types × 24.
+    */
+  def timeOfDayProfile(spark: SparkSession, dir: String): DataFrame = {
+    // Defensive: the TIME type resolves only behind this runtime-
+    // settable flag (Flaco.session/Verify/Bench set it; a driver-built
+    // session might not).
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    graft.Flaco.sql(spark, dir,
+      """WITH b AS (SELECT event_type,
+        |    unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000 AS us
+        |  FROM events),
+        |n AS (SELECT event_type, us,
+        |    to_time(format_string('%02d:%02d:%02d.%06d',
+        |      us div 3600000000, (us div 60000000) % 60,
+        |      (us div 1000000) % 60, us % 1000000)) AS t
+        |  FROM b),
+        |g AS (SELECT event_type, time_trunc('HOUR', t) AS hour_t, t, us,
+        |    CAST(CASE WHEN make_time(hour(t), minute(t),
+        |        CAST(us % 60000000 AS DECIMAL(8,0)) / 1000000) = t
+        |      THEN 1 ELSE 0 END AS BIGINT) AS recon_ok
+        |  FROM n)
+        |SELECT event_type, hour_t,
+        |  count(*) AS n,
+        |  min(t) AS min_t, max(t) AS max_t,
+        |  CAST(CAST(min(t) AS DECIMAL(17,6)) * 1000000 AS BIGINT)
+        |    AS min_us_nat,
+        |  min(us) AS min_us,
+        |  sum(CAST(extract(SECOND FROM t) * 1000000 AS BIGINT))
+        |    AS sec_us_nat,
+        |  sum(us % 60000000) AS sec_us,
+        |  sum(recon_ok) AS n_recon
+        |FROM g GROUP BY event_type, hour_t
+        |ORDER BY event_type, hour_t""".stripMargin)
+  }
 
   /** Exact interpolated percentiles of event value per type (Spark
     * `percentile` == DuckDB `quantile_cont`: sort + linear
