@@ -36,6 +36,17 @@ object FileFormat {
   *                        (`src/lib.rs:350-366`); needs the `pg_type`
   *                        field metadata [[graft.types.FlacoPostgresDialect]]
   *                        records, and a UTC session time zone.
+  * @param timeAsNative    TIME/TIMETZ → Spark 4.1's native `TIME(6)`
+  *                        ([[org.apache.spark.sql.types.TimeType]]) —
+  *                        the TYPED equivalent of the reference's
+  *                        `Time64(Microsecond)` Arrow column
+  *                        (`src/lib.rs:350-366`), closer to the
+  *                        reference than the BIGINT twin above. Needs
+  *                        `spark.sql.timeType.enabled=true` (set by
+  *                        [[Flaco.session]]; [[graft.types.PgTypeMap.applyParity]]
+  *                        raises a typed error when absent) and the
+  *                        same `pg_type` metadata + UTC contract.
+  *                        Mutually exclusive with `timeAsMicros`.
   * @param charAsCode      1-byte "char" → its code as TINYINT
   *                        (`src/lib.rs:214-219`); same metadata contract.
   * @param singleFile      one output file / row group like the
@@ -46,6 +57,7 @@ final case class ParityOptions(
     numericAsDouble: Boolean = true,
     nullFloatsAsNaN: Boolean = false,
     timeAsMicros: Boolean = false,
+    timeAsNative: Boolean = false,
     charAsCode: Boolean = false,
     singleFile: Boolean = false,
     uncompressed: Boolean = false)
@@ -78,6 +90,13 @@ object Flaco {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4.1's native TIME type resolves only behind this flag;
+      // the engine's typed PG TIME/TIMETZ leg (ParityOptions
+      // .timeAsNative — the reference's Time64(µs) columns,
+      // src/lib.rs:350-366) and the TIME gate queries need it. The
+      // flag only unlocks type resolution; existing plans are
+      // unaffected.
+      .config("spark.sql.timeType.enabled", "true")
       // The corpus events table stores TIMESTAMP(NANOS), which Spark
       // only reads as a raw long under this legacy flag (Corpus.events
       // also sets it at read time as a guard for sessions built

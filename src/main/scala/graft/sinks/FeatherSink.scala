@@ -94,6 +94,7 @@ object FeatherSink {
         case IntegerType | LongType | ShortType | ByteType | FloatType |
             DoubleType | StringType | BinaryType | BooleanType | DateType |
             TimestampType | TimestampNTZType => ()
+        case _: TimeType => ()
         case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => ()
         case dt => throw new FlacoSparkException(
           s"Feather sink: type $dt (column ${f.name}) not supported")
@@ -118,6 +119,10 @@ object FeatherSink {
         prim(new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC"))
       case TimestampNTZType =>
         prim(new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null))
+      case _: TimeType =>
+        // The reference's own TIME output shape: Time64(Microsecond)
+        // (src/lib.rs:350-366). Spark TIME(p≤6) values are µs-exact.
+        prim(new ArrowType.Time(ArrowTimeUnit.MICROSECOND, 64))
       case ArrayType(elem, _) =>
         val child = arrowField(StructField("item", elem))
         new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
@@ -288,6 +293,14 @@ object FeatherSink {
               ldt.getNano / 1000
             vec.setSafe(i, micros)
           }
+          i += 1
+        }
+      case _: TimeType =>
+        val vec = v.asInstanceOf[TimeMicroVector]
+        while (i < n) {
+          if (rows(i).isNullAt(c)) vec.setNull(i)
+          else vec.setSafe(i,
+            rows(i).getAs[java.time.LocalTime](c).toNanoOfDay / 1000L)
           i += 1
         }
       case ArrayType(elem, _) =>

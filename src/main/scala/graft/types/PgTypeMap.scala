@@ -42,7 +42,8 @@ object PgTypeMap {
     "timestamp" -> TimestampNTZType,        // µs, tz-naive: src/lib.rs:283-303
     "timestamptz" -> TimestampType,         // instant; offset label dropped: src/lib.rs:304-332
     "date" -> DateType,                     // src/lib.rs:333-349
-    "time" -> LongType,                     // µs since midnight; no Spark TimeType: src/lib.rs:350-366
+    "time" -> LongType,                     // µs since midnight (BIGINT twin of src/lib.rs:350-366);
+                                            // the TYPED form is [[timeNative]] (TIME(6), Spark 4.1+)
     "timetz" -> LongType,                   // offset discarded, same as reference: src/lib.rs:358
     "interval" -> StructType(Seq(           // decoded 16-byte PG binary: src/lib.rs:367-374
       StructField("months", IntegerType),
@@ -56,12 +57,22 @@ object PgTypeMap {
     */
   val numericExact: DataType = DecimalType(38, 18)
 
+  /** Native-mode override for TIME/TIMETZ: Spark 4.1's `TIME(6)` —
+    * the typed equivalent of the reference's `Time64(Microsecond)`
+    * Arrow columns (`src/lib.rs:350-366`). Micro precision matches
+    * the PG wire payload exactly. Resolution requires
+    * `spark.sql.timeType.enabled=true` ([[graft.Flaco.session]] sets
+    * it; [[applyParity]] checks and raises a typed error otherwise).
+    */
+  val timeNative: DataType = TimeType(TimeType.MICROS_PRECISION)
+
   /** Everything else hits the reference's `unimplemented!` abort
     * (`src/lib.rs:382-385`); we raise a catchable exception instead.
     */
   def toCatalyst(pgType: String, parity: ParityOptions = ParityOptions()): DataType =
     pgType.toLowerCase match {
       case "numeric" if !parity.numericAsDouble => numericExact
+      case "time" | "timetz" if parity.timeAsNative => timeNative
       case t => mapping.getOrElse(t, throw new FlacoSparkException(
         s"Type $t not implemented, consider casting to text in the query."))
     }
@@ -74,6 +85,13 @@ object PgTypeMap {
     *     field metadata the dialect records) -> µs since midnight as
     *     BIGINT (src/lib.rs:350-366). Assumes a UTC session time zone
     *     (every session this engine builds is UTC).
+    *   - timeAsNative: the same columns -> Spark 4.1's native TIME(6)
+    *     ([[timeNative]]) — the typed form of the reference's
+    *     Time64(µs) output. Derivation shares the µs twin's integer
+    *     math exactly (µs of day -> `to_time` over a zero-padded
+    *     HH:mm:ss.SSSSSS render), so the two legs are value-identical
+    *     by construction. Requires `spark.sql.timeType.enabled=true`;
+    *     mutually exclusive with timeAsMicros.
     *   - charAsCode: 1-byte "char" columns -> the character code as
     *     TINYINT (src/lib.rs:214-219)
     */
@@ -82,6 +100,41 @@ object PgTypeMap {
       if (f.metadata.contains("pg_type")) Some(f.metadata.getString("pg_type"))
       else None
     var out = df
+    if (parity.timeAsNative && parity.timeAsMicros)
+      throw new FlacoSparkException(
+        "timeAsNative and timeAsMicros are mutually exclusive: pick the " +
+          "typed TIME(6) column or the BIGINT µs-since-midnight twin.")
+    if (parity.timeAsNative) {
+      if (!df.sparkSession.conf.get("spark.sql.timeType.enabled", "false")
+            .equalsIgnoreCase("true"))
+        throw new FlacoSparkException(
+          "timeAsNative needs spark.sql.timeType.enabled=true (Spark 4.1 " +
+            "gates the TIME type behind it; graft.Flaco.session sets it, " +
+            "or spark.conf.set it — the flag is runtime-settable).")
+      out = out.schema.fields.foldLeft(out) {
+        case (d, f @ StructField(n, TimestampType | TimestampNTZType, _, _))
+            if pgTypeOf(f).exists(t => t == "time" || t == "timetz") =>
+          val ts = if (f.dataType == TimestampNTZType)
+            col(n).cast(TimestampType) else col(n)
+          // Integer µs of day (the BIGINT twin's exact derivation),
+          // rendered zero-padded and re-parsed: value-identity with
+          // the twin is structural, not numeric. Integer `div`, never
+          // `/` (double rounding — the Corpus.events lesson).
+          d.withColumn("__flaco_time_us",
+              unix_micros(ts) - unix_micros(date_trunc("DAY", ts)))
+            // NULL guard: format_string renders a NULL arg as the
+            // literal text "null", which to_time would then reject.
+            .withColumn(n, expr(
+              "CASE WHEN __flaco_time_us IS NULL THEN NULL ELSE " +
+                "to_time(format_string('%02d:%02d:%02d.%06d', " +
+                "__flaco_time_us div 3600000000, " +
+                "(__flaco_time_us div 60000000) % 60, " +
+                "(__flaco_time_us div 1000000) % 60, " +
+                "__flaco_time_us % 1000000)) END"))
+            .drop("__flaco_time_us")
+        case (d, _) => d
+      }
+    }
     if (parity.timeAsMicros)
       out = out.schema.fields.foldLeft(out) {
         case (d, f @ StructField(n, TimestampType | TimestampNTZType, _, _))

@@ -99,6 +99,29 @@ class PgTypesLiveSpec extends AnyFunSuite {
     assert(byId(3) === ((null, null)))
   }
 
+  test("TIME and TIMETZ under timeAsNative parity are typed TIME(6) " +
+    "columns, value-identical to the µs twin (the reference's Time64 arm)") {
+    val u = uri
+    assert(loaded)
+    val df = Flaco.readSqlToDataFrame(spark, u,
+      "select id, t, ttz from flaco_types_live",
+      parity = ParityOptions(timeAsNative = true))
+    assert(df.schema("t").dataType ===
+      org.apache.spark.sql.types.TimeType(6))
+    assert(df.schema("ttz").dataType ===
+      org.apache.spark.sql.types.TimeType(6))
+    val byId = df.collect().map(r => r.getInt(0) ->
+      (r.getAs[java.time.LocalTime](1), r.getAs[java.time.LocalTime](2)))
+      .toMap
+    assert(byId(1)._1 === java.time.LocalTime.of(12, 34, 56, 250000000))
+    // timetz 12:34:56.25+02 is 10:34:56.25 UTC — same normalization
+    // as the µs twin (lib.rs:358 discards the offset post-shift).
+    assert(byId(1)._2 === java.time.LocalTime.of(10, 34, 56, 250000000))
+    assert(byId(2)._1 === java.time.LocalTime.MIDNIGHT)
+    assert(byId(2)._2 === java.time.LocalTime.of(23, 59, 59))
+    assert(byId(3) === ((null, null)))
+  }
+
   test("the 1-byte \"char\" column under charAsCode parity yields " +
     "the character code") {
     val u = uri

@@ -62,6 +62,7 @@ class FeatherSinkSpec extends AnyFunSuite {
     case DateType => v.asInstanceOf[DateDayVector].get(i).toLong
     case TimestampType => v.asInstanceOf[TimeStampMicroTZVector].get(i)
     case TimestampNTZType => v.asInstanceOf[TimeStampMicroVector].get(i)
+    case _: TimeType => v.asInstanceOf[TimeMicroVector].get(i)
     case ArrayType(FloatType, _) =>
       v.asInstanceOf[ListVector].getObject(i)
         .asInstanceOf[java.util.List[_]].asScala.toSeq
@@ -85,6 +86,8 @@ class FeatherSinkSpec extends AnyFunSuite {
       case TimestampNTZType =>
         val t = row.getAs[java.time.LocalDateTime](c)
         t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+      case _: TimeType =>
+        row.getAs[java.time.LocalTime](c).toNanoOfDay / 1000L
       case BinaryType => row.getAs[Array[Byte]](c).toSeq
       case ArrayType(FloatType, _) => row.getSeq[Float](c)
       case _ => row.get(c)
@@ -117,14 +120,18 @@ class FeatherSinkSpec extends AnyFunSuite {
       StructField("bo", BooleanType), StructField("d", DateType),
       StructField("ts", TimestampNTZType),
       StructField("tz", TimestampType),
+      // Spark 4.1 native TIME — the reference's own Time64(us)
+      // output arm (src/lib.rs:350-366).
+      StructField("t6", TimeType(6)),
       StructField("arr", ArrayType(FloatType))))
     val rows = java.util.List.of(
       Row(7, 8L, 9.toShort, 3.toByte, 1.5f, 2.5, "héllo", Array[Byte](0, 127),
         false, java.time.LocalDate.of(1999, 12, 31),
         java.time.LocalDateTime.of(2024, 6, 1, 12, 0, 0, 654321000),
         java.sql.Timestamp.from(java.time.Instant.parse("2024-06-01T12:00:00.123456Z")),
+        java.time.LocalTime.of(23, 59, 59, 999999000),
         Seq(0.5f, -1.5f)),
-      Row(null, null, null, null, null, null, null, null, null, null, null, null, null))
+      Row(null, null, null, null, null, null, null, null, null, null, null, null, null, null))
     assertFeatherRoundTrip(spark.createDataFrame(rows, schema))
   }
 

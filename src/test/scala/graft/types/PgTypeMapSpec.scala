@@ -145,6 +145,80 @@ class PgTypeMapSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("toCatalyst timeAsNative lands TIME/TIMETZ on Spark's TIME(6)") {
+    val nat = ParityOptions(timeAsNative = true)
+    assert(PgTypeMap.toCatalyst("time", nat) === TimeType(6))
+    assert(PgTypeMap.toCatalyst("timetz", nat) === TimeType(6))
+    // Default stays the documented BIGINT-twin contract.
+    assert(PgTypeMap.toCatalyst("time") === LongType)
+    assert(PgTypeMap.toCatalyst("timetz") === LongType)
+  }
+
+  test("applyParity timeAsNative lands TIME columns on TIME(6), value-identical to the µs twin") {
+    val spark = TestSpark.spark
+    val timeMeta = new MetadataBuilder().putString("pg_type", "time").build()
+    val tzMeta = new MetadataBuilder().putString("pg_type", "timetz").build()
+    val schema = StructType(Seq(
+      StructField("t", TimestampType, nullable = true, timeMeta),
+      StructField("tz", TimestampNTZType, nullable = true, tzMeta),
+      // Same Catalyst type WITHOUT the marker: must be untouched.
+      StructField("ts", TimestampType)))
+    val inst = java.sql.Timestamp.from(
+      java.time.Instant.parse("1970-01-01T01:02:03.000456Z"))
+    val ldt = java.time.LocalDateTime.parse("1970-01-01T23:59:59.999999")
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(inst, ldt, inst), Row(null, null, null)), schema)
+    val out = PgTypeMap.applyParity(df, ParityOptions(timeAsNative = true))
+    assert(out.schema("t").dataType === TimeType(6))
+    assert(out.schema("tz").dataType === TimeType(6))
+    assert(out.schema("ts").dataType === TimestampType)
+    val rows = out.collect()
+    assert(rows(0).getAs[java.time.LocalTime]("t") ===
+      java.time.LocalTime.of(1, 2, 3, 456000))
+    assert(rows(0).getAs[java.time.LocalTime]("tz") ===
+      java.time.LocalTime.of(23, 59, 59, 999999000))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    // Value-identity with the BIGINT twin (src/lib.rs:350-366's µs):
+    // LocalTime µs must equal the timeAsMicros leg row-for-row.
+    val twin = PgTypeMap.applyParity(df, ParityOptions(timeAsMicros = true))
+      .select("t").collect()
+    assert(rows(0).getAs[java.time.LocalTime]("t").toNanoOfDay / 1000L ===
+      twin(0).getLong(0))
+  }
+
+  test("timeAsNative without the TIME flag raises the typed error; with timeAsMicros it is rejected") {
+    val spark = TestSpark.spark
+    val timeMeta = new MetadataBuilder().putString("pg_type", "time").build()
+    val schema = StructType(Seq(
+      StructField("t", TimestampType, nullable = true, timeMeta)))
+    // newSession: own runtime SQLConf, shared context — flip the flag
+    // off without touching the suite-wide session.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.timeType.enabled", "false")
+    val df2 = s2.createDataFrame(java.util.List.of(Row(null)), schema)
+    val e = intercept[FlacoSparkException] {
+      PgTypeMap.applyParity(df2, ParityOptions(timeAsNative = true))
+    }
+    assert(e.getMessage.contains("spark.sql.timeType.enabled"))
+    val df = spark.createDataFrame(java.util.List.of(Row(null)), schema)
+    val both = intercept[FlacoSparkException] {
+      PgTypeMap.applyParity(df,
+        ParityOptions(timeAsNative = true, timeAsMicros = true))
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+  }
+
+  test("TIME→STRING render contract: trailing fraction zeros trimmed, dot dropped at zero fraction") {
+    val spark = TestSpark.spark
+    val r = spark.sql(
+      "SELECT cast(TIME'07:30:15.120000' AS STRING), " +
+        "cast(TIME'07:00:00' AS STRING), " +
+        "cast(TIME'23:59:59.999999' AS STRING)").collect()(0)
+    assert(r.getString(0) === "07:30:15.12")
+    assert(r.getString(1) === "07:00:00")
+    assert(r.getString(2) === "23:59:59.999999")
+  }
+
   test("applyParity charAsCode lands 1-byte \"char\" columns on the code") {
     val spark = TestSpark.spark
     val charMeta = new MetadataBuilder().putString("pg_type", "char").build()
