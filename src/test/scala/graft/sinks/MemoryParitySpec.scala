@@ -120,15 +120,25 @@ class MemoryParitySpec extends AnyFunSuite {
     // wander while still failing loudly if the streaming path ever
     // degrades toward materializing the table.
     var (streamPeakDelta, collectDelta) = measure(df)
-    val strictOk = streamPeakDelta < StreamBoundBytes &&
+    // A delta of exactly 0 after a 1M-row write is physically
+    // implausible — the sampler missed every in-flight window (GC
+    // timing artifact; the driver's r18 re-run recorded 0.0). Reject
+    // and re-sample, same as a strict-relation miss.
+    val strictOk = streamPeakDelta > 0 &&
+      streamPeakDelta < StreamBoundBytes &&
       streamPeakDelta.toDouble < collectDelta / 4.0
     if (!strictOk) {
-      info("first pass failed the strict relation; retrying once " +
-        "(GC-timing-dependent sampler)")
+      info("first pass failed the strict relation (or sampled an " +
+        "implausible 0-byte peak); retrying once (GC-timing-dependent " +
+        "sampler)")
       val again = measure(df)
       streamPeakDelta = again._1
       collectDelta = again._2
     }
+    assert(streamPeakDelta > 0,
+      "live-set sampler recorded a 0-byte peak twice for a 1M-row " +
+        "write — sampler broken or write degenerate; not recording " +
+        "an implausible artifact")
 
     val mib = (b: Long) => b / 1024.0 / 1024.0
     val json =
