@@ -1233,7 +1233,15 @@ object Relational {
     * the raw variant can't, and the identity audit is a bounded
     * per-row comparison the cores absorb.
     */
-  def variantShredWrite(spark: SparkSession, dir: String): DataFrame = {
+  def variantShredWrite(spark: SparkSession, dir: String): DataFrame =
+    variantShredWriteCore(spark, dir)._2
+
+  /** [[variantShredWrite]] plus the on-disk table root, for the
+    * write-path audit (Breadth19Spec reads the files independently —
+    * the q255 files-are-the-contract discipline).
+    */
+  private[graft] def variantShredWriteCore(
+      spark: SparkSession, dir: String): (String, DataFrame) = {
     val path = s"$shredScratch/shred"
     val staged = Corpus.read(spark, dir, "events")
       .withColumn("js", expr(VariantJsonSynth))
@@ -1249,7 +1257,7 @@ object Relational {
     staged.write.mode("overwrite").parquet(path)
     // Read-back: identity between the shredded columns as STORED and
     // a fresh extraction from the variant as STORED.
-    spark.read.parquet(path)
+    path -> spark.read.parquet(path)
       .withColumn("m_uid",
         expr("uid <=> variant_get(v, '$.user.uid', 'bigint')"))
       .withColumn("m_value",

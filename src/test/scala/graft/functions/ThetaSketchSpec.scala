@@ -62,6 +62,37 @@ class ThetaSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q260 SQL bottom-k roll-up (slice∘sort∘distinct∘flatten∘" +
+    "collect_list) equals the directly-built coarser sketch — " +
+    "merge ≡ rebuild at both regimes") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val rows = for { d <- 0 until 14; _ <- 0 until 200 }
+      yield (d / 7, d, rnd.nextInt(500).toLong)
+    val df = rows.toDF("week", "day", "user_id")
+    // k=16 saturated (500 distinct ≫ 16), k=4096 unsaturated: the
+    // pure-SQL merge must be EXACTLY the sketch a single pass over
+    // the week would build, in both regimes (KMV union losslessness
+    // carried into the q260 aggregate expression).
+    for (k <- Seq(16, 4096)) {
+      val daily = df.groupBy($"week", $"day")
+        .agg(ThetaSketch.theta_sketch_agg(
+          ThetaSketch.positionOf($"user_id"), k).as("sk"))
+      val rolled = daily.groupBy($"week")
+        .agg(expr("slice(array_sort(array_distinct(flatten(" +
+          s"collect_list(sk)))), 1, $k)").as("sk_w"))
+      val direct = df.groupBy($"week")
+        .agg(ThetaSketch.theta_sketch_agg(
+          ThetaSketch.positionOf($"user_id"), k).as("sk_d"))
+      rolled.join(direct, "week").collect().foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"week ${r.get(0)} k=$k: rolled sketch != rebuilt sketch")
+      }
+    }
+  }
+
   test("unsaturated sketches are exact for estimate, intersect, " +
     "a-not-b, and union") {
     val rnd = new scala.util.Random(11)

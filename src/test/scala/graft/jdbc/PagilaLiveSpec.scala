@@ -133,6 +133,56 @@ class PagilaLiveSpec extends AnyFunSuite {
     assert(a.sameElements(b), "values drifted across the PG round-trip")
   }
 
+  test("copyIn rejects a non-COPY statement with a typed error AND " +
+    "leaves the shared wire usable (r18-advice drain-or-close recovery)") {
+    val u = uri
+    val (host, port, db, params) = MiniPgDriver.parseUrl(u)
+    val wire = new MiniPgWire(host, port, db,
+      params.getOrElse("user", "postgres"), params.get("password"),
+      MiniPgWire.DefaultSocketTimeoutSec, binaryTransfer = true)
+    try {
+      // A SELECT replies RowDescription, not CopyInResponse: the
+      // copy-start loop must drain the statement's results to
+      // ReadyForQuery before throwing, or every later statement on
+      // this wire reads the SELECT's leftovers.
+      val e = intercept[java.sql.SQLException](
+        wire.copyIn("select 1 as x", Iterator.empty))
+      assert(e.getMessage.contains("copy-start"))
+      val r = wire.query("select 42").head
+      assert(r.data.text(0, 0) === "42")
+    } finally wire.close()
+  }
+
+  test("executeBatch clears the batch on COPY failure — a caught-and-" +
+    "retried batch must not resend stale rows (r18 advice)") {
+    val u = uri
+    val conn = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("DROP TABLE IF EXISTS flaco_batch_clear")
+      st.executeUpdate(
+        "CREATE TABLE flaco_batch_clear (id int4 PRIMARY KEY, s text)")
+      st.close()
+      val ps = conn.prepareStatement(
+        "INSERT INTO flaco_batch_clear (\"id\",\"s\") VALUES (?,?)")
+      // Two rows with a duplicate key: the COPY aborts wholesale.
+      ps.setInt(1, 1); ps.setString(2, "a"); ps.addBatch()
+      ps.setInt(1, 1); ps.setString(2, "dup"); ps.addBatch()
+      intercept[java.sql.SQLException](ps.executeBatch())
+      // The failed batch must be GONE: a fresh single-row batch
+      // succeeds and lands exactly one row.
+      ps.setInt(1, 2); ps.setString(2, "b"); ps.addBatch()
+      ps.executeBatch()
+      ps.close()
+      val rs = conn.createStatement()
+        .executeQuery("SELECT count(*) FROM flaco_batch_clear")
+      rs.next()
+      assert(rs.getLong(1) === 1L,
+        "expected only the retried row — stale rows resent or " +
+          "aborted txn state leaked")
+    } finally conn.close()
+  }
+
   test("COPY-structural characters round-trip the bulk write path " +
     "(tab/newline/CR/backslash, literal \\N text, bytea)") {
     // The r18 write path ships Spark JDBC batches as COPY … FROM

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimeType, VariantType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Corpus
+
+/** Round-19 breadth: the theta warehouse roll-up (q260), the VARIANT
+  * shredded write path (q261), and the native TIME(6) gate (q262).
+  */
+class Breadth19Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q260 theta roll-up: both sketch implementations' weekly " +
+    "estimates equal the exact weekly twin; bands hold") {
+    val out = Events.thetaWeeklyRollup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_nd")
+      assert(r.getAs[Long]("nat_weekly") === exact,
+        s"native theta_union_agg drifted in exact mode (week ${r.get(0)})")
+      assert(r.getAs[Long]("hi_weekly") === exact,
+        s"KMV k=4096 roll-up drifted while unsaturated (week ${r.get(0)})")
+      assert(r.getAs[Long]("lo_in_band") === 1L)
+      assert(r.getAs[Long]("n_days") >= 1L &&
+        r.getAs[Long]("n_days") <= 7L)
+    }
+  }
+
+  test("q261 write-path audit: the files on disk carry the raw " +
+    "VARIANT column plus the typed shred, one row per event, and " +
+    "the operator's identity bits all pin at group size") {
+    val (path, report) = Relational.variantShredWriteCore(spark, sf)
+    val rep = report.collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val n = r.getAs[Long]("n")
+      Seq("n_match_uid", "n_match_value", "n_match_code",
+        "n_match_tag2", "n_match_note", "n_match_schema").foreach { c =>
+        assert(r.getAs[Long](c) === n,
+          s"$c != n for schema ${r.getString(0)}")
+      }
+      assert(r.getAs[Long]("sum_uid_stored") ===
+        r.getAs[Long]("sum_uid_reparsed"))
+    }
+    // Independent file read: schema contract + row conservation.
+    val stored = spark.read.parquet(path)
+    assert(stored.schema("v").dataType === VariantType)
+    assert(stored.schema("uid").dataType === LongType)
+    val nEvents = Corpus.read(spark, sf, "events").count()
+    assert(stored.count() === nEvents,
+      "shredded table must carry exactly one row per event")
+    assert(rep.map(_.getAs[Long]("n")).sum === nEvents,
+      "schema census must partition the corpus")
+  }
+
+  test("q262 native TIME gate: TIME-typed output schema, and every " +
+    "native-vs-twin pin holds row-for-row") {
+    val df = Events.timeOfDayProfile(spark, sf)
+    assert(df.schema("hour_t").dataType === TimeType(6))
+    assert(df.schema("min_t").dataType === TimeType(6))
+    assert(df.schema("max_t").dataType === TimeType(6))
+    val out = df.collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_us_nat") === r.getAs[Long]("min_us"),
+        "TIME->DECIMAL micros drifted from the integer twin")
+      assert(r.getAs[Long]("sec_us_nat") === r.getAs[Long]("sec_us"),
+        "extract(SECOND) micros drifted from the integer twin")
+      assert(r.getAs[Long]("n_recon") === r.getAs[Long]("n"),
+        "make_time reconstruction failed for some row")
+      // The truncated hour bucket really is the floor of min_t.
+      val hour = r.getAs[java.time.LocalTime]("hour_t")
+      val mn = r.getAs[java.time.LocalTime]("min_t")
+      val mx = r.getAs[java.time.LocalTime]("max_t")
+      assert(hour.getMinute === 0 && hour.getSecond === 0)
+      assert(!mn.isBefore(hour) && !mx.isBefore(mn))
+      assert(mn.getHour === hour.getHour && mx.getHour === hour.getHour)
+    }
+  }
+}
