@@ -63,6 +63,15 @@ object PgTypeMap {
     * the PG wire payload exactly. Resolution requires
     * `spark.sql.timeType.enabled=true` ([[graft.Flaco.session]] sets
     * it; [[applyParity]] checks and raises a typed error otherwise).
+    *
+    * Sink boundary (measured on Spark 4.1.2): Parquet round-trips
+    * TIME(µs) natively (q262 gate) and the Feather sink writes Arrow
+    * `Time64(MICROSECOND)` (FeatherSinkSpec); the JDBC WRITE path is
+    * a platform limit — `JdbcRelationProvider` rejects TIME columns
+    * with UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE before any dialect is
+    * consulted (JdbcUtils has no TIME setter yet). To write back to
+    * PG, cast to the BIGINT µs twin or to STRING (PG coerces
+    * `'HH:mm:ss.ffffff'` text into TIME columns).
     */
   val timeNative: DataType = TimeType(TimeType.MICROS_PRECISION)
 

@@ -122,6 +122,44 @@ class PgTypesLiveSpec extends AnyFunSuite {
     assert(byId(3) === ((null, null)))
   }
 
+  test("TIME(6) JDBC write is a PINNED platform boundary; the " +
+    "documented STRING fallback round-trips typed TIME through PG") {
+    val u = uri
+    assert(loaded)
+    val ss = spark
+    val df = ss.sql(
+      "SELECT id, to_time(format_string('%02d:30:15.5', " +
+        "CAST(id AS INT))) AS t FROM range(3)")
+    // Boundary: Spark's JDBC relation provider rejects TIME before
+    // any dialect runs (no JdbcUtils setter on 4.1.2). If this ever
+    // starts passing, the PgTypeMap.timeNative doc and this fallback
+    // contract should be revisited.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.write.mode("overwrite")
+        .jdbc(u, "flaco_time_write", new java.util.Properties())
+    }
+    assert(e.getMessage.contains("TIME"))
+    // Fallback: cast to STRING on the way out, PG coerces to TIME,
+    // and the typed leg reads it back as TIME(6) values intact.
+    val conn = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("DROP TABLE IF EXISTS flaco_time_write")
+      st.executeUpdate(
+        "CREATE TABLE flaco_time_write (id int8, t time)")
+      st.close()
+    } finally conn.close()
+    df.selectExpr("id", "CAST(t AS STRING) AS t")
+      .write.mode("append")
+      .jdbc(u, "flaco_time_write", new java.util.Properties())
+    val back = Flaco.readSqlToDataFrame(spark, u,
+      "select id, t from flaco_time_write",
+      parity = ParityOptions(timeAsNative = true))
+      .orderBy("id").collect()
+    assert(back.map(_.getAs[java.time.LocalTime](1)).toSeq ===
+      (0 until 3).map(i => java.time.LocalTime.of(i, 30, 15, 500000000)))
+  }
+
   test("the 1-byte \"char\" column under charAsCode parity yields " +
     "the character code") {
     val u = uri
