@@ -410,6 +410,8 @@ object SparkEntry {
       (graft.streaming.DocumentStreams.dedupAdmittedFinalized _),
     "qS11_stream_variant" ->
       (graft.streaming.EventStreams.variantShreddedFinalized _),
+    "qS12_stream_time" ->
+      (graft.streaming.EventStreams.timeProfiledFinalized _),
     "qS10_stream_pii" ->
       (graft.streaming.DocumentStreams.piiScrubbedFinalized _)
   )
@@ -6613,6 +6615,23 @@ object SparkEntry {
         |  sec_us AS sec_us,
         |  n AS n_recon
         |FROM a ORDER BY event_type, hour_t""".stripMargin,
+
+    // qS12: q262's TIME derivation at ingest, gated at ROW grain —
+    // the oracle replays every arriving row's µs-of-day arithmetic
+    // and builds its TIME values by exact string parse (the q262
+    // comparator contract: TIME compared as values).
+    "qS12_stream_time" ->
+      """WITH b AS (SELECT event_id,
+        |    epoch_us(ts) % 86400000000 AS us FROM events)
+        |SELECT event_id, us,
+        |  CAST(printf('%02d:%02d:%02d.%06d', us // 3600000000,
+        |    (us // 60000000) % 60, (us // 1000000) % 60,
+        |    us % 1000000) AS TIME) AS t,
+        |  CAST(printf('%02d:00:00', us // 3600000000) AS TIME)
+        |    AS hour_t,
+        |  us % 60000000 AS sec_us_nat,
+        |  us % 60000000 AS sec_us
+        |FROM b ORDER BY event_id""".stripMargin,
 
     // qS11: q259's extraction at ingest, gated at ROW grain — the
     // oracle replays every arriving row's typed extraction and

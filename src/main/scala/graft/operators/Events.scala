@@ -731,6 +731,28 @@ object Events {
     * (event_type, hour) — stateless per-row kernel the cores absorb;
     * at 100 TB the group count is bounded by types × 24.
     */
+  /** q262's per-row TIME derivation as stream-composable columns —
+    * the STATELESS leg qS12 runs at ingest (the qS11 shared-fragment
+    * discipline: same µs arithmetic, same render-then-parse TIME
+    * construction, so stream and batch cannot drift). Input: events
+    * rows with `event_id` and a TIMESTAMP-typed `ts` (µs precision —
+    * the corpus file's type; the UTC session makes µs-of-day
+    * zone-unambiguous, exactly q262's own derivation).
+    */
+  def timeOfDayProjection(df: DataFrame): DataFrame =
+    df.withColumn("us",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000"))
+      .withColumn("t", expr(
+        "CASE WHEN us IS NULL THEN NULL ELSE " +
+          "to_time(format_string('%02d:%02d:%02d.%06d', " +
+          "us div 3600000000, (us div 60000000) % 60, " +
+          "(us div 1000000) % 60, us % 1000000)) END"))
+      .select(col("event_id"), col("us"), col("t"),
+        expr("time_trunc('HOUR', t)").as("hour_t"),
+        expr("CAST(extract(SECOND FROM t) * 1000000 AS BIGINT)")
+          .as("sec_us_nat"),
+        expr("us % 60000000").as("sec_us"))
+
   def timeOfDayProfile(spark: SparkSession, dir: String): DataFrame = {
     // Defensive: the TIME type resolves only behind this runtime-
     // settable flag (Flaco.session/Verify/Bench set it; a driver-built

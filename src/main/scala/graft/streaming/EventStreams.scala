@@ -481,6 +481,46 @@ object EventStreams {
     * grain — stronger than the census: any single mis-extraction or
     * schema-label drift flips the hash).
     */
+  /** Streaming native-TIME profiling at ingest (qS12) — q262's
+    * per-row derivation ([[graft.operators.Events.timeOfDayProjection]],
+    * shared fragments) as the stateless arrival leg: µs-of-day from
+    * the raw nanos long, typed TIME(6) construction, hour bucket,
+    * second extraction — no watermark, no state, constant memory.
+    * The sink rows carry REAL TIME(6) columns through a STREAMING
+    * Parquet sink (the platform capability under test — checkpointed
+    * exactly-once, typed all the way to the files). Oracle replays
+    * every arriving row's derivation from epoch-µs (row grain, TIME
+    * values compared as values — the q262 comparator contract).
+    */
+  def timeProfiledFinalized(spark: SparkSession, dir: String): DataFrame =
+    stagedGate("graft-qs12-") { tmp =>
+      spark.conf.set("spark.sql.timeType.enabled", "true")
+      // Stage ts as its TYPED µs timestamp (NTZ under the UTC
+      // session): declaring a long schema over a timestamp column
+      // would silently reinterpret the physical INT64 — the r19
+      // lesson behind this explicit cast.
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/in/events.parquet")
+      val feed = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampNTZType))))
+        .parquet(s"$tmp/in/events.parquet")
+      val q = graft.operators.Events.timeOfDayProjection(feed)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/data")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      spark.read.parquet(s"$tmp/data")
+    }.orderBy(col("event_id"))
+
   def variantShreddedFinalized(spark: SparkSession, dir: String): DataFrame =
     stagedGate("graft-qs11-") { tmp =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -57,6 +57,26 @@ class Breadth19Spec extends AnyFunSuite {
       "schema census must partition the corpus")
   }
 
+  test("qS12 stream == batch: the streamed TIME profiling equals the " +
+    "shared projection run in batch, row for row") {
+    val streamed = graft.streaming.EventStreams
+      .timeProfiledFinalized(spark, sf).collect()
+    val batch = Events.timeOfDayProjection(
+      spark.read.parquet(s"$sf/events.parquet")
+        .select(col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts")))
+      .orderBy(col("event_id")).collect()
+    assert(streamed.length === batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq === b.toSeq,
+        s"row drift at event ${s.get(0)}")
+    }
+    // The streamed files really carry TIME(6) columns.
+    val first = streamed.head
+    assert(first.getAs[java.time.LocalTime]("t") != null ||
+      first.isNullAt(first.fieldIndex("t")))
+  }
+
   test("q262 native TIME gate: TIME-typed output schema, and every " +
     "native-vs-twin pin holds row-for-row") {
     val df = Events.timeOfDayProfile(spark, sf)

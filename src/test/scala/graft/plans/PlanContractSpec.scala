@@ -103,6 +103,11 @@ class PlanContractSpec extends AnyFunSuite {
       "qS01; VARIANT shredding is a stateless per-row projection " +
       "(parse_json + typed variant_get + schema_of_variant) — no " +
       "join, no aggregate, no state; Breadth18Spec pins " +
+      "stream-vs-batch parity against the shared projection."),
+    "qS12_stream_time" -> ("same availableNow-pipeline shape as " +
+      "qS01; the native-TIME derivation is a stateless per-row " +
+      "projection (integer µs-of-day → to_time/time_trunc/extract) " +
+      "— no join, no aggregate, no state; Breadth19Spec pins " +
       "stream-vs-batch parity against the shared projection.")
   )
 

@@ -54,6 +54,8 @@ class PyArrowParitySpec extends AnyFunSuite {
       |for field, col in zip(table.schema, table.columns):
       |    if pa.types.is_timestamp(field.type):
       |        col = col.cast(pa.int64())
+      |    if pa.types.is_time(field.type):
+      |        col = col.cast(pa.int64())
       |    vals = []
       |    for v in col.to_pylist():
       |        if v is None:
@@ -76,7 +78,15 @@ class PyArrowParitySpec extends AnyFunSuite {
       "cast(id as double) / 3.0 as d",
       "cast(concat('b', cast(id as string)) as binary) as b",
       "946684800000000 + id * 1000000 as ts_us",
-      "timestamp_micros(946684800000000 + id * 1000000) as ts")
+      "timestamp_micros(946684800000000 + id * 1000000) as ts",
+      // Native TIME(6) (r19): µs-of-day twin + the typed column built
+      // from it — pyarrow must see a real time64[us].
+      "(id * 61000001) % 86400000000 as t6_us",
+      "if(id % 11 = 0, null, to_time(format_string('%02d:%02d:%02d.%06d', " +
+        "((id * 61000001) % 86400000000) div 3600000000, " +
+        "(((id * 61000001) % 86400000000) div 60000000) % 60, " +
+        "(((id * 61000001) % 86400000000) div 1000000) % 60, " +
+        "((id * 61000001) % 86400000000) % 1000000))) as t6")
     .orderBy("id")
 
   test("pyarrow.ipc.open_stream consumes collectAsArrowStream bytes " +
@@ -110,7 +120,8 @@ class PyArrowParitySpec extends AnyFunSuite {
     // types, not strings (timestamp keeps the UTC tz FeatherSink
     // stamps per Spark session-UTC semantics).
     Seq("id:int64", "i32:int32", "s:string", "d:double", "b:binary",
-        "ts_us:int64", "ts:timestamp[us, tz=UTC]").foreach { t =>
+        "ts_us:int64", "ts:timestamp[us, tz=UTC]",
+        "t6:time64[us]").foreach { t =>
       assert(schemaLine.contains(t), s"schema missing $t: $schemaLine")
     }
 
@@ -127,7 +138,12 @@ class PyArrowParitySpec extends AnyFunSuite {
         .map("%02x".format(_)).mkString),
       // the timestamp column's truth is its own micros source
       "ts_us" -> collected.map(_.getLong(5).toString),
-      "ts" -> collected.map(_.getLong(5).toString)
+      "ts" -> collected.map(_.getLong(5).toString),
+      // TIME canonicalized to µs-of-day on both sides (python
+      // str(time) and LocalTime.toString render zero-seconds
+      // differently — integers don't lie)
+      "t6" -> collected.map(r =>
+        if (r.isNullAt(8)) "NULL" else r.getLong(7).toString)
     ).map { case (k, vs) => k -> vs.mkString(",") }
 
     expected.foreach { case (colName, want) =>
