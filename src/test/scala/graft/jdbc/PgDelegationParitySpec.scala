@@ -147,6 +147,45 @@ class PgDelegationParitySpec extends AnyFunSuite {
         "all-parquet twin")
   }
 
+  test("typed TIME delegation: PostgreSQL COMPUTING time-of-day " +
+    "values matches Spark's native TIME construction, value-for-value " +
+    "over the typed wire arm") {
+    // PG derives each order's time-of-day itself (TIME + interval
+    // arithmetic, ITS OWN evaluator) and ships real TIME columns;
+    // the typed leg lands them as TIME(6) and they must equal
+    // Spark's to_time construction from the same integer seconds.
+    // Derivations stay in [0, 86400) — Spark's TIME ± INTERVAL is
+    // strict at midnight while PG wraps (Breadth19Spec pins that
+    // contract), so parity is only defined in-range.
+    val u = uri
+    assert(loaded)
+    val viaPg = Flaco.readSqlToDataFrame(spark, u,
+      "select o_orderkey, " +
+        "(time '00:00:00' + make_interval(secs => " +
+        "(o_orderkey * 7919 % 86400) + (o_orderkey % 100) / 100.0)) " +
+        "as t from orders where o_orderkey <= 400",
+      parity = graft.ParityOptions(timeAsNative = true))
+    assert(viaPg.schema("t").dataType ===
+      org.apache.spark.sql.types.TimeType(6))
+    val native = Corpus.read(spark, TestSpark.sf, "orders")
+      .filter("o_orderkey <= 400")
+      .selectExpr("o_orderkey",
+        "to_time(format_string('%02d:%02d:%02d.%06d', " +
+          "(o_orderkey * 7919 % 86400) div 3600, " +
+          "((o_orderkey * 7919 % 86400) div 60) % 60, " +
+          "(o_orderkey * 7919 % 86400) % 60, " +
+          "(o_orderkey % 100) * 10000)) as t")
+    val a = viaPg.orderBy("o_orderkey").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalTime](1))
+    val b = native.orderBy("o_orderkey").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalTime](1))
+    assert(a.nonEmpty && a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x === y, s"TIME drift at order ${x._1}: PG ${x._2} vs " +
+        s"native ${y._2}")
+    }
+  }
+
   test("4-way partitioned wire read returns exactly the full table " +
     "(per-partition WHERE pushdown over concurrent connections)") {
     val u = uri

@@ -57,6 +57,33 @@ class Breadth19Spec extends AnyFunSuite {
       "schema census must partition the corpus")
   }
 
+  test("TIME ± INTERVAL is STRICT (no midnight wrap — DATETIME_OVERFLOW), " +
+    "in-range arithmetic and time_diff agree with integer µs twins") {
+    val ss = spark
+    // In-range arithmetic: values match pure integer µs math.
+    val r = ss.sql(
+      "SELECT TIME'12:00:00.5' + INTERVAL '0 01:02:03.25' DAY TO SECOND AS a, " +
+        "TIME'12:00:00.5' - INTERVAL '45' MINUTE AS s, " +
+        "time_diff('MINUTE', TIME'12:00:00', TIME'13:30:00') AS d")
+      .collect()(0)
+    assert(r.getAs[java.time.LocalTime]("a") ===
+      java.time.LocalTime.ofNanoOfDay(
+        ((12L * 3600 + 3723) * 1000000L + 750000L) * 1000))
+    assert(r.getAs[java.time.LocalTime]("s") ===
+      java.time.LocalTime.of(11, 15, 0, 500000000))
+    assert(r.getAs[Long]("d") === 90L)
+    // The boundary CONTRACT: Spark's TIME is a strict time-of-day —
+    // crossing midnight in either direction raises rather than
+    // wrapping (unlike PG, which wraps modulo 24 h; any delegation
+    // parity must therefore stay in-range).
+    Seq("SELECT TIME'23:30:00' + INTERVAL '45' MINUTE",
+      "SELECT TIME'00:30:00' - INTERVAL '45' MINUTE").foreach { q =>
+      val e = intercept[Exception](ss.sql(q).collect())
+      assert(e.getMessage.contains("DATETIME_OVERFLOW"),
+        s"expected strict overflow for: $q")
+    }
+  }
+
   test("qS12 stream == batch: the streamed TIME profiling equals the " +
     "shared projection run in batch, row for row") {
     val streamed = graft.streaming.EventStreams
