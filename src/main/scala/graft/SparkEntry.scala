@@ -390,6 +390,8 @@ object SparkEntry {
       Relational.variantShredWrite(s, d)),
     "q262_time_native" -> ((s: SparkSession, d: String) =>
       Events.timeOfDayProfile(s, d)),
+    "q263_variant_native_shred" -> ((s: SparkSession, d: String) =>
+      Relational.variantNativeShred(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6587,6 +6589,52 @@ object SparkEntry {
          |  count(*) AS n_match_note,
          |  count(*) AS n_match_schema
          |FROM s GROUP BY schema ORDER BY schema""".stripMargin,
+
+    // q263: native shredding parity — the oracle replays ONE census
+    // from the shared synthesis; both layout legs' columns pin to the
+    // same values (shredded-read ≡ binary-read is Spark-side physics
+    // the oracle states once per column pair).
+    "q263_variant_native_shred" ->
+      s"""WITH j AS (SELECT event_id, user_id, event_type,
+         |    ${graft.operators.Relational.VariantJsonSynth} AS js
+         |  FROM events),
+         |f AS (SELECT js,
+         |    event_id % 7 = 0 AS no_value,
+         |    event_id % 5 = 0 AS code_str,
+         |    event_id % 3 = 0 AS has_tags,
+         |    event_id % 4 = 0 AS has_note
+         |  FROM j),
+         |s AS (SELECT js, concat('OBJECT<code: ',
+         |    CASE WHEN code_str THEN 'STRING' ELSE 'BIGINT' END,
+         |    ', id: BIGINT',
+         |    CASE WHEN has_note THEN ', note: VOID' ELSE '' END,
+         |    CASE WHEN has_tags THEN ', tags: ARRAY<STRING>' ELSE '' END,
+         |    ', user: OBJECT<tier: STRING, uid: BIGINT>',
+         |    CASE WHEN no_value THEN '' ELSE ', value: BIGINT' END,
+         |    '>') AS schema
+         |  FROM f),
+         |a AS (SELECT schema, count(*) AS n,
+         |    CAST(sum(CAST(json_extract(js, '$$.user.uid') AS BIGINT))
+         |      AS BIGINT) AS sum_uid,
+         |    count(CAST(json_extract(js, '$$.value') AS BIGINT))
+         |      AS n_value,
+         |    CAST(sum(CAST(json_extract(js, '$$.value') AS BIGINT))
+         |      AS BIGINT) AS sum_value,
+         |    count(CASE WHEN json_extract_string(js, '$$.code')
+         |      LIKE 'c%' THEN 1 END) AS n_code_str,
+         |    count(json_extract_string(js, '$$.tags[1]')) AS n_tag2,
+         |    count(CASE WHEN json_type(js, '$$.note') = 'NULL'
+         |      THEN 1 END) AS n_note_null
+         |  FROM s GROUP BY schema)
+         |SELECT schema,
+         |  n AS n_sh, n AS n_pl,
+         |  sum_uid AS sum_uid_sh, sum_uid AS sum_uid_pl,
+         |  n_value AS n_value_sh, n_value AS n_value_pl,
+         |  sum_value AS sum_value_sh, sum_value AS sum_value_pl,
+         |  n_code_str AS n_code_str_sh, n_code_str AS n_code_str_pl,
+         |  n_tag2 AS n_tag2_sh, n_tag2 AS n_tag2_pl,
+         |  n_note_null AS n_note_null_sh, n_note_null AS n_note_null_pl
+         |FROM a ORDER BY schema""".stripMargin,
 
     // q262: native TIME(6) profile — TIME-typed columns ride the row
     // hash as values (Spark Parquet TIME(µs) and DuckDB TIME both

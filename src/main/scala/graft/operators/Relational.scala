@@ -1231,7 +1231,10 @@ object Relational {
     * At 100 TB: the write is one stateless projection pass, the
     * shredded columns give downstream scans column pruning + stats
     * the raw variant can't, and the identity audit is a bounded
-    * per-row comparison the cores absorb.
+    * per-row comparison the cores absorb. (On Spark 4.1 the variant
+    * column ITSELF also lands natively shredded — writeShredding
+    * defaults on; [[variantNativeShred]] pins that platform layout
+    * explicitly.)
     */
   def variantShredWrite(spark: SparkSession, dir: String): DataFrame =
     variantShredWriteCore(spark, dir)._2
@@ -1283,6 +1286,77 @@ object Relational {
         sum(expr("CAST(m_note AS BIGINT)")).as("n_match_note"),
         sum(expr("CAST(m_schema AS BIGINT)")).as("n_match_schema"))
       .orderBy(col("schema"))
+  }
+
+  /** NATIVE Parquet variant shredding (q263) — the platform half of
+    * q261's manual shred, adopted the q257/q258/q262 way the moment
+    * the platform ships it: Spark 4.1 writes variant columns SHREDDED
+    * BY DEFAULT (`spark.sql.variant.writeShredding.enabled` +
+    * `inferShreddingSchema`, both default true — measured) into the
+    * public Parquet variant-shredding layout (`metadata`/`value`/
+    * `typed_value` subcolumns), and `pushVariantIntoScan` rewrites
+    * `variant_get` projections into typed subcolumn reads — the scan
+    * then reads ONLY the extracted paths (`ReadSchema:
+    * struct<v:struct<…>>`, measured), never the full binary. That is
+    * the 100 TB story q261's explicit columns buy manually, obtained
+    * for free on every path the shred schema inferred.
+    *
+    * The gate writes the SAME drifting-variant rows twice — natively
+    * shredded and binary-only (`writeShredding.enabled=false`, scoped
+    * to the eager write and restored) — reads both back, and runs the
+    * q259 census over each: every aggregate, including the
+    * `schema_of_variant` labels under all four drift axes, must be
+    * IDENTICAL between layouts (and the oracle replays the values
+    * from the shared synthesis). Drift safety is the point: the
+    * inferred shred schema must absorb missing fields, a type-drifted
+    * field, and explicit-vs-absent nulls without changing one answer.
+    * Note pyarrow/DuckDB cannot even parse the shredded footer's new
+    * logical type yet — cross-engine verification goes through the
+    * synthesis replay, physical-layout proof through byte inspection
+    * (Breadth19Spec).
+    */
+  def variantNativeShred(spark: SparkSession, dir: String): DataFrame =
+    variantNativeShredCore(spark, dir)._3
+
+  /** [[variantNativeShred]] plus both table roots for the
+    * write-path audit (Breadth19Spec).
+    */
+  private[graft] def variantNativeShredCore(
+      spark: SparkSession, dir: String): (String, String, DataFrame) = {
+    val plainPath = s"$shredScratch/native_plain"
+    val shredPath = s"$shredScratch/native_shred"
+    val staged = Corpus.read(spark, dir, "events")
+      .withColumn("js", expr(VariantJsonSynth))
+      .selectExpr("event_id", "parse_json(js) AS v")
+    // Shredded leg: the platform default write path.
+    staged.write.mode("overwrite").parquet(shredPath)
+    // Binary-only twin: flag scoped to this EAGER write and restored
+    // (the returned plan must not depend on a mutated session conf).
+    val k = "spark.sql.variant.writeShredding.enabled"
+    val prev = spark.conf.get(k)
+    try {
+      spark.conf.set(k, "false")
+      staged.write.mode("overwrite").parquet(plainPath)
+    } finally spark.conf.set(k, prev)
+    def census(path: String, tag: String) =
+      spark.read.parquet(path)
+        .groupBy(expr("schema_of_variant(v)").as("schema"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(expr("variant_get(v, '$.user.uid', 'bigint')")).cast("long")
+            .as(s"sum_uid_$tag"),
+          count(expr("try_variant_get(v, '$.value', 'bigint')"))
+            .as(s"n_value_$tag"),
+          sum(expr("try_variant_get(v, '$.value', 'bigint')")).cast("long")
+            .as(s"sum_value_$tag"),
+          count(expr("CASE WHEN try_variant_get(v, '$.code', 'string') " +
+            "LIKE 'c%' THEN 1 END")).as(s"n_code_str_$tag"),
+          count(expr("try_variant_get(v, '$.tags[1]', 'string')"))
+            .as(s"n_tag2_$tag"),
+          count(expr("CASE WHEN is_variant_null(try_variant_get(v, " +
+            "'$.note')) THEN 1 END")).as(s"n_note_null_$tag"))
+    val out = census(shredPath, "sh").join(census(plainPath, "pl"),
+        Seq("schema")).orderBy(col("schema"))
+    (plainPath, shredPath, out)
   }
 
   /** PG array-operator battery (q165) — `@>` contains, `<@`

@@ -104,6 +104,50 @@ class Breadth19Spec extends AnyFunSuite {
       first.isNullAt(first.fieldIndex("t")))
   }
 
+  test("q263 physical audit: the default-write files carry the Parquet " +
+    "variant-shredding layout (typed_value), the binary twin doesn't, " +
+    "variant_get over the shredded table scans a TYPED schema, and " +
+    "every census pair agrees") {
+    val (plain, shred, report) =
+      Relational.variantNativeShredCore(spark, sf)
+    val rep = report.collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      Seq("n", "sum_uid", "n_value", "sum_value", "n_code_str",
+        "n_tag2", "n_note_null").foreach { c =>
+        // Raw-object compare: sum over an all-null group is NULL on
+        // both sides (the absent-value schema), and getAs[Long]
+        // would unbox it asymmetrically.
+        val sh = r.get(r.fieldIndex(s"${c}_sh"))
+        val pl = r.get(r.fieldIndex(s"${c}_pl"))
+        assert(sh === pl,
+          s"$c drifted between layouts for schema ${r.getString(0)}")
+      }
+    }
+    // Physical proof: the shredded footer names typed_value columns
+    // (the public Parquet variant-shredding layout); the binary twin
+    // must not. (pyarrow cannot parse the new logical type — byte
+    // inspection is the honest check.)
+    def hasTypedValue(dir: String): Boolean =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).exists { f =>
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+            .contains("typed_value")
+        }
+    assert(hasTypedValue(shred), "shredded leg wrote no typed_value " +
+      "subcolumns — native shredding silently off?")
+    assert(!hasTypedValue(plain), "binary twin unexpectedly shredded")
+    // Plan proof: pushVariantIntoScan rewrites the extraction into a
+    // typed subcolumn read — the scan schema is a STRUCT, not the
+    // full binary variant.
+    val pushed = spark.read.parquet(shred)
+      .selectExpr("variant_get(v, '$.user.uid', 'bigint') AS uid")
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<v:struct"),
+      s"variant_get not pushed into the scan:\n${plan.take(600)}")
+  }
+
   test("q262 native TIME gate: TIME-typed output schema, and every " +
     "native-vs-twin pin holds row-for-row") {
     val df = Events.timeOfDayProfile(spark, sf)
