@@ -927,11 +927,17 @@ final class MiniPgWire(host: String, port: Int, database: String,
           // still runs to completion server-side; drain its results to
           // ReadyForQuery so the shared wire stays in sync — the same
           // drain-or-close recovery queryExtended applies (r18 ADVICE).
+          // A failed drain means the wire itself died: close, but keep
+          // that I/O failure as the thrown exception's cause so the
+          // diagnosis isn't masked by the protocol-misuse message.
+          var drainFailure: Exception = null
           try drainToReady()
-          catch { case _: Throwable => close() }
-          throw new SQLException(
+          catch { case e: Exception => drainFailure = e; close() }
+          val ex = new SQLException(
             s"unexpected copy-start reply '${other.toChar}' — " +
               "copyIn requires a COPY … FROM STDIN statement")
+          if (drainFailure != null) ex.initCause(drainFailure)
+          throw ex
       }
     }
     val chunk = new java.io.ByteArrayOutputStream(1 << 16)

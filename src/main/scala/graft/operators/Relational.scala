@@ -1325,19 +1325,19 @@ object Relational {
       spark: SparkSession, dir: String): (String, String, DataFrame) = {
     val plainPath = s"$shredScratch/native_plain"
     val shredPath = s"$shredScratch/native_shred"
-    val staged = Corpus.read(spark, dir, "events")
+    def stage(s: SparkSession) = Corpus.read(s, dir, "events")
       .withColumn("js", expr(VariantJsonSynth))
       .selectExpr("event_id", "parse_json(js) AS v")
     // Shredded leg: the platform default write path.
-    staged.write.mode("overwrite").parquet(shredPath)
-    // Binary-only twin: flag scoped to this EAGER write and restored
-    // (the returned plan must not depend on a mutated session conf).
-    val k = "spark.sql.variant.writeShredding.enabled"
-    val prev = spark.conf.get(k)
-    try {
-      spark.conf.set(k, "false")
-      staged.write.mode("overwrite").parquet(plainPath)
-    } finally spark.conf.set(k, prev)
+    stage(spark).write.mode("overwrite").parquet(shredPath)
+    // Binary-only twin: the flag-off write runs on an ISOLATED
+    // newSession (own runtime SQLConf, shared context) so concurrent
+    // Verify workers planning variant writes on the shared session
+    // never observe shredding disabled — mutating the shared conf,
+    // even scoped-and-restored, was a latent race.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.variant.writeShredding.enabled", "false")
+    stage(iso).write.mode("overwrite").parquet(plainPath)
     def census(path: String, tag: String) =
       spark.read.parquet(path)
         .groupBy(expr("schema_of_variant(v)").as("schema"))

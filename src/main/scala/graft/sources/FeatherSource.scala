@@ -8,7 +8,7 @@ import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.ipc.ArrowFileReader
-import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -71,6 +71,13 @@ object FeatherSource {
       case _: ArrowType.Date => DateType
       case t: ArrowType.Timestamp =>
         if (t.getTimezone == null) TimestampNTZType else TimestampType
+      case t: ArrowType.Time =>
+        // Inverse of FeatherSink's Time64(MICROSECOND) arm — the
+        // reference's own Feather TIME shape (src/lib.rs:350-366).
+        if (t.getUnit == ArrowTimeUnit.MICROSECOND && t.getBitWidth == 64)
+          TimeType(6)
+        else throw new FlacoSparkException(
+          s"feather read: Time(${t.getUnit}, ${t.getBitWidth}) unsupported")
       case _: ArrowType.List =>
         ArrayType(sparkField(f.getChildren.get(0)).dataType)
       case t => throw new FlacoSparkException(s"feather read: $t unsupported")
@@ -134,6 +141,9 @@ object FeatherSource {
       val micros = v.asInstanceOf[TimeStampMicroTZVector].get(i)
       java.time.Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+    case _: TimeType =>
+      java.time.LocalTime.ofNanoOfDay(
+        v.asInstanceOf[TimeMicroVector].get(i) * 1000L)
     case TimestampNTZType =>
       val micros = v.asInstanceOf[TimeStampMicroVector].get(i)
       java.time.LocalDateTime.ofEpochSecond(

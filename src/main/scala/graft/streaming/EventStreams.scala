@@ -495,12 +495,13 @@ object EventStreams {
   def timeProfiledFinalized(spark: SparkSession, dir: String): DataFrame =
     stagedGate("graft-qs12-") { tmp =>
       spark.conf.set("spark.sql.timeType.enabled", "true")
-      // Stage ts as its TYPED µs timestamp (NTZ under the UTC
-      // session): declaring a long schema over a timestamp column
-      // would silently reinterpret the physical INT64 — the r19
-      // lesson behind this explicit cast.
-      spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"))
+      // Stage via Corpus.events, which normalizes BOTH corpus ts
+      // encodings (TIMESTAMP(NANOS)-as-long under the legacy conf,
+      // and already-µs timestamp) to µs TimestampNTZ — a raw read +
+      // cast assumed the typed encoding and would misread the
+      // nanos-long variant.
+      graft.sources.Corpus.events(spark, dir)
+        .select(col("event_id"), col("ts"))
         .repartition(4)
         .write.mode("overwrite").parquet(s"$tmp/in/events.parquet")
       val feed = spark.readStream

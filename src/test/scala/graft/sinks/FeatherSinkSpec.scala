@@ -171,21 +171,41 @@ class FeatherSinkSpec extends AnyFunSuite {
       StructField("s", StringType), StructField("bo", BooleanType),
       StructField("d", DateType), StructField("ts", TimestampNTZType),
       StructField("tz", TimestampType),
+      // TIME must survive the engine's OWN read path (FeatherSource),
+      // not just a raw Arrow-Java read-back — the sink writes
+      // Time64(us), the source must map it to TimeType(6).
+      StructField("t6", TimeType(6)),
       StructField("arr", ArrayType(FloatType))))
     val rows = java.util.List.of(
       Row(7, 8L, 1.5f, 2.5, "héllo", false,
         java.time.LocalDate.of(1999, 12, 31),
         java.time.LocalDateTime.of(2024, 6, 1, 12, 0, 0, 654321000),
         java.sql.Timestamp.from(java.time.Instant.parse("2024-06-01T12:00:00.123456Z")),
+        java.time.LocalTime.of(23, 59, 59, 999999000),
         Seq(0.5f, -1.5f)),
-      Row(null, null, null, null, null, null, null, null, null, null))
+      Row(0, 0L, 0f, 0.0, "", true,
+        java.time.LocalDate.of(1970, 1, 1),
+        java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0),
+        java.sql.Timestamp.from(java.time.Instant.EPOCH),
+        java.time.LocalTime.MIDNIGHT,
+        Seq.empty[Float]),
+      Row(null, null, null, null, null, null, null, null, null, null, null))
     val df = spark.createDataFrame(rows, schema)
+
     val p = Files.createTempDirectory("frn").toString + "/t.arrow"
     FeatherSink.write(df, p, singleFile = true)
     val back = graft.Flaco.readFile(spark, p, graft.FileFormat.Feather)
     assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
       df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+
+    // Per-partition mode: same matrix through the parallel layout.
+    val parts = Files.createTempDirectory("frnp").toString + "/out"
+    FeatherSink.write(df.repartition(2), parts)
+    val back2 = graft.Flaco.readFile(spark, parts, graft.FileFormat.Feather)
+    assert(back2.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back2.exceptAll(df).isEmpty && df.exceptAll(back2).isEmpty)
   }
 
   test("collectAsArrowStream round-trips through an independent Arrow reader") {
