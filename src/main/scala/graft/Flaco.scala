@@ -52,6 +52,26 @@ object FileFormat {
   * @param singleFile      one output file / row group like the
   *                        single-chunk writers (`src/lib.rs:124,163`).
   * @param uncompressed    Parquet compression=none (`src/lib.rs:125-129`).
+  * @param variantInterop  write VARIANT columns external-reader-safe.
+  *                        Spark 4.1 shreds variant Parquet BY DEFAULT
+  *                        (typed subcolumns) and annotates the group
+  *                        with the new VARIANT footer logical type —
+  *                        faster for Spark readers, but pyarrow (≤16)
+  *                        rejects the annotation outright and DuckDB
+  *                        1.0 surfaces only raw structs. Flip this for
+  *                        Parquet destined for non-Spark readers: the
+  *                        shredding-off half rides a PER-WRITE
+  *                        DataFrameWriter option (race-free); the
+  *                        annotation-off half is a session conf scoped
+  *                        to the write (worst case under concurrency:
+  *                        another in-flight variant write also loses
+  *                        the optional annotation — its file stays
+  *                        fully Spark-readable, Spark recovers the
+  *                        variant type from its own row-schema footer
+  *                        metadata). Spark reads the interop file back
+  *                        as VARIANT with values intact; pyarrow and
+  *                        DuckDB read it as struct<value,metadata>.
+  *                        No-op for schemas without VARIANT columns.
   */
 final case class ParityOptions(
     numericAsDouble: Boolean = true,
@@ -60,7 +80,8 @@ final case class ParityOptions(
     timeAsNative: Boolean = false,
     charAsCode: Boolean = false,
     singleFile: Boolean = false,
-    uncompressed: Boolean = false)
+    uncompressed: Boolean = false,
+    variantInterop: Boolean = false)
 
 /** Core public API — the Spark-native equivalent of the reference's
   * entire pymodule surface: `read_sql_to_pyarrow`, `read_sql_to_file`,
@@ -232,9 +253,16 @@ object Flaco {
       path: String,
       parity: ParityOptions = ParityOptions()): Unit = {
     val out = if (parity.singleFile) df.coalesce(1) else df
-    val w = out.write.mode("overwrite")
-    (if (parity.uncompressed) w.option("compression", "none") else w)
-      .parquet(path)
+    var w = out.write.mode("overwrite")
+    if (parity.uncompressed) w = w.option("compression", "none")
+    if (parity.variantInterop) {
+      w = w.option("spark.sql.variant.inferShreddingSchema", "false")
+      val k = "spark.sql.parquet.variant.annotateLogicalType.enabled"
+      val sess = df.sparkSession
+      val prev = sess.conf.get(k)
+      try { sess.conf.set(k, "false"); w.parquet(path) }
+      finally sess.conf.set(k, prev)
+    } else w.parquet(path)
   }
 
   /** Feather / Arrow-IPC sink (`write_table_to_feather`,

@@ -1325,19 +1325,20 @@ object Relational {
       spark: SparkSession, dir: String): (String, String, DataFrame) = {
     val plainPath = s"$shredScratch/native_plain"
     val shredPath = s"$shredScratch/native_shred"
-    def stage(s: SparkSession) = Corpus.read(s, dir, "events")
+    val staged = Corpus.read(spark, dir, "events")
       .withColumn("js", expr(VariantJsonSynth))
       .selectExpr("event_id", "parse_json(js) AS v")
     // Shredded leg: the platform default write path.
-    stage(spark).write.mode("overwrite").parquet(shredPath)
-    // Binary-only twin: the flag-off write runs on an ISOLATED
-    // newSession (own runtime SQLConf, shared context) so concurrent
-    // Verify workers planning variant writes on the shared session
-    // never observe shredding disabled — mutating the shared conf,
-    // even scoped-and-restored, was a latent race.
-    val iso = spark.newSession()
-    iso.conf.set("spark.sql.variant.writeShredding.enabled", "false")
-    stage(iso).write.mode("overwrite").parquet(plainPath)
+    staged.write.mode("overwrite").parquet(shredPath)
+    // Binary-only twin: shredding-schema inference disabled as a
+    // PER-WRITE DataFrameWriter option (ParquetOptions reads the conf
+    // key from the options map first) — never a session-conf
+    // mutation, so concurrent variant-writing queries on the shared
+    // Verify session can't observe shredding disabled. Same
+    // mechanism as ParityOptions.variantInterop.
+    staged.write.mode("overwrite")
+      .option("spark.sql.variant.inferShreddingSchema", "false")
+      .parquet(plainPath)
     def census(path: String, tag: String) =
       spark.read.parquet(path)
         .groupBy(expr("schema_of_variant(v)").as("schema"))
