@@ -392,6 +392,12 @@ object SparkEntry {
       Events.timeOfDayProfile(s, d)),
     "q263_variant_native_shred" -> ((s: SparkSession, d: String) =>
       Relational.variantNativeShred(s, d)),
+    "q264_sql_udf" -> ((s: SparkSession, d: String) =>
+      Relational.sqlUdfReport(s, d)),
+    "q265_exec_immediate" -> ((s: SparkSession, d: String) =>
+      Relational.execImmediateReport(s, d)),
+    "q266_xml_census" -> ((s: SparkSession, d: String) =>
+      Relational.xmlCensus(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6663,6 +6669,70 @@ object SparkEntry {
         |  sec_us AS sec_us,
         |  n AS n_recon
         |FROM a ORDER BY event_type, hour_t""".stripMargin,
+
+    // q264: the oracle re-derives the four SQL-function BODIES inline
+    // (independent encodings of the same definitions — Spark resolves
+    // them through CREATE FUNCTION + catalog lookup + inlining, DuckDB
+    // evaluates the raw expressions).
+    "q264_sql_udf" ->
+      """WITH so AS (SELECT o.o_orderpriority AS prio,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) *
+        |      (CASE substring(o.o_orderpriority, 1, 1) WHEN '1' THEN 5
+        |        WHEN '2' THEN 4 WHEN '3' THEN 3 WHEN '4' THEN 2
+        |        ELSE 1 END) AS wcents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING')
+        |SELECT prio,
+        |  CASE substring(prio, 1, 1) WHEN '1' THEN 5 WHEN '2' THEN 4
+        |    WHEN '3' THEN 3 WHEN '4' THEN 2 ELSE 1 END AS w,
+        |  count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(wcents) AS BIGINT) AS sum_wcents
+        |FROM so GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // q265: the oracle INLINES the variable values ('AUTOMOBILE', the
+    // orders table name) and replays the data-derived threshold as a
+    // scalar subquery — q126's proof pattern for bound parameters.
+    "q265_exec_immediate" ->
+      """WITH m AS (SELECT count(*) // 50 AS minn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'AUTOMOBILE')
+        |SELECT c.c_nationkey AS nk, count(*) AS n,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'AUTOMOBILE'
+        |GROUP BY c.c_nationkey
+        |HAVING count(*) >= (SELECT minn FROM m)
+        |ORDER BY nk""".stripMargin,
+
+    // q266: DuckDB has no XML parser, so the oracle replays the drift
+    // axes arithmetically from the same source columns (the q262
+    // pattern) — every from_xml- and xpath-derived aggregate must
+    // land on the mod-arithmetic ground truth.
+    "q266_xml_census" ->
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    (event_id % 7 <> 0) AS has_v,
+        |    (event_id % 3 = 0) AS has_t
+        |  FROM events)
+        |SELECT event_type AS tier,
+        |  concat(CASE WHEN has_v THEN 'v1' ELSE 'v0' END,
+        |    CASE WHEN has_t THEN '-t1' ELSE '-t0' END) AS shape,
+        |  count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  count(CASE WHEN has_v THEN 1 END) AS n_value,
+        |  CAST(sum(CASE WHEN has_v THEN cents END) AS BIGINT)
+        |    AS sum_value,
+        |  count(CASE WHEN has_t THEN 1 END) AS n_tag2,
+        |  min(CASE WHEN has_t THEN event_type END) AS first_tag,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid_xp,
+        |  count(CASE WHEN has_v THEN 1 END) AS n_value_xp,
+        |  count(CASE WHEN has_t THEN 1 END) AS n_tag2_xp,
+        |  count(*) AS n_tier_agree
+        |FROM b GROUP BY tier, shape ORDER BY tier, shape""".stripMargin,
 
     // qS12: q262's TIME derivation at ingest, gated at ROW grain —
     // the oracle replays every arriving row's µs-of-day arithmetic

@@ -508,6 +508,7 @@ object MiniPgWire {
   val TypeName: Map[Int, String] = Map(
     16 -> "bool", 17 -> "bytea", 18 -> "char", 20 -> "int8",
     21 -> "int2", 23 -> "int4", 25 -> "text", 114 -> "json",
+    142 -> "xml",
     700 -> "float4", 701 -> "float8", 1042 -> "bpchar",
     1043 -> "varchar", 1082 -> "date", 1083 -> "time",
     1114 -> "timestamp", 1184 -> "timestamptz", 1186 -> "interval",
@@ -523,6 +524,9 @@ object MiniPgWire {
     18 -> java.sql.Types.CHAR, 20 -> java.sql.Types.BIGINT,
     21 -> java.sql.Types.SMALLINT, 23 -> java.sql.Types.INTEGER,
     25 -> java.sql.Types.VARCHAR, 114 -> java.sql.Types.OTHER,
+    // xml: pgjdbc reports Types.SQLXML, which Spark's default mapping
+    // rejects — FlacoPostgresDialect's "xml" name arm intercepts first.
+    142 -> java.sql.Types.SQLXML,
     700 -> java.sql.Types.REAL, 701 -> java.sql.Types.DOUBLE,
     1042 -> java.sql.Types.CHAR, 1043 -> java.sql.Types.VARCHAR,
     1082 -> java.sql.Types.DATE, 1083 -> java.sql.Types.TIME,

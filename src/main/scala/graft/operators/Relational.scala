@@ -2269,4 +2269,152 @@ object Relational {
         sum(col("doc_id")).as("sum_keys"))
       .orderBy(col("change"))
   }
+
+  /** SQL-language UDFs (q264) — `CREATE FUNCTION … RETURNS … RETURN
+    * <sql body>`, the one §2.2 delegated category (PG `CREATE
+    * FUNCTION`, which the reference ships inside its opaque SQL
+    * string, lib.rs:188-189) previously covered only by JVM
+    * UDF/UDAF/UDTF. Spark 4.1 ships the SQL-standard form: scalar
+    * functions, nested scalar calls (a SQL function body invoking
+    * other SQL functions), and a table-valued function whose body
+    * joins catalog tables with the parameter in a predicate. All four
+    * definitions go through the SQL front door; Catalyst INLINES them
+    * (`EliminateSQLFunctionNode` — Breadth20Spec pins the optimized
+    * plan to the bare arithmetic, no per-row black box), so the table
+    * function's join keeps its pushed filters and the scalar calls
+    * stay inside whole-stage codegen. The oracle re-derives the same
+    * bodies inline (independent encodings of the same definitions).
+    * Function names are gate-unique (`g264_`) — session-catalog
+    * registration is safe under Verify's concurrent workers.
+    */
+  def sqlUdfReport(spark: SparkSession, dir: String): DataFrame = {
+    Corpus.registerAll(spark, dir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION g264_prio_w(p STRING)
+        |RETURNS INT RETURN CASE substring(p, 1, 1)
+        |  WHEN '1' THEN 5 WHEN '2' THEN 4 WHEN '3' THEN 3
+        |  WHEN '4' THEN 2 ELSE 1 END""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION g264_cents(x DOUBLE)
+        |RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION g264_wcents(x DOUBLE, p STRING)
+        |RETURNS BIGINT RETURN g264_cents(x) * g264_prio_w(p)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION g264_seg_orders(seg STRING)
+        |RETURNS TABLE(prio STRING, cents BIGINT, wcents BIGINT)
+        |RETURN SELECT o.o_orderpriority,
+        |  g264_cents(o.o_totalprice),
+        |  g264_wcents(o.o_totalprice, o.o_orderpriority)
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = seg""".stripMargin)
+    spark.sql(
+      """SELECT prio, g264_prio_w(prio) AS w, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(wcents) AS BIGINT) AS sum_wcents
+        |FROM g264_seg_orders('BUILDING')
+        |GROUP BY prio ORDER BY prio""".stripMargin)
+  }
+
+  /** Session variables + EXECUTE IMMEDIATE (q265) — the dynamic-SQL
+    * half of the PG client surface next to q126's `:param` binding:
+    * `DECLARE VARIABLE`, `SET VAR` from a scalar subquery that itself
+    * reads ANOTHER variable (the chained-assignment idiom of
+    * parameterized reports), and `EXECUTE IMMEDIATE … USING` with
+    * named markers, including a dynamic table name via
+    * `IDENTIFIER(:tbl)`. The threshold variable is DATA-DERIVED
+    * (segment row count DIV 50) so the HAVING branch is live at every
+    * SF; the oracle inlines the constants and replays the derivation
+    * as a scalar subquery (q126's proof pattern). Variable names are
+    * gate-unique (`g265_`) — session-scoped state, safe under
+    * Verify's concurrent workers.
+    */
+  def execImmediateReport(spark: SparkSession, dir: String): DataFrame = {
+    Corpus.registerAll(spark, dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE g265_seg STRING DEFAULT 'BUILDING'")
+    spark.sql("DECLARE OR REPLACE VARIABLE g265_minn INT DEFAULT 0")
+    spark.sql("DECLARE OR REPLACE VARIABLE g265_tbl STRING DEFAULT 'orders'")
+    spark.sql("SET VAR g265_seg = 'AUTOMOBILE'")
+    spark.sql(
+      """SET VAR g265_minn = (SELECT CAST(count(*) DIV 50 AS INT)
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = g265_seg)""".stripMargin)
+    spark.sql(
+      """EXECUTE IMMEDIATE
+        |'SELECT c.c_nationkey AS nk, count(*) AS n,
+        |   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS cents
+        | FROM IDENTIFIER(:tbl) o JOIN customer c
+        |   ON o.o_custkey = c.c_custkey
+        | WHERE c.c_mktsegment = :seg
+        | GROUP BY c.c_nationkey
+        | HAVING count(*) >= :minn
+        | ORDER BY nk'
+        |USING g265_seg AS seg, g265_minn AS minn, g265_tbl AS tbl"""
+        .stripMargin)
+  }
+
+  /** XML synthesis fragment for q266 — same mod-arithmetic drift axes
+    * as [[VariantJsonSynth]]: `value` missing on %7=0, optional
+    * `tags` block on %3=0, attributes on the `user` element. The
+    * oracle cannot parse XML (DuckDB has none), so it replays the
+    * drift axes arithmetically from the same source columns — the
+    * q262 proof pattern.
+    */
+  val XmlSynth: String =
+    """concat('<evt id="', CAST(event_id AS STRING), '">',
+      |  '<user uid="', CAST(user_id AS STRING),
+      |  '" tier="', event_type, '"/>',
+      |  CASE WHEN event_id % 7 = 0 THEN ''
+      |    ELSE concat('<value>',
+      |      CAST(CAST(round(value * 100) AS BIGINT) AS STRING),
+      |      '</value>') END,
+      |  CASE WHEN event_id % 3 = 0 THEN concat('<tags><t>', event_type,
+      |    '</t><t>t', CAST(user_id % 5 AS STRING), '</t></tags>')
+      |    ELSE '' END,
+      |  '</evt>')""".stripMargin
+
+  /** XML surface (q266) — PG's `xml` type is a reference HARD-ABORT
+    * arm (`src/lib.rs:382-385`: the reference panics on xml columns);
+    * Spark 4.x ships native XML: `from_xml` typed extraction
+    * (attributes via the `_` prefix, nested structs, element arrays)
+    * plus the Hive xpath family (`xpath_string`, `xpath`) as an
+    * independent same-engine twin. The census groups by tier and
+    * drift shape OBSERVED FROM THE PARSED XML (value present/absent,
+    * tags present/absent) with typed aggregates per group, and every
+    * xpath-derived column must reconcile with its from_xml twin
+    * (`n_tier_agree = n`, `sum_uid_xp = sum_uid`, …) — two
+    * extraction APIs, one answer. Per-row codegen projection over the
+    * scan, one map-side-combinable aggregate: the q259 scale shape.
+    */
+  def xmlCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.Flaco.sql(spark, dir,
+      s"""WITH x AS (SELECT event_id, user_id, event_type, value,
+         |    $XmlSynth AS xml FROM events),
+         |p AS (SELECT xml,
+         |  from_xml(xml, '_id BIGINT, user STRUCT<_uid: BIGINT,
+         |    _tier: STRING>, value BIGINT, tags STRUCT<t: ARRAY<STRING>>')
+         |    AS s,
+         |  xpath_string(xml, '/evt/user/@tier') AS tier_xp,
+         |  CAST(xpath_string(xml, '/evt/user/@uid') AS BIGINT) AS uid_xp,
+         |  size(xpath(xml, '/evt/value/text()')) AS n_value_xp,
+         |  xpath_string(xml, '/evt/tags/t[2]') AS tag2_xp
+         |FROM x)
+         |SELECT s.user._tier AS tier,
+         |  concat(CASE WHEN s.value IS NULL THEN 'v0' ELSE 'v1' END,
+         |    CASE WHEN s.tags IS NULL THEN '-t0' ELSE '-t1' END) AS shape,
+         |  count(*) AS n,
+         |  CAST(sum(s._id) AS BIGINT) AS sum_id,
+         |  CAST(sum(s.user._uid) AS BIGINT) AS sum_uid,
+         |  count(s.value) AS n_value,
+         |  CAST(sum(s.value) AS BIGINT) AS sum_value,
+         |  count(CASE WHEN s.tags.t[1] IS NOT NULL THEN 1 END) AS n_tag2,
+         |  min(s.tags.t[0]) AS first_tag,
+         |  CAST(sum(uid_xp) AS BIGINT) AS sum_uid_xp,
+         |  CAST(sum(n_value_xp) AS BIGINT) AS n_value_xp,
+         |  count(CASE WHEN tag2_xp IS NOT NULL AND tag2_xp <> ''
+         |    THEN 1 END) AS n_tag2_xp,
+         |  count(CASE WHEN tier_xp = s.user._tier THEN 1 END)
+         |    AS n_tier_agree
+         |FROM p GROUP BY tier, shape ORDER BY tier, shape""".stripMargin)
 }

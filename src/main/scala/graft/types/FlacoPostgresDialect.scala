@@ -64,7 +64,12 @@ class FlacoPostgresDialect(parity: ParityOptions = ParityOptions())
     // through the JDBC getter layer (see the class doc).
     md.putString("pg_type", typeName.toLowerCase)
     val byName = typeName.toLowerCase match {
-      case "json" | "jsonb" | "uuid" => Some(StringType)
+      // xml rides as its text serialization (the json arm's sibling);
+      // the reference HARD-ABORTS on xml columns (src/lib.rs:382-385)
+      // — this engine reads them and parses downstream via from_xml
+      // (q266). PG's JDBC type for xml is Types.SQLXML, which Spark's
+      // default mapping rejects, so the name arm is load-bearing.
+      case "json" | "jsonb" | "uuid" | "xml" => Some(StringType)
       case "timestamptz" => Some(TimestampType) // pgjdbc says Types.TIMESTAMP for these
       case _ => None
     }

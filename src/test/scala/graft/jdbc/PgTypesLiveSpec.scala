@@ -77,6 +77,37 @@ class PgTypesLiveSpec extends AnyFunSuite {
     assert(byId(3)._2 === "[]")
   }
 
+  test("xml loads as string via the name-first arm and parses " +
+      "downstream with from_xml (the reference hard-aborts on xml, " +
+      "lib.rs:382-385)") {
+    val u = uri
+    val conn = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("DROP TABLE IF EXISTS flaco_xml_live")
+      st.executeUpdate(
+        "CREATE TABLE flaco_xml_live (id int4, x xml)")
+      st.executeUpdate(
+        """INSERT INTO flaco_xml_live VALUES
+          |  (1, '<r a="7"><v>41</v></r>'),
+          |  (2, XMLPARSE(DOCUMENT '<r a="8"><v>42</v></r>')),
+          |  (3, NULL)""".stripMargin)
+      st.close()
+    } finally conn.close()
+    val df = Flaco.readSqlToDataFrame(spark, u,
+      "select id, x from flaco_xml_live")
+    assert(df.schema("x").dataType === StringType)
+    assert(df.schema("x").metadata.getString("pg_type") === "xml")
+    val parsed = df.selectExpr("id",
+      "from_xml(x, '_a INT, v INT') AS s")
+      .selectExpr("id", "s._a AS a", "s.v AS v")
+      .collect().map(r => r.getInt(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(parsed(1) === ((Some(7), Some(41))))
+    assert(parsed(2) === ((Some(8), Some(42))))
+    assert(parsed(3) === ((None, None)))
+  }
+
   test("TIME and TIMETZ under timeAsMicros parity are exact " +
     "µs-since-midnight (the reference's time mapping)") {
     val u = uri

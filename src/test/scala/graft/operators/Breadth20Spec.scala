@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Corpus
+
+/** Round-20 breadth: SQL-language UDFs (q264), session variables +
+  * EXECUTE IMMEDIATE (q265), and the native XML surface (q266).
+  */
+class Breadth20Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q264 SQL functions INLINE: the optimized plan carries no " +
+    "SQLFunction node, the table function's segment filter reaches " +
+    "the scan, and the report equals a hand-inlined twin") {
+    val df = Relational.sqlUdfReport(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    // EliminateSQLFunctionNode must have fired for every call — a
+    // surviving SQLFunction* wrapper would be a per-row black box.
+    assert(!optimized.contains("SQLFunction"),
+      s"SQL function not inlined:\n$optimized")
+    // After inlining, c_mktsegment = 'BUILDING' is an ordinary
+    // predicate — it must be pushed into the customer parquet scan.
+    val physical = df.queryExecution.executedPlan.toString()
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("c_mktsegment"),
+      s"segment filter not pushed to scan:\n$physical")
+    // Semantics: equals the same report with the bodies hand-inlined.
+    val twin = graft.Flaco.sql(spark, sf,
+      """SELECT o.o_orderpriority AS prio,
+        |  CASE substring(o.o_orderpriority, 1, 1) WHEN '1' THEN 5
+        |    WHEN '2' THEN 4 WHEN '3' THEN 3 WHEN '4' THEN 2
+        |    ELSE 1 END AS w,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT) *
+        |    (CASE substring(o.o_orderpriority, 1, 1) WHEN '1' THEN 5
+        |      WHEN '2' THEN 4 WHEN '3' THEN 3 WHEN '4' THEN 2
+        |      ELSE 1 END)) AS BIGINT) AS sum_wcents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderpriority ORDER BY prio""".stripMargin)
+    assert(df.collect().toSeq === twin.collect().toSeq)
+    assert(df.count() > 0)
+  }
+
+  test("q265 session variables chain: the data-derived threshold in " +
+    "the report equals an independent recomputation, and the " +
+    "variable survives for a direct read") {
+    val out = Relational.execImmediateReport(spark, sf).collect()
+    assert(out.nonEmpty)
+    // Recompute the threshold independently of the variable machinery.
+    val expected = Corpus.read(spark, sf, "orders").as("o")
+      .join(Corpus.read(spark, sf, "customer").as("c"),
+        org.apache.spark.sql.functions.expr("o.o_custkey = c.c_custkey"))
+      .where("c.c_mktsegment = 'AUTOMOBILE'")
+      .count() / 50
+    // The gate just ran, so the session variable holds that value.
+    val varVal = spark.sql("SELECT g265_minn AS v").collect()(0).getInt(0)
+    assert(varVal.toLong === expected)
+    out.foreach(r => assert(r.getAs[Long]("n") >= expected,
+      s"HAVING threshold violated: ${r}"))
+  }
+
+  test("q266 row grain: from_xml and the xpath family agree on every " +
+    "single row, and a malformed/NULL xml nulls out instead of " +
+    "failing") {
+    val n = Corpus.read(spark, sf, "events").count()
+    val rows = graft.Flaco.sql(spark, sf,
+      s"""WITH x AS (SELECT event_id, user_id, event_type, value,
+         |    ${Relational.XmlSynth} AS xml FROM events),
+         |p AS (SELECT event_id, user_id, event_type,
+         |  from_xml(xml, '_id BIGINT, user STRUCT<_uid: BIGINT,
+         |    _tier: STRING>, value BIGINT, tags STRUCT<t: ARRAY<STRING>>')
+         |    AS s,
+         |  xpath_string(xml, '/evt/user/@tier') AS tier_xp,
+         |  CAST(xpath_string(xml, '/evt/user/@uid') AS BIGINT) AS uid_xp
+         |FROM x)
+         |SELECT
+         |  count(CASE WHEN s._id = event_id THEN 1 END) AS id_ok,
+         |  count(CASE WHEN s.user._uid = user_id THEN 1 END) AS uid_ok,
+         |  count(CASE WHEN s.user._tier = event_type THEN 1 END)
+         |    AS tier_ok,
+         |  count(CASE WHEN uid_xp = user_id THEN 1 END) AS uid_xp_ok,
+         |  count(CASE WHEN tier_xp = event_type THEN 1 END) AS tier_xp_ok
+         |FROM p""".stripMargin).collect()(0)
+    (0 until 5).foreach(i => assert(rows.getLong(i) === n,
+      s"column $i disagreed on ${n - rows.getLong(i)} rows"))
+    // NULL / malformed degrade to null, never an error (PERMISSIVE).
+    val deg = spark.sql(
+      """SELECT from_xml(CAST(NULL AS STRING), 'a INT') AS a,
+        |  from_xml('<not-closed', 'a INT') AS b""".stripMargin)
+      .collect()(0)
+    assert(deg.isNullAt(0))
+    assert(deg.get(1) == null || deg.getStruct(1).isNullAt(0))
+  }
+}
