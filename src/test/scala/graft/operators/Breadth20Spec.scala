@@ -47,6 +47,27 @@ class Breadth20Spec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("SQL table function composes with LATERAL correlation — " +
+    "per-row invocation with an outer-reference argument, still " +
+    "inlined") {
+    Corpus.registerAll(spark, sf)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION g264t_first_n(k BIGINT)
+        |RETURNS TABLE(i BIGINT) RETURN
+        |SELECT x FROM (SELECT explode(sequence(1L, greatest(k, 1L)))
+        |  AS x)""".stripMargin)
+    val df = spark.sql(
+      """SELECT n.n_nationkey AS nk, CAST(sum(t.i) AS BIGINT) AS tri
+        |FROM nation n, LATERAL g264t_first_n(n.n_nationkey + 1) t
+        |GROUP BY n.n_nationkey ORDER BY nk""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString().contains("SQLFunction"))
+    // sum(1..k) with k = nk+1: the closed form pins per-row invocation.
+    df.collect().foreach { r =>
+      val k = r.getAs[Number]("nk").longValue() + 1
+      assert(r.getAs[Long]("tri") === k * (k + 1) / 2, s"nk=${r.get(0)}")
+    }
+  }
+
   test("q265 session variables chain: the data-derived threshold in " +
     "the report equals an independent recomputation, and the " +
     "variable survives for a direct read") {
