@@ -2384,13 +2384,24 @@ object Relational {
     * tags present/absent) with typed aggregates per group, and every
     * xpath-derived column must reconcile with its from_xml twin
     * (`n_tier_agree = n`, `sum_uid_xp = sum_uid`, …) — two
-    * extraction APIs, one answer. Per-row codegen projection over the
-    * scan, one map-side-combinable aggregate: the q259 scale shape.
+    * extraction APIs, one answer. Per-row projection over the scan,
+    * one map-side-combinable aggregate: the q259 scale shape — but
+    * the kernel is CPU-heavy (five XML parses per row: one from_xml +
+    * four xpath evaluations), so the single-file driver corpus must
+    * be spread across cores first (the TextAnalysis.spread
+    * file-count-guard idiom; measured 21 s serialized vs ~1.5 s
+    * spread at sf0.1). At 100 TB the input is many files and the
+    * guard is a no-op.
     */
-  def xmlCensus(spark: SparkSession, dir: String): DataFrame =
-    graft.Flaco.sql(spark, dir,
+  def xmlCensus(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.read(spark, dir, "events")
+    val par = spark.sparkContext.defaultParallelism
+    val spreadEv =
+      if (ev.inputFiles.length * 2 < par) ev.repartition(par) else ev
+    spreadEv.createOrReplaceTempView("g266_events")
+    spark.sql(
       s"""WITH x AS (SELECT event_id, user_id, event_type, value,
-         |    $XmlSynth AS xml FROM events),
+         |    $XmlSynth AS xml FROM g266_events),
          |p AS (SELECT xml,
          |  from_xml(xml, '_id BIGINT, user STRUCT<_uid: BIGINT,
          |    _tier: STRING>, value BIGINT, tags STRUCT<t: ARRAY<STRING>>')
@@ -2417,4 +2428,5 @@ object Relational {
          |  count(CASE WHEN tier_xp = s.user._tier THEN 1 END)
          |    AS n_tier_agree
          |FROM p GROUP BY tier, shape ORDER BY tier, shape""".stripMargin)
+  }
 }
