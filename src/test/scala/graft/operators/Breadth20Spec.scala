@@ -118,4 +118,21 @@ class Breadth20Spec extends AnyFunSuite {
     assert(deg.isNullAt(0))
     assert(deg.get(1) == null || deg.getStruct(1).isNullAt(0))
   }
+
+  test("to_xml is the write half: struct → xml text → from_xml " +
+    "round-trips typed values on every row") {
+    Corpus.registerAll(spark, sf)
+    val rt = spark.sql(
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN p.a = event_id AND p.b = user_id
+        |    AND p.t = event_type THEN 1 END) AS ok
+        |FROM (SELECT event_id, user_id, event_type,
+        |  from_xml(to_xml(named_struct(
+        |      'a', event_id, 'b', user_id, 't', event_type)),
+        |    'a BIGINT, b BIGINT, t STRING') AS p
+        |  FROM events) t""".stripMargin).collect()(0)
+    assert(rt.getLong(0) > 0)
+    assert(rt.getLong(1) === rt.getLong(0),
+      s"${rt.getLong(0) - rt.getLong(1)} rows failed the to_xml/from_xml round-trip")
+  }
 }
