@@ -662,7 +662,9 @@ object Relational {
     * state.
     */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    // Per-row JSON parse ×2 + md5 — spread the 1-task corpus scan
+    // (Corpus.spread scaladoc; no-op at production file counts).
+    Corpus.spread(t(spark, dir, "events"))
       .select(col("event_id"), col("event_type"), col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         from_json(col("props"),
@@ -1100,7 +1102,8 @@ object Relational {
     * q136's.
     */
   def jsonTableShred(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
+    // to_json + from_json per row — spread the 1-task scan.
+    Corpus.spread(t(spark, dir, "orders"))
       .select(col("o_orderkey").as("k"))
       .withColumn("doc", expr(
         "to_json(transform(sequence(1L, 1L + k % 3), " +
@@ -1890,7 +1893,8 @@ object Relational {
     * of the fixture domain. Per-row projection, fused into the scan.
     */
   def numberFormatBattery(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
+    // Four to_char pattern renders per row — spread the 1-task scan.
+    Corpus.spread(t(spark, dir, "orders"))
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .select(col("o_orderkey"), col("cents"),
@@ -2394,11 +2398,8 @@ object Relational {
     * guard is a no-op.
     */
   def xmlCensus(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Corpus.read(spark, dir, "events")
-    val par = spark.sparkContext.defaultParallelism
-    val spreadEv =
-      if (ev.inputFiles.length * 2 < par) ev.repartition(par) else ev
-    spreadEv.createOrReplaceTempView("g266_events")
+    Corpus.spread(Corpus.read(spark, dir, "events"))
+      .createOrReplaceTempView("g266_events")
     spark.sql(
       s"""WITH x AS (SELECT event_id, user_id, event_type, value,
          |    $XmlSynth AS xml FROM g266_events),

@@ -676,7 +676,9 @@ object Temporal {
   def timezoneBattery(spark: SparkSession, dir: String): DataFrame = {
     val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     def f(c: Column): Column = date_format(c, fmt)
-    Corpus.events(spark, dir)
+    // Five timezone-convert + format renders per row — spread the
+    // 1-task corpus scan (Corpus.spread; no-op on many-file inputs).
+    Corpus.spread(Corpus.events(spark, dir))
       .select(col("event_id"),
         f(col("ts")).as("ts_utc"),
         f(expr("convert_timezone('UTC', 'America/New_York', ts)"))

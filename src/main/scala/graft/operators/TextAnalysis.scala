@@ -2371,10 +2371,7 @@ object TextAnalysis {
     * no-op — at target scale an unconditional repartition would
     * shuffle the full corpus for nothing.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length * 2 < par) df.repartition(par) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Corpus.spread(df)
 
   /** DSIR hashed-bigram buckets for one document's token array:
     * each adjacent token pair is hashed (md5 hex prefix, the q47

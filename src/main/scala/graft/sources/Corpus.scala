@@ -47,6 +47,24 @@ object Corpus {
     }
   }
 
+  /** Spread an under-partitioned file scan across the cores before a
+    * CPU-heavy per-row kernel. The driver corpus ships ONE file per
+    * table → a 1-task scan → any expensive per-row kernel (XML/JSON
+    * parse, MinHash, tokenization) SERIALIZES on one core (measured:
+    * q266 21 s serialized vs 1.6 s spread at sf0.1). The file-count
+    * guard makes this a no-op at production file counts — at 100 TB
+    * the input layout IS the parallelism and no shuffle is added.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    // Streaming plans have no inputFiles (and micro-batches already
+    // parallelize by source partitioning) — pass through untouched.
+    if (df.isStreaming) df
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      if (df.inputFiles.length * 2 < par) df.repartition(par) else df
+    }
+  }
+
   /** Register every corpus table present in `dir` as a temp view. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach { n =>
