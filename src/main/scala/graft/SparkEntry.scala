@@ -398,6 +398,8 @@ object SparkEntry {
       Relational.execImmediateReport(s, d)),
     "q266_xml_census" -> ((s: SparkSession, d: String) =>
       Relational.xmlCensus(s, d)),
+    "q267_try_arithmetic" -> ((s: SparkSession, d: String) =>
+      Relational.tryArithmetic(s, d)),
     "qS01_stream_sessions" ->
       (graft.streaming.EventStreams.sessionsFinalized _),
     "qS02_stream_dedup" ->
@@ -6733,6 +6735,38 @@ object SparkEntry {
         |  count(CASE WHEN has_t THEN 1 END) AS n_tag2_xp,
         |  count(*) AS n_tier_agree
         |FROM b GROUP BY tier, shape ORDER BY tier, shape""".stripMargin,
+
+    // q267: each try_* outcome re-encoded independently — DuckDB
+    // TRY_CAST, /nullif for ÷0, HUGEINT-compare overflow guards,
+    // native out-of-range list indexing; the to_number round-trip
+    // replays the cents it rendered. Nullable BIGINTs surface as
+    // float64 through pandas on BOTH sides, so 9.2e18 stringifies
+    // identically.
+    "q267_try_arithmetic" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT k, cents,
+        |    CASE WHEN k % 3 = 0 THEN 'x' || CAST(k AS VARCHAR)
+        |      ELSE CAST(k AS VARCHAR) END AS s,
+        |    CAST(9223372036854775800 + k % 8 AS BIGINT) AS big,
+        |    [k, k + 1, k + 2] AS arr
+        |  FROM b)
+        |SELECT k,
+        |  TRY_CAST(s AS BIGINT) AS safe_int,
+        |  round(k / nullif(k % 5, 0), 6) AS safe_div,
+        |  CAST(CASE WHEN CAST(big AS HUGEINT) + (k % 2 * 10) >
+        |      9223372036854775807 THEN NULL
+        |    ELSE CAST(big AS HUGEINT) + (k % 2 * 10) END AS BIGINT)
+        |    AS safe_add,
+        |  CAST(CASE WHEN CAST(big AS HUGEINT) * (k % 2 + 1) >
+        |      9223372036854775807 THEN NULL
+        |    ELSE CAST(big AS HUGEINT) * (k % 2 + 1) END AS BIGINT)
+        |    AS safe_mul,
+        |  arr[CAST(1 + k % 5 AS BIGINT)] AS safe_elem,
+        |  cents AS cents_back,
+        |  CAST(NULL AS DECIMAL(3,0)) AS bad_number
+        |FROM f ORDER BY k""".stripMargin,
 
     // qS12: q262's TIME derivation at ingest, gated at ROW grain —
     // the oracle replays every arriving row's µs-of-day arithmetic

@@ -2358,6 +2358,57 @@ object Relational {
         .stripMargin)
   }
 
+  /** Error-safe arithmetic surface (q267) — Spark 4 runs ANSI mode
+    * BY DEFAULT (`spark.sql.ansi.enabled=true`): bad casts, ÷0,
+    * overflow and invalid array indices ERROR like PostgreSQL instead
+    * of nulling out. The `try_*` family (try_cast / try_divide /
+    * try_add / try_multiply / try_element_at / try_to_number) is the
+    * sanctioned per-expression escape hatch — the surface every
+    * dirty-data pipeline on ANSI Spark actually uses. Every branch is
+    * live by mod arithmetic: invalid cast strings on %3=0, zero
+    * divisor on %5=0, BIGINT overflow on odd keys (the fixture
+    * itself sits within 8 of Long.Max — constructing it under ANSI
+    * is part of the proof), out-of-range element on two of five
+    * indices, plus a to_char→try_to_number round-trip pinned back to
+    * the integer cents it rendered. Oracle encodes each outcome
+    * independently: DuckDB TRY_CAST, `/nullif`, HUGEINT-compare
+    * overflow guards, native 1-based out-of-range list indexing.
+    * All-null comparator note: both engines surface nullable BIGINT
+    * through pandas as float64, so the 9.2e18 sums stringify
+    * identically. One projection over the scan — but the
+    * to_char/try_to_number renders are a CPU-heavy per-row kernel on
+    * NARROW rows, exactly the [[graft.sources.Corpus.spread]] case
+    * (measured 7.7 s serialized on the 1-task corpus file vs ~1 s
+    * spread; no-op at production file counts).
+    */
+  def tryArithmetic(spark: SparkSession, dir: String): DataFrame = {
+    Corpus.spread(Corpus.read(spark, dir, "orders"))
+      .createOrReplaceTempView("g267_orders")
+    spark.sql(
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM g267_orders),
+        |f AS (SELECT k, cents,
+        |    CASE WHEN k % 3 = 0 THEN concat('x', CAST(k AS STRING))
+        |      ELSE CAST(k AS STRING) END AS s,
+        |    9223372036854775800 + k % 8 AS big,
+        |    array(k, k + 1, k + 2) AS arr,
+        |    to_char(CAST(cents AS DECIMAL(18,2)) / 100,
+        |      '999,999,999.00') AS grouped
+        |  FROM b)
+        |SELECT k,
+        |  try_cast(s AS BIGINT) AS safe_int,
+        |  round(try_divide(k, k % 5), 6) AS safe_div,
+        |  try_add(big, CAST(k % 2 * 10 AS BIGINT)) AS safe_add,
+        |  try_multiply(big, CAST(k % 2 + 1 AS BIGINT)) AS safe_mul,
+        |  try_element_at(arr, CAST(1 + k % 5 AS INT)) AS safe_elem,
+        |  CAST(try_to_number(trim(grouped), '999,999,999.00') * 100
+        |    AS BIGINT) AS cents_back,
+        |  CAST(try_to_number('oops', '999') AS DECIMAL(3,0))
+        |    AS bad_number
+        |FROM f ORDER BY k""".stripMargin)
+  }
+
   /** XML synthesis fragment for q266 — same mod-arithmetic drift axes
     * as [[VariantJsonSynth]]: `value` missing on %7=0, optional
     * `tags` block on %3=0, attributes on the `user` element. The
