@@ -135,4 +135,39 @@ class Breadth20Spec extends AnyFunSuite {
     assert(rt.getLong(1) === rt.getLong(0),
       s"${rt.getLong(0) - rt.getLong(1)} rows failed the to_xml/from_xml round-trip")
   }
+
+  test("q267 try_* branches: every null count matches its closed " +
+    "form, and the to_number round-trip recovers the cents exactly") {
+    val out = Relational.tryArithmetic(spark, sf).cache()
+    try {
+      val keys = Corpus.read(spark, sf, "orders")
+        .select(org.apache.spark.sql.functions.col("o_orderkey"))
+        .collect().map(_.getLong(0))
+      val n = keys.length.toLong
+      def nulls(c: String) =
+        out.filter(out(c).isNull).count()
+      assert(out.count() === n)
+      // try_cast: invalid string exactly when k % 3 == 0
+      assert(nulls("safe_int") === keys.count(_ % 3 == 0).toLong)
+      // try_divide: null exactly when divisor k % 5 == 0
+      assert(nulls("safe_div") === keys.count(_ % 5 == 0).toLong)
+      // try_add/try_multiply: overflow exactly on odd keys (the +10 /
+      // x2 arms push past Long.Max; even keys add 0 / multiply by 1)
+      assert(nulls("safe_add") === keys.count(_ % 2 == 1).toLong)
+      assert(nulls("safe_mul") === keys.count(_ % 2 == 1).toLong)
+      // try_element_at: 3-element array, 1-based index 1 + k % 5 —
+      // out of range exactly when k % 5 is 3 or 4
+      assert(nulls("safe_elem") ===
+        keys.count(k => k % 5 == 3 || k % 5 == 4).toLong)
+      // to_char → try_to_number round-trip: NEVER null, and equal to
+      // the cents it rendered (checked against the independent twin)
+      assert(nulls("cents_back") === 0L)
+      val cents = Corpus.read(spark, sf, "orders")
+        .selectExpr("o_orderkey AS k",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents_twin")
+      assert(out.join(cents, out("k") === cents("k"))
+        .filter("cents_back <> cents_twin").count() === 0L)
+      assert(nulls("bad_number") === n)
+    } finally { out.unpersist(); () }
+  }
 }
