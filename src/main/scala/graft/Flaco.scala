@@ -62,13 +62,14 @@ object FileFormat {
   *                        Parquet destined for non-Spark readers: the
   *                        shredding-off half rides a PER-WRITE
   *                        DataFrameWriter option (race-free); the
-  *                        annotation-off half is a session conf scoped
-  *                        to the write (worst case under concurrency:
-  *                        another in-flight variant write also loses
-  *                        the optional annotation — its file stays
-  *                        fully Spark-readable, Spark recovers the
-  *                        variant type from its own row-schema footer
-  *                        metadata). Spark reads the interop file back
+  *                        annotation-off half runs on an ISOLATED
+  *                        `newSession()` (own runtime SQLConf, shared
+  *                        context) — the shared session's conf is
+  *                        never touched, so concurrent default
+  *                        variant writes keep their annotation and
+  *                        two interop writes cannot interleave a
+  *                        save/restore (r20 verdict #1 + ADVICE).
+  *                        Spark reads the interop file back
   *                        as VARIANT with values intact; pyarrow and
   *                        DuckDB read it as struct<value,metadata>.
   *                        No-op for schemas without VARIANT columns.
@@ -256,12 +257,33 @@ object Flaco {
     var w = out.write.mode("overwrite")
     if (parity.uncompressed) w = w.option("compression", "none")
     if (parity.variantInterop) {
-      w = w.option("spark.sql.variant.inferShreddingSchema", "false")
-      val k = "spark.sql.parquet.variant.annotateLogicalType.enabled"
+      // The annotation half has no per-write option (verified r20), so
+      // the write runs on an ISOLATED session (own runtime SQLConf,
+      // shared context/catalog) instead of a set/restore window on the
+      // shared session — two interop writes can no longer interleave
+      // the save/restore into a lasting default flip, and a concurrent
+      // DEFAULT variant write keeps its annotation throughout (both
+      // r20-verdict asks). Every runtime conf is copied so the isolated
+      // session differs in exactly the annotate key; statics throw and
+      // are already equal (same context).
       val sess = df.sparkSession
-      val prev = sess.conf.get(k)
-      try { sess.conf.set(k, "false"); w.parquet(path) }
-      finally sess.conf.set(k, prev)
+      val isolated = sess.newSession()
+      sess.conf.getAll.foreach { case (ck, cv) =>
+        try isolated.conf.set(ck, cv) catch { case _: Exception => () }
+      }
+      isolated.conf
+        .set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+      // Re-bind the plan to the isolated session through a global temp
+      // view (the cross-session handle Spark exposes publicly).
+      val vname = "flaco_interop_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      out.createOrReplaceGlobalTempView(vname)
+      try {
+        var wi = isolated.table(s"global_temp.$vname").write.mode("overwrite")
+        if (parity.uncompressed) wi = wi.option("compression", "none")
+        wi.option("spark.sql.variant.inferShreddingSchema", "false")
+          .parquet(path)
+      } finally { sess.catalog.dropGlobalTempView(vname): Unit }
     } else w.parquet(path)
   }
 

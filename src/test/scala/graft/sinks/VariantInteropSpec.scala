@@ -117,6 +117,59 @@ class VariantInteropSpec extends AnyFunSuite {
       "interop file must not be shredded")
   }
 
+  test("interop write never mutates the shared session conf — a " +
+    "default write DURING the interop window keeps its annotation") {
+    assume(pyarrowOk, "python3/pyarrow unavailable")
+    val k = "spark.sql.parquet.variant.annotateLogicalType.enabled"
+    val before = spark.conf.get(k)
+    // Run the interop write CONCURRENTLY with a default variant write:
+    // under the old set/restore window the default write could land
+    // inside the window and silently lose its annotation (and two
+    // interop writes could interleave the save/restore into a lasting
+    // default flip). With newSession() isolation the shared session's
+    // conf is never written at all.
+    val dirI = Files.createTempDirectory("vint_iso_i").toString + "/t"
+    val dirD = Files.createTempDirectory("vint_iso_d").toString + "/t"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fi = pool.submit(new Runnable {
+        def run(): Unit = Flaco.writeParquet(variantDf(), dirI,
+          ParityOptions(variantInterop = true))
+      })
+      val fd = pool.submit(new Runnable {
+        def run(): Unit = Flaco.writeParquet(variantDf(), dirD)
+      })
+      fi.get(); fd.get()
+    } finally pool.shutdown()
+    assert(spark.conf.get(k) === before,
+      "interop write leaked a conf change into the shared session")
+    // The default write that overlapped the interop window must still
+    // carry the annotated footer (pyarrow rejects it — the tripwire
+    // signature), proving the window did not strip it.
+    val (rc, out) = runPython(
+      """import sys
+        |import pyarrow.parquet as pq
+        |try:
+        |    pq.read_table(sys.argv[1])
+        |    print('PARSED')
+        |except Exception as e:
+        |    print('UNPARSEABLE', type(e).__name__)
+        |""".stripMargin, dirD)
+    assert(rc == 0, out)
+    assert(out.contains("UNPARSEABLE"),
+      "default write lost its annotation during a concurrent interop " +
+        "write:\n" + out)
+    // And the interop file itself is still external-reader-safe.
+    val (rc2, out2) = runPython(
+      """import sys
+        |import pyarrow.parquet as pq
+        |t = pq.read_table(sys.argv[1])
+        |print('NROWS', t.num_rows)
+        |""".stripMargin, dirI)
+    assert(rc2 == 0, s"isolated interop write unreadable:\n$out2")
+    assert(out2.contains(s"NROWS $Rows"), out2)
+  }
+
   test("TRIPWIRE: default (shredded+annotated) write still fails in pyarrow") {
     assume(pyarrowOk, "python3/pyarrow unavailable")
     val dir = Files.createTempDirectory("vint_def").toString + "/t"
