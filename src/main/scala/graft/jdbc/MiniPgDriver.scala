@@ -934,9 +934,15 @@ final class MiniPgWire(host: String, port: Int, database: String,
           // A failed drain means the wire itself died: close, but keep
           // that I/O failure as the thrown exception's cause so the
           // diagnosis isn't masked by the protocol-misuse message.
-          var drainFailure: Exception = null
+          var drainFailure: Throwable = null
+          // Throwable, not Exception: a fatal error mid-drain must
+          // still close the desynced shared wire before propagating
+          // (r20 ADVICE — the Exception narrowing left it open).
           try drainToReady()
-          catch { case e: Exception => drainFailure = e; close() }
+          catch {
+            case e: Exception => drainFailure = e; close()
+            case e: Throwable => close(); throw e
+          }
           val ex = new SQLException(
             s"unexpected copy-start reply '${other.toChar}' — " +
               "copyIn requires a COPY … FROM STDIN statement")

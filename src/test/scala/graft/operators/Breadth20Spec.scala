@@ -24,8 +24,10 @@ class Breadth20Spec extends AnyFunSuite {
     // After inlining, c_mktsegment = 'BUILDING' is an ordinary
     // predicate — it must be pushed into the customer parquet scan.
     val physical = df.queryExecution.executedPlan.toString()
-    assert(physical.contains("PushedFilters") &&
-      physical.contains("c_mktsegment"),
+    // Match c_mktsegment INSIDE the pushed list (r20 ADVICE: two
+    // independent contains() could pass vacuously off ReadSchema).
+    assert("PushedFilters: \\[[^\\]]*c_mktsegment".r
+      .findFirstIn(physical).isDefined,
       s"segment filter not pushed to scan:\n$physical")
     // Semantics: equals the same report with the bodies hand-inlined.
     val twin = graft.Flaco.sql(spark, sf,
