@@ -706,10 +706,14 @@ object TextAnalysis {
     *     is the industrial shape);
     *  2. each word becomes a symbol string with every symbol
     *     INDIVIDUALLY fenced ('·a··b··c·' — symbols joined by '··');
-    *     per round: adjacent-pair counts weighted by word count
-    *     (explode over VOCAB rows → map-side-combinable hash
-    *     aggregate), argmax pair by (count, pair) via a 1-row
-    *     TakeOrdered heap, then the merge applied as a single
+    *     per round: adjacent-pair counts weighted by word count and
+    *     the (count desc, pair asc) argmax, computed in ONE stage by
+    *     a mapPartitions kernel over the single-partition vocab (r21
+    *     — exact because partial counts never split; the former
+    *     explode → hash aggregate → TakeOrdered form planned 3
+    *     stages/round through an exchange and the 64 sequential
+    *     rounds paid the stage floor, not the data: 6.2 s → ~2.4 s),
+    *     then the merge applied as a single
     *     `replace('·a··b·' → '·ab·')` per word. The DOUBLE fence is
     *     load-bearing: with single separators a chained run
     *     ('a a a a') only merges alternate pairs because each match
@@ -758,29 +762,73 @@ object TextAnalysis {
         lit(sep)).as("sym"), col("cnt"))
       // The loop body re-materializes the vocabulary [[BpeMerges]]
       // times; at 64 rounds per-round TASK overhead (not data) is the
-      // measured cost, so the Heaps-bounded vocab runs on a few fat
-      // partitions instead of shuffle.partitions thin ones. At a
-      // 100 TB corpus the vocab is still ~millions of rows — sizing
-      // stays O(vocab/partition-budget), never corpus-shaped.
-      .coalesce(8)
+      // measured cost, so the Heaps-bounded vocab runs on ONE fat
+      // partition (r21: 8 → 1 measured 6.2 s → see OPTIMIZATION_r21;
+      // per-round work is a pair-count over the vocab — q253's local
+      // trainer does the identical work single-threaded in
+      // microseconds, so even a 100 TB corpus' Heaps/cap-bounded
+      // vocab never needs more than one partition per round; 8 thin
+      // tasks just multiplied the per-round stage floor).
+      .coalesce(1)
       .localCheckpoint()
-    // Unfence: '·a··bc·' → ['a', 'bc'] (strip the outer fences, split
-    // on the inter-symbol double fence).
-    val symsExpr = s"split(substring(sym, 2, length(sym) - 2), '$sep$sep')"
+    // Per-round argmax: pair-count + (count desc, pair asc) argmax in
+    // ONE stage over the single-partition vocab (r21 — the former
+    // explode → groupBy → TakeOrdered form planned 3 stages per round
+    // through an exchange; at 64 sequential rounds the stage floor,
+    // not the data, was the measured cost: 6.0 s → 2.3 s at sf0.1).
+    // The argmax is exact BECAUSE the vocab is one partition (the
+    // coalesce above): partial pair counts never split. Tie-break is
+    // byte-identical to the SQL form: UTF8 binary ascending on
+    // (a, b), the same ordering orderBy(a, b) used. The MERGE stays
+    // the engine's regexp_replace chain below — the cross-engine
+    // replace-semantics leg the q244 gate pins (the DuckDB oracle
+    // unrolls the same chain); pair counting is plain counting, which
+    // the oracle independently re-derives via unnest + GROUP BY.
+    import spark.implicits._
+    def utf8Less(x: String, y: String): Boolean = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val ai = a(i) & 0xff; val bi = b(i) & 0xff
+        if (ai != bi) return ai < bi
+        i += 1
+      }
+      a.length < b.length
+    }
     val merges = (1 to BpeMerges).map { rank =>
-      val top = words
-        .select(col("cnt"), expr(
-          s"""filter(transform($symsExpr,
-             |  (s, i) -> struct(s AS a, try_element_at($symsExpr,
-             |    i + 2) AS b)),
-             |  p -> p.b IS NOT NULL)""".stripMargin).as("ps"))
-        .select(explode(col("ps")).as("p"), col("cnt"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("pc"))
-        .orderBy(col("pc").desc, col("a"), col("b"))
-        .limit(1)
-        .head()
-      val (a, b, pc) = (top.getString(0), top.getString(1), top.getLong(2))
+      val rows = words.select(col("sym"), col("cnt")).as[(String, Long)]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap
+            .empty[(String, String), Long]
+          it.foreach { case (sym, c) =>
+            // Unfence '·a··bc·' → ['a', 'bc'] and count adjacent pairs.
+            val syms = sym.substring(1, sym.length - 1)
+              .split(java.util.regex.Pattern.quote(sep + sep))
+            var i = 0
+            while (i < syms.length - 1) {
+              val p = (syms(i), syms(i + 1))
+              m.update(p, m.getOrElse(p, 0L) + c)
+              i += 1
+            }
+          }
+          if (m.isEmpty) Iterator.empty
+          else Iterator.single(m.foldLeft(null: ((String, String), Long)) {
+            case (best, cur) =>
+              if (best == null) cur
+              else {
+                val cmp =
+                  if (cur._2 != best._2) cur._2 > best._2
+                  else if (cur._1._1 != best._1._1)
+                    utf8Less(cur._1._1, best._1._1)
+                  else utf8Less(cur._1._2, best._1._2)
+                if (cmp) cur else best
+              }
+          }) map { case ((a, b), pc) => (a, b, pc) }
+        }.collect()
+      require(rows.length == 1,
+        s"bpe argmax expects the 1-partition vocab, got ${rows.length} rows")
+      val (a, b, pc) = rows(0)
       // LAZY per-round checkpoint: lineage still truncates every
       // round (the checkpoint materializes inside the NEXT round's
       // argmax job), but the round runs ONE Spark job instead of two
