@@ -366,6 +366,12 @@ object Dedup {
     * caps and verification all see only the sample.
     */
   def candidatePairJaccardOver(docs: DataFrame): DataFrame = {
+    // NOT spread (r21, measured both directions — the r20 q190b/q193
+    // wide-text rule re-confirmed on this family): repartitioning the
+    // documents scan before the minhash/shingle kernels made q27
+    // 1.6→2.1 s, q28 1.5→1.8 s, q43 2.9→3.2 s, q229 2.1→3.7 s, q185
+    // 5.0→11.3 s, with task cpu 4-6x (text serde through the exchange
+    // plus the scan stats loss re-planning downstream joins).
     val bands = cappedBands(docs)
     val bl = bands.select(col("doc_id").as("a"), col("lang"), col("band"), col("bkey"))
     val br = bands.select(col("doc_id").as("b"), col("lang").as("lang_b"),
@@ -1279,6 +1285,8 @@ object Dedup {
 
   private def recallCurveOver(spark: SparkSession,
       docs0: DataFrame): DataFrame = {
+    // NOT spread — see [[candidatePairJaccardOver]] (r21: q226 wall
+    // flat with 6x cpu, q229 2.1→3.7 s).
     val docs = docs0
     val lsh = candidatePairJaccardOver(docs)
     val sh0 = docs.select(col("doc_id"), col("lang"),

@@ -1184,10 +1184,14 @@ object Relational {
         expr("is_variant_null(try_variant_get(v, '$.note'))")
           .cast("long").as("note_is_null"))
 
-  def variantShred(spark: SparkSession, dir: String): DataFrame =
-    graft.Flaco.sql(spark, dir,
+  def variantShred(spark: SparkSession, dir: String): DataFrame = {
+    // spread: parse_json + per-row variant extraction serializes on
+    // the 1-task single-file scan (the q266/q267 temp-view idiom; r21).
+    graft.sources.Corpus.spread(Corpus.read(spark, dir, "events"))
+      .createOrReplaceTempView("g259_events")
+    spark.sql(
       s"""WITH j AS (SELECT event_id, user_id, event_type,
-         |    $VariantJsonSynth AS js FROM events),
+         |    $VariantJsonSynth AS js FROM g259_events),
          |v AS (SELECT *, parse_json(js) AS v FROM j)
          |SELECT schema_of_variant(v) AS schema,
          |  count(*) AS n,
@@ -1204,6 +1208,7 @@ object Relational {
          |  min(try_variant_get(v, '$$.tags[0]', 'string')) AS first_tag
          |FROM v GROUP BY schema_of_variant(v)
          |ORDER BY schema""".stripMargin)
+  }
 
   /** Scratch root for [[variantShredWrite]]'s on-disk lakehouse table
     * (the maintScratch idiom: per-JVM temp, deleted on exit).
@@ -1249,7 +1254,10 @@ object Relational {
   private[graft] def variantShredWriteCore(
       spark: SparkSession, dir: String): (String, DataFrame) = {
     val path = s"$shredScratch/shred"
-    val staged = Corpus.read(spark, dir, "events")
+    // spread: parse_json + 6 variant_get per row serializes on the
+    // 1-task single-file scan (narrow rows — the q80/q155 measured-win
+    // class, r21); also parallelizes the staged write and read-back.
+    val staged = graft.sources.Corpus.spread(Corpus.read(spark, dir, "events"))
       .withColumn("js", expr(VariantJsonSynth))
       .withColumn("v", expr("parse_json(js)"))
       .select(col("event_id"), col("v"),
@@ -1328,6 +1336,13 @@ object Relational {
       spark: SparkSession, dir: String): (String, String, DataFrame) = {
     val plainPath = s"$shredScratch/native_plain"
     val shredPath = s"$shredScratch/native_shred"
+    // NOT spread (r21, measured both directions): unlike q261's
+    // manual shred (2.6→1.4 s spread), spreading this staged write
+    // made the gate SLOWER than the committed baseline (2.37→~2.8 s
+    // host-normalized) with task cpu 2.7→48.6 s — the double census
+    // re-reads 32 natively-shredded part files and pays variant
+    // reassembly from typed_value subcolumns per partition. The
+    // 1-task staged write is the cheaper shape here.
     val staged = Corpus.read(spark, dir, "events")
       .withColumn("js", expr(VariantJsonSynth))
       .selectExpr("event_id", "parse_json(js) AS v")
@@ -1492,7 +1507,10 @@ object Relational {
     * `approx_count_distinct` per column, no Expand, sketch-bounded.
     */
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
-    val df = t(spark, dir, "orders")
+    // spread: 6 columns × (null + exact-distinct + min/max) partial
+    // aggregation over every order row serializes on the single-file
+    // scan's one task — narrow rows, the measured-win case (r21).
+    val df = graft.sources.Corpus.spread(t(spark, dir, "orders"))
       .select(ProfileColumns.map(c => col(c._1)): _*)
     val fields = df.schema.fields
     require(fields.map(f => f.name ->
@@ -1540,6 +1558,12 @@ object Relational {
     * width.
     */
   def tableProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread (r21, measured both directions): wall-neutral at 32
+    // cores (2.67 s spread vs 2.65 s committed) while total task cpu
+    // grew ~4x (7.4 → 29.8 s — the partial countDistinct hash tables
+    // redo per-partition work the single partial dedupes once), which
+    // inverts into a loss at the driver's lower-core scaling bench.
+    // q236 (exact profile) measured a real wall win and IS spread.
     val df = t(spark, dir, "orders")
       .select(ProfileColumns.map(c => col(c._1)): _*)
     val fields = df.schema.fields
@@ -1579,6 +1603,7 @@ object Relational {
     * band cross-check.
     */
   def tableProfileApproxDetail(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread — see [[tableProfileApprox]] (r21).
     val df = t(spark, dir, "orders")
       .select(ProfileColumns.map(c => col(c._1)): _*)
     val fields = df.schema.fields

@@ -316,6 +316,11 @@ object Temporal {
   private def hourlyGrid(spark: SparkSession, dir: String): DataFrame = {
     // Microsecond epoch (the Corpus truncation) — exact integers.
     val micros = Exact.micros
+    // NOT spread (r21, measured both directions): repartitioning the
+    // events scan before this aggregate made q75 3.25→4.86 s and q79
+    // 4.99→13.2 s (cpu 3.8→17 s — the exchange destroys the scan
+    // stats and the downstream grid/obs join re-plans worse). The
+    // 1-task partial aggregate is cheaper than the spread here.
     val hourly = Corpus.read(spark, dir, "events")
       .select(col("user_id"), Exact.microsDiv(3600000000L).as("h"),
         col("value"),

@@ -490,7 +490,10 @@ object TextAnalysis {
          |  filter(split(lower($c), '[^a-z0-9]+'), w -> w <> ''),
          |  w -> transform(sequence(1, length(concat('  ', w, ' ')) - 2),
          |         i -> substring(concat('  ', w, ' '), i, 3)))))""".stripMargin
-    val cust = Corpus.read(spark, dir, "customer")
+    // spread: trigram explode + thresholded levenshtein otherwise
+    // serialize on the 1-task single-file scan — narrow (id, name)
+    // rows, the measured-win class (r21).
+    val cust = graft.sources.Corpus.spread(Corpus.read(spark, dir, "customer"))
       .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
     // Deterministic one-char deletion at a key-dependent position
     // (2-based so the leading char survives; both engines replay it).
@@ -1886,6 +1889,14 @@ object TextAnalysis {
     // q167 discipline; values shift < 1e-9·tf from the float form).
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_i").desc, col("term"))
+    // NOT spread (r21, the VERDICT-#4 measured verdict): spreading
+    // the (doc_id, term, tf) rows before this join measured
+    // wall-neutral (2.75 → 2.88 s same-session) with task cpu ~2×
+    // (2.4 → 4.9 s) — unlike q67, the dominant kernel here is the
+    // per-doc tf transform UPSTREAM on the scan, which a post-explode
+    // spread cannot parallelize, and shipping the exploded rows only
+    // adds exchange work. The serialized-kernel candidate q73 from
+    // VERDICT #4 is hereby measured and declined (see SCALING.md r21).
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score_i", col("tf") *
@@ -2111,7 +2122,12 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("w1"), col("w2"))
       .limit(BigramVocab)
-    bigrams
+    // Score pass over SPREAD bigram rows (r21): (doc_id, w1, w2) is
+    // narrow, and the per-bigram work downstream (two broadcast-hash
+    // probes + integer ln_scaled) is the query's dominant kernel —
+    // unlike shipping text (the q190b/q193 loss), shipping the
+    // exploded bigrams parallelizes the kernel for one cheap exchange.
+    graft.sources.Corpus.spread(bigrams)
       .join(broadcast(bigramTable), Seq("w1", "w2"), "left")
       .join(broadcast(uni), Seq("w1"))
       .crossJoin(broadcast(vocab))

@@ -240,6 +240,12 @@ object Layout {
     // silently diverge from the oracle (r15 ADVICE).
     val nFiles = ZorderFiles
     val tmp = zorderScratch
+    // NOT spread (r21, measured both directions): repartitioning the
+    // scan before the two partitionBy writes made the gate 2.5→5.1 s
+    // — 32 tasks × 16 partition dirs fan out to ~512 small part
+    // files, and the doubled open/commit overhead plus the read-back
+    // of those files exceeds the single-task write it replaced
+    // (guide §6's small-files tax, measured live).
     val li = Corpus.read(spark, dir, "lineitem")
       .select(expr("CAST(l_partkey AS BIGINT)").as("x"),
         expr("CAST(l_suppkey AS BIGINT)").as("y"))
