@@ -289,14 +289,31 @@ object Dedup {
   }
 
   private def cappedBands(docs: DataFrame): DataFrame = {
-    val bands0 = rawBandsOf(docs)
+    // Materialized ONCE (r21): the tokenize→minhash signature pass is
+    // the family's dominant kernel and it used to RE-EVALUATE under
+    // every consumer branch — the hot-bucket aggregate, its anti-join
+    // probe side, and the bl/br self-join sides downstream: up to 4
+    // serialized passes of the same kernel per query (the band rows
+    // themselves are 4 narrow rows/doc — tiny next to the kernel).
+    // Checkpointing here is also exactly the production shape the
+    // stored band index documents promise (q168/q251: the pipeline
+    // keeps the band table MATERIALIZED between snapshots). bands0's
+    // blocks release as soon as the capped table materializes; the
+    // capped table itself stays persisted like [[verifyCandidates]]'
+    // result (measured same-session at sf0.1: q43 2.9→2.5 s, q135
+    // 3.5→2.3, q185 5.0→3.6, q247 6.8→4.5, q71 2.3→1.8, with task
+    // cpu roughly halved across the family).
+    val bands0 = rawBandsOf(docs).localCheckpoint(true)
     // Bucket-size cap (see MaxBandDocs): the hot-bucket list is tiny
     // (it only holds pathological buckets) so the anti-join broadcasts.
     val hot = bands0.groupBy(col("lang"), col("band"), col("bkey"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > MaxBandDocs)
       .select(col("lang"), col("band"), col("bkey"))
-    bands0.join(hot, Seq("lang", "band", "bkey"), "left_anti")
+    val capped = bands0.join(hot, Seq("lang", "band", "bkey"), "left_anti")
+      .localCheckpoint(true)
+    checkpointRdd(bands0).foreach(_.unpersist(false))
+    capped
   }
 
   /** Incremental LSH band-index maintenance under CDC (q251) — the
@@ -1289,9 +1306,16 @@ object Dedup {
     // flat with 6x cpu, q229 2.1→3.7 s).
     val docs = docs0
     val lsh = candidatePairJaccardOver(docs)
+    // Materialized ONCE (r21, the cappedBands move): sh0 feeds the
+    // df-cap aggregate AND the capped join's probe, and the capped
+    // relation feeds sizes plus BOTH self-join sides — without the
+    // checkpoints the tokenize→shingle explode kernel re-evaluates
+    // up to 3× serialized on the 1-task scan. Narrow (doc_id, lang,
+    // shingle) rows; sh0's blocks release once sh materializes.
     val sh0 = docs.select(col("doc_id"), col("lang"),
         explode(graft.functions.MinHashFunctions.sorted_shingles(
           TextAnalysis.tokens(col("text")))).as("shingle"))
+      .localCheckpoint(true)
     // Truth df-cap (see [[RecallTruthDfCap]]): drop mass-repeated
     // shingles BEFORE the self-join; sizes count the surviving set so
     // the truth Jaccard is exact over the capped shingle space.
@@ -1299,7 +1323,8 @@ object Dedup {
       .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= RecallTruthDfCap)
       .select(col("shingle"))
-    val sh = sh0.join(keep, Seq("shingle"))
+    val sh = sh0.join(keep, Seq("shingle")).localCheckpoint(true)
+    checkpointRdd(sh0).foreach(_.unpersist(false))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("doc_id").as("a"), col("lang"),
         col("shingle"))

@@ -1529,6 +1529,14 @@ object TextAnalysis {
 
   private def pipelineOf(spark: SparkSession, dir: String,
       budget: Long, shardSize: Long, mixture: Boolean): DataFrame = {
+    // NOT checkpointed (r21, measured both directions): projecting
+    // (doc_id, lang, fp, n_tok) narrow and localCheckpoint'ing it
+    // before the exact-dedup semi-join — the cappedBands move — made
+    // q52 3.84→4.76 s and q58 3.76→4.06 s on a clean host: the eager
+    // materialization is a serial barrier at construction, while the
+    // un-checkpointed double evaluation overlaps with the
+    // dedupClusters stages inside one job. The q185 shape (many more
+    // consumers) measured neutral-positive and IS checkpointed.
     val scored = docQuality(spark, dir)
       .filter(col("quality") > 0.4)
       .withColumn("fp", fingerprintCol(col("text")))
@@ -1880,6 +1888,15 @@ object TextAnalysis {
           |              CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS tf))"""
           .stripMargin)).as("e"))
       .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+      // Materialized ONCE (r21): the per-doc tf transform (the
+      // query's dominant kernel, O(distinct terms × tokens) per doc
+      // on the 1-task scan) otherwise re-evaluates under BOTH the df
+      // aggregate and the scoring join's probe side. The (doc_id,
+      // term, tf) forward table is the retrieval-stack artifact q99
+      // stores anyway. Measured 2.9→1.7 s same-session; the spread
+      // alternative was measured wall-neutral and declined (see the
+      // comment below).
+      .localCheckpoint(true)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Corpus.read(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
@@ -1922,11 +1939,20 @@ object TextAnalysis {
     * map-side-combinable per-lang aggregates).
     */
   def effectiveSize(spark: SparkSession, dir: String): DataFrame = {
+    // Materialized ONCE (r21, the cappedBands move): this narrow
+    // (doc_id, lang, n_toks, fp) relation feeds the raw tally, BOTH
+    // sides of the exact-dedup semi-join, and through `exact` the
+    // cluster join and two more tallies — without the checkpoints
+    // the tokenCount+md5 kernel re-evaluates up to ~6× serialized on
+    // the 1-task scan (measured 3.56→3.45 s same-session on top of
+    // the cappedBands win — marginal wall, but the kernel now runs
+    // once and task cpu stops scaling with the consumer count).
     val docs = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         tokenCount(col("text")).cast("long").as("n_toks"),
         fingerprintCol(col("text")).as("fp"))
-    val exact = keepFirstByFingerprint(docs)
+      .localCheckpoint(true)
+    val exact = keepFirstByFingerprint(docs).localCheckpoint(true)
     val cl = Dedup.dedupClusters(spark, dir)
     val w = Window.partitionBy(col("cluster_rep"))
       .orderBy(col("n_toks").desc, col("doc_id"))
@@ -1974,8 +2000,14 @@ object TextAnalysis {
         |    CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS tf))"""
         .stripMargin)).as("e"))
       .select(col("lang"), col("e.term").as("term"), col("e.tf").as("tf"))
+    // Materialized ONCE (r21): this vocab-BOUNDED aggregate (langs ×
+    // distinct terms — never corpus-sized) otherwise re-evaluates its
+    // whole upstream (scan + per-doc tf transform + explode + shuffle)
+    // under the vocab heap AND both oov consumers — 3 serialized
+    // kernel passes for one bounded table.
     val langTerm = terms.groupBy(col("lang"), col("term"))
       .agg(sum(col("tf")).as("cnt"))
+      .localCheckpoint(true)
     val vocab = langTerm.groupBy(col("term"))
       .agg(sum(col("cnt")).as("gcnt"))
       .orderBy(col("gcnt").desc, col("term")).limit(OovVocabV)
