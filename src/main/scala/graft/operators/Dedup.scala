@@ -398,7 +398,11 @@ object Dedup {
         col("bkey") === col("bkey_b") && col("band") === col("band_b") &&
           col("lang") === col("lang_b") && col("a") < col("b"))
       .select(col("a"), col("b")).distinct().cache()
-    verifyCandidates(docs, cand)
+    val out = verifyCandidates(docs, cand)
+    // The verified pair set is materialized; the capped band blocks
+    // are dead — release them (the OperatorsSpec cache-hygiene bound).
+    checkpointRdd(bands).foreach(_.unpersist(false))
+    out
   }
 
   /** Exact word-3-gram Jaccard verification of a cached candidate
@@ -472,7 +476,11 @@ object Dedup {
         col("bkey") === col("bkey_b") && col("band") === col("band_b") &&
           col("lang") === col("lang_b"))
       .select(col("a"), col("b")).distinct().cache()
-    verifyCandidates(docs, cand)
+    val out = verifyCandidates(docs, cand)
+    // Verified set materialized — release the capped band blocks
+    // (the candidatePairJaccardOver hygiene).
+    checkpointRdd(bands).foreach(_.unpersist(false))
+    out
       .filter(col("jaccard") >= 0.2)
       .select(col("doc_a").as("base_doc"), col("doc_b").as("delta_doc"),
         col("jaccard"))
