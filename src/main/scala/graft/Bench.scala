@@ -343,6 +343,14 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       clock.drain()
       spark.catalog.clearCache()
+      // r22 teardown hygiene (VERDICT r21 "what's wrong" #2):
+      // clearCache only evicts CacheManager (SQL-cache) entries;
+      // localCheckpoint blocks live as RDD-level persists, so a query
+      // that deliberately retains one for a lazy consumer (q193's
+      // band table) used to leak it into every later query's window.
+      // Released here, OUTSIDE the timed window, exactly like
+      // clearCache — measurement hygiene, not query cost.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       if (ok) Some(Sample(t,
         (clock.runMs.get() - run0) / 1e3,
         (clock.cpuNs.get() - cpu0) / 1e9,
@@ -561,7 +569,20 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val samples = spinSamples.map(s => f"$s%.4f").mkString("[", ",", "]")
     val noisy = !stable || tainted.nonEmpty || suspect.nonEmpty
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"noisy":$noisy,"tainted":$taintedJson,"suspect":$suspectJson,"structural":$structuralJson,"wander":$wanderJson,"wander_base":$wanderBase,"query_cpu":$cpuJson,"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"spin_threads":$SpinThreads,"spin_samples":$samples,"sf":"$sfDir"}"""
+    // Host-speed-normalized total (r22, VERDICT #7 — ADDITIVE field;
+    // "value" and the timing path are untouched): the best parallel
+    // spin this run measures how fast THIS session's host executes
+    // fixed CPU work relative to the committed idle reference, so
+    // total × ref/spin is the total a reference-speed host would have
+    // measured. Round-over-round readers should compare value_spin_norm
+    // when the sessions' spins differ (the r20→r21 1.15-1.24x host
+    // drift made raw totals archaeology); it is a CPU-axis correction
+    // only — I/O- or latency-bound queries normalize imperfectly.
+    val totalNorm =
+      if (bestSpin > 0 && bestSpin != Double.MaxValue)
+        total * SpinReferenceParallel / bestSpin
+      else total
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","value_spin_norm":$totalNorm,"queries":$qs,"errors":$errs,"noisy":$noisy,"tainted":$taintedJson,"suspect":$suspectJson,"structural":$structuralJson,"wander":$wanderJson,"wander_base":$wanderBase,"query_cpu":$cpuJson,"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"spin_threads":$SpinThreads,"spin_samples":$samples,"sf":"$sfDir"}"""
     println(json)
     // Compact twin printed LAST: the driver's artifact keeps only a
     // ~4 KB stdout tail, and at 210 queries the full line above is
@@ -580,7 +601,7 @@ object Bench {
     val wanderNames = wander.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wanderPersistentNames =
       wanderPersistent.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","schema":"compact","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"noisy":$noisy,"tainted":$taintedJson,"suspect_names":$suspectNames,"wander_names":$wanderNames,"wander_persistent":$wanderPersistentNames,"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"sf":"$sfDir","queries_detail":"bench_result.json"}""")
+    println(s"""{"metric":"total","schema":"compact","value":$total,"unit":"sec","value_spin_norm":$totalNorm,"n_queries":${names.size},"n_errors":${errors.size},"noisy":$noisy,"tainted":$taintedJson,"suspect_names":$suspectNames,"wander_names":$wanderNames,"wander_persistent":$wanderPersistentNames,"attempts":$attempts,"spin":$bestSpin,"spin_ref":$SpinReferenceParallel,"sf":"$sfDir","queries_detail":"bench_result.json"}""")
     // File twin of the stdout line: the official artifact is captured
     // from a stdout tail that has truncated before (r4 lost the total
     // and q01-q09); a file can be read back whole.

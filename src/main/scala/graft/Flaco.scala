@@ -94,6 +94,14 @@ final case class ParityOptions(
   */
 object Flaco {
 
+  /** One isolated interop session per parent session (see
+    * [[writeParquet]]'s variantInterop path) — weak keys so a
+    * discarded parent's entry can be collected. Guarded by its own
+    * monitor (WeakHashMap is not thread-safe).
+    */
+  private val interopSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
   /** Session factory with the scale-appropriate defaults used across
     * the engine: AQE on (runtime re-plan, skew-join handling), shuffle
     * partitions sized to the local core count rather than the 200
@@ -267,19 +275,29 @@ object Flaco {
       // session differs in exactly the annotate key; statics throw and
       // are already equal (same context).
       val sess = df.sparkSession
-      val isolated = sess.newSession()
+      // ONE cached isolated session per parent (r21 ADVICE): a fresh
+      // newSession() per write leaks SessionState on heavy interop
+      // use. The runtime conf is re-synced on every write (the parent
+      // may have changed between writes); only MODIFIABLE keys are
+      // copied — statics are already equal (same context) and a
+      // blanket catch would mask a genuinely-needed copy failing.
+      val isolated = interopSessions.synchronized {
+        interopSessions.computeIfAbsent(sess, s => s.newSession())
+      }
       sess.conf.getAll.foreach { case (ck, cv) =>
-        try isolated.conf.set(ck, cv) catch { case _: Exception => () }
+        if (isolated.conf.isModifiable(ck)) isolated.conf.set(ck, cv)
       }
       isolated.conf
         .set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
       // Re-bind the plan to the isolated session through a global temp
-      // view (the cross-session handle Spark exposes publicly).
+      // view (the cross-session handle Spark exposes publicly). The
+      // database name is a conf, not a constant (r21 ADVICE).
+      val gtDb = sess.conf.get("spark.sql.globalTempDatabase", "global_temp")
       val vname = "flaco_interop_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       out.createOrReplaceGlobalTempView(vname)
       try {
-        var wi = isolated.table(s"global_temp.$vname").write.mode("overwrite")
+        var wi = isolated.table(s"`$gtDb`.$vname").write.mode("overwrite")
         if (parity.uncompressed) wi = wi.option("compression", "none")
         wi.option("spark.sql.variant.inferShreddingSchema", "false")
           .parquet(path)

@@ -99,6 +99,63 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
+  /** [[signature]] computed from a document's DISTINCT shingle array
+    * ([[sortedShingles]]' output) instead of its token array — the
+    * r22 shared-pass form: when a query already materializes the
+    * per-doc shingle arrays (q226's truth side does), the signature
+    * can be derived from them without re-tokenizing. BIT-IDENTICAL
+    * to `signature(tokens)`: each mins slot is a minimum over the
+    * doc's shingles, and a minimum is invariant under deduplication,
+    * so hashing the distinct set yields the same 8 windows the
+    * positional walk yields (MinHashSpec pins the equality). Null on
+    * an empty array — exactly the `< 3 tokens` absence
+    * `signature` encodes, since [[sortedShingles]] emits an empty
+    * array for those docs.
+    */
+  def signatureFromShingles(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val md = Md5.get()
+    val digest = new Array[Byte](16)
+    val mins = Array.fill(8)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i).getBytes
+      var d = 0
+      while (d < 2) {
+        md.reset()
+        if (d == 1) md.update(XPrefix)
+        md.update(sh)
+        md.digest(digest, 0, 16)
+        var w = 0
+        while (w < 4) {
+          val j = d * 4 + w
+          val win = ((digest(4 * w) & 0xffL) << 24) |
+            ((digest(4 * w + 1) & 0xffL) << 16) |
+            ((digest(4 * w + 2) & 0xffL) << 8) |
+            (digest(4 * w + 3) & 0xffL)
+          if (win < mins(j)) mins(j) = win
+          w += 1
+        }
+        d += 1
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](8)
+    var j = 0
+    while (j < 8) {
+      val hex = new Array[Char](8)
+      var k = 0
+      while (k < 8) {
+        hex(k) = HexDigits(((mins(j) >> (28 - 4 * k)) & 0xf).toInt)
+        k += 1
+      }
+      out(j) = UTF8String.fromString(new String(hex))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** DSIR bigram feature buckets: per adjacent token pair, the first
     * 12 bits of md5(tok[i] + ' ' + tok[i+1]) modulo `buckets` —
     * BIT-IDENTICAL to the declarative
@@ -691,11 +748,40 @@ case class MinHashSignature(child: Expression)
     copy(child = c)
 }
 
+/** [[MinHashSignature]] over a precomputed distinct-shingle array —
+  * see [[MinHashKernel.signatureFromShingles]] for the equality
+  * argument.
+  */
+case class MinHashSignatureFromShingles(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.signatureFromShingles(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinHashKernel.signatureFromShingles($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object MinHashFunctions {
   import GraftSqlBridge.{column, expression}
 
   def minhash_signature(tokens: Column): Column =
     column(MinHashSignature(expression(tokens)))
+
+  def minhash_signature_from_shingles(shingles: Column): Column =
+    column(MinHashSignatureFromShingles(expression(shingles)))
 
   def sorted_shingles(tokens: Column): Column =
     column(SortedShingles(expression(tokens)))

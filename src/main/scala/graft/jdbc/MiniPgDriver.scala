@@ -938,10 +938,18 @@ final class MiniPgWire(host: String, port: Int, database: String,
           // Throwable, not Exception: a fatal error mid-drain must
           // still close the desynced shared wire before propagating
           // (r20 ADVICE — the Exception narrowing left it open).
+          // close() failures attach as SUPPRESSED (r21 ADVICE): a
+          // throwing close must never replace the diagnostic being
+          // prepared — neither the protocol-misuse SQLException below
+          // nor the original fatal error.
+          def closeQuietly(primary: Throwable): Unit =
+            try close()
+            catch { case c: Throwable if c ne primary =>
+              primary.addSuppressed(c) }
           try drainToReady()
           catch {
-            case e: Exception => drainFailure = e; close()
-            case e: Throwable => close(); throw e
+            case e: Exception => drainFailure = e; closeQuietly(e)
+            case e: Throwable => closeQuietly(e); throw e
           }
           val ex = new SQLException(
             s"unexpected copy-start reply '${other.toChar}' — " +

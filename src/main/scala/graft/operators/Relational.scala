@@ -1187,11 +1187,18 @@ object Relational {
   def variantShred(spark: SparkSession, dir: String): DataFrame = {
     // spread: parse_json + per-row variant extraction serializes on
     // the 1-task single-file scan (the q266/q267 temp-view idiom; r21).
+    // Unique view name, dropped after the plan is built (r21 ADVICE):
+    // a fixed name let concurrent calls on one session clobber each
+    // other between createOrReplaceTempView and spark.sql, and leaked
+    // the view afterwards. The returned DataFrame captures the
+    // resolved plan, so dropping the view immediately is safe.
+    val view = "g259_events_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     graft.sources.Corpus.spread(Corpus.read(spark, dir, "events"))
-      .createOrReplaceTempView("g259_events")
-    spark.sql(
+      .createOrReplaceTempView(view)
+    try spark.sql(
       s"""WITH j AS (SELECT event_id, user_id, event_type,
-         |    $VariantJsonSynth AS js FROM g259_events),
+         |    $VariantJsonSynth AS js FROM $view),
          |v AS (SELECT *, parse_json(js) AS v FROM j)
          |SELECT schema_of_variant(v) AS schema,
          |  count(*) AS n,
@@ -1208,6 +1215,7 @@ object Relational {
          |  min(try_variant_get(v, '$$.tags[0]', 'string')) AS first_tag
          |FROM v GROUP BY schema_of_variant(v)
          |ORDER BY schema""".stripMargin)
+    finally spark.catalog.dropTempView(view): Unit
   }
 
   /** Scratch root for [[variantShredWrite]]'s on-disk lakehouse table
@@ -1558,14 +1566,17 @@ object Relational {
     * width.
     */
   def tableProfileApprox(spark: SparkSession, dir: String): DataFrame = {
-    // NOT spread (r21, measured both directions): wall-neutral at 32
-    // cores (2.67 s spread vs 2.65 s committed) while total task cpu
-    // grew ~4x (7.4 → 29.8 s — the partial countDistinct hash tables
-    // redo per-partition work the single partial dedupes once), which
-    // inverts into a loss at the driver's lower-core scaling bench.
-    // q236 (exact profile) measured a real wall win and IS spread.
-    val df = t(spark, dir, "orders")
-      .select(ProfileColumns.map(c => col(c._1)): _*)
+    // Spread to 8 ways, not 32 (r22, VERDICT #8 — the unexplored
+    // middle): full-width spread measured wall-neutral with cpu ~4x
+    // in r21 (7.4 → 29.8 s — the partial countDistinct hash tables
+    // redo per-partition work the single partial dedupes once), while
+    // NO spread serialized the Expand×7 multi-distinct partial on the
+    // 1-task scan. 8 ways parallelizes the partial without the full
+    // duplicated-state tax; capped at the session parallelism so the
+    // driver's low-core scaling bench never over-partitions
+    // (before/after numbers in OPTIMIZATION_r22.md).
+    val df = graft.sources.Corpus.spreadTo(
+      t(spark, dir, "orders").select(ProfileColumns.map(c => col(c._1)): _*), 8)
     val fields = df.schema.fields
     val aggs = fields.flatMap { f =>
       val c = col(f.name)

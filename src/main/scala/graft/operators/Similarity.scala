@@ -475,10 +475,16 @@ object Similarity {
   def clusterTopicTerms(spark: SparkSession, dir: String, k: Int = 3,
       ncells: Int = 16, iters: Int = 2): DataFrame = {
     val e = Corpus.read(spark, dir, "embeddings")
-    val cells = cellAssignmentsFor(e, trainedCentroids(spark, dir, ncells, iters))
+    // Materialized ONCE (r22, the cappedBands pattern): the cell
+    // assignment kernel feeds the cell-terms join AND the cell-sizes
+    // aggregate; the tokenize+explode feeds the cell-terms join AND
+    // the corpus-frequency aggregate — each used to re-evaluate its
+    // whole upstream per consumer on the 1-task scans.
+    val cells = Dedup.materializeOnce(
+      cellAssignmentsFor(e, trainedCentroids(spark, dir, ncells, iters)))
     val docs = Corpus.read(spark, dir, "documents")
-    val docTerms = docs.select(col("doc_id"),
-      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+    val docTerms = Dedup.materializeOnce(docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term")))
     val cellTerms = docTerms
       .join(cells, docTerms("doc_id") === cells("vec_id"))
       .groupBy(col("cid"), col("term"))

@@ -321,14 +321,26 @@ object Temporal {
     // 4.99→13.2 s (cpu 3.8→17 s — the exchange destroys the scan
     // stats and the downstream grid/obs join re-plans worse). The
     // 1-task partial aggregate is cheaper than the spread here.
-    val hourly = Corpus.read(spark, dir, "events")
+    // Materialized ONCE (r22, VERDICT #3): `hourly` feeds BOTH the
+    // per-user bounds aggregate (grid derivation) and the grid join's
+    // probe side — without materialization the events scan plus the
+    // max_by collapse aggregate (the query's dominant cost) evaluated
+    // TWICE (Spark has no common-subplan dedup). Narrow (user_id, h,
+    // v_obs, n_obs) rows bounded by users × span hours — far smaller
+    // than the event table (see [[Dedup.materializeOnce]] for the
+    // primitive's measured trade-offs; the persist variant measured
+    // cpu 4.2→10.5 s on q79). The r21 attempt spread the events SCAN
+    // (before the aggregate) and lost 2.6x — this materializes the
+    // aggregate's OUTPUT instead, which also hands the downstream
+    // grid/obs join exact size stats.
+    val hourly = Dedup.materializeOnce(Corpus.read(spark, dir, "events")
       .select(col("user_id"), Exact.microsDiv(3600000000L).as("h"),
         col("value"),
         concat(lpad(micros.cast("string"), 20, "0"),
           lpad(col("event_id").cast("string"), 12, "0")).as("ord"))
       .groupBy(col("user_id"), col("h"))
       .agg(expr("max_by(value, ord)").as("v_obs"),
-        count(lit(1)).as("n_obs"))
+        count(lit(1)).as("n_obs")))
     val grid = hourly
       .groupBy(col("user_id"))
       .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))

@@ -178,8 +178,20 @@ object TextAnalysis {
     * [[cleanCorpus]] and [[trainingPipeline]].
     */
   def keepFirstByFingerprint(df: DataFrame): DataFrame = {
-    val keep = df.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    df.join(keep, Seq("fp", "doc_id"), "left_semi")
+    // ONE-PASS form (r22, VERDICT #1): the former groupBy(fp).min +
+    // left-semi probe consumed `df` TWICE — Spark has no common-
+    // subplan dedup, so the upstream quality/fingerprint kernel
+    // evaluated once under the aggregate and again under the probe
+    // (the r21 checkpoint attempt serialized construction and measured
+    // WORSE: q52 3.84→4.76 s). row_number over fp consumes df ONCE
+    // with a single hash exchange of rows Catalyst prunes to the
+    // consumed columns; rows kept are identical because doc_id is
+    // unique, so rank-1 ≡ doc_id = min(doc_id) per fp.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    df.withColumn("__fp_rn", row_number().over(w))
+      .filter(col("__fp_rn") === 1)
+      .drop("__fp_rn")
   }
 
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
@@ -799,7 +811,11 @@ object TextAnalysis {
       }
       a.length < b.length
     }
-    val merges = (1 to BpeMerges).map { rank =>
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= BpeMerges && !exhausted) {
       val rows = words.select(col("sym"), col("cnt")).as[(String, Long)]
         .mapPartitions { it =>
           val m = scala.collection.mutable.HashMap
@@ -829,23 +845,32 @@ object TextAnalysis {
               }
           }) map { case ((a, b), pc) => (a, b, pc) }
         }.collect()
-      require(rows.length == 1,
-        s"bpe argmax expects the 1-partition vocab, got ${rows.length} rows")
-      val (a, b, pc) = rows(0)
-      // LAZY per-round checkpoint: lineage still truncates every
-      // round (the checkpoint materializes inside the NEXT round's
-      // argmax job), but the round runs ONE Spark job instead of two
-      // — at 64 rounds the driver job round-trip, not data, was the
-      // measured cost (6.7 s wall on 1.0 s of cpu with eager
-      // checkpoints; ~halved lazy).
-      words = words
-        .withColumn("sym", regexp_replace(col("sym"),
-          lit(java.util.regex.Pattern.quote(s"$sep$a$sep$sep$b$sep")),
-          lit(java.util.regex.Matcher.quoteReplacement(s"$sep$a$b$sep"))))
-        .localCheckpoint(false)
-      (rank.toLong, a, b, pc)
+      if (rows.isEmpty) {
+        // No adjacent pairs left anywhere (every word fully merged
+        // before BpeMerges rounds): training is COMPLETE, not broken —
+        // return the merges learned so far (r21 ADVICE; Sennrich's
+        // loop terminates the same way when the vocab exhausts).
+        exhausted = true
+      } else {
+        require(rows.length == 1,
+          s"bpe argmax expects the 1-partition vocab, got ${rows.length} rows")
+        val (a, b, pc) = rows(0)
+        // LAZY per-round checkpoint: lineage still truncates every
+        // round (the checkpoint materializes inside the NEXT round's
+        // argmax job), but the round runs ONE Spark job instead of two
+        // — at 64 rounds the driver job round-trip, not data, was the
+        // measured cost (6.7 s wall on 1.0 s of cpu with eager
+        // checkpoints; ~halved lazy).
+        words = words
+          .withColumn("sym", regexp_replace(col("sym"),
+            lit(java.util.regex.Pattern.quote(s"$sep$a$sep$sep$b$sep")),
+            lit(java.util.regex.Matcher.quoteReplacement(s"$sep$a$b$sep"))))
+          .localCheckpoint(false)
+        merges += ((rank.toLong, a, b, pc))
+        rank += 1
+      }
     }
-    merges
+    merges.toSeq
   }
 
   /** BPE tokenizer APPLICATION + fertility report (q245) — the
@@ -1881,22 +1906,22 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val tf = docs
+    // Materialized ONCE (r21; via [[Dedup.materializeOnce]] since r22
+    // — see its scaladoc for the persist-vs-checkpoint numbers): the
+    // per-doc tf transform (the
+    // query's dominant kernel, O(distinct terms × tokens) per doc on
+    // the 1-task scan) otherwise re-evaluates under BOTH the df
+    // aggregate and the scoring join's probe side. The (doc_id, term,
+    // tf) forward table is the retrieval-stack artifact q99 stores
+    // anyway. Measured 2.9→1.7 s same-session in r21; the spread
+    // alternative was measured wall-neutral and declined.
+    val tf = Dedup.materializeOnce(docs
       .select(col("doc_id"), explode(expr(
         """transform(array_distinct(toks),
           |  t -> struct(t AS term,
           |              CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS tf))"""
           .stripMargin)).as("e"))
-      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
-      // Materialized ONCE (r21): the per-doc tf transform (the
-      // query's dominant kernel, O(distinct terms × tokens) per doc
-      // on the 1-task scan) otherwise re-evaluates under BOTH the df
-      // aggregate and the scoring join's probe side. The (doc_id,
-      // term, tf) forward table is the retrieval-stack artifact q99
-      // stores anyway. Measured 2.9→1.7 s same-session; the spread
-      // alternative was measured wall-neutral and declined (see the
-      // comment below).
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Corpus.read(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
@@ -1947,12 +1972,15 @@ object TextAnalysis {
     // the 1-task scan (measured 3.56→3.45 s same-session on top of
     // the cappedBands win — marginal wall, but the kernel now runs
     // once and task cpu stops scaling with the consumer count).
-    val docs = Corpus.read(spark, dir, "documents")
+    // Materialized via [[Dedup.materializeOnce]] (r22) — see its
+    // scaladoc for the measured trade-off on these corpus-shaped
+    // relations (this query was the persist experiment's worst case:
+    // cpu 2.7→15.7 s).
+    val docs = Dedup.materializeOnce(Corpus.read(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         tokenCount(col("text")).cast("long").as("n_toks"),
-        fingerprintCol(col("text")).as("fp"))
-      .localCheckpoint(true)
-    val exact = keepFirstByFingerprint(docs).localCheckpoint(true)
+        fingerprintCol(col("text")).as("fp")))
+    val exact = Dedup.materializeOnce(keepFirstByFingerprint(docs))
     val cl = Dedup.dedupClusters(spark, dir)
     val w = Window.partitionBy(col("cluster_rep"))
       .orderBy(col("n_toks").desc, col("doc_id"))
@@ -2075,12 +2103,17 @@ object TextAnalysis {
           .stripMargin)).as("pl"))
       .select(col("doc_id"), col("pl.pos").as("pos"), col("pl.line").as("line"),
         md5(col("pl.line")).as("fp"))
-    val boiler = lines
+    // Materialized ONCE (r22, the cappedBands pattern): the
+    // tokenize→line-explode→md5 kernel feeds the boilerplate
+    // aggregate AND the join probe — it used to run twice,
+    // serialized on the 1-task scan.
+    val linesM = Dedup.materializeOnce(lines)
+    val boiler = linesM
       .groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > BoilerplateDocThreshold)
       .select(col("fp"), lit(1).as("is_boiler"))
-    lines.join(boiler, Seq("fp"), "left")
+    linesM.join(boiler, Seq("fp"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),

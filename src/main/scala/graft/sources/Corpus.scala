@@ -65,6 +65,27 @@ object Corpus {
     }
   }
 
+  /** [[spread]] to a BOUNDED number of ways (r22): for partial
+    * aggregations whose per-partition state re-does work the single
+    * partial would dedupe once (multi-countDistinct hash tables,
+    * HLL sketches), full-width spread multiplies task cpu by the
+    * partition count (measured r21: q238 cpu 7.4→29.8 s at 32 ways,
+    * wall-neutral) while NO spread serializes the aggregate on the
+    * 1-task scan. `n` caps the parallelism-vs-duplicated-state
+    * trade-off; capped at the session's parallelism so low-core runs
+    * never over-partition. Same file-count guard as [[spread]]: at
+    * production file counts the layout is the parallelism and this
+    * is a no-op.
+    */
+  def spreadTo(df: DataFrame, n: Int): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      val ways = math.min(n, par)
+      if (df.inputFiles.length * 2 < ways) df.repartition(ways) else df
+    }
+  }
+
   /** Register every corpus table present in `dir` as a temp view. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach { n =>

@@ -53,6 +53,29 @@ class MinHashSpec extends AnyFunSuite {
     }
   }
 
+  test("signature from sorted shingles equals signature from tokens " +
+    "(the r22 shared-pass form)") {
+    // The shared-pass banding (q226/q229) derives the signature from
+    // the per-doc DISTINCT shingle array instead of the token walk;
+    // the two must agree on every corpus doc (min is dedup-invariant).
+    val rows = docs
+      .select(col("doc_id"),
+        MinHashFunctions
+          .minhash_signature(TextAnalysis.tokens(col("text"))).as("sig"),
+        MinHashFunctions.minhash_signature_from_shingles(
+          MinHashFunctions.sorted_shingles(
+            TextAnalysis.tokens(col("text")))).as("sig2"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2),
+        s"null mismatch for doc ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"signature mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("signature is null for docs with fewer than 3 tokens") {
     val s = spark
     import s.implicits._
