@@ -1464,7 +1464,15 @@ object Dedup {
     val shArr = materializeOnce(docs.select(col("doc_id"), col("lang"),
       graft.functions.MinHashFunctions.sorted_shingles(
         TextAnalysis.tokens(col("text"))).as("shs")))
-    val lsh = candidatePairJaccardShingled(shArr)
+    // The LSH side (banding → candidates → verification) and the
+    // truth side (df-cap → capped shingle table) both depend ONLY on
+    // shArr, so their construction-time materialization jobs run
+    // CONCURRENTLY (guide §2.6 — overlap independent jobs; Spark's
+    // scheduler interleaves them and the truth side back-fills the
+    // LSH side's stage tails). Job submission is thread-safe; the
+    // Await rethrows any side's failure.
+    val lshF = scala.concurrent.Future(candidatePairJaccardShingled(shArr))(
+      scala.concurrent.ExecutionContext.global)
     // Truth-side explode, derived from the materialized arrays — its
     // two consumers (the df-cap aggregate and the capped join probe)
     // re-run only the explode over the blocks, not the kernel.
@@ -1478,6 +1486,8 @@ object Dedup {
       .filter(col("dfreq") <= RecallTruthDfCap)
       .select(col("shingle"))
     val sh = materializeOnce(sh0.join(keep, Seq("shingle")))
+    val lsh = scala.concurrent.Await.result(lshF,
+      scala.concurrent.duration.Duration.Inf)
     releaseMaterialized(shArr)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("doc_id").as("a"), col("lang"),

@@ -1975,13 +1975,19 @@ object TextAnalysis {
     // Materialized via [[Dedup.materializeOnce]] (r22) — see its
     // scaladoc for the measured trade-off on these corpus-shaped
     // relations (this query was the persist experiment's worst case:
-    // cpu 2.7→15.7 s).
-    val docs = Dedup.materializeOnce(Corpus.read(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        tokenCount(col("text")).cast("long").as("n_toks"),
-        fingerprintCol(col("text")).as("fp")))
-    val exact = Dedup.materializeOnce(keepFirstByFingerprint(docs))
+    // cpu 2.7→15.7 s). The docs/exact materialization and the
+    // dedupClusters sub-pipeline are INDEPENDENT until the keep join,
+    // so their construction-time jobs run concurrently (guide §2.6).
+    val docsExactF = scala.concurrent.Future {
+      val docs = Dedup.materializeOnce(Corpus.read(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("n_toks"),
+          fingerprintCol(col("text")).as("fp")))
+      (docs, Dedup.materializeOnce(keepFirstByFingerprint(docs)))
+    }(scala.concurrent.ExecutionContext.global)
     val cl = Dedup.dedupClusters(spark, dir)
+    val (docs, exact) = scala.concurrent.Await.result(docsExactF,
+      scala.concurrent.duration.Duration.Inf)
     val w = Window.partitionBy(col("cluster_rep"))
       .orderBy(col("n_toks").desc, col("doc_id"))
     val keep = cl.join(exact, Seq("doc_id"))
@@ -2740,14 +2746,20 @@ object TextAnalysis {
     */
   def dsirCuratedPipeline(spark: SparkSession, dir: String,
       budget: Long = 2048, shardSize: Long = 64): DataFrame = {
-    val lw = dsirWeightTable(spark, dir)
-    val wm = typedLit(lw)
+    // The DSIR weight fit (one spread corpus pass, collected to a
+    // bounded map) and the dedupClusters sub-pipeline are independent
+    // — run their construction-time jobs concurrently (guide §2.6;
+    // same move as effectiveSize's docs/exact overlap).
+    val lwF = scala.concurrent.Future(dsirWeightTable(spark, dir))(
+      scala.concurrent.ExecutionContext.global)
+    val reps = Dedup.dedupClusters(spark, dir)
+    val wm = typedLit(scala.concurrent.Await.result(lwF,
+      scala.concurrent.duration.Duration.Inf))
     val scored = docQuality(spark, dir)
       .filter(col("quality") > 0.4)
       .withColumn("fp", fingerprintCol(col("text")))
       .withColumn("n_tok", tokenCount(col("text")).cast("long"))
     val deduped = keepFirstByFingerprint(scored)
-    val reps = Dedup.dedupClusters(spark, dir)
     val kept = deduped.join(reps, Seq("doc_id"), "left")
       .filter(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
     // DSIR score: per-row bucket kernel + broadcast map lookup. Docs
